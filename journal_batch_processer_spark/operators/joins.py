@@ -1,0 +1,72 @@
+"""Join family beyond the reference's single equi join.
+
+The reference only ever joins row-to-row by barcode (BatchUpdate.py:
+474-488); Spark gives semi/anti/range for free, and as-of needs the
+union-merge trick to stay scalable.
+
+``asof_join`` deliberately avoids the naive ``join + filter + max``
+shape (a per-key cross product) — instead both sides are unioned,
+tagged, and swept with one ``last(..., ignorenulls=True)`` window per
+carried column: a single hash-partition shuffle by key, linear work,
+no blow-up on skewed keys. This is the 100 TB-safe as-of plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    carry_cols: list[str],
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For each left row, the most recent right row with
+    ``right.ts <= left.ts`` in the same key group (backward as-of,
+    inclusive). Right-side ties on ts resolve to the later row in the
+    union sort (matching "latest wins").
+    """
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(c + suffix) for c in carry_cols],
+    )
+    for c in r_tag.columns:
+        if c not in l_tag.columns:
+            l_tag = l_tag.withColumn(c, F.lit(None).cast(r_tag.schema[c].dataType))
+    for c in l_tag.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
+    merged = l_tag.unionByName(r_tag.select(l_tag.columns))
+
+    # right rows sort before left rows at equal ts → inclusive <=
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in carry_cols:
+        merged = merged.withColumn(
+            c + suffix, F.last(F.col(c + suffix), ignorenulls=True).over(w)
+        )
+    return merged.filter(F.col("__side") == 1).drop("__side", "__ts")
+
+
+def range_join_buckets(
+    facts: DataFrame,
+    buckets: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Inner range join fact.value ∈ [lo, hi). The bucket side is tiny
+    → broadcast nested-loop, the plan Spark picks and the right one."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(buckets), cond, "inner")

@@ -40,8 +40,16 @@ def base_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.withColumn("vol", F.col("k"))
         .withColumn("m", (F.col("k") % 9 + 1).cast("int"))
-        .withColumn("mon1", mon_arr[(F.col("g") * 3 + F.col("k")) % 12])
-        .withColumn("mon2", mon_arr[(F.col("g") * 5 + F.col("k") + 7) % 12])
+        .withColumn(
+            "mon1",
+            F.element_at(mon_arr, ((F.col("g") * 3 + F.col("k")) % 12).cast("int") + 1),
+        )
+        .withColumn(
+            "mon2",
+            F.element_at(
+                mon_arr, ((F.col("g") * 5 + F.col("k") + 7) % 12).cast("int") + 1
+            ),
+        )
         .withColumn("y4", (F.lit(1985) + F.col("g") % 15 + F.col("k")).cast("int"))
         .withColumn("style", ((F.col("g") + F.col("k")) % 7).cast("int"))
     )
@@ -76,7 +84,7 @@ def item_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g"),
         F.col("k"),
         (F.lit(9000000000000) + F.col("g")).cast("string").alias("MMS ID"),
-        F.concat(F.lit("'"), F.col("o_orderkey").cast("string")).alias("Barcode"),
+        F.col("o_orderkey").cast("string").alias("Barcode"),
         F.concat(F.lit("Journal "), F.col("g").cast("string")).alias("title"),
         description_expr().alias("Description"),
         F.lit("").alias("Enum A"),

@@ -1,0 +1,326 @@
+"""Training-data-pipeline operators over documents/embeddings/events:
+deduplication (exact, n-gram Jaccard, MinHash LSH, SimHash, embedding
+cosine), similarity search (brute force + LSH), text analysis, and
+multimodal column plumbing.
+
+Oracle notes: Jaccard uses integer set arithmetic (bit-exact across
+engines); cosine values are rounded to 6 dp on both sides to absorb
+any float-summation associativity differences; MinHash/SimHash/LSH are
+hash-seeded approximations → rows-only checks with recall asserted in
+pytest against the exact operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.operators.dedup import (
+    dedup_exact,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+)
+from journal_batch_processer_spark.operators.multimodal import attach_binary
+from journal_batch_processer_spark.operators.similarity import (
+    cosine_topk,
+    dot_expr,
+    lsh_bucket_topk,
+)
+from journal_batch_processer_spark.operators.text_analysis import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from journal_batch_processer_spark.session import load_events
+
+EMB_DIM = 64
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    return dedup_exact(events, ["user_id", "event_type"], "event_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dupes
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("h", F.md5("text"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("first_doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+SQL_DEDUP_EXACT_HASH = """
+SELECT md5(text) AS h, MIN(doc_id) AS first_doc_id, COUNT(*) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+    return out.select(
+        "doc_a", "doc_b", "inter", "sz_a", "sz_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_DEDUP_NGRAM = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+),
+flat AS (
+    SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM flat GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM flat a JOIN flat b USING (shingle)
+    WHERE a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.05
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (rows-only: hash-seeded approximation;
+    recall vs exact Jaccard asserted in tests)."""
+    docs = _docs(spark, sf_dir)
+    return minhash_candidates(docs, "doc_id", "text", n_hashes=32, bands=8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return simhash_fingerprint(docs, "doc_id", "text", bits=32)
+
+
+# embedding near-dup + similarity search ------------------------------------
+
+_NORM_CTE = f"""
+e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+               AS nrm
+    FROM embeddings
+)
+"""
+
+_DOT_SQL = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> a.v[i] * b.v[i]))"
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs above cosine 0.4 — the exact near-dup sweep
+    (LSH-bucketed variant is the scale path, q_sim_search_ann)."""
+    embs = _embs(spark, sf_dir)
+    e = embs.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+SQL_DEDUP_EMBED = f"""
+WITH {_NORM_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_DOT_SQL} / (a.nrm * b.nrm), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_DOT_SQL} / (a.nrm * b.nrm) >= 0.4
+"""
+
+
+def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    out = cosine_topk(embs, queries, k=5)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+SQL_SIM_SEARCH = f"""
+WITH {_NORM_CTE},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {_DOT_SQL.replace('a.v', 'q.v').replace('b.v', 'c.v')} AS dot,
+           q.nrm * c.nrm AS nn
+    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_DOT_SQL.replace('a.', 'q.').replace('b.', 'c.')} / (q.nrm * c.nrm) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_DOT_SQL.replace('a.', 'q.').replace('b.', 'c.')} / (q.nrm * c.nrm) DESC,
+                        c.vec_id) AS rank
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10) t
+WHERE rank <= 5
+"""
+
+
+def q_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only; recall vs brute force in tests)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return lsh_bucket_topk(embs, queries, dim=EMB_DIM, k=5, n_planes=6).select(
+        "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_TEXT_TOKENS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       (length(text) - (len(string_split(text, ' ')) - 1))
+           / len(string_split(text, ' ')) AS avg_token_len
+FROM documents
+"""
+
+_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n,
+           len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS stop
+    FROM documents
+)
+SELECT doc_id, n AS n_tokens, stop AS n_stopwords,
+       stop / n AS stop_ratio,
+       0.5 * least(n / 200.0, 1.0) + 0.5 * (stop / n) AS quality_score
+FROM t
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _markers_sql() -> str:
+    cols = []
+    for lang, ws in LANG_MARKERS.items():
+        lst = "('" + "','".join(ws) + "')"
+        cols.append(
+            f"len(list_filter(string_split(text, ' '), x -> x IN {lst})) AS n_{lang}"
+        )
+    return ", ".join(cols)
+
+
+SQL_TEXT_LANGID = f"""
+WITH t AS (SELECT doc_id, {_markers_sql()} FROM documents)
+SELECT doc_id, n_en, n_de, n_es, n_fr,
+       CASE WHEN greatest(n_en, n_de, n_es, n_fr) <= 0 THEN 'und'
+            WHEN n_en = greatest(n_en, n_de, n_es, n_fr) THEN 'en'
+            WHEN n_de = greatest(n_en, n_de, n_es, n_fr) THEN 'de'
+            WHEN n_es = greatest(n_en, n_de, n_es, n_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM t
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_TEXT_FINGERPRINT = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+SQL_MULTIMODAL_COLS = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       'text/plain' AS mime, md5(text) AS content_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_exact_hash": (q_dedup_exact_hash, SQL_DEDUP_EXACT_HASH),
+    "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
+    "sim_search": (q_sim_search, SQL_SIM_SEARCH),
+    "sim_search_ann": (q_sim_search_ann, None),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
+}

@@ -1,0 +1,226 @@
+"""I/O and full-pipeline queries: CSV scan/sink round-trips, XML
+parse/serialize at the REST edge, and the flagship ``pipeline_chain``
+(format → split end-to-end with a fully independent arithmetic oracle).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.pipeline import format_stage, split_stage
+from journal_batch_processer_spark.queries.itemview import (
+    BASE_CTE,
+    EXPECTED_EXTRACT_SQL,
+    MONTHS,
+    item_view,
+)
+from journal_batch_processer_spark.sinks.csv_sink import write_stage_csv
+from journal_batch_processer_spark.sources.csv_source import read_items_csv
+from journal_batch_processer_spark.sources.xml import (
+    ITEM_XML_SCHEMA,
+    xml_parse,
+    xml_serialize,
+)
+
+_CSV_CACHE: dict[str, str] = {}
+
+
+def _ensure_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize lineitem keys as a header CSV once per sf_dir."""
+    if sf_dir in _CSV_CACHE and os.path.exists(_CSV_CACHE[sf_dir]):
+        return _CSV_CACHE[sf_dir]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="jbp_csv_")
+    path = write_stage_csv(li, out_dir, "f_", "lineitem.csv")
+    _CSV_CACHE[sf_dir] = path
+    return path
+
+
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-string CSV scan semantics (split-on-comma fidelity)."""
+    path = _ensure_csv(spark, sf_dir)
+    return read_items_csv(spark, path)
+
+
+SQL_CSV_SCAN = """
+SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+       CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+       l_returnflag
+FROM lineitem
+"""
+
+
+def q_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: write through the stage sink, read back, aggregate."""
+    path = _ensure_csv(spark, sf_dir)
+    back = read_items_csv(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_orderkey").cast("bigint")).alias("sum_key"),
+    )
+
+
+SQL_CSV_SINK = """
+SELECT COUNT(*) AS n_rows, SUM(l_orderkey) AS sum_key FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# XML edge
+# ---------------------------------------------------------------------------
+
+
+def _xml_col():
+    link = F.concat(F.lit("https://api/items/"), F.col("c_custkey").cast("string"))
+    return xml_serialize(
+        link=link,
+        barcode=F.col("c_custkey").cast("string"),
+        mat_code=F.lit("ISSBD"),
+        mat_desc=F.lit("Bound Issue"),
+        pol_code=F.lit("1"),
+        pol_desc=F.lit("non-circulating"),
+        enum_a=F.concat(F.lit("v."), (F.col("c_custkey") % 40).cast("string")),
+        enum_b=F.lit(""),
+        chron_i=(F.lit(1980) + F.col("c_custkey") % 40).cast("string"),
+        chron_j=F.lit("Jan"),
+    )
+
+
+_SQL_XML_STR = """
+'<item link="https://api/items/' || c_custkey || '"><item_data><barcode>'
+|| c_custkey || '</barcode><physical_material_type desc="Bound Issue">ISSBD'
+|| '</physical_material_type><policy desc="non-circulating">1</policy>'
+|| '<enumeration_a>v.' || (c_custkey % 40) || '</enumeration_a>'
+|| '<enumeration_b></enumeration_b>'
+|| '<chronology_i>' || (1980 + c_custkey % 40) || '</chronology_i>'
+|| '<chronology_j>Jan</chronology_j></item_data></item>'
+"""
+
+
+def q_xml_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select("c_custkey", _xml_col().alias("xml"))
+
+
+SQL_XML_SERIALIZE = f"""
+SELECT c_custkey, {_SQL_XML_STR} AS xml FROM customer
+"""
+
+
+def q_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    parsed = cust.select(
+        "c_custkey", xml_parse(_xml_col()).alias("item")
+    )
+    return parsed.select(
+        "c_custkey",
+        F.col("item._link").alias("link"),
+        F.col("item.item_data.barcode").alias("barcode"),
+        F.col("item.item_data.physical_material_type._VALUE").alias("mat_code"),
+        F.col("item.item_data.physical_material_type._desc").alias("mat_desc"),
+        F.col("item.item_data.chronology_i").alias("chron_i"),
+    )
+
+
+SQL_XML_PARSE = """
+SELECT c_custkey,
+       'https://api/items/' || c_custkey AS link,
+       CAST(c_custkey AS VARCHAR) AS barcode,
+       'ISSBD' AS mat_code,
+       'Bound Issue' AS mat_desc,
+       CAST(1980 + c_custkey % 40 AS VARCHAR) AS chron_i
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline_chain: format → split end-to-end over the item view
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = item_view(spark, sf_dir).drop("g", "k", "o_orderkey")
+    out = split_stage(format_stage(iv))
+    return out.select(
+        F.col("MMS ID").alias("mms_id"),
+        F.col("Barcode").alias("barcode"),
+        F.col("title"),
+        F.col("Material Type").alias("material_type"),
+        F.col("Item Policy").alias("item_policy"),
+        F.col("Description").alias("description"),
+        F.col("Enum A").alias("enum_a"),
+        F.col("Enum B").alias("enum_b"),
+        F.col("Chron I").alias("chron_i"),
+        F.col("Chron J").alias("chron_j"),
+        F.col("Pattern").alias("pattern"),
+        F.col("Notes").alias("notes"),
+    )
+
+
+# canonicalization of the 12 generated month spellings (verified
+# against the sequential-regexp reference semantics in tests)
+_MONTH_NORM = {
+    "Jan": "Jan", "february": "Feb", "MAR": "Mar", "Apr": "Apr", "may": "May",
+    "JUNE": "Jun", "Jul": "Jul", "aug": "Aug", "Sept": "Sep", "Oct": "Oct",
+    "nov": "Nov", "Dec": "Dec",
+}
+
+
+def _norm_case(col: str) -> str:
+    branches = " ".join(f"WHEN '{m}' THEN '{_MONTH_NORM[m]}'" for m in MONTHS)
+    return f"CASE {col} {branches} END"
+
+
+_DESC_SQL = """
+CASE style
+    WHEN 0 THEN 'v.' || vol || ' no.' || m || ' (' || mon1 || ' ' || y4 || ')'
+    WHEN 1 THEN 'Vol ' || vol || ' (' || y4 || ' ' || mon1 || ')'
+    WHEN 2 THEN 'v.' || vol || ' (' || mon1 || ' ' || y4 || ' - ' || mon2 || ' ' || (y4+1) || ')'
+    WHEN 3 THEN 'ser. 2 v. ' || vol || ' no ' || m || '-' || (m+1) || ' (' || mon1 || ' ' || y4 || ')'
+    WHEN 4 THEN 'v' || vol || ' pt.' || m || ' (' || y4 || ')'
+    WHEN 5 THEN 'index ' || y4
+    ELSE 'v ' || vol || ' nos. ' || m || '/' || (m+1) || ' (' || mon1 || ' ' || substr(CAST(y4 AS VARCHAR), 3, 2) || ')'
+END
+"""
+
+SQL_PIPELINE_CHAIN = f"""
+WITH {BASE_CTE}, {EXPECTED_EXTRACT_SQL}
+SELECT
+    '''' || CAST(9000000000000 + iv.g AS VARCHAR) AS mms_id,
+    '''' || CAST(iv.o_orderkey AS VARCHAR) AS barcode,
+    'Journal ' || iv.g AS title,
+    'Bound Issue' AS material_type,
+    'non-circulating' AS item_policy,
+    {_DESC_SQL} AS description,
+    e.enum_a, e.enum_b,
+    CASE WHEN iv.style = 6 THEN CAST(iv.y4 AS VARCHAR) ELSE e.chron_i END AS chron_i,
+    CASE iv.style
+        WHEN 0 THEN {_norm_case('mon1')} || ' '
+        WHEN 1 THEN {_norm_case('mon1')}
+        WHEN 2 THEN {_norm_case('mon1')} || '-' || {_norm_case('mon2')}
+        WHEN 3 THEN {_norm_case('mon1')} || ' '
+        WHEN 4 THEN ''
+        WHEN 5 THEN ''
+        ELSE {_norm_case('mon1')} || ' '
+    END AS chron_j,
+    e.pattern,
+    '' AS notes
+FROM iv JOIN expected e ON iv.o_orderkey = e.o_orderkey
+"""
+
+
+QUERIES = {
+    "csv_scan": (q_csv_scan, SQL_CSV_SCAN),
+    "csv_sink": (q_csv_sink, SQL_CSV_SINK),
+    "xml_serialize": (q_xml_serialize, SQL_XML_SERIALIZE),
+    "xml_parse": (q_xml_parse, SQL_XML_PARSE),
+    "pipeline_chain": (q_pipeline_chain, SQL_PIPELINE_CHAIN),
+}

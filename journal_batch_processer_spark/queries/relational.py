@@ -1,0 +1,367 @@
+"""Relational operator family: aggregations, joins, windows, JSON.
+
+Float determinism versus the oracle: every SUM over doubles goes
+through DECIMAL(18,4/6) so the result is order-independent and
+bit-identical in Spark and DuckDB; plain double arithmetic (products,
+differences) is IEEE-deterministic and safe as-is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.operators.joins import asof_join, range_join_buckets
+
+
+def _li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _events(spark, sf_dir):
+    from journal_batch_processer_spark.session import load_events
+
+    return load_events(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# aggregation family
+# ---------------------------------------------------------------------------
+
+
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the headline bench query."""
+    li = _li(spark, sf_dir)
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dq).cast("double").alias("sum_qty"),
+            F.sum(dp).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            (F.sum(dq).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_GROUP_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dq).cast("double").alias("sum_qty"),
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    dp = F.col("o_totalprice").cast("decimal(18,4)")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dp).cast("double").alias("sum_price"),
+    )
+
+
+SQL_AGG_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+    )
+
+
+SQL_DISTINCT_COUNT = """
+SELECT COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(DISTINCT o_orderpriority) AS n_prios
+FROM orders
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ — approximate by design: rows-only check (the
+    engine's scale path for distinct over 100 TB)."""
+    orders = _orders(spark, sf_dir)
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_custs_approx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# join family
+# ---------------------------------------------------------------------------
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = _orders(spark, sf_dir).filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large order (non-empty anti-join result)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = _orders(spark, sf_dir).filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    buckets = region.select(
+        F.col("r_regionkey").alias("bucket"),
+        (F.col("r_regionkey") * 100.0).alias("lo"),
+        (F.col("r_regionkey") * 100.0 + 100.0).alias("hi"),
+    )
+    joined = range_join_buckets(events, buckets, "value")
+    return joined.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_JOIN_RANGE = """
+SELECT r_regionkey AS bucket, COUNT(*) AS n
+FROM events JOIN region
+  ON value >= r_regionkey * 100.0 AND value < r_regionkey * 100.0 + 100.0
+GROUP BY 1
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click matched to the user's most recent prior purchase."""
+    events = _events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        carry_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("event_id_matched").alias("purchase_event_id")
+    )
+
+
+SQL_JOIN_ASOF = """
+SELECT c.event_id, c.user_id, p.event_id AS purchase_event_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# window family
+# ---------------------------------------------------------------------------
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, rn FROM (
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders) t
+WHERE rn <= 3
+"""
+
+
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    nxt = F.lead("value").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        prev.alias("prev_value"),
+        nxt.alias("next_value"),
+        (F.col("value") - F.coalesce(prev, F.lit(0.0))).alias("delta"),
+    )
+
+
+SQL_WINDOW_LEAD_LAG = """
+SELECT event_id, user_id,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       value - COALESCE(LAG(value) OVER w, 0.0) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(dv).over(w).cast("double").alias("running_value"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_value
+FROM events
+"""
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap splits sessions."""
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    boundary = F.when(gap > 1800, F.lit(1)).otherwise(F.lit(0))
+    marked = events.select("user_id", boundary.alias("b"))
+    return marked.groupBy("user_id").agg(
+        (F.sum("b") + 1).alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SQL_WINDOW_SESSION = """
+WITH marked AS (
+    SELECT user_id,
+           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                THEN 1 ELSE 0 END AS b
+    FROM events)
+SELECT user_id, SUM(b) + 1 AS n_sessions, COUNT(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+
+def q_window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows — the batch analog of the structured-
+    streaming job in streaming/jobs.py (same expression tree)."""
+    events = _events(spark, sf_dir)
+    dv = F.col("value").cast("decimal(18,6)")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dv).cast("double").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_WINDOW_TUMBLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "group_agg": (q_group_agg, SQL_GROUP_AGG),
+    "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
+    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
+    "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
+    "approx_distinct": (q_approx_distinct, None),
+    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
+    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
+    "join_range": (q_join_range, SQL_JOIN_RANGE),
+    "join_asof": (q_join_asof, SQL_JOIN_ASOF),
+    "window_rank": (q_window_rank, SQL_WINDOW_RANK),
+    "window_lead_lag": (q_window_lead_lag, SQL_WINDOW_LEAD_LAG),
+    "window_running": (q_window_running, SQL_WINDOW_RUNNING),
+    "window_session": (q_window_session, SQL_WINDOW_SESSION),
+    "window_tumble": (q_window_tumble, SQL_WINDOW_TUMBLE),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+}

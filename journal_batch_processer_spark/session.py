@@ -58,6 +58,10 @@ def get_spark(
         # 128 MB splits are the classic sweet spot for parquet scans.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # The driver's events table carries TIMESTAMP(NANOS) parquet,
+        # which Spark rejects by default; read as long and convert at
+        # the source (see load_events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
     )
@@ -86,7 +90,28 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     ]
     out = {}
     for name in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def load_events(spark: SparkSession, sf_dir: str):
+    """events.parquet stores ns-precision timestamps; Spark reads them
+    as long (nanosAsLong) — convert to µs timestamps (floor division,
+    matching DuckDB's µs truncation)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    try:  # driver-supplied sessions may lack the builder config
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - static conf on some builds
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div` — double division would round above 2^53 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

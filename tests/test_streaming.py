@@ -1,0 +1,42 @@
+"""Structured Streaming jobs: stream results must equal batch results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.queries.relational import q_window_tumble
+from journal_batch_processer_spark.streaming.jobs import (
+    read_events_stream,
+    run_available_now,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    assert stream.isStreaming
+    got = run_available_now(
+        tumbling_counts(stream), "tumble_test", output_mode="complete"
+    )
+    batch = q_window_tumble(spark, SF_DIR).collect()
+
+    def key(rows):
+        return sorted((r["hour_start"], r["event_type"], r["n"]) for r in rows)
+
+    assert key(got) == key(batch)
+
+
+def test_stateful_sessionize_runs(spark):
+    from journal_batch_processer_spark.streaming.jobs import sessionize_stateful
+
+    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    rows = run_available_now(
+        sessionize_stateful(stream), "sessions_test", output_mode="append"
+    )
+    # sessions close only on gap/timeout within the drained window; the
+    # assertion is structural: no crash, valid schema, plausible counts
+    for r in rows:
+        assert r["n_events"] >= 1

@@ -1,0 +1,134 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every (or the named) REGISTRY query at sf0.01 on Spark AND its
+DuckDB oracle over the same parquet, comparing row count, sorted
+column names, and the order-insensitive multiset of rows.
+
+    python tools/check_oracle.py                 # all
+    python tools/check_oracle.py desc_extract …  # subset
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_val(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(norm_val(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_val(x)) for k, x in v.items()))
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return v
+
+
+def _sort_key(t):
+    return tuple((v is None, str(type(v)), str(v)) for v in t)
+
+
+def rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(norm_val(r[i]) for i in order) for r in rows), key=_sort_key
+    )
+
+
+def main() -> int:
+    import duckdb
+
+    from journal_batch_processer_spark.queries import REGISTRY
+    from journal_batch_processer_spark.session import get_spark
+
+    names = sys.argv[1:] or sorted(REGISTRY)
+    spark = get_spark("check-oracle", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_skip = 0
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        try:
+            sdf = spec.fn(spark, SF_DIR)
+            s_rows = sdf.collect()
+            s_cols = sdf.columns
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"skip  {name}: rows-only ({len(s_rows)} rows, "
+                  f"{time.perf_counter()-t0:.1f}s)")
+            n_skip += 1
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rows {len(s_rows)} != {len(o_rows)}")
+        if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
+            problems.append(f"cols {sorted(s_cols)} != {sorted(o_cols)}")
+        if not problems:
+            ms = rows_to_multiset(s_cols, [list(r) for r in s_rows])
+            mo = rows_to_multiset(o_cols, o_rows)
+            if ms != mo:
+                for i, (a, b) in enumerate(zip(ms, mo)):
+                    if a != b:
+                        problems.append(f"first diff @sorted[{i}]: spark={a!r} oracle={b!r}")
+                        break
+                else:
+                    problems.append("length equal but content diff at tail")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"ok    {name} ({len(s_rows)} rows, {time.perf_counter()-t0:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} ok, {n_fail} fail, {n_skip} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
