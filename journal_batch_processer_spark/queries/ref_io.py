@@ -217,10 +217,99 @@ FROM iv JOIN expected e ON iv.o_orderkey = e.o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# pipeline_update: the update stage end-to-end (route → enrich → push)
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from journal_batch_processer_spark.pipeline import update_stage
+
+    split_out = q_pipeline_chain(spark, sf_dir)
+    items = split_out.select(
+        F.col("mms_id").alias("MMS ID"),
+        F.col("barcode").alias("Barcode"),
+        F.col("title"),
+        F.col("material_type").alias("Material Type"),
+        F.col("item_policy").alias("Item Policy"),
+        F.col("description").alias("Description"),
+        F.col("enum_a").alias("Enum A"),
+        F.col("enum_b").alias("Enum B"),
+        F.col("chron_i").alias("Chron I"),
+        F.col("chron_j").alias("Chron J"),
+        F.col("pattern").alias("Pattern"),
+        F.col("notes").alias("Notes"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    remote = orders.select(
+        F.col("o_orderkey").cast("string").alias("barcode"),
+        F.concat(F.lit("https://api/items/"), F.col("o_orderkey").cast("string")).alias(
+            "update_url"
+        ),
+        F.when(F.col("o_orderkey") % 211 == 0, F.lit(503))
+        .otherwise(F.lit(200)).alias("http_status"),
+        F.when(F.col("o_orderkey") % 223 == 0, F.lit(500))
+        .otherwise(F.lit(200)).alias("put_status"),
+    )
+    res = update_stage(items, remote)
+    good = res.success.select(
+        F.col("Barcode").alias("barcode"),
+        F.col("Pattern").alias("pattern"),
+        F.col("Notes").alias("notes"),
+        F.lit("success").alias("side"),
+    )
+    bad = res.error.select(
+        F.col("Barcode").alias("barcode"),
+        F.col("Pattern").alias("pattern"),
+        F.col("Notes").alias("notes"),
+        F.lit("error").alias("side"),
+    )
+    return good.unionByName(bad)
+
+
+SQL_PIPELINE_UPDATE = f"""
+WITH {BASE_CTE}, {EXPECTED_EXTRACT_SQL}
+SELECT
+    '''' || CAST(iv.o_orderkey AS VARCHAR) AS barcode,
+    e.pattern,
+    CASE
+        WHEN e.pattern = 'N/A' THEN ''
+        WHEN iv.o_orderkey % 211 = 0
+            THEN 'Err: Problem fetching item information. Code 503'
+        WHEN iv.o_orderkey % 223 = 0
+            THEN 'Err: #Problem with Networking request. Code 500'
+        ELSE ''
+    END AS notes,
+    CASE
+        WHEN e.pattern = 'N/A' OR iv.o_orderkey % 211 = 0
+             OR iv.o_orderkey % 223 = 0
+            THEN 'error' ELSE 'success'
+    END AS side
+FROM iv JOIN expected e ON iv.o_orderkey = e.o_orderkey
+"""
+
+
+def q_runtime_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wall-clock instrumentation analog of the reference's update-
+    stage timer (BatchUpdate.py:462,567-568). Values are inherently
+    run-dependent → rows-only check."""
+    import time
+
+    t0 = time.perf_counter()
+    n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    elapsed = time.perf_counter() - t0
+    return spark.createDataFrame(
+        [("lineitem_scan_count", float(n)), ("elapsed_sec", round(elapsed, 3))],
+        "metric string, value double",
+    )
+
+
 QUERIES = {
     "csv_scan": (q_csv_scan, SQL_CSV_SCAN),
     "csv_sink": (q_csv_sink, SQL_CSV_SINK),
     "xml_serialize": (q_xml_serialize, SQL_XML_SERIALIZE),
     "xml_parse": (q_xml_parse, SQL_XML_PARSE),
     "pipeline_chain": (q_pipeline_chain, SQL_PIPELINE_CHAIN),
+    "pipeline_update": (q_pipeline_update, SQL_PIPELINE_UPDATE),
+    "runtime_metric": (q_runtime_metric, None),
 }

@@ -32,6 +32,9 @@ def _build() -> dict[str, QuerySpec]:
     for module in (ref_surface, relational, llmops, ref_io):
         for name, (fn, sql) in module.QUERIES.items():
             registry[name] = QuerySpec(fn=fn, oracle=sql)
+    # SURVEY §2g names `push_partition` for the PUT routing the engine
+    # exposes as rest_push_sink — same operator, both ids answer.
+    registry["push_partition"] = registry["rest_push_sink"]
     return registry
 
 

@@ -128,6 +128,10 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # bounded wait: stateful queries with processing-time timeouts can
+    # otherwise idle past the drained input
+    q.awaitTermination(timeout=180)
+    if q.isActive:
+        q.stop()
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}").collect()

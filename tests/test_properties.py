@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) for the sequential/sorting
+operators, batched through single Spark jobs to keep runtime sane.
+
+The year-impute oracle here is an INDEPENDENT pure-Python model of the
+reference semantics (BatchUpdate.py:327-413) written against the spec
+in SURVEY.md §2e — not shared code with the engine's pandas
+implementation, so a port bug can't cancel out.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.operators.year_impute import (
+    YEAR_ERR,
+    year_impute_exact,
+)
+
+_LEAD = re.compile(r"^(\d+)")
+
+
+def _model_impute(chron: list[str]) -> tuple[list[str], list[str]]:
+    """Spec model: sequential pass, repaired rows become anchors for
+    later backward scans; forward scans see not-yet-repaired rows."""
+    vals = list(chron)
+    notes = [""] * len(vals)
+    for i, v in enumerate(vals):
+        m = _LEAD.match(v)
+        if not m or len(m.group(1)) >= 4:
+            continue
+        year = m.group(1)
+        prev = next_ = None
+        for j in range(i - 1, -1, -1):
+            mm = _LEAD.match(vals[j])
+            if mm and len(mm.group(1)) == 4:
+                prev = mm.group(1)
+                break
+        for j in range(i + 1, len(vals)):
+            mm = _LEAD.match(vals[j])
+            if mm and len(mm.group(1)) == 4:
+                next_ = mm.group(1)
+                break
+        if prev and next_:
+            d = 4 - len(year)
+            if int(prev) <= int(prev[:d] + year) <= int(next_):
+                vals[i] = prev[:d] + vals[i]
+            elif int(prev) <= int(next_[:d] + year) <= int(next_):
+                vals[i] = next_[:d] + vals[i]
+            else:
+                cents = [int(prev[:2]) - 1, int(prev[:2]), int(prev[:2]) + 1]
+                avg = (int(prev) + int(next_)) / 2
+                diffs = [abs(avg - (c * 100 + int(year))) for c in cents]
+                vals[i] = str(cents[diffs.index(min(diffs))]) + vals[i]
+        elif next_:
+            nd, cur = int(next_[-2:]), int(year)
+            vals[i] = str(
+                int(next_) - nd - 100 + cur if cur > nd else int(next_) - nd + cur
+            )
+        elif prev:
+            pd_, cur = int(prev[-2:]), int(year)
+            vals[i] = str(
+                int(prev) - pd_ + 100 + cur if pd_ > cur else int(prev) - pd_ + cur
+            )
+        else:
+            notes[i] = YEAR_ERR
+    return vals, notes
+
+
+chron_entry = st.one_of(
+    st.integers(1900, 2099).map(str),                      # 4-digit anchor
+    st.integers(0, 99).map(lambda v: f"{v:02d}"),          # 2-digit year
+    st.integers(1900, 2099).map(lambda v: f"{v}-{v + 1}"), # range
+    st.just(""),                                            # no year
+    st.just("n.s."),                                        # junk
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(chron_entry, min_size=1, max_size=8), min_size=1, max_size=6
+    )
+)
+def test_year_impute_matches_spec_model(spark, groups):
+    rows = []
+    expected = {}
+    for g, chron in enumerate(groups):
+        vals, notes = _model_impute(chron)
+        for k, (v_in, v_out, note) in enumerate(zip(chron, vals, notes)):
+            rows.append((g, k, v_in, ""))
+            expected[(g, k)] = (v_out, note)
+    df = spark.createDataFrame(rows, "g int, k int, chron_i string, note string")
+    out = year_impute_exact(
+        df, group_col="g", order_cols=("k",), chron_col="chron_i", notes_col="note"
+    )
+    got = {(r["g"], r["k"]): (r["chron_i"], r["note"]) for r in out.collect()}
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),            # mms group
+            st.integers(0, 2),            # series number (0 → none)
+            st.integers(1, 120),          # volume number
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_natural_sort_total_order(spark, items):
+    from journal_batch_processer_spark.operators.natural_sort import natural_sort
+
+    rows = []
+    for i, (g, ser, vol) in enumerate(items):
+        desc = (f"ser. {ser} " if ser else "") + f"v.{vol} no.{i}"
+        rows.append((str(g), desc, i))
+    df = spark.createDataFrame(rows, "`MMS ID` string, Description string, idx int")
+    out = natural_sort(df, extra_tiebreakers=["idx"]).collect()
+
+    def key(r):
+        m = re.match(r"^(?:ser\.\s*(\d+)\s*)?v\.(\d+)", r["Description"])
+        return (r["MMS ID"], int(m.group(1) or 0), int(m.group(2)),
+                r["Description"], r["idx"])
+
+    assert [r["idx"] for r in out] == [r["idx"] for r in sorted(out, key=key)]
+
+
+def test_month_normalize_idempotent_on_canonical(spark):
+    from journal_batch_processer_spark.functions.text import month_normalize
+
+    canon = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+             "Sep", "Oct", "Nov", "Dec", "Spr", "Sum", "Fal", "Win"]
+    df = spark.createDataFrame([(c,) for c in canon], "c string")
+    once = df.select(month_normalize(F.col("c")).alias("c"))
+    twice = once.select(month_normalize(F.col("c")).alias("c"))
+    assert [r[0] for r in once.collect()] == [r[0] for r in twice.collect()] == canon

@@ -15,8 +15,15 @@ from journal_batch_processer_spark.streaming.jobs import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_tumbling_stream_equals_batch(spark, tmp_path):
-    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+@pytest.fixture()
+def events_dir(tmp_path):
+    # the file stream source requires a DIRECTORY of files
+    (tmp_path / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+    return str(tmp_path)
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
     assert stream.isStreaming
     got = run_available_now(
         tumbling_counts(stream), "tumble_test", output_mode="complete"
@@ -29,10 +36,10 @@ def test_tumbling_stream_equals_batch(spark, tmp_path):
     assert key(got) == key(batch)
 
 
-def test_stateful_sessionize_runs(spark):
+def test_stateful_sessionize_runs(spark, events_dir):
     from journal_batch_processer_spark.streaming.jobs import sessionize_stateful
 
-    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    stream = read_events_stream(spark, events_dir)
     rows = run_available_now(
         sessionize_stateful(stream), "sessions_test", output_mode="append"
     )
