@@ -50,26 +50,40 @@ def _leading_digits(value: str) -> str | None:
 
 
 def _impute_group(pdf: pd.DataFrame, chron_col: str, notes_col: str) -> pd.DataFrame:
-    """Sequential in-order pass over one MMS ID group (pre-sorted)."""
+    """Sequential in-order pass over one MMS ID group (pre-sorted).
+
+    O(n), not O(n·k): the reference's backward scan over repaired
+    state is equivalent to tracking the most recent 4-digit value seen
+    so far (every repair produces a 4-digit value, so the nearest
+    current-state anchor IS the running last one); the forward scan
+    sees only not-yet-repaired rows, so next-anchors are precomputable
+    from the original values in one reverse sweep.
+    """
     chron = pdf[chron_col].fillna("").tolist()
     notes = pdf[notes_col].fillna("").tolist()
     n = len(chron)
+
+    # leading digit runs of the ORIGINAL values, vectorized
+    lead = pdf[chron_col].fillna("").str.extract(r"^(\d+)", expand=False)
+    orig_digits = lead.fillna("").tolist()
+    # next original 4-digit anchor at or after each position
+    next_anchor: list[str | None] = [None] * n
+    nxt = None
+    for i in range(n - 1, -1, -1):
+        next_anchor[i] = nxt
+        if len(orig_digits[i]) == 4:
+            nxt = orig_digits[i]
+
+    prev_anchor: str | None = None  # runs over CURRENT (repaired) state
     for i in range(n):
-        year = _leading_digits(chron[i])
-        if year is None or len(year) >= 4:
+        year = orig_digits[i]
+        if not year:
             continue
-        # nearest anchors; backward sees already-repaired state
-        prev_year = next_year = None
-        for j in range(i - 1, -1, -1):
-            d = _leading_digits(chron[j])
-            if d is not None and len(d) == 4:
-                prev_year = d
-                break
-        for j in range(i + 1, n):
-            d = _leading_digits(chron[j])
-            if d is not None and len(d) == 4:
-                next_year = d
-                break
+        if len(year) >= 4:
+            if len(year) == 4:
+                prev_anchor = year
+            continue
+        prev_year, next_year = prev_anchor, next_anchor[i]
 
         if prev_year is not None and next_year is not None:
             digits = 4 - len(year)
@@ -96,6 +110,13 @@ def _impute_group(pdf: pd.DataFrame, chron_col: str, notes_col: str) -> pd.DataF
                 chron[i] = str(int(prev_year) - pdg + cur)
         else:
             notes[i] = notes[i] + ("" if notes[i] == "" else "; ") + YEAR_ERR
+
+        # a repaired row becomes an anchor for later rows iff its new
+        # leading digit run is exactly 4 (mirrors the reference's
+        # backward re-scan of repaired state)
+        d = _leading_digits(chron[i])
+        if d is not None and len(d) == 4:
+            prev_anchor = d
 
     out = pdf.copy()
     out[chron_col] = chron
