@@ -332,6 +332,83 @@ GROUP BY 1, 2
 """
 
 
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL surface (the engine exposes
+    both DataFrame and spark.sql paths over registered views)."""
+    orders = _orders(spark, sf_dir)
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_AGG_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per customer, count of own orders within ±30 days
+    of each order's date (value-based frame, not row-based)."""
+    orders = _orders(spark, sf_dir)
+    # day ordinal (TIMESTAMP_NTZ has no direct long cast)
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 30)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_near_orders"),
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER (
+           PARTITION BY o_custkey
+           ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+           AS n_near_orders
+FROM orders
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar built-in families the reference never had (SURVEY
+    §2f 'not implemented' row): date parts/diffs, math, string ops —
+    all free in Spark, exercised in one projection."""
+    orders = _orders(spark, sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_2002"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_diff"),
+        F.pow(F.lit(2.0), (F.col("o_orderkey") % 10).cast("double")).alias("pow2"),
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+    )
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS order_year,
+       EXTRACT(month FROM o_orderdate) AS order_month,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       ROUND(ABS(o_totalprice - 100000.0), 2) AS abs_diff,
+       POW(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS pow2,
+       UPPER(SUBSTR(o_orderpriority, 1, 3)) AS prio3,
+       LPAD(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded
+FROM orders
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
@@ -363,5 +440,8 @@ QUERIES = {
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "window_session": (q_window_session, SQL_WINDOW_SESSION),
     "window_tumble": (q_window_tumble, SQL_WINDOW_TUMBLE),
+    "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
+    "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
+    "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
 }
