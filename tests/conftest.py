@@ -15,7 +15,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("jbp-tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        "jbp-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/jbp-test-warehouse"},
+    )
     yield s
 
 

@@ -1,0 +1,98 @@
+"""Plan-shape tests: pin the scale-critical physical plans.
+
+These assert the PLAN, not just the result — a regression that
+reintroduces a shuffle or downgrades a broadcast join fails here even
+though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.plans import plan_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from journal_batch_processer_spark.operators.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdb")
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS bucketdb.{t}")
+        shutil.rmtree(f"/tmp/jbp-test-warehouse/bucketdb.db/{t}", ignore_errors=True)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed(orders, "bucketdb.orders_b", "o_orderkey", 4)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bucketdb.lineitem_b",
+        "o_orderkey",
+        4,
+    )
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "bucketdb.lineitem_b", "bucketdb.orders_b",
+                                on="o_orderkey")
+        stats = plan_stats(joined)
+        assert stats.shuffles == 0, stats.plan
+        # (formatted output names the node in tree + details → ≥1)
+        assert stats.sort_merge_joins >= 1, stats.plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_code_lookup_plans_no_join_no_shuffle(spark):
+    from journal_batch_processer_spark.code_tables import code_lookup
+
+    df = spark.read.parquet(f"{SF}/part.parquet").select(
+        "p_partkey", F.lit("Book").alias("mt")
+    )
+    out = code_lookup(df, "Material Type", "mt", "code")
+    stats = plan_stats(out)
+    assert stats.shuffles == 0, stats.plan  # literal map: pure projection
+
+
+def test_salted_agg_matches_plain(spark):
+    from journal_batch_processer_spark.operators.skew import salted_agg
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plain = {
+        (r["l_returnflag"],): (r["n"], r["q"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["n"], r["q"])
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {"n": "count(1)", "q": "sum(cast(l_quantity as decimal(18,4)))"},
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_numpy_topk_matches_expression_ranking(spark):
+    from journal_batch_processer_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_numpy,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 5)
+    a = cosine_topk(embs, queries, k=4).collect()
+    b = cosine_topk_numpy(embs, queries, k=4).collect()
+    pa = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in a}
+    pb = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in b}
+    assert pa == pb
