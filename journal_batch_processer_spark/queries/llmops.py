@@ -26,6 +26,7 @@ from journal_batch_processer_spark.operators.multimodal import attach_binary
 from journal_batch_processer_spark.operators.similarity import (
     cosine_topk,
     dot_expr,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from journal_batch_processer_spark.operators.text_analysis import (
@@ -268,6 +269,16 @@ def q_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (rows-only; partition-pruned layout model; recall
+    vs brute force in tests)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return ivf_topk(embs, queries, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -427,6 +438,7 @@ QUERIES = {
     "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
     "sim_search": (q_sim_search, SQL_SIM_SEARCH),
     "sim_search_ann": (q_sim_search_ann, None),
+    "sim_search_ivf": (q_sim_search_ivf, None),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),

@@ -1,0 +1,57 @@
+"""CLI surface smoke test: the reference's command-line workflow."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from journal_batch_processer_spark.cli import main
+
+
+def test_cli_format_split(spark, fixture_csv, tmp_path):
+    rc = main(
+        [
+            fixture_csv,
+            "-f",
+            "-s",
+            "--out-dir",
+            str(tmp_path),
+            "--single-file",
+            "--strict-reference-mode",
+        ]
+    )
+    assert rc == 0
+    f_dir = os.path.join(str(tmp_path), "f_item_records.csv")
+    s_dir = os.path.join(str(tmp_path), "s_item_records.csv")
+    assert os.path.isdir(f_dir) and os.path.isdir(s_dir)
+    part = glob.glob(s_dir + "/part-*.csv")
+    assert len(part) == 1  # --single-file
+    lines = open(part[0]).read().splitlines()
+    header = lines[0].split(",")
+    assert header[-2:] == ["Pattern", "Notes"]
+    assert len(lines) == 169  # header + 168 fixture rows
+
+
+def test_cli_refuses_update_without_review(fixture_csv, tmp_path):
+    rc = main([fixture_csv, "-f", "-u", "--items-remote", "x.parquet",
+               "--out-dir", str(tmp_path)])
+    assert rc == 1
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with generous probes recovers most brute-force neighbors."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(embs, queries, k=3).collect()
+    approx = ivf_topk(embs, queries, k=3, n_centroids=8, n_probe=4).collect()
+    pe = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    pa = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert pe and pa
+    assert len(pe & pa) >= len(pe) // 2
