@@ -71,6 +71,36 @@ P_SPLIT = (
 
 PATTERN_NAMES = ("StdMatch", "YearBeforeMonth", "SplitYears")
 
+# Group-bundle markers: one regex execution per pattern per row.
+# ``regexp_extract`` re-runs the whole (backtracking) regex for every
+# group index, so extracting 5 groups costs 5 matches; an anchored
+# ``regexp_replace`` whose replacement emits ALL groups joined on a
+# control char costs one. The marker prefix distinguishes "matched"
+# (replaced) from "unmatched" (string returned untouched) — the
+# patterns all require a leading volume digit run, so they can never
+# produce an empty match, and item descriptions never contain control
+# chars. Non-participating optional groups substitute as "" exactly
+# like ``regexp_extract``'s behavior.
+_SEP = "\x01"
+_MARK = "\x02"
+
+
+def _group_bundle(desc: Column, pat: str, n_groups: int) -> Column:
+    repl = _MARK + _SEP.join(f"${i}" for i in range(1, n_groups + 1))
+    return F.regexp_replace(desc, pat, repl)
+
+
+def _bundle_matched(bundle: Column) -> Column:
+    return bundle.startswith(_MARK)
+
+
+def _bundle_group(bundle: Column, idx: int) -> Column:
+    # substring(2) strips the marker; split on the literal control char.
+    # try_element_at: an UNMATCHED bundle splits to a short array, and
+    # ANSI mode would error if codegen hoists the access above its
+    # when()-guard — NULL is safe (the guard discards it).
+    return F.try_element_at(F.split(F.substring(bundle, 2, 1 << 30), _SEP), F.lit(idx))
+
 
 def _ext(desc: Column, pat: str, idx: int) -> Column:
     return F.regexp_extract(desc, pat, idx)
@@ -92,45 +122,45 @@ def desc_extract(
     reference's overwrite-only-when-captured behavior.
     """
     desc = F.coalesce(F.col(desc_col), F.lit(""))
-    m_std = desc.rlike(P_STD)
-    m_ybm = desc.rlike(P_YBM)
-    m_split = desc.rlike(P_SPLIT)
+    b_std = _group_bundle(desc, P_STD, 5)
+    b_ybm = _group_bundle(desc, P_YBM, 5)
+    b_split = _group_bundle(desc, P_SPLIT, 7)
+    m_std = _bundle_matched(b_std)
+    m_ybm = _bundle_matched(b_ybm)
+    m_split = _bundle_matched(b_split)
+    std = lambda i: _bundle_group(b_std, i)  # noqa: E731
+    ybm = lambda i: _bundle_group(b_ybm, i)  # noqa: E731
+    spl = lambda i: _bundle_group(b_split, i)  # noqa: E731
 
-    std_chron_i = _ext(desc, P_STD, 5)
+    std_chron_i = std(5)
 
     keep = lambda name: F.coalesce(F.col(name), F.lit(""))  # noqa: E731
 
     new_enum_a = (
-        F.when(m_std, F.concat(_ext(desc, P_STD, 1), _ext(desc, P_STD, 2)))
-        .when(m_ybm, F.concat(_ext(desc, P_YBM, 1), _ext(desc, P_YBM, 2)))
-        .when(m_split, F.concat(_ext(desc, P_SPLIT, 1), _ext(desc, P_SPLIT, 2)))
+        F.when(m_std, F.concat(std(1), std(2)))
+        .when(m_ybm, F.concat(ybm(1), ybm(2)))
+        .when(m_split, F.concat(spl(1), spl(2)))
         .otherwise(keep(enum_a))
     )
     new_enum_b = (
-        F.when(m_std, F.trim(_ext(desc, P_STD, 3)))
-        .when(m_ybm, F.trim(_ext(desc, P_YBM, 3)))
-        .when(m_split, F.trim(_ext(desc, P_SPLIT, 3)))
+        F.when(m_std, F.trim(std(3)))
+        .when(m_ybm, F.trim(ybm(3)))
+        .when(m_split, F.trim(spl(3)))
         .otherwise(keep(enum_b))
     )
     new_chron_i = (
         F.when(m_std, F.when(std_chron_i != "", std_chron_i).otherwise(keep(chron_i)))
-        .when(m_ybm, _ext(desc, P_YBM, 4))
-        .when(
-            m_split,
-            F.concat(_ext(desc, P_SPLIT, 5), F.lit("-"), _ext(desc, P_SPLIT, 7)),
-        )
+        .when(m_ybm, ybm(4))
+        .when(m_split, F.concat(spl(5), F.lit("-"), spl(7)))
         .otherwise(keep(chron_i))
     )
     new_chron_j = (
         F.when(
             m_std,
-            F.when(std_chron_i != "", _ext(desc, P_STD, 4)).otherwise(keep(chron_j)),
+            F.when(std_chron_i != "", std(4)).otherwise(keep(chron_j)),
         )
-        .when(m_ybm, _ext(desc, P_YBM, 5))
-        .when(
-            m_split,
-            F.concat(_ext(desc, P_SPLIT, 4), F.lit("-"), _ext(desc, P_SPLIT, 6)),
-        )
+        .when(m_ybm, ybm(5))
+        .when(m_split, F.concat(spl(4), F.lit("-"), spl(6)))
         .otherwise(keep(chron_j))
     )
     new_pattern = (

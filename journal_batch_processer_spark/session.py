@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing assumes stage cost ∝ shuffle bytes; regex/UDF
+        # stages violate that — a few-MB shuffle feeding a CPU-bound
+        # stage must NOT collapse to one task (measured 8× on the
+        # format→split pipeline). A 16 KB floor keeps small
+        # intermediates parallel while leaving large-shuffle coalescing
+        # (advisory 64 MB targets) untouched.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Dimension tables (code tables, nation/region) broadcast freely.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
