@@ -86,3 +86,138 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cross-corpus exact dedup at scale (16-byte shuffle key)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrub / repetition signals / quality gate — the filter battery a
+# pretraining corpus sweep runs before tokenization. All pure
+# expressions (narrow, codegen, no shuffle except repetition's
+# per-doc token group) and RE2-safe regex (no lookaround, no
+# backreferences) so DuckDB oracles replay them bit-for-bit.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # category -> (RE2-safe pattern, replacement token)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    "phone": (r"\+\d{1,3} \d{3} \d{3,6}", "<PHONE>"),
+}
+
+# email first: an email's host part would otherwise survive as an
+# IP-ish dotted token after a partial scrub.
+PII_ORDER = ("email", "ip", "phone")
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers, with per-category match
+    counts (counted BEFORE replacement so overlapping categories are
+    attributed to the first pass that claims them)."""
+    text = F.col(text_col)
+    counts = {}
+    scrubbed = text
+    for cat in PII_ORDER:
+        pat, repl = PII_PATTERNS[cat]
+        counts[cat] = F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col),
+        *[counts[c].alias(f"n_{c}") for c in PII_ORDER],
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition signals (Gopher-style): distinct-token ratio, the
+    most frequent token's share (ties break to the lexicographically
+    smallest token, so the answer is deterministic), and the duplicate
+    bigram fraction. One shuffle: the per-(doc, token) count."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    cnt = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc").orderBy(F.col("c").desc(), F.col("tok"))
+    per_doc = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max(F.when(F.col("rn") == 1, F.col("tok"))).alias("top_token"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_c"),
+        )
+    )
+    # bigram duplication is a pure per-row expression — no second
+    # explode pass; short texts (<2 tokens) have no bigrams → 0.0
+    t = _tokens(F.col(text_col))
+    n = F.size(t)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(grams).alias("n_bi"),
+        F.size(F.array_distinct(grams)).alias("n_bi_distinct"),
+    )
+    return (
+        per_doc.join(bi, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+            "top_token",
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_frac"),
+            F.round(
+                F.when(F.col("n_bi") > 0, (F.col("n_bi") - F.col("n_bi_distinct")) / F.col("n_bi"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stop_ratio: float = 0.02,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher-style quality gate: length, mean token length, stopword
+    ratio, symbol ratio → per-rule booleans + the conjunctive keep
+    flag. Narrow (no shuffle); the thresholds are the documented
+    Gopher defaults scaled to this corpus."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n = F.size(toks)
+    n_chars = F.length(text)
+    mean_len = (n_chars - (n - 1)) / n
+    stop_ratio = _count_in(toks, STOPWORDS) / n
+    symbol_ratio = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", "")) / n_chars
+    ok_len = (n >= min_tokens) & (n <= max_tokens)
+    ok_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    ok_stop = stop_ratio >= min_stop_ratio
+    ok_sym = symbol_ratio <= max_symbol_ratio
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        ok_len.alias("ok_length"),
+        ok_mean.alias("ok_mean_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_sym.alias("ok_symbols"),
+        (ok_len & ok_mean & ok_stop & ok_sym).alias("keep"),
+    )

@@ -29,12 +29,19 @@ from journal_batch_processer_spark.operators.similarity import (
     ivf_topk,
     lsh_bucket_topk,
 )
+from journal_batch_processer_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+)
 from journal_batch_processer_spark.operators.text_analysis import (
     LANG_MARKERS,
     STOPWORDS,
     fingerprint,
     lang_id,
+    pii_scrub,
+    quality_gate,
     quality_score,
+    repetition_stats,
     token_stats,
 )
 from journal_batch_processer_spark.session import load_events
@@ -423,6 +430,160 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus filter battery: PII scrub, repetition, quality gate, splits
+# ---------------------------------------------------------------------------
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text augmented with deterministic synthetic
+    PII (the raw corpus is PII-free word salad, so both engines inject
+    the same email/IP/phone per doc_id and the scrub is genuinely
+    exercised)."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com from 10.2."), (did % 256).cast("string"),
+        F.lit("."), (did % 100).cast("string"),
+        F.lit(" call +1 555 01"),
+        F.lpad((did % 100).cast("string"), 2, "0"),
+    )
+    return pii_scrub(docs.withColumn("text", aug), "doc_id", "text")
+
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@example.com from 10.2.' || "
+    "(doc_id % 256) || '.' || (doc_id % 100) || ' call +1 555 01' || "
+    "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+)
+
+SQL_TEXT_PII_SCRUB = rf"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS s FROM documents),
+e AS (
+    SELECT doc_id,
+           len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+           regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS s
+    FROM aug),
+i AS (
+    SELECT doc_id, n_email,
+           len(regexp_extract_all(s, '\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}')) AS n_ip,
+           regexp_replace(s, '\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}', '<IP>', 'g') AS s
+    FROM e)
+SELECT doc_id, n_email, n_ip,
+       len(regexp_extract_all(s, '\+\d{{1,3}} \d{{3}} \d{{3,6}}')) AS n_phone,
+       regexp_replace(s, '\+\d{{1,3}} \d{{3}} \d{{3,6}}', '<PHONE>', 'g') AS scrubbed
+FROM i
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_TEXT_REPETITION = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+rk AS (
+    SELECT doc_id, tok, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+    FROM cnt
+),
+per AS (
+    SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+           max(CASE WHEN rn = 1 THEN tok END) AS top_token,
+           max(CASE WHEN rn = 1 THEN c END) AS top_c
+    FROM rk GROUP BY 1
+),
+bi AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS n_bi,
+           CASE WHEN len(t) >= 2 THEN len(list_distinct(
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+               ELSE 0 END AS n_bi_distinct
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+SELECT p.doc_id, p.n_tokens, p.n_distinct,
+       ROUND(p.n_distinct / p.n_tokens, 6) AS distinct_ratio,
+       p.top_token,
+       ROUND(p.top_c / p.n_tokens, 6) AS top_token_frac,
+       ROUND(CASE WHEN b.n_bi > 0
+                  THEN (b.n_bi - b.n_bi_distinct) / b.n_bi
+                  ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM per p JOIN bi b ON b.doc_id = p.doc_id
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = quality_gate(_docs(spark, sf_dir), "doc_id", "text")
+    # int flags: the driver's value-hash treats bool representation as
+    # engine-specific; 0/1 is portable.
+    flags = ["ok_length", "ok_mean_len", "ok_stopwords", "ok_symbols", "keep"]
+    return out.select(
+        "doc_id", "n_tokens", "mean_token_len", "stop_ratio", "symbol_ratio",
+        *[F.col(c).cast("int").alias(c) for c in flags],
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n,
+           length(text) AS nc,
+           len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS stop,
+           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS sym
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n, nc, stop, sym,
+           (nc - (n - 1)) / n AS mean_len,
+           stop / n AS stop_ratio,
+           sym / nc AS sym_ratio,
+           CAST(n >= 50 AND n <= 100000 AS INT) AS ok_length,
+           CAST((nc - (n - 1)) / n >= 3.0 AND (nc - (n - 1)) / n <= 10.0 AS INT) AS ok_mean_len,
+           CAST(stop / n >= 0.02 AS INT) AS ok_stopwords,
+           CAST(sym / nc <= 0.1 AS INT) AS ok_symbols
+    FROM t
+)
+SELECT doc_id, n AS n_tokens,
+       ROUND(mean_len, 6) AS mean_token_len,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(sym_ratio, 6) AS symbol_ratio,
+       ok_length, ok_mean_len, ok_stopwords, ok_symbols,
+       ok_length * ok_mean_len * ok_stopwords * ok_symbols AS keep
+FROM m
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_split(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "bucket", "split"
+    )
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return deterministic_sample(_docs(spark, sf_dir), "doc_id", 0.1).select("doc_id")
+
+
+SQL_SAMPLE_STABLE = """
+SELECT doc_id FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+"""
+
+
 def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = attach_binary(_docs(spark, sf_dir), "doc_id", "text")
     return out.select(
@@ -457,5 +618,10 @@ QUERIES = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
+    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "sample_stable": (q_sample_stable, SQL_SAMPLE_STABLE),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
 }

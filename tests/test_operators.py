@@ -172,3 +172,76 @@ def test_lsh_topk_recall(spark):
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert exact_pairs and approx_pairs
     assert len(exact_pairs & approx_pairs) >= len(exact_pairs) // 2
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from journal_batch_processer_spark.operators.text_analysis import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org ip 10.0.0.1 call +44 123 4567"),
+            (2, "clean text no pii"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (2, 1, 1)
+    assert got[1]["scrubbed"] == "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE>"
+    assert (got[2]["n_email"], got[2]["n_ip"], got[2]["n_phone"]) == (0, 0, 0)
+    assert got[2]["scrubbed"] == "clean text no pii"
+
+
+def test_repetition_stats(spark):
+    from journal_batch_processer_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["n_distinct"]) == (5, 2)
+    assert r1["top_token"] == "a" and abs(r1["top_token_frac"] - 0.6) < 1e-9
+    # bigrams: [a b, b a, a b, b a] -> 4 total, 2 distinct -> 0.5 dup
+    assert abs(r1["dup_bigram_frac"] - 0.5) < 1e-9
+    r2 = got[2]
+    assert (r2["n_tokens"], r2["dup_bigram_frac"]) == (1, 0.0)
+
+
+def test_quality_gate_flags(spark):
+    from journal_batch_processer_spark.operators.text_analysis import quality_gate
+
+    long_ok = " ".join(["the"] * 30 + ["word"] * 30)  # 60 toks, stopwords ok
+    short = "too short"
+    symbols = " ".join(["@@@@"] * 60)
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in quality_gate(df, "doc_id", "text").collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["ok_length"] is False
+    assert got[3]["keep"] is False and got[3]["ok_symbols"] is False
+
+
+def test_hash_split_deterministic_and_balanced(spark):
+    from journal_batch_processer_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", 0.8, 0.1)
+    frac = {
+        r["split"]: r["n"] / 2000.0
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    # stable across repartitioning (the property df.sample lacks)
+    a = {r["k"]: r["split"] for r in out.collect()}
+    b = {r["k"]: r["split"] for r in hash_split(df.repartition(7), "k").collect()}
+    assert a == b
+    samp = deterministic_sample(df, "k", 0.25)
+    n = samp.count()
+    assert abs(n / 2000.0 - 0.25) < 0.05
+    assert set(r["k"] for r in samp.collect()) <= set(a)
