@@ -116,6 +116,41 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
     )
 
 
+def foreach_batch_push(
+    items: DataFrame,
+    checkpoint_dir: str,
+    collector: list | None = None,
+) -> "StreamingQuery":  # noqa: F821 - pyspark.sql.streaming type
+    """Streaming flavor of the REST push sink: each micro-batch runs
+    the same simulate_push routing as the batch update stage, then
+    hands the success side to the (simulated) PUT writer and keeps the
+    error side for the error route.
+
+    ``foreachBatch`` is the right shape because the push is an
+    external side effect with its own idempotence story: the batch_id
+    is the replay key (a restarted query re-delivers the same batch_id
+    with the same rows, so a sink that records batch_id achieves
+    exactly-once). ``collector``, when given, receives
+    ``(batch_id, n_success, n_error)`` per batch — the test/metrics
+    hook; production swaps http_push_foreach_partition into the body.
+    """
+    from journal_batch_processer_spark.sinks.rest_push import simulate_push
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        routed = simulate_push(batch_df)
+        n_ok = routed.good.count()
+        n_err = routed.error.count()
+        if collector is not None:
+            collector.append((batch_id, n_ok, n_err))
+
+    return (
+        items.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> list:

@@ -47,3 +47,31 @@ def test_stateful_sessionize_runs(spark, events_dir):
     # assertion is structural: no crash, valid schema, plausible counts
     for r in rows:
         assert r["n_events"] >= 1
+
+
+def test_foreach_batch_push_counts(spark, tmp_path):
+    from journal_batch_processer_spark.sinks.rest_push import simulate_push
+    from journal_batch_processer_spark.streaming.jobs import foreach_batch_push
+
+    items = spark.createDataFrame(
+        [(str(i), "", 200 if i % 5 else 503) for i in range(100)],
+        "Barcode string, Notes string, put_status int",
+    )
+    src = str(tmp_path / "items_src")
+    items.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("Barcode string, Notes string, put_status int")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    got: list = []
+    q = foreach_batch_push(stream, str(tmp_path / "ckpt"), collector=got)
+    q.awaitTermination(timeout=120)
+    if q.isActive:
+        q.stop()
+
+    batch = simulate_push(items)
+    assert sum(n for _, n, _ in got) == batch.good.count() == 80
+    assert sum(e for _, _, e in got) == batch.error.count() == 20
+    assert len(got) >= 2  # maxFilesPerTrigger=2 over 4 files -> >1 micro-batch
