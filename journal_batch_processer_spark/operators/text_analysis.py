@@ -131,23 +131,22 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     most frequent token's share (ties break to the lexicographically
     smallest token, so the answer is deterministic), and the duplicate
     bigram fraction. One shuffle: the per-(doc, token) count."""
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     )
     cnt = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("doc").orderBy(F.col("c").desc(), F.col("tok"))
-    per_doc = (
-        cnt.withColumn("rn", F.row_number().over(w))
-        .groupBy("doc")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max(F.when(F.col("rn") == 1, F.col("tok"))).alias("top_token"),
-            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_c"),
-        )
+    # top token = min over (-count, token): count desc then token asc —
+    # one partially-aggregated groupBy instead of a per-doc window sort
+    top = F.min(F.struct((-F.col("c")).alias("nc"), F.col("tok").alias("t")))
+    per_doc = cnt.groupBy("doc").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        top.alias("top"),
+    ).select(
+        "doc", "n_tokens", "n_distinct",
+        F.col("top.t").alias("top_token"),
+        (-F.col("top.nc")).alias("top_c"),
     )
     # bigram duplication is a pure per-row expression — no second
     # explode pass; short texts (<2 tokens) have no bigrams → 0.0
