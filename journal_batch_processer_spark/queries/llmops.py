@@ -430,6 +430,43 @@ FROM documents
 """
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over exact-Jaccard pairs (>= 0.2): iterative
+    min-label connected components; every doc gets a cluster and the
+    min-id representative flag. The iterative loop has a FULL oracle —
+    DuckDB's recursive CTE computes the same fixpoint."""
+    from journal_batch_processer_spark.operators.graph import cluster_assignments
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=20
+    )
+    return cluster_assignments(docs, "doc_id", pairs)
+
+
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM}),
+strong AS (
+    SELECT doc_a, doc_b FROM pairs
+    WHERE inter / (sz_a + sz_b - inter) >= 0.2
+),
+e AS (
+    SELECT doc_a AS s, doc_b AS d FROM strong
+    UNION ALL SELECT doc_b, doc_a FROM strong
+),
+lab(n, l) AS (
+    SELECT DISTINCT s, s FROM e
+    UNION
+    SELECT e.d, lab.l FROM lab JOIN e ON e.s = lab.n WHERE lab.l < e.d
+),
+cc AS (SELECT n, min(l) AS component FROM lab GROUP BY n)
+SELECT d.doc_id,
+       coalesce(cc.component, d.doc_id) AS cluster_id,
+       CAST(d.doc_id = coalesce(cc.component, d.doc_id) AS INT) AS is_rep
+FROM documents d LEFT JOIN cc ON cc.n = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus filter battery: PII scrub, repetition, quality gate, splits
 # ---------------------------------------------------------------------------
@@ -609,6 +646,7 @@ QUERIES = {
     "dedup_near": (q_dedup_near, SQL_DEDUP_NEAR),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
+    "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
     "sim_search": (q_sim_search, SQL_SIM_SEARCH),
     "sim_search_ann": (q_sim_search_ann, None),
     "sim_search_ivf": (q_sim_search_ivf, None),

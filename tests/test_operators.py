@@ -245,3 +245,32 @@ def test_hash_split_deterministic_and_balanced(spark):
     n = samp.count()
     assert abs(n / 2000.0 - 0.25) < 0.05
     assert set(r["k"] for r in samp.collect()) <= set(a)
+
+
+def test_connected_components_chain(spark):
+    """A 6-node path graph needs multiple propagation rounds; min
+    label must reach the far end. Plus an isolated pair and singleton
+    handling via cluster_assignments."""
+    from journal_batch_processer_spark.operators.graph import (
+        cluster_assignments,
+        connected_components,
+        symmetrize,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    cc = {
+        r["n"]: r["component"]
+        for r in connected_components(symmetrize(pairs, "doc_a", "doc_b")).collect()
+    }
+    assert all(cc[n] == 1 for n in range(1, 7))
+    assert cc[10] == cc[11] == 10
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 99]], "doc_id long")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_rep"]) for r in
+           cluster_assignments(docs, "doc_id", pairs).collect()}
+    assert got[99] == (99, 1)  # singleton is its own rep
+    assert got[6] == (1, 0) and got[1] == (1, 1)
+    assert got[11] == (10, 0) and got[10] == (10, 1)
