@@ -67,3 +67,84 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(decode, schema)
+
+
+def resize_payload(
+    df: DataFrame, target_w: int, target_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched 'resize' stage: payload → payload of exactly
+    ``target_w * target_h`` bytes plus refreshed metadata.
+
+    The stub resize is a deterministic crop-or-tile of the byte
+    buffer (a real implementation swaps in PIL's ``resize`` on the
+    decoded image and re-encodes); output schema matches the ingest
+    shape so resize stages compose with decode/attach arbitrarily.
+    """
+    size = target_w * target_h
+    schema = (
+        f"{id_col} long, payload binary, "
+        "meta struct<n_bytes:int, mime:string, content_md5:string>"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not DECODE_STUB:  # pragma: no cover
+                raise NotImplementedError("real decoder not wired in this env")
+
+            def fit(b: bytes) -> bytes:
+                if not b:
+                    return bytes(size)
+                reps = -(-size // len(b))  # ceil
+                return (bytes(b) * reps)[:size]
+
+            out = pdf["payload"].map(fit)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": out,
+                    "meta": [
+                        {
+                            "n_bytes": size,
+                            "mime": "image/raw",
+                            "content_md5": hashlib.md5(b).hexdigest(),
+                        }
+                        for b in out
+                    ],
+                }
+            )
+
+    return df.mapInPandas(resize, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling: one input 'video' payload → N sampled frame
+    rows (every ``every_n``-th fixed-width chunk). Exercises the
+    1→many mapInPandas shape a real frame sampler needs — output row
+    count is payload-dependent, so the stage must build its own
+    output batches rather than mirroring input length. Trailing
+    partial frames are dropped (decoder semantics: incomplete frame).
+    """
+    schema = f"{id_col} long, frame_idx int, frame binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not DECODE_STUB:  # pragma: no cover
+                raise NotImplementedError("real decoder not wired in this env")
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(b)
+                n_frames = len(b) // frame_bytes
+                for f_idx in range(0, n_frames, every_n):
+                    ids.append(i)
+                    idxs.append(f_idx)
+                    frames.append(b[f_idx * frame_bytes:(f_idx + 1) * frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(sample, schema)

@@ -638,6 +638,55 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-stage plumbing: payload normalized to 64x48 raw bytes by
+    the stub (crop-or-tile), verified via the refreshed metadata. The
+    corpus text is ASCII, so the oracle replays the byte arithmetic on
+    VARCHAR exactly."""
+    from journal_batch_processer_spark.operators.multimodal import resize_payload
+
+    out = resize_payload(
+        attach_binary(_docs(spark, sf_dir), "doc_id", "text"), 64, 48
+    )
+    return out.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT doc_id, 3072 AS n_bytes,
+       md5(substr(repeat(text, CAST(ceil(3072.0 / length(text)) AS INT)), 1, 3072))
+           AS content_md5
+FROM documents
+WHERE length(text) > 0
+UNION ALL
+SELECT doc_id, 3072, md5(repeat(chr(0), 3072)) FROM documents WHERE length(text) = 0
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: every 2nd 16-byte frame of each
+    payload as its own row (1→many mapInPandas), content checked by
+    per-frame md5."""
+    from journal_batch_processer_spark.operators.multimodal import sample_frames
+
+    out = sample_frames(
+        attach_binary(_docs(spark, sf_dir), "doc_id", "text"),
+        frame_bytes=16,
+        every_n=2,
+    )
+    return out.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       md5(substr(text, CAST(f AS INT) * 16 + 1, 16)) AS frame_md5
+FROM documents, UNNEST(range(0, length(text) // 16, 2)) AS t(f)
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_hash": (q_dedup_exact_hash, SQL_DEDUP_EXACT_HASH),
@@ -662,4 +711,6 @@ QUERIES = {
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "sample_stable": (q_sample_stable, SQL_SAMPLE_STABLE),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
 }

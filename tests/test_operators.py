@@ -274,3 +274,30 @@ def test_connected_components_chain(spark):
     assert got[99] == (99, 1)  # singleton is its own rep
     assert got[6] == (1, 0) and got[1] == (1, 1)
     assert got[11] == (10, 0) and got[10] == (10, 1)
+
+
+def test_multimodal_resize_and_frames(spark):
+    from journal_batch_processer_spark.operators.multimodal import (
+        attach_binary,
+        resize_payload,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "x" * 40), (3, "")], "doc_id long, text string"
+    )
+    b = attach_binary(docs, "doc_id", "text")
+    rs = {r["doc_id"]: r for r in resize_payload(b, 4, 3).collect()}
+    assert bytes(rs[1]["payload"]) == b"abcdabcdabcd"  # tiled to 12
+    assert bytes(rs[2]["payload"]) == b"x" * 12  # cropped to 12
+    assert bytes(rs[3]["payload"]) == bytes(12)  # empty -> zero-fill
+    assert all(r["meta"]["n_bytes"] == 12 for r in rs.values())
+
+    fr = sample_frames(b, frame_bytes=8, every_n=2).collect()
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc  # 4 bytes < one frame
+    # doc 2: 40 bytes -> 5 frames -> sampled idx 0, 2, 4
+    assert sorted(r["frame_idx"] for r in by_doc[2]) == [0, 2, 4]
+    assert all(bytes(r["frame"]) == b"x" * 8 for r in by_doc[2])
