@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "sim_search",        # brute-force cosine top-k
     "text_quality",      # text scoring
     "window_tumble",     # time-window aggregation
+    "text_pii_scrub",    # regex redaction battery
+    "dedup_cluster",     # iterative connected components
 ]
 
 
