@@ -53,27 +53,28 @@ def connected_components(
         .distinct()
     )
     labels = nodes.withColumn("l", F.col("n")).localCheckpoint(eager=True)
+    # labels only ever DECREASE (min-propagation), so the label sum is
+    # a strictly-decreasing potential function: sum unchanged ⟺ fixpoint.
+    # That makes the per-round convergence check one aggregate over the
+    # (small) label table instead of a changed-rows join. DECIMAL(38)
+    # accumulator: 1e9 nodes x 64-bit ids overflows a long sum.
+    prev_sum = labels.agg(F.sum(F.col("l").cast("decimal(38,0)"))).collect()[0][0]
 
     for _ in range(max_iter):
         neigh = edges.join(
             labels, edges["src"] == labels["n"], "inner"
         ).select(F.col("dst").alias("n"), F.col("l"))
-        new = (
+        labels = (
             labels.select("n", "l")
             .union(neigh)
             .groupBy("n")
             .agg(F.min("l").alias("l"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("a")
-            .join(labels.alias("b"), "n")
-            .filter(F.col("a.l") != F.col("b.l"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        cur_sum = labels.agg(F.sum(F.col("l").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("n"), F.col("l").alias("component"))
 
 
