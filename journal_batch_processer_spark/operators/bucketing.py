@@ -23,13 +23,18 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 8,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed managed table (parquet)."""
+    """Persist as a bucketed table (parquet). ``path`` makes it an
+    external table — bucket files land there instead of the session
+    warehouse dir (keeps repeated runs out of the working tree)."""
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, bucket_col)
     )
+    if path is not None:
+        writer = writer.option("path", path)
     writer = writer.sortBy(sort_col or bucket_col)
     writer.saveAsTable(table_name)
 

@@ -180,6 +180,52 @@ GROUP BY 1
 """
 
 
+def q_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-write co-located join: both sides bucketed by orderkey
+    → SortMergeJoin with NO Exchange (plan pinned by
+    tests/test_scale_plans). The bucket files ARE the partitions; at
+    100 TB this is the difference between re-shuffling two fact tables
+    per join and never shuffling them again. External-path tables in
+    the system tmpdir keep bucket files out of the working tree;
+    results are engine-independent so the oracle is the plain join."""
+    import hashlib
+    import tempfile
+
+    from journal_batch_processer_spark.operators.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/jbp_buckets_{tag}"
+    orders_t, li_t = f"jbp_orders_b_{tag}", f"jbp_lineitem_b_{tag}"
+    if not spark.catalog.tableExists(orders_t):
+        write_bucketed(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            orders_t, "o_orderkey", 8, path=f"{base}/orders",
+        )
+        write_bucketed(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .withColumnRenamed("l_orderkey", "o_orderkey"),
+            li_t, "o_orderkey", 8, path=f"{base}/lineitem",
+        )
+    joined = colocated_join(spark, li_t, orders_t, on="o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+SQL_JOIN_COLOCATED = """
+SELECT o_orderpriority, COUNT(*) AS n_li,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click matched to the user's most recent prior purchase."""
     events = _events(spark, sf_dir)
@@ -435,6 +481,7 @@ QUERIES = {
     "join_anti": (q_join_anti, SQL_JOIN_ANTI),
     "join_range": (q_join_range, SQL_JOIN_RANGE),
     "join_asof": (q_join_asof, SQL_JOIN_ASOF),
+    "join_colocated": (q_join_colocated, SQL_JOIN_COLOCATED),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "window_lead_lag": (q_window_lead_lag, SQL_WINDOW_LEAD_LAG),
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),
