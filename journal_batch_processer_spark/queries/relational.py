@@ -226,6 +226,38 @@ GROUP BY 1
 """
 
 
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation (skew guard for hot reduce keys):
+    l_returnflag has only 3 values, so EVERY key is hot — the salt
+    spreads each over 16 reducers before the tiny second-level
+    combine. Result is identical to the direct groupBy, which is the
+    oracle (sums through DECIMAL for cross-engine equality)."""
+    from journal_batch_processer_spark.operators.skew import salted_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(18,4)").alias("q")
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n": "count(1)", "sum_qty": "sum(q)", "max_qty": "max(q)"},
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
+
+
+SQL_AGG_SALTED = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(MAX(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS max_qty
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click matched to the user's most recent prior purchase."""
     events = _events(spark, sf_dir)
@@ -482,6 +514,7 @@ QUERIES = {
     "join_range": (q_join_range, SQL_JOIN_RANGE),
     "join_asof": (q_join_asof, SQL_JOIN_ASOF),
     "join_colocated": (q_join_colocated, SQL_JOIN_COLOCATED),
+    "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "window_lead_lag": (q_window_lead_lag, SQL_WINDOW_LEAD_LAG),
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),
