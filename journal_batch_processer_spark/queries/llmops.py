@@ -621,6 +621,34 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus rollup — the dashboard query a corpus
+    sweep ends with: doc counts, token totals, mean doc length. One
+    scan, one partial-aggregated shuffle; token counts derive from the
+    text expression so no second pass over the corpus."""
+    docs = _docs(spark, sf_dir)
+    n_toks = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_toks).alias("total_tokens"),
+            F.round(
+                F.sum(F.col("n_chars")) / F.count(F.lit(1)), 6
+            ).alias("mean_chars"),
+        )
+    )
+
+
+SQL_CORPUS_STATS = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       ROUND(SUM(n_chars) / COUNT(*), 6) AS mean_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = attach_binary(_docs(spark, sf_dir), "doc_id", "text")
     return out.select(
@@ -710,6 +738,7 @@ QUERIES = {
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "sample_stable": (q_sample_stable, SQL_SAMPLE_STABLE),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
