@@ -96,3 +96,35 @@ def test_numpy_topk_matches_expression_ranking(spark):
     pa = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in a}
     pb = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in b}
     assert pa == pb
+
+
+def test_lake_sink_partition_pruning(spark, tmp_path):
+    """Partitioned lake layout: directory structure exists, read-back
+    is lossless, and a partition-column filter prunes to one
+    directory's files in the scan plan."""
+    import os
+
+    from journal_batch_processer_spark.sinks.lake import write_lake
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "lake")
+    write_lake(docs, out, ["lang"], sort_cols=["doc_id"],
+               max_records_per_file=10_000)
+
+    langs = sorted(
+        d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("lang=")
+    )
+    assert len(langs) >= 2
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+    one = back.filter(F.col("lang") == langs[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan's PartitionFilters carry the lang
+    # predicate (directory-level pruning, not a post-scan filter)
+    stats = plan_stats(one)
+    assert "PartitionFilters: [" in stats.plan and "lang" in stats.plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], stats.plan
+    assert one.count() == docs.filter(F.col("lang") == langs[0]).count()
