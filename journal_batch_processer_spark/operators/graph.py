@@ -88,6 +88,9 @@ def cluster_assignments(
     """Every row of ``df`` → (id, cluster_id, is_rep): transitive
     closure over ``pairs`` with singletons as their own cluster and
     the minimum id as the deterministic representative."""
+    # materialize pairs ONCE: symmetrize unions two selects over the
+    # same (expensive — shingle-join) plan, which would execute twice
+    pairs = pairs.localCheckpoint(eager=True)
     cc = connected_components(symmetrize(pairs, a, b))
     out = df.select(F.col(id_col)).join(
         cc, df[id_col] == cc["n"], "left"
