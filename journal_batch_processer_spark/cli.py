@@ -49,7 +49,22 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--single-file", action="store_true")
     ap.add_argument("--window-impute", action="store_true",
                     help="use the window fast path for year imputation")
+    ap.add_argument("--corpus", action="store_true",
+                    help="pretraining-corpus mode: input is a documents "
+                         "parquet; runs gate→scrub→dedup→split and writes "
+                         "a split-partitioned lake layout to --out-dir")
     args = ap.parse_args(argv)
+
+    if args.corpus:
+        from journal_batch_processer_spark.corpus import write_corpus_lake
+
+        spark = get_spark("jbp-corpus")
+        t0 = time.time()
+        docs = spark.read.parquet(args.input_csv)
+        write_corpus_lake(docs, args.out_dir)
+        print(f"Corpus lake written to {args.out_dir}")
+        print(f"Time to complete: {round(time.time() - t0, 2)} seconds")
+        return 0
 
     if not (args.do_format or args.do_split or args.do_update):
         ap.error("choose at least one of -f / -s / -u")

@@ -108,10 +108,16 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 PII_ORDER = ("email", "ip", "phone")
 
 
-def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def pii_scrub(
+    df: DataFrame, id_col: str, text_col: str, append: bool = False
+) -> DataFrame:
     """Redact emails / IPv4s / phone numbers, with per-category match
     counts (counted BEFORE replacement so overlapping categories are
-    attributed to the first pass that claims them)."""
+    attributed to the first pass that claims them).
+
+    ``append=True`` keeps every input column, REPLACES ``text_col``
+    with the scrubbed text, and adds the counts — the composition
+    shape (no join-back)."""
     text = F.col(text_col)
     counts = {}
     scrubbed = text
@@ -119,6 +125,10 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         pat, repl = PII_PATTERNS[cat]
         counts[cat] = F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    if append:
+        return df.withColumns(
+            {text_col: scrubbed, **{f"n_{c}": counts[c] for c in PII_ORDER}}
+        )
     return df.select(
         F.col(id_col),
         *[counts[c].alias(f"n_{c}") for c in PII_ORDER],
@@ -192,11 +202,15 @@ def quality_gate(
     max_mean_len: float = 10.0,
     min_stop_ratio: float = 0.02,
     max_symbol_ratio: float = 0.1,
+    append: bool = False,
 ) -> DataFrame:
     """Gopher-style quality gate: length, mean token length, stopword
     ratio, symbol ratio → per-rule booleans + the conjunctive keep
     flag. Narrow (no shuffle); the thresholds are the documented
-    Gopher defaults scaled to this corpus."""
+    Gopher defaults scaled to this corpus.
+
+    ``append=True`` keeps every input column and adds the flags —
+    the shape pipeline composition wants (no join-back needed)."""
     text = F.col(text_col)
     toks = _tokens(text)
     n = F.size(toks)
@@ -208,6 +222,18 @@ def quality_gate(
     ok_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
     ok_stop = stop_ratio >= min_stop_ratio
     ok_sym = symbol_ratio <= max_symbol_ratio
+    keep = ok_len & ok_mean & ok_stop & ok_sym
+    if append:
+        return df.withColumns(
+            {
+                "n_tokens": n,
+                "ok_length": ok_len,
+                "ok_mean_len": ok_mean,
+                "ok_stopwords": ok_stop,
+                "ok_symbols": ok_sym,
+                "keep": keep,
+            }
+        )
     return df.select(
         F.col(id_col),
         n.alias("n_tokens"),
@@ -218,5 +244,5 @@ def quality_gate(
         ok_mean.alias("ok_mean_len"),
         ok_stop.alias("ok_stopwords"),
         ok_sym.alias("ok_symbols"),
-        (ok_len & ok_mean & ok_stop & ok_sym).alias("keep"),
+        keep.alias("keep"),
     )

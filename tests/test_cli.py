@@ -55,3 +55,21 @@ def test_ivf_topk_recall(spark):
     pa = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert pe and pa
     assert len(pe & pa) >= len(pe) // 2
+
+
+def test_cli_corpus_mode(spark, tmp_path):
+    """Corpus pass end-to-end: gate → scrub → dedup → split → lake."""
+    out = str(tmp_path / "lake")
+    rc = main(["/root/testdata/sf0.001/documents.parquet", "--corpus",
+               "--out-dir", out])
+    assert rc == 0
+    splits = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert splits == ["split=test", "split=train", "split=val"]
+    back = spark.read.parquet(out)
+    n_in = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert 0 < back.count() <= n_in
+    # gate is effective (some docs dropped) and text was scrubbed-in-place
+    cols = set(back.columns)
+    assert {"doc_id", "text", "split", "n_email", "n_tokens"} <= cols
