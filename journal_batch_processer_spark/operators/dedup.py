@@ -133,6 +133,76 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (PPJoin-family): for
+    Jaccard ≥ t, two sets of sizes |A|,|B| must share a shingle inside
+    each one's prefix of its ``|S| - ceil(t·|S|) + 1`` globally-rarest
+    shingles — so the candidate join runs over prefixes only, and the
+    full sets are touched just once more to verify true intersections.
+
+    Output is IDENTICAL to ``ngram_jaccard_pairs`` (no false
+    negatives at the threshold; verification removes false positives)
+    — same oracle — but the candidate join is over a small fraction of
+    the shingle table, which is what survives at corpus scale where a
+    frequent shingle would otherwise fan out quadratically. Rarest-
+    first ordering makes prefixes maximally selective; ties break on
+    the shingle string so the prefix choice is deterministic.
+    """
+    sh = shingle_table(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("df_", "shingle")
+            ),
+        )
+        .join(sizes, "doc")
+        # prefix length: sz - ceil(t*sz) + 1
+        .filter(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc", "shingle")
+    )
+
+    a = ranked.select(F.col("doc").alias("doc_a"), "shingle")
+    b = ranked.select(F.col("doc").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    fa = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    fb = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

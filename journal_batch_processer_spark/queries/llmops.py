@@ -20,6 +20,7 @@ from journal_batch_processer_spark.operators.dedup import (
     minhash_candidates,
     near_dup_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_fingerprint,
 )
 from journal_batch_processer_spark.operators.multimodal import attach_binary
@@ -147,6 +148,56 @@ FROM inter
 JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
 WHERE inter / (sa.sz + sb.sz - inter) >= 0.05
+"""
+
+
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard at t=0.5: candidate
+    generation joins only each doc's rarest-shingle prefix (~half the
+    set at this threshold); output is exactly the plain self-join's
+    (no false negatives — equality asserted in tests). On THIS corpus
+    the plain join wins (0.7s vs 4.2s at sf0.1): shingle df is low, so
+    the self-join is cheap and the prefix machinery (df-rank window +
+    verify join) is pure overhead. The prefix variant is the scale
+    escape hatch for real corpora where frequent shingles fan out
+    quadratically and no df cap is semantically acceptable — there the
+    candidate-join saving dominates and the overhead amortizes."""
+    docs = _docs(spark, sf_dir)
+    out = ngram_jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(
+        "doc_a", "doc_b", "inter", "sz_a", "sz_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_DEDUP_NGRAM_T50 = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+),
+flat AS (
+    SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM flat GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM flat a JOIN flat b USING (shingle)
+    WHERE a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
@@ -719,6 +770,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_hash": (q_dedup_exact_hash, SQL_DEDUP_EXACT_HASH),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "dedup_ngram_prefix": (q_dedup_ngram_prefix, SQL_DEDUP_NGRAM_T50),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_near": (q_dedup_near, SQL_DEDUP_NEAR),
     "dedup_simhash": (q_dedup_simhash, None),

@@ -301,3 +301,40 @@ def test_multimodal_resize_and_frames(spark):
     # doc 2: 40 bytes -> 5 frames -> sampled idx 0, 2, 4
     assert sorted(r["frame_idx"] for r in by_doc[2]) == [0, 2, 4]
     assert all(bytes(r["frame"]) == b"x" * 8 for r in by_doc[2])
+
+
+def test_prefix_filter_equals_plain_jaccard(spark):
+    """Prefix filtering must introduce no false negatives: the PPJoin
+    path and the plain self-join produce the same pair set with the
+    same statistics, including pairs that share ONLY frequent
+    (non-prefix) shingles on one side."""
+    from journal_batch_processer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g x",      # high overlap with 0
+        "a b c q r s t u",      # shares only the frequent prefix-ish run
+        "z z1 z2 a b c d e",    # overlap via mid-set shingles
+        "m n o p q r s t u v",  # overlaps 2 at the tail
+        "completely different words here now",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def key(rows):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["inter"], r["sz_a"], r["sz_b"],
+             round(r["jaccard"], 9))
+            for r in rows
+        )
+
+    for t in (0.05, 0.2, 0.5):
+        plain = key(ngram_jaccard_pairs(docs, "doc_id", "text", threshold=t).collect())
+        pref = key(
+            ngram_jaccard_pairs_prefix(docs, "doc_id", "text", threshold=t).collect()
+        )
+        assert plain == pref and plain  # non-empty at 0.05
