@@ -139,3 +139,32 @@ def test_month_normalize_idempotent_on_canonical(spark):
     once = df.select(month_normalize(F.col("c")).alias("c"))
     twice = once.select(month_normalize(F.col("c")).alias("c"))
     assert [r[0] for r in once.collect()] == [r[0] for r in twice.collect()] == canon
+
+
+@given(
+    fracs=st.lists(
+        st.floats(min_value=0.01, max_value=0.99), min_size=2, max_size=4
+    ),
+    n=st.integers(min_value=50, max_value=300),
+)
+@settings(max_examples=10, deadline=None)
+def test_deterministic_sample_nested_and_stable(spark, fracs, n):
+    """Hash-threshold sampling is NESTED (sample(f1) ⊆ sample(f2) for
+    f1 ≤ f2 — growing an eval slice never swaps membership) and
+    partitioning-independent. Neither property holds for df.sample."""
+    from journal_batch_processer_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.range(0, n).withColumnRenamed("id", "k")
+    sets = []
+    for f in sorted(fracs):
+        got = {r["k"] for r in deterministic_sample(df, "k", f).collect()}
+        re_got = {
+            r["k"]
+            for r in deterministic_sample(df.repartition(5), "k", f).collect()
+        }
+        assert got == re_got
+        sets.append(got)
+    for small, big in zip(sets, sets[1:]):
+        assert small <= big
