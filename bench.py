@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "window_rank",       # partitioned window
     "join_asof",         # union-window as-of join
     "enrich_fetch",      # update-stage enrichment join
-    "dedup_ngram",       # shingle self-join
+    "dedup_ngram_prefix",  # PPJoin prefix-filtered exact Jaccard
     "dedup_minhash",     # LSH banding
     "sim_search",        # brute-force cosine top-k
     "text_quality",      # text scoring

@@ -154,46 +154,86 @@ def ngram_jaccard_pairs_prefix(
     first ordering makes prefixes maximally selective; ties break on
     the shingle string so the prefix choice is deterministic.
     """
-    sh = shingle_table(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # Float guard: t*sz can land an ulp above the exact product (e.g.
+    # 150/3 → 50.000000000000007), and ceil would then SHORTEN a prefix
+    # or RAISE a required-overlap bound — a false-negative source. The
+    # epsilon only ever relaxes a bound (more candidates), and the
+    # verify step removes every false positive, so exactness holds.
+    eps = 1e-9
+    t = float(threshold)
 
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    ranked = (
-        sh.join(dfreq, "shingle")
+    sh = shingle_table(df, id_col, text_col, n)
+
+    # Document frequency, rarest-first rank, and set size as WINDOW
+    # counts, not aggregate+join rounds: one exchange on shingle, one
+    # on doc (rnk and sz share the doc partitioning). The unfiltered
+    # doc-partitioned relation is persisted so the prefix branch and
+    # the verify-arrays branch both read it without recompute.
+    w_sh = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy("doc")
+    annotated = (
+        sh.withColumn("df_", F.count(F.lit(1)).over(w_sh))
         .withColumn(
             "rnk",
-            F.row_number().over(
-                Window.partitionBy("doc").orderBy("df_", "shingle")
-            ),
+            F.row_number().over(w_doc.orderBy("df_", "shingle")),
         )
-        .join(sizes, "doc")
-        # prefix length: sz - ceil(t*sz) + 1
-        .filter(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("doc", "shingle")
+        .withColumn("sz", F.count(F.lit(1)).over(w_doc))
+        .persist()
     )
+    ranked = annotated.filter(
+        # prefix length: sz - ceil(t*sz) + 1
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - eps) + 1
+    ).select("doc", "shingle", "rnk", "sz")
 
-    a = ranked.select(F.col("doc").alias("doc_a"), "shingle")
-    b = ranked.select(F.col("doc").alias("doc_b"), "shingle")
+    a = ranked.select(
+        F.col("doc").alias("doc_a"), "shingle",
+        F.col("rnk").alias("rnk_a"), F.col("sz").alias("sz_a"),
+    )
+    b = ranked.select(
+        F.col("doc").alias("doc_b"), "shingle",
+        F.col("rnk").alias("rnk_b"), F.col("sz").alias("sz_b"),
+    )
+    # Required overlap for jaccard ≥ t: inter ≥ t/(1+t) · (|A|+|B|).
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("sz_a") + F.col("sz_b")) - eps
+    )
     cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: |B| ≥ t·|A| and |A| ≥ t·|B|
+        .filter(F.col("sz_b") >= F.lit(t) * F.col("sz_a") - eps)
+        .filter(F.col("sz_a") >= F.lit(t) * F.col("sz_b") - eps)
+        # positional filter: tokens at/after (rnk_a, rnk_b) bound the
+        # achievable overlap; a true pair's FIRST common token always
+        # passes (all alpha common tokens sit at or after it).
+        .filter(
+            1 + F.least(
+                F.col("sz_a") - F.col("rnk_a"), F.col("sz_b") - F.col("rnk_b")
+            )
+            >= alpha
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
 
-    fa = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    fb = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(fa, "doc_a")
-        .join(fb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # Verify on per-doc shingle arrays instead of re-joining the full
+    # shingle table twice: the arrays relation is one row per doc, so
+    # AQE broadcasts it at test scale and it stays an equi-join (never
+    # all-pairs) at corpus scale. array_intersect over distinct
+    # elements gives the exact intersection count.
+    arrs = annotated.groupBy("doc").agg(F.collect_list("shingle").alias("arr"))
+    aa = arrs.select(F.col("doc").alias("doc_a"), F.col("arr").alias("arr_a"))
+    ab = arrs.select(F.col("doc").alias("doc_b"), F.col("arr").alias("arr_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("inter"),
+            F.size("arr_a").alias("sz_a"),
+            F.size("arr_b").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),

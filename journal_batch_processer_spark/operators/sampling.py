@@ -26,14 +26,25 @@ def _bucket(key: Column, width: int = 2) -> Column:
     return F.substring(F.md5(key.cast("string")), 1, width)
 
 
+def _hex_threshold(t: int, width: int) -> str:
+    """Fixed-width hex threshold for a lexicographic compare. The full
+    range t == 16**width would overflow the width ('100' > '2f' is
+    FALSE lexicographically) — return 'g', which sorts after every hex
+    digit, so `bucket < threshold` is always true."""
+    if t >= 16**width:
+        return "g"
+    return f"{t:0{width}x}"
+
+
 def split_thresholds(train_frac: float, val_frac: float) -> tuple[str, str]:
     """Fractions → 2-hex-char lexicographic thresholds (floor to the
-    256-cell grid; e.g. 0.8/0.1 → 'cc'/'e6')."""
+    256-cell grid; e.g. 0.8/0.1 → 'cc'/'e6'). Full-range boundaries
+    (train==1.0, or train+val==1.0) map to the 'g' sentinel."""
     t = int(train_frac * 256)
     v = int((train_frac + val_frac) * 256)
     if not 0 <= t <= v <= 256:
         raise ValueError(f"bad split fractions: {train_frac}, {val_frac}")
-    return f"{t:02x}", f"{v:02x}"
+    return _hex_threshold(t, 2), _hex_threshold(v, 2)
 
 
 def hash_split(
@@ -64,4 +75,4 @@ def deterministic_sample(df: DataFrame, key_col: str, frac: float) -> DataFrame:
     t = int(frac * 0x10000)
     if not 0 <= t <= 0x10000:
         raise ValueError(f"bad sample fraction: {frac}")
-    return df.filter(_bucket(F.col(key_col), width=4) < F.lit(f"{t:04x}"))
+    return df.filter(_bucket(F.col(key_col), width=4) < F.lit(_hex_threshold(t, 4)))

@@ -364,22 +364,29 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap splits sessions."""
     events = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    boundary = F.when(gap > 1800, F.lit(1)).otherwise(F.lit(0))
+    # Gap math in MICROSECONDS on both engines: events.ts carries µs
+    # precision, and a whole-second cast would classify a gap that
+    # straddles exactly 1800s differently from the oracle.
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    boundary = F.when(gap > 1800 * 1_000_000, F.lit(1)).otherwise(F.lit(0))
     marked = events.select("user_id", boundary.alias("b"))
     return marked.groupBy("user_id").agg(
-        (F.sum("b") + 1).alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+        (F.sum("b") + 1).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 
 SQL_WINDOW_SESSION = """
 WITH marked AS (
     SELECT user_id,
-           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                    > 1800 * 1000000
                 THEN 1 ELSE 0 END AS b
     FROM events)
-SELECT user_id, SUM(b) + 1 AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(b) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM marked GROUP BY user_id
 """
 

@@ -168,3 +168,35 @@ def test_deterministic_sample_nested_and_stable(spark, fracs, n):
         sets.append(got)
     for small, big in zip(sets, sets[1:]):
         assert small <= big
+
+
+def test_split_boundaries_full_range(spark):
+    """ADVICE r01: t == 16**width overflowed the fixed hex width
+    ('100' compares before '2f'), so frac sums of 1.0 silently broke —
+    hash_split(0.9, 0.1) must put every non-train row in val (empty
+    test), and deterministic_sample(frac=1.0) must keep ALL rows."""
+    from journal_batch_processer_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+        split_thresholds,
+    )
+
+    n = 400
+    df = spark.range(0, n).withColumnRenamed("id", "k")
+
+    assert split_thresholds(1.0, 0.0) == ("g", "g")
+    assert split_thresholds(0.9, 0.1)[1] == "g"
+
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(df, "k", 0.9, 0.1).groupBy("split").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert counts.get("test", 0) == 0
+    assert counts.get("val", 0) > 0  # 10% of 400 ≈ 40, never zero
+    assert sum(counts.values()) == n
+
+    assert deterministic_sample(df, "k", 1.0).count() == n
+    # train==1.0: everything lands in train
+    all_train = hash_split(df, "k", 1.0, 0.0).groupBy("split").count().collect()
+    assert len(all_train) == 1 and all_train[0]["split"] == "train"

@@ -22,32 +22,38 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm_val(v):
+def norm_val(v, strict: bool = False):
+    """Canonicalize a cell for cross-engine compare.
+
+    strict=True preserves type identity (bool != int, Decimal stays
+    exact, tz kept) — the driver's hash is type-sensitive, so only a
+    strict match predicts driver parity. strict=False is the legacy
+    loose compare, used to LABEL which queries rely on normalization.
+    """
     if v is None:
         return None
     if isinstance(v, bool):
-        return int(v)
+        return v if strict else int(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
     if isinstance(v, datetime.datetime):
+        if strict:
+            return ("ts", v.isoformat(), v.tzinfo is not None)
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return ("date", v.isoformat()) if strict else v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     if isinstance(v, list):
-        return tuple(norm_val(x) for x in v)
+        return tuple(norm_val(x, strict) for x in v)
     if isinstance(v, dict):
-        return tuple(sorted((k, norm_val(x)) for k, x in v.items()))
-    try:
-        import decimal
+        return tuple(sorted((k, norm_val(x, strict)) for k, x in v.items()))
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v)) if strict else float(v)
     return v
 
 
@@ -55,10 +61,10 @@ def _sort_key(t):
     return tuple((v is None, str(type(v)), str(v)) for v in t)
 
 
-def rows_to_multiset(cols, rows):
+def rows_to_multiset(cols, rows, strict: bool = False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        (tuple(norm_val(r[i]) for i in order) for r in rows), key=_sort_key
+        (tuple(norm_val(r[i], strict) for i in order) for r in rows), key=_sort_key
     )
 
 
@@ -109,21 +115,43 @@ def main() -> int:
             problems.append(f"rows {len(s_rows)} != {len(o_rows)}")
         if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
             problems.append(f"cols {sorted(s_cols)} != {sorted(o_cols)}")
+        normalized_note = ""
         if not problems:
-            ms = rows_to_multiset(s_cols, [list(r) for r in s_rows])
-            mo = rows_to_multiset(o_cols, o_rows)
+            srows = [list(r) for r in s_rows]
+            ms = rows_to_multiset(s_cols, srows, strict=True)
+            mo = rows_to_multiset(o_cols, o_rows, strict=True)
             if ms != mo:
-                for i, (a, b) in enumerate(zip(ms, mo)):
-                    if a != b:
-                        problems.append(f"first diff @sorted[{i}]: spark={a!r} oracle={b!r}")
-                        break
+                # Strict (type-identity) mismatch: the driver's hash is
+                # type-sensitive, so fall back to the loose compare only
+                # to distinguish "value bug" from "type reliance" — and
+                # flag the latter loudly instead of a silent pass.
+                ls = rows_to_multiset(s_cols, srows)
+                lo = rows_to_multiset(o_cols, o_rows)
+                if ls == lo:
+                    for a, b in zip(ms, mo):
+                        if a != b:
+                            normalized_note = (
+                                f"  [TYPE-NORMALIZED ONLY — driver may fail: "
+                                f"spark={a!r} vs oracle={b!r}]"
+                            )
+                            break
                 else:
-                    problems.append("length equal but content diff at tail")
+                    for i, (a, b) in enumerate(zip(ls, lo)):
+                        if a != b:
+                            problems.append(
+                                f"first diff @sorted[{i}]: spark={a!r} oracle={b!r}"
+                            )
+                            break
+                    else:
+                        problems.append("length equal but content diff at tail")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"ok    {name} ({len(s_rows)} rows, {time.perf_counter()-t0:.1f}s)")
+            print(
+                f"ok    {name} ({len(s_rows)} rows, "
+                f"{time.perf_counter()-t0:.1f}s){normalized_note}"
+            )
             n_pass += 1
 
     print(f"\n{n_pass} ok, {n_fail} fail, {n_skip} rows-only")
