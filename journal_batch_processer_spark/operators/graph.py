@@ -8,14 +8,17 @@ join + min-aggregate (all Catalyst-planned), and ``localCheckpoint``
 truncates the growing lineage so round N's plan doesn't contain
 rounds 1..N-1 (the classic iterative-Spark failure mode).
 
-Algorithm: min-label propagation. Every node starts labeled with
-itself; each round a node takes the minimum label among itself and
-its neighbors; fixpoint when no label changes. Rounds needed = the
-largest component's diameter — small for dedup clusters (near-dup
-graphs are dense blobs, not chains). For adversarial long-chain
-graphs, switch to the large-star/small-star algorithm (Kiveris et
-al., "Connected Components in MapReduce and Beyond", SoCC'14), which
-converges in O(log n) rounds with the same per-round join shape.
+Two algorithms:
+
+- ``connected_components`` — min-label propagation. Every node starts
+  labeled with itself; each round a node takes the minimum label among
+  itself and its neighbors; fixpoint when no label changes. Rounds
+  needed = the largest component's diameter: fine for dedup clusters
+  (dense near-dup blobs), O(n) rounds on adversarial chains.
+- ``connected_components_star`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): O(log n) rounds on ANY graph shape, same per-round
+  join+min-aggregate shape. This is the default the pipeline uses.
 
 At 100 TB: labels and edges are both hash-partitioned on the join
 key every round; persisting `labels` between rounds keeps the small
@@ -78,6 +81,113 @@ def connected_components(
     return labels.select(F.col("n"), F.col("l").alias("component"))
 
 
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star round: for each node u with m = min(Γ(u) ∪ {u}),
+    connect every STRICTLY LARGER neighbor v > u directly to m.
+    Expects a symmetric edge list; output is a plain (src, dst) set."""
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = F.least(F.col("src"), F.col("mn"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), m.alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: direct each edge high→low, then for each node
+    u connect every smaller neighbor (and u itself) to the minimum of
+    its smaller neighborhood. Output edges all point high→low."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    mins = e.groupBy("src").agg(F.min("dst").alias("mn"))
+    out = (
+        e.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .union(mins.select("src", F.col("mn").alias("dst")))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _star_rounds(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Run alternating large/small-star to fixpoint; returns the final
+    star edge set (node → component min, high→low) and rounds used."""
+    cur = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Cheap potential first (edge count + DECIMAL sums of both endpoint
+    # columns — dst assignments only ever decrease); the exact
+    # exceptAll set-compare runs ONLY when the potential plateaus, so
+    # a hash-free, collision-free fixpoint test costs one extra join
+    # total, not one per round.
+    def _potential(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("src").cast("decimal(38,0)")),
+            F.sum(F.col("dst").cast("decimal(38,0)")),
+        ).collect()[0]
+        return tuple(row)
+
+    prev = _potential(cur)
+    rounds = 0
+    for _ in range(max_iter):
+        sym = cur.union(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        rounds += 1
+        p = _potential(nxt)
+        if p == prev:
+            if nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty():
+                cur = nxt
+                break
+        prev = p
+        cur = nxt
+    return cur, rounds
+
+
+def connected_components_star(
+    edges: DataFrame,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components over a (src, dst)
+    edge list (symmetry not required). Returns (n, component) for
+    every node appearing in an edge, component = min reachable id —
+    identical output contract to :func:`connected_components`, but
+    O(log n) rounds on any graph shape (chains included), so this is
+    the 100 TB default.
+
+    Reference capability: BatchUpdate.py has no graph op — this backs
+    the dedup_cluster EXT query (pairs → transitive closure).
+    """
+    edges = edges.localCheckpoint(eager=True)
+    star, _ = _star_rounds(edges, max_iter)
+    # At fixpoint every edge points node → its component's minimum id,
+    # and roots have no outgoing high→low edge (they ARE the minimum).
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    lab = star.groupBy("src").agg(F.min("dst").alias("component"))
+    return nodes.join(lab, nodes["n"] == lab["src"], "left").select(
+        "n", F.coalesce("component", "n").alias("component")
+    )
+
+
 def cluster_assignments(
     df: DataFrame,
     id_col: str,
@@ -91,7 +201,9 @@ def cluster_assignments(
     # materialize pairs ONCE: symmetrize unions two selects over the
     # same (expensive — shingle-join) plan, which would execute twice
     pairs = pairs.localCheckpoint(eager=True)
-    cc = connected_components(symmetrize(pairs, a, b))
+    cc = connected_components_star(
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    )
     out = df.select(F.col(id_col)).join(
         cc, df[id_col] == cc["n"], "left"
     )

@@ -276,6 +276,58 @@ def test_connected_components_chain(spark):
     assert got[11] == (10, 0) and got[10] == (10, 1)
 
 
+def test_connected_components_star_chain_logn(spark):
+    """Large-star/small-star must solve a 1000-node CHAIN — the
+    adversarial case where min-label propagation needs ~n rounds — in
+    O(log n) rounds (⌈log₂ 1000⌉ = 10, allow +4 slack), with the same
+    (n, component) output contract as propagation."""
+    from journal_batch_processer_spark.operators.graph import (
+        _star_rounds,
+        connected_components_star,
+    )
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    _, rounds = _star_rounds(edges.localCheckpoint(eager=True), max_iter=50)
+    assert rounds <= 14, f"chain took {rounds} rounds (want O(log n))"
+
+    cc = {r["n"]: r["component"] for r in connected_components_star(edges).collect()}
+    assert len(cc) == n and all(c == 1 for c in cc.values())
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Random multi-component graph: star CC and min-label propagation
+    agree exactly (same minimum-id component labels)."""
+    import random
+
+    from journal_batch_processer_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+        symmetrize,
+    )
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(0, 60) + 100 * g, rng.randrange(0, 60) + 100 * g)
+        for g in range(4)
+        for _ in range(40)
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {
+        r["n"]: r["component"]
+        for r in connected_components_star(
+            pairs.selectExpr("doc_a as src", "doc_b as dst")
+        ).collect()
+    }
+    prop = {
+        r["n"]: r["component"]
+        for r in connected_components(symmetrize(pairs, "doc_a", "doc_b")).collect()
+    }
+    assert star == prop
+
+
 def test_multimodal_resize_and_frames(spark):
     from journal_batch_processer_spark.operators.multimodal import (
         attach_binary,
