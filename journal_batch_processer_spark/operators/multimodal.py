@@ -3,10 +3,14 @@
 Images/audio/video ride through the engine as ``binary`` columns with
 a metadata struct; decode / feature-extraction run as Arrow-batched
 ``mapInPandas`` stages so the bytes never round-trip through Python
-row objects. The decode itself is STUBBED here (no imaging libs in
-this environment) with a deterministic fake behind the same signature
-— the Spark-side plumbing (schema, batching, partitioning) is real
-and tested.
+row objects. The decode itself is pluggable: the Spark plumbing
+(schema, batching, partitioning, 1→many output shape) is identical
+for every decoder, and the per-payload byte work is behind the
+:class:`Decoder` interface — ``StubDecoder`` (deterministic fake, the
+default in this environment, which has no imaging libs) or
+``MediaDecoder`` (the PIL/libav integration point). Flipping
+``DECODE_STUB`` swaps ONLY the decode body; nothing about the Spark
+plan changes (contract-tested in tests/test_operators.py).
 
 Ingest path for real media at scale: ``spark.read.format("binaryFile")``
 over an object store, partitioned by content hash prefix.
@@ -21,6 +25,91 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODE_STUB = True  # flip when a real decoder (PIL/av) is installed
+
+
+class Decoder:
+    """Per-payload decode contract shared by every backend.
+
+    Implementations must be import-safe on executors (no module-level
+    heavy deps — import inside methods) and deterministic for a given
+    payload, since Spark task retries re-run them.
+    """
+
+    def features(self, payload: bytes) -> dict:
+        """payload → {"n_bytes": int, "width": int, "height": int,
+        "mean_byte": float} (the decode_features row, minus the id)."""
+        raise NotImplementedError
+
+    def resize(self, payload: bytes, target_w: int, target_h: int) -> bytes:
+        """payload → resized payload of exactly target_w*target_h bytes."""
+        raise NotImplementedError
+
+    def frames(
+        self, payload: bytes, frame_bytes: int, every_n: int
+    ) -> list[tuple[int, bytes]]:
+        """payload → [(frame_idx, frame_bytes)] — every ``every_n``-th
+        complete frame; trailing partial frames dropped."""
+        raise NotImplementedError
+
+
+class StubDecoder(Decoder):
+    """Deterministic byte-buffer fake: exercises the real batch shape,
+    schema, and partition behavior without an imaging library."""
+
+    def features(self, payload: bytes) -> dict:
+        n = len(payload)
+        return {
+            "n_bytes": n,
+            "width": n % 640,
+            "height": n % 480,
+            "mean_byte": (sum(payload) / n) if n else 0.0,
+        }
+
+    def resize(self, payload: bytes, target_w: int, target_h: int) -> bytes:
+        size = target_w * target_h
+        if not payload:
+            return bytes(size)
+        reps = -(-size // len(payload))  # ceil: tile then crop
+        return (bytes(payload) * reps)[:size]
+
+    def frames(
+        self, payload: bytes, frame_bytes: int, every_n: int
+    ) -> list[tuple[int, bytes]]:
+        b = bytes(payload)
+        n_frames = len(b) // frame_bytes
+        return [
+            (i, b[i * frame_bytes:(i + 1) * frame_bytes])
+            for i in range(0, n_frames, every_n)
+        ]
+
+
+class MediaDecoder(Decoder):
+    """Real-media integration point: PIL for images, av for video.
+
+    Not wired in this environment (libs absent) — each method raises
+    until the imports below are satisfied, so selecting it fails loudly
+    at first use, never silently falls back to fake output.
+    """
+
+    def _require(self):  # pragma: no cover - env without media libs
+        raise NotImplementedError(
+            "real decoder not wired: install PIL (images) / av (video) "
+            "and implement MediaDecoder bodies"
+        )
+
+    def features(self, payload: bytes) -> dict:  # pragma: no cover
+        self._require()
+
+    def resize(self, payload, target_w, target_h):  # pragma: no cover
+        self._require()
+
+    def frames(self, payload, frame_bytes, every_n):  # pragma: no cover
+        self._require()
+
+
+def get_decoder() -> Decoder:
+    """Backend selector — the ONLY place DECODE_STUB is consulted."""
+    return StubDecoder() if DECODE_STUB else MediaDecoder()
 
 
 def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -39,32 +128,25 @@ def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched 'decode' stage: payload → fixed-width feature row.
+    """Arrow-batched decode stage: payload → fixed-width feature row.
 
-    With a real decoder this is where PIL/libav runs per batch; the
-    stub derives deterministic pseudo-features from the bytes so the
-    batch shape, schema, and partition behavior are exercised for real.
+    The per-payload work is ``get_decoder().features`` — PIL with a
+    real backend, a deterministic fake with the stub; the mapInPandas
+    batch shape and schema are backend-independent.
     """
     schema = f"{id_col} long, n_bytes int, width int, height int, mean_byte double"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = get_decoder()
+        cols = ["n_bytes", "width", "height", "mean_byte"]
         for pdf in batches:
-            if not DECODE_STUB:  # pragma: no cover
-                raise NotImplementedError("real decoder not wired in this env")
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
-            # deterministic fake: "dimensions" and mean byte value
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "width": (n_bytes % 640).astype("int32"),
-                    "height": (n_bytes % 480).astype("int32"),
-                    "mean_byte": payloads.map(
-                        lambda b: (sum(b) / len(b)) if len(b) else 0.0
-                    ),
-                }
-            )
+            feats = [dec.features(bytes(b)) for b in pdf["payload"]]
+            out = pd.DataFrame(feats, columns=cols)
+            out.insert(0, id_col, pdf[id_col].values)
+            out["n_bytes"] = out["n_bytes"].astype("int32")
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
 
     return df.mapInPandas(decode, schema)
 
@@ -72,34 +154,26 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def resize_payload(
     df: DataFrame, target_w: int, target_h: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Arrow-batched 'resize' stage: payload → payload of exactly
+    """Arrow-batched resize stage: payload → payload of exactly
     ``target_w * target_h`` bytes plus refreshed metadata.
 
-    The stub resize is a deterministic crop-or-tile of the byte
-    buffer (a real implementation swaps in PIL's ``resize`` on the
-    decoded image and re-encodes); output schema matches the ingest
-    shape so resize stages compose with decode/attach arbitrarily.
+    Output schema matches the ingest shape so resize stages compose
+    with decode/attach arbitrarily, whatever the backend.
     """
-    size = target_w * target_h
     schema = (
         f"{id_col} long, payload binary, "
         "meta struct<n_bytes:int, mime:string, content_md5:string>"
     )
+    size = target_w * target_h
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        dec = get_decoder()
         for pdf in batches:
-            if not DECODE_STUB:  # pragma: no cover
-                raise NotImplementedError("real decoder not wired in this env")
-
-            def fit(b: bytes) -> bytes:
-                if not b:
-                    return bytes(size)
-                reps = -(-size // len(b))  # ceil
-                return (bytes(b) * reps)[:size]
-
-            out = pdf["payload"].map(fit)
+            out = pdf["payload"].map(
+                lambda b: dec.resize(bytes(b), target_w, target_h)
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -125,26 +199,21 @@ def sample_frames(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Frame sampling: one input 'video' payload → N sampled frame
-    rows (every ``every_n``-th fixed-width chunk). Exercises the
-    1→many mapInPandas shape a real frame sampler needs — output row
-    count is payload-dependent, so the stage must build its own
-    output batches rather than mirroring input length. Trailing
-    partial frames are dropped (decoder semantics: incomplete frame).
+    rows. Exercises the 1→many mapInPandas shape a real frame sampler
+    needs — output row count is payload-dependent, so the stage builds
+    its own output batches rather than mirroring input length.
     """
     schema = f"{id_col} long, frame_idx int, frame binary"
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = get_decoder()
         for pdf in batches:
-            if not DECODE_STUB:  # pragma: no cover
-                raise NotImplementedError("real decoder not wired in this env")
             ids, idxs, frames = [], [], []
             for i, b in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(b)
-                n_frames = len(b) // frame_bytes
-                for f_idx in range(0, n_frames, every_n):
+                for f_idx, frame in dec.frames(bytes(b), frame_bytes, every_n):
                     ids.append(i)
                     idxs.append(f_idx)
-                    frames.append(b[f_idx * frame_bytes:(f_idx + 1) * frame_bytes])
+                    frames.append(frame)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(sample, schema)

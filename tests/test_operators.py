@@ -355,6 +355,38 @@ def test_multimodal_resize_and_frames(spark):
     assert all(bytes(r["frame"]) == b"x" * 8 for r in by_doc[2])
 
 
+def test_multimodal_decoder_contract(spark, monkeypatch):
+    """The decode body is swappable behind the Decoder interface:
+    the stub satisfies the stage schemas, the real-media backend
+    raises loudly (never fake-succeeds), and flipping DECODE_STUB
+    changes ONLY which backend get_decoder returns — the Spark-side
+    plumbing (schema/batch/1→many shape) is backend-independent."""
+    from journal_batch_processer_spark.operators import multimodal as mm
+
+    stub = mm.StubDecoder()
+    # features dict carries exactly the decode_features schema fields
+    feats = stub.features(b"abcdef")
+    assert set(feats) == {"n_bytes", "width", "height", "mean_byte"}
+    assert isinstance(feats["mean_byte"], float)
+    assert len(stub.resize(b"xy", 4, 3)) == 12 and stub.resize(b"", 2, 2) == bytes(4)
+    assert stub.frames(b"a" * 40, 8, 2) == [
+        (0, b"a" * 8), (2, b"a" * 8), (4, b"a" * 8)
+    ]
+
+    real = mm.MediaDecoder()
+    for call in (
+        lambda: real.features(b"x"),
+        lambda: real.resize(b"x", 2, 2),
+        lambda: real.frames(b"x", 8, 2),
+    ):
+        with pytest.raises(NotImplementedError):
+            call()
+
+    assert isinstance(mm.get_decoder(), mm.StubDecoder)
+    monkeypatch.setattr(mm, "DECODE_STUB", False)
+    assert isinstance(mm.get_decoder(), mm.MediaDecoder)
+
+
 def test_prefix_filter_equals_plain_jaccard(spark):
     """Prefix filtering must introduce no false negatives: the PPJoin
     path and the plain self-join produce the same pair set with the
