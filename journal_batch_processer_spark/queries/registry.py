@@ -43,6 +43,9 @@ def _build() -> dict[str, QuerySpec]:
     # queries FIRST so a budget-limited sweep always covers them;
     # queries with fresh green rows from CORRECTNESS_r01 go last.
     priority = [
+        # new in r02 — never swept
+        "agg_salted_skewed",
+        "join_skew_hot",
         # no driver row in r01 (registry positions 51-80)
         "dedup_near",
         "dedup_simhash",

@@ -494,6 +494,92 @@ FROM orders
 """
 
 
+def _skewed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hot-key stress shape: ~90% of lineitem rows
+    funnel into ONE synthetic key, the rest spread over ~1000 cold
+    keys — the distribution AQE's skew handling and explicit salting
+    exist for. Derived from l_orderkey so the oracle reproduces it."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    k = F.when(F.col("l_orderkey") % 10 < 9, F.lit("HOT")).otherwise(
+        F.concat(F.lit("cold_"), (F.col("l_orderkey") % 1000).cast("string"))
+    )
+    return li.select(
+        k.alias("k"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("q"),
+        F.col("l_orderkey"),
+        F.col("l_suppkey"),
+    )
+
+
+def q_agg_salted_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew STRESS aggregation: one key carries ~90% of the rows, so a
+    plain groupBy lands ~90% of the data on one reducer (AQE cannot
+    split a single group). The two-level salted aggregate spreads the
+    hot key over 16 reducers, then combines 16 partials per key —
+    identical result to the direct groupBy, which is the oracle."""
+    from journal_batch_processer_spark.operators.skew import salted_agg
+
+    out = salted_agg(
+        _skewed_lineitem(spark, sf_dir).select("k", "q"),
+        ["k"],
+        {"n": "count(1)", "sum_qty": "sum(q)", "max_qty": "max(q)"},
+    )
+    return out.select(
+        "k",
+        "n",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
+
+
+SQL_AGG_SALTED_SKEWED = """
+WITH skewed AS (
+    SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'HOT'
+                ELSE 'cold_' || CAST(l_orderkey % 1000 AS VARCHAR) END AS k,
+           CAST(l_quantity AS DECIMAL(18,4)) AS q
+    FROM lineitem)
+SELECT k, COUNT(*) AS n, CAST(SUM(q) AS DOUBLE) AS sum_qty,
+       CAST(MAX(q) AS DOUBLE) AS max_qty
+FROM skewed GROUP BY 1
+"""
+
+
+def q_join_skew_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join split: ~90% of fact rows share one supplier key,
+    which would pile onto a single shuffle-join task. The hot key is
+    routed through a broadcast join (replicating only its dimension
+    rows), the long tail through the normal join, then unioned —
+    operators/skew.py salted_join_broadcast_hot under a full oracle."""
+    from journal_batch_processer_spark.operators.skew import (
+        salted_join_broadcast_hot,
+    )
+
+    fact = _skewed_lineitem(spark, sf_dir).select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("s_suppkey"),
+        "q",
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    joined = salted_join_broadcast_hot(fact, supp, on="s_suppkey", hot_keys=[1])
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("double").alias("sum_qty"),
+    )
+
+
+SQL_JOIN_SKEW_HOT = """
+WITH f AS (
+    SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE l_suppkey END AS s_suppkey,
+           CAST(l_quantity AS DECIMAL(18,4)) AS q
+    FROM lineitem)
+SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(q) AS DOUBLE) AS sum_qty
+FROM f JOIN supplier USING (s_suppkey) GROUP BY 1
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
@@ -522,6 +608,8 @@ QUERIES = {
     "join_asof": (q_join_asof, SQL_JOIN_ASOF),
     "join_colocated": (q_join_colocated, SQL_JOIN_COLOCATED),
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
+    "agg_salted_skewed": (q_agg_salted_skewed, SQL_AGG_SALTED_SKEWED),
+    "join_skew_hot": (q_join_skew_hot, SQL_JOIN_SKEW_HOT),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "window_lead_lag": (q_window_lead_lag, SQL_WINDOW_LEAD_LAG),
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),

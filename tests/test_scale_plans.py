@@ -83,6 +83,30 @@ def test_salted_agg_matches_plain(spark):
     assert plain == salted
 
 
+def test_skew_queries_plan_shape(spark):
+    """The skew-stress registry entries must carry their mitigation in
+    the PLAN: the salted aggregate is two-level (4 HashAggregate
+    nodes: partial+final per level) keyed by (k, salt) then k, and the
+    hot-key join routes the hot slice through a BroadcastHashJoin with
+    no cartesian/NLJ anywhere."""
+    from journal_batch_processer_spark.plans.audit import plan_stats
+    from journal_batch_processer_spark.queries.relational import (
+        q_agg_salted_skewed,
+        q_join_skew_hot,
+    )
+
+    agg = q_agg_salted_skewed(spark, SF)
+    s = plan_stats(agg)
+    assert s.plan.count("HashAggregate") >= 4, s.plan  # two levels
+    assert "__salt" in s.plan and "__salt" not in agg.columns
+    assert s.cartesian == 0 and s.nested_loop_joins == 0
+
+    j = q_join_skew_hot(spark, SF)
+    sj = plan_stats(j)
+    assert sj.broadcast_hash_joins >= 1, sj.plan  # hot slice broadcast
+    assert sj.cartesian == 0 and sj.nested_loop_joins == 0
+
+
 def test_numpy_topk_matches_expression_ranking(spark):
     from journal_batch_processer_spark.operators.similarity import (
         cosine_topk,
