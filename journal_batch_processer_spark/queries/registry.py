@@ -26,10 +26,11 @@ def _build() -> dict[str, QuerySpec]:
         ref_io,
         ref_surface,
         relational,
+        streaming_q,
     )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (ref_surface, relational, llmops, ref_io):
+    for module in (ref_surface, relational, llmops, ref_io, streaming_q):
         for name, (fn, sql) in module.QUERIES.items():
             registry[name] = QuerySpec(fn=fn, oracle=sql)
     # SURVEY §2g names `push_partition` for the PUT routing the engine
@@ -46,6 +47,7 @@ def _build() -> dict[str, QuerySpec]:
         # new in r02 — never swept
         "agg_salted_skewed",
         "join_skew_hot",
+        "stream_tumble",
         # no driver row in r01 (registry positions 51-80)
         "dedup_near",
         "dedup_simhash",

@@ -1,0 +1,76 @@
+"""Driver-verifiable Structured Streaming queries.
+
+Round 1 covered streaming only through pytest (stream == batch
+equality); these registry entries put a REAL streaming execution —
+file source → watermarked window aggregate → availableNow drain into
+a memory sink — under the driver's DuckDB oracle, so the streaming
+path has the same hard correctness signal as every batch operator.
+
+Determinism: the whole fixture drains in one availableNow batch (one
+file, maxFilesPerTrigger=1), so the watermark can never drop a row
+mid-stream and the complete-mode output equals the batch aggregate —
+which is exactly what the oracle SQL computes. At production scale
+the same job runs unbounded (Kafka source, update mode) and the
+watermark bounds state; the semantics under test are identical.
+
+Reference: the reference engine (BatchUpdate.py) is pure batch; this
+is EXT surface mandated by the streaming capability row in SURVEY §2h.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """File-source streams list a DIRECTORY; expose the single events
+    parquet through a stable per-sf symlink dir."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"jbp_stream_events_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling counts, executed as a genuine
+    Structured Streaming job and drained with availableNow into a
+    memory sink; returns the sink table. Oracle = the batch tumble
+    SQL (complete-mode output over fully-drained input is the batch
+    aggregate by definition)."""
+    from journal_batch_processer_spark.streaming.jobs import (
+        read_events_stream,
+        tumbling_counts,
+    )
+
+    name = "jbp_stream_tumble_mem"
+    stream = tumbling_counts(read_events_stream(spark, _events_stream_dir(sf_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+    return spark.table(name)
+
+
+SQL_STREAM_TUMBLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "stream_tumble": (q_stream_tumble, SQL_STREAM_TUMBLE),
+}
