@@ -95,18 +95,25 @@ def _large_star(sym: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, pre_canonical: bool = False) -> DataFrame:
     """Small-star round: direct each edge high→low, then for each node
     u connect every smaller neighbor (and u itself) to the minimum of
-    its smaller neighborhood. Output edges all point high→low."""
-    e = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
+    its smaller neighborhood. Output edges all point high→low.
+
+    ``pre_canonical``: the input is already distinct high→low pairs
+    (true for large-star output, whose emitted (v, m) always has
+    m < v) — skips one canonicalizing shuffle per round."""
+    if pre_canonical:
+        e = edges
+    else:
+        e = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
     mins = e.groupBy("src").agg(F.min("dst").alias("mn"))
     out = (
         e.join(mins, "src")
@@ -147,11 +154,15 @@ def _star_rounds(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
         sym = cur.union(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        nxt = _small_star(
+            _large_star(sym), pre_canonical=True
+        ).localCheckpoint(eager=True)
         rounds += 1
         p = _potential(nxt)
         if p == prev:
-            if nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty():
+            # potential equality already pins the edge COUNT, so a
+            # one-sided multiset difference proves set equality
+            if nxt.exceptAll(cur).isEmpty():
                 cur = nxt
                 break
         prev = p
