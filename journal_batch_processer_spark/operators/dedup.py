@@ -27,6 +27,15 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 31) - 1
 
 
+def portable_hash64(col: F.Column) -> F.Column:
+    """Engine-portable 60-bit uniform hash: integer value of the first
+    15 hex chars of md5. Identical in any engine with md5 — DuckDB:
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT`` — which is what
+    lets the minhash/simhash queries carry FULL value oracles instead
+    of rows-only checks. 15 hex chars = 60 bits, exact in a BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def dedup_exact(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     """One row per key group: the minimum id wins (deterministic),
     with the duplicate count kept for auditing."""
@@ -253,9 +262,13 @@ def minhash_signatures(
     """(doc, sig array) via group-min aggregation — min is
     order-insensitive, so the signature is just ``n_hashes`` MIN
     aggregates over the exploded shingle rows: fully codegen'd
-    map-side-combining aggregation, no array lambdas anywhere."""
+    map-side-combining aggregation, no array lambdas anywhere.
+
+    Seeded with the engine-portable md5 hash (one md5 per shingle row,
+    then cheap affine permutations), so the whole signature is
+    reproducible in DuckDB and the LSH queries get full oracles."""
     sh = shingle_table(df, id_col, text_col, n)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    h = F.pmod(portable_hash64(F.col("shingle")), F.lit(_MERSENNE))
     aggs = []
     for j in range(n_hashes):
         a, b = 2 * j + 1, (0x9E3779B9 * (j + 1)) % _MERSENNE
@@ -282,10 +295,17 @@ def minhash_candidates(
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, n).persist()
+    # band key = the band's signature values joined as a string —
+    # engine-portable (vs F.hash) and still one narrow projection;
+    # the slice lambda is interpreted but runs on one row per DOC,
+    # not per shingle, so it is off the hot path
     band_cols = [
-        F.hash(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
-            f"b{b}"
-        )
+        F.array_join(
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias(f"b{b}")
         for b in range(bands)
     ]
     banded = sig.select(
@@ -357,12 +377,13 @@ def simhash_fingerprint(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:
     """Per-document SimHash: explode tokens, vote each bit of the token
-    hash, reassemble the fingerprint. One shuffle (groupBy doc)."""
+    hash, reassemble the fingerprint. One shuffle (groupBy doc).
+    Token hash is the portable md5 derivation → full DuckDB oracle."""
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     )
-    h = F.abs(F.xxhash64("tok"))
+    h = portable_hash64(F.col("tok"))
     votes = toks.groupBy("doc").agg(
         *[
             # shiftright: exact for all 64 bits (double division isn't)

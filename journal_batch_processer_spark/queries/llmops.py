@@ -231,8 +231,10 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs (rows-only: hash-seeded approximation;
-    recall vs exact Jaccard asserted in tests)."""
+    """LSH candidate pairs. FULL oracle: the portable md5-seeded
+    permutations make the whole signature→band→candidate pipeline
+    reproducible in DuckDB (recall vs exact Jaccard additionally
+    asserted in tests)."""
     docs = _docs(spark, sf_dir)
     return minhash_candidates(docs, "doc_id", "text", n_hashes=32, bands=8)
 
@@ -280,6 +282,79 @@ JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
 WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
 """
+
+
+def _minhash_oracle_sql(n_hashes: int = 32, bands: int = 8) -> str:
+    """Generated DuckDB oracle reproducing the ENTIRE LSH pipeline —
+    md5-derived shingle hash, the same affine permutations, band
+    buckets, candidate self-join — so dedup_minhash is value-checked,
+    not rows-only. Constants must mirror operators/dedup.py exactly
+    (_MERSENNE, a=2j+1, b=golden-ratio multiples)."""
+    m = (1 << 31) - 1
+    r = n_hashes // bands
+    sig_aggs = ",\n           ".join(
+        f"MIN((h * {2 * j + 1} + {(0x9E3779B9 * (j + 1)) % m}) % {m}) AS s{j}"
+        for j in range(n_hashes)
+    )
+    band_rows = "\n    UNION ALL ".join(
+        "SELECT doc, {b} AS band, {expr} AS bucket FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(f"s{b * r + j}::VARCHAR" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+),
+flat AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+h AS (
+    SELECT doc, ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {m} AS h
+    FROM flat
+),
+sig AS (SELECT doc, {sig_aggs} FROM h GROUP BY doc),
+banded AS (
+    {band_rows}
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+"""
+
+
+SQL_DEDUP_MINHASH = _minhash_oracle_sql()
+
+
+def _simhash_oracle_sql(bits: int = 32) -> str:
+    """Generated DuckDB oracle for the SimHash bit-vote aggregate over
+    the portable md5 token hash."""
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id AS doc, UNNEST(string_split(lower(text), ' ')) AS tok
+    FROM documents
+),
+h AS (SELECT doc, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+votes AS (SELECT doc, {votes} FROM h GROUP BY doc)
+SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_oracle_sql()
 
 
 # embedding near-dup + similarity search ------------------------------------
@@ -800,9 +875,9 @@ QUERIES = {
     "dedup_exact_hash": (q_dedup_exact_hash, SQL_DEDUP_EXACT_HASH),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_ngram_prefix": (q_dedup_ngram_prefix, SQL_DEDUP_NGRAM_T50),
-    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_near": (q_dedup_near, SQL_DEDUP_NEAR),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
     "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
     "sim_search": (q_sim_search, SQL_SIM_SEARCH),

@@ -48,6 +48,8 @@ def _build() -> dict[str, QuerySpec]:
         "agg_salted_skewed",
         "join_skew_hot",
         "stream_tumble",
+        # r02: converted from rows-only to full value oracles
+        "dedup_minhash",
         # no driver row in r01 (registry positions 51-80)
         "dedup_near",
         "dedup_simhash",
