@@ -209,20 +209,25 @@ def ivf_topk(
     )
 
 
-def hyperplane_sign_bits(vec: F.Column, dim: int, n_planes: int = 12) -> F.Column:
-    """Deterministic random-hyperplane signature: plane p component d
-    is ±1 by xxhash64 parity; bucket id packs the sign bits."""
-    def sign(p: int, d: int) -> F.Column:
-        # constant expression — Catalyst folds it to a ±1.0 literal
-        return F.when(
-            F.xxhash64(F.lit(p * 100003 + d)) % 2 == 0, F.lit(1.0)
-        ).otherwise(F.lit(-1.0))
+def plane_sign(p: int, d: int) -> float:
+    """±1 component d of random hyperplane p — md5-parity, computed in
+    PYTHON at plan-build time so the identical literal matrix can be
+    inlined into the DuckDB oracle (making the ANN query value-checked
+    instead of rows-only)."""
+    import hashlib
 
+    return 1.0 if hashlib.md5(f"{p}:{d}".encode()).digest()[0] % 2 == 0 else -1.0
+
+
+def hyperplane_sign_bits(vec: F.Column, dim: int, n_planes: int = 12) -> F.Column:
+    """Deterministic random-hyperplane signature: the ±1 plane matrix
+    folds to literals, the projection stays one codegen expression;
+    bucket id packs the sign bits."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        proj = F.element_at(vec, 1) * sign(p, 0)
+        proj = F.element_at(vec, 1) * F.lit(plane_sign(p, 0))
         for d in range(1, dim):
-            proj = proj + F.element_at(vec, d + 1) * sign(p, d)
+            proj = proj + F.element_at(vec, d + 1) * F.lit(plane_sign(p, d))
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 

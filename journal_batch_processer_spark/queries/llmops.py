@@ -435,7 +435,11 @@ WHERE rank <= 5
 
 
 def q_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only; recall vs brute force in tests)."""
+    """LSH-bucketed ANN. FULL oracle: the ±1 hyperplane matrix is
+    computed in Python (md5 parity) and inlined as literals into both
+    the Spark expression and the DuckDB SQL, so bucketing, candidate
+    set, and ranked cosines are value-checked end-to-end (recall vs
+    brute force additionally asserted in tests)."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
     return lsh_bucket_topk(embs, queries, dim=EMB_DIM, k=5, n_planes=6).select(
@@ -443,14 +447,90 @@ def q_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_oracle_sql(n_planes: int = 6, k: int = 5) -> str:
+    """DuckDB oracle for q_sim_search_ann: same sign literals, same
+    left-to-right projection order, same bucket packing and ranking."""
+    from journal_batch_processer_spark.operators.similarity import plane_sign
+
+    def proj(p: int) -> str:
+        return " + ".join(
+            f"v[{d + 1}] * {plane_sign(p, d)!r}" for d in range(EMB_DIM)
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({proj(p)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    dot = _DOT_SQL.replace("a.", "q.").replace("b.", "c.")
+    return f"""
+WITH {_NORM_CTE},
+b AS (SELECT vec_id, v, nrm, {bucket} AS bucket FROM e)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {dot} / (q.nrm * c.nrm) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {dot} / (q.nrm * c.nrm) DESC, c.vec_id
+           ) AS rank
+    FROM b q JOIN b c
+      ON q.vec_id < 10 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+) WHERE rank <= {k}
+"""
+
+
+SQL_SIM_SEARCH_ANN = _ann_oracle_sql()
+
+
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN (rows-only; partition-pruned layout model; recall
-    vs brute force in tests)."""
+    """IVF-cell ANN. FULL oracle: the coarse centroids are the first
+    16 corpus vectors (no training step), so cell assignment, probe
+    set, and ranked cosines are all reproducible in SQL (recall vs
+    brute force additionally asserted in tests; models the
+    partition-pruned cell layout used at scale)."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
     return ivf_topk(embs, queries, k=5, n_centroids=16, n_probe=4, dim=EMB_DIM).select(
         "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
+
+
+def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB oracle for q_sim_search_ivf: same deterministic
+    centroids, nearest-cell assignment (ties on cent_id), n_probe
+    cells per query, exact ranked cosine within probed cells."""
+    dot_ec = _DOT_SQL.replace("a.", "e.").replace("b.", "c2.")
+    dot_qc = _DOT_SQL.replace("a.", "q.").replace("b.", "c.")
+    return f"""
+WITH {_NORM_CTE},
+cents AS (
+    SELECT vec_id AS cent_id, v, nrm FROM e
+    ORDER BY vec_id LIMIT {n_centroids}
+),
+assigned AS (
+    SELECT vec_id, v, nrm, cent_id, rn FROM (
+        SELECT e.vec_id, e.v, e.nrm, c2.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ({dot_ec} / (e.nrm * c2.nrm)) DESC, c2.cent_id
+               ) AS rn
+        FROM e CROSS JOIN cents c2
+    )
+)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {dot_qc} / (q.nrm * c.nrm) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {dot_qc} / (q.nrm * c.nrm) DESC, c.vec_id
+           ) AS rank
+    FROM (SELECT * FROM assigned WHERE vec_id < 10 AND rn <= {n_probe}) q
+    JOIN (SELECT * FROM assigned WHERE rn = 1) c
+      ON c.cent_id = q.cent_id AND c.vec_id <> q.vec_id
+) WHERE rank <= {k}
+"""
+
+
+SQL_SIM_SEARCH_IVF = _ivf_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -881,8 +961,8 @@ QUERIES = {
     "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
     "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
     "sim_search": (q_sim_search, SQL_SIM_SEARCH),
-    "sim_search_ann": (q_sim_search_ann, None),
-    "sim_search_ivf": (q_sim_search_ivf, None),
+    "sim_search_ann": (q_sim_search_ann, SQL_SIM_SEARCH_ANN),
+    "sim_search_ivf": (q_sim_search_ivf, SQL_SIM_SEARCH_IVF),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),

@@ -50,6 +50,8 @@ def _build() -> dict[str, QuerySpec]:
         "stream_tumble",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
+        "sim_search_ann",
+        "sim_search_ivf",
         # no driver row in r01 (registry positions 51-80)
         "dedup_near",
         "dedup_simhash",
