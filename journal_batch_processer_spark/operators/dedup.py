@@ -293,8 +293,30 @@ def minhash_candidates(
     join on (band, bucket) — linear in corpus size + bucket collisions;
     never an all-pairs cross join.
     """
+    # persist: the band table feeds BOTH sides of the self-join
+    banded = banded_signatures(df, id_col, text_col, n_hashes, bands, n).persist()
+    left = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    right = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(doc, band, bucket) rows: the LSH band table both the self-join
+    and the incremental (new-vs-corpus) dedup join consume."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, n).persist()
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, n)
     # band key = the band's signature values joined as a string —
     # engine-portable (vs F.hash) and still one narrow projection;
     # the slice lambda is interpreted but runs on one row per DOC,
@@ -308,7 +330,7 @@ def minhash_candidates(
         ).alias(f"b{b}")
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "doc",
         F.explode(
             F.array(
@@ -319,12 +341,28 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    left = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
-    right = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
+
+
+def minhash_candidates_incremental(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Nightly-batch dedup shape: candidates between a NEW batch and
+    the EXISTING corpus only — never corpus×corpus. Both sides use the
+    same portable permutations, so at scale the corpus band table is
+    computed once, stored partitioned by (band, bucket), and each new
+    batch joins against it linearly in the batch size."""
+    new_b = banded_signatures(new_df, id_col, text_col, n_hashes, bands, n)
+    old_b = banded_signatures(old_df, id_col, text_col, n_hashes, bands, n)
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        new_b.selectExpr("doc AS new_doc", "band", "bucket")
+        .join(old_b.selectExpr("doc AS old_doc", "band", "bucket"), ["band", "bucket"])
+        .select("new_doc", "old_doc")
         .distinct()
     )
 

@@ -67,6 +67,35 @@ def hash_split(
     )
 
 
+def stratum_threshold(frac: float) -> str:
+    """Fraction → 4-hex-char lexicographic threshold (or the 'g'
+    sentinel at frac == 1.0) on the 65536-cell grid."""
+    t = int(frac * 0x10000)
+    if not 0 <= t <= 0x10000:
+        raise ValueError(f"bad stratum fraction: {frac}")
+    return _hex_threshold(t, 4)
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, fracs: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the language/source
+    rebalancing step of a corpus pipeline): stratum s keeps ~fracs[s]
+    of its rows by md5-threshold on the key, so the kept set is stable
+    across runs/partitionings/engines and NESTED across fractions
+    (raising a stratum's share keeps every previously kept row —
+    df.sampleBy has neither property). Strata absent from ``fracs``
+    are dropped. One narrow filter, no shuffle."""
+    cond = None
+    b = _bucket(F.col(key_col), width=4)
+    for s, f in fracs.items():
+        c = (F.col(strata_col) == s) & (b < F.lit(stratum_threshold(f)))
+        cond = c if cond is None else cond | c
+    if cond is None:
+        raise ValueError("fracs must name at least one stratum")
+    return df.filter(cond)
+
+
 def deterministic_sample(df: DataFrame, key_col: str, frac: float) -> DataFrame:
     """Keep a stable ~frac subset: rows whose hash bucket falls below
     the threshold. Unlike ``df.sample`` this is reproducible across

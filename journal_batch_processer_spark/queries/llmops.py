@@ -239,6 +239,119 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(docs, "doc_id", "text", n_hashes=32, bands=8)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus dedup candidates (odd doc_ids are the
+    arriving batch, even the existing corpus): LSH band join between
+    the two sides only — the nightly-ingest shape where the corpus
+    band table is precomputed and partitioned by (band, bucket), so
+    each batch joins linearly in its own size, never corpus×corpus."""
+    from journal_batch_processer_spark.operators.dedup import (
+        minhash_candidates_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    return minhash_candidates_incremental(
+        new, old, "doc_id", "text", n_hashes=32, bands=8
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: per-stratum deterministic
+    md5-threshold keep rates (en downsampled hard, zh kept whole —
+    the boundary fraction 1.0 exercises the 'g' sentinel), other
+    languages dropped. Stable across runs/partitionings/engines and
+    nested across fractions — properties df.sampleBy lacks."""
+    from journal_batch_processer_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.25, "de": 0.5, "zh": 1.0}
+    )
+    return out.select("doc_id", "lang")
+
+
+def _stratified_oracle_sql() -> str:
+    from journal_batch_processer_spark.operators.sampling import (
+        stratum_threshold,
+    )
+
+    def keep(frac: float) -> str:
+        t = stratum_threshold(frac)
+        if t == "g":  # full range: threshold above every hex digit
+            return "TRUE"
+        return f"substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{t}'"
+
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND {keep(0.25)})
+   OR (lang = 'de' AND {keep(0.5)})
+   OR (lang = 'zh' AND {keep(1.0)})
+"""
+
+
+SQL_SAMPLE_STRATIFIED = _stratified_oracle_sql()
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: every 50th doc plays the held-out
+    benchmark set; a training doc is contaminated when it shares ≥ 3
+    distinct 3-gram shingles with ANY benchmark text. One shingle
+    equi-join (benchmark side is tiny → broadcast) + one aggregate —
+    the standard eval-leak scan a training pipeline runs before
+    shipping a corpus."""
+    from journal_batch_processer_spark.operators.dedup import shingle_table
+
+    docs = _docs(spark, sf_dir)
+    sh = shingle_table(docs, "doc_id", "text", n=3)
+    bench_sh = (
+        sh.filter(F.col("doc") % 50 == 0).select("shingle").distinct()
+    )
+    train_sh = sh.filter(F.col("doc") % 50 != 0)
+    shared = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id")
+    out = train.join(shared, train["doc_id"] == shared["doc"], "left")
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return out.select(
+        "doc_id",
+        n_shared.alias("n_shared"),
+        (n_shared >= 3).cast("int").alias("contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+),
+flat AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM flat WHERE doc % 50 = 0),
+shared AS (
+    SELECT doc, COUNT(*) AS n_shared
+    FROM flat JOIN bench USING (shingle)
+    WHERE doc % 50 <> 0
+    GROUP BY doc
+)
+SELECT d.doc_id,
+       COALESCE(s.n_shared, 0) AS n_shared,
+       CAST(COALESCE(s.n_shared, 0) >= 3 AS INT) AS contaminated
+FROM documents d LEFT JOIN shared s ON s.doc = d.doc_id
+WHERE d.doc_id % 50 <> 0
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return simhash_fingerprint(docs, "doc_id", "text", bits=32)
@@ -284,12 +397,13 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
-def _minhash_oracle_sql(n_hashes: int = 32, bands: int = 8) -> str:
-    """Generated DuckDB oracle reproducing the ENTIRE LSH pipeline —
+def _minhash_band_cte(n_hashes: int = 32, bands: int = 8) -> str:
+    """Generated DuckDB CTE chain reproducing the LSH band table —
     md5-derived shingle hash, the same affine permutations, band
-    buckets, candidate self-join — so dedup_minhash is value-checked,
-    not rows-only. Constants must mirror operators/dedup.py exactly
-    (_MERSENNE, a=2j+1, b=golden-ratio multiples)."""
+    buckets — shared by the self-join (dedup_minhash) and the
+    new-vs-corpus (dedup_incremental) oracles. Constants must mirror
+    operators/dedup.py exactly (_MERSENNE, a=2j+1, b=golden-ratio
+    multiples)."""
     m = (1 << 31) - 1
     r = n_hashes // bands
     sig_aggs = ",\n           ".join(
@@ -324,13 +438,21 @@ sig AS (SELECT doc, {sig_aggs} FROM h GROUP BY doc),
 banded AS (
     {band_rows}
 )
+"""
+
+
+SQL_DEDUP_MINHASH = _minhash_band_cte() + """
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
 """
 
-
-SQL_DEDUP_MINHASH = _minhash_oracle_sql()
+SQL_DEDUP_INCREMENTAL = _minhash_band_cte() + """
+SELECT DISTINCT a.doc AS new_doc, b.doc AS old_doc
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc % 2 = 1 AND b.doc % 2 = 0
+"""
 
 
 def _simhash_oracle_sql(bits: int = 32) -> str:
@@ -956,6 +1078,7 @@ QUERIES = {
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_ngram_prefix": (q_dedup_ngram_prefix, SQL_DEDUP_NGRAM_T50),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_near": (q_dedup_near, SQL_DEDUP_NEAR),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
@@ -974,6 +1097,8 @@ QUERIES = {
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "sample_stable": (q_sample_stable, SQL_SAMPLE_STABLE),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

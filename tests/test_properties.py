@@ -200,3 +200,28 @@ def test_split_boundaries_full_range(spark):
     # train==1.0: everything lands in train
     all_train = hash_split(df, "k", 1.0, 0.0).groupBy("split").count().collect()
     assert len(all_train) == 1 and all_train[0]["split"] == "train"
+
+
+def test_stratified_sample_nested_and_exclusive(spark):
+    """Per-stratum keeps are nested across fractions (raising a share
+    keeps every previously kept row), frac 1.0 keeps the whole
+    stratum, and strata absent from fracs are dropped entirely."""
+    from journal_batch_processer_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "k long, s string")
+
+    def kept(fracs):
+        return {
+            (r["k"], r["s"]) for r in stratified_sample(df, "k", "s", fracs).collect()
+        }
+
+    small = kept({"a": 0.2, "b": 1.0})
+    big = kept({"a": 0.6, "b": 1.0})
+    assert small <= big  # nested per stratum
+    assert all(s != "c" for _, s in big)  # unlisted stratum dropped
+    assert {k for k, s in big if s == "b"} == {k for k, s_ in rows if s_ == "b"}
+    n_a = sum(1 for _, s in kept({"a": 0.5}) if s == "a")
+    assert abs(n_a / 200 - 0.5) < 0.15  # ~frac within md5 tolerance
