@@ -169,7 +169,7 @@ def ngram_jaccard_pairs_prefix(
     the shingle table, which is what survives at corpus scale where a
     frequent shingle would otherwise fan out quadratically. Rarest-
     first ordering makes prefixes maximally selective; ties break on
-    the shingle string so the prefix choice is deterministic.
+    the hashed shingle so the prefix choice is deterministic.
     """
     # Float guard: t*sz can land an ulp above the exact product (e.g.
     # 150/3 → 50.000000000000007), and ceil would then SHORTEN a prefix
@@ -179,7 +179,15 @@ def ngram_jaccard_pairs_prefix(
     eps = 1e-9
     t = float(threshold)
 
-    sh = shingle_table(df, id_col, text_col, n)
+    # 8-byte hashed shingles end-to-end: window ranks, candidate join,
+    # and verify arrays all move longs, not ~25-byte strings (same
+    # collision caveat as ngram_jaccard_pairs; the prefix CHOICE
+    # tie-breaks by hash instead of string — a different but equally
+    # deterministic order, and verification makes the output identical
+    # either way)
+    sh = shingle_table(df, id_col, text_col, n).select(
+        "doc", F.xxhash64("shingle").alias("shingle")
+    )
 
     # Document frequency, rarest-first rank, and set size as WINDOW
     # counts, not aggregate+join rounds: one exchange on shingle, one
