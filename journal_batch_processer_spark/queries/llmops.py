@@ -978,6 +978,74 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus pass under one full oracle: quality gate →
+    PII scrub → exact-hash dedup → train/val/test split, exactly the
+    corpus.corpus_pipeline the CLI lake writer runs. Text is augmented
+    with the deterministic synthetic PII (same injection as
+    text_pii_scrub) so the scrub genuinely rewrites every doc — and
+    since the injected tail collapses to constant placeholders, the
+    content-hash dedup still groups docs whose BASE text is identical.
+    One shuffle end-to-end (the dedup window)."""
+    from journal_batch_processer_spark.corpus import corpus_pipeline
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com from 10.2."), (did % 256).cast("string"),
+        F.lit("."), (did % 100).cast("string"),
+        F.lit(" call +1 555 01"),
+        F.lpad((did % 100).cast("string"), 2, "0"),
+    )
+    out = corpus_pipeline(docs.withColumn("text", aug))
+    return out.select("doc_id", "text", "n_email", "n_ip", "n_phone", "split")
+
+
+SQL_CORPUS_PIPELINE = rf"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents),
+g AS (
+    SELECT doc_id, text,
+           len(string_split(text, ' ')) AS n,
+           length(text) AS nc,
+           len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS stop,
+           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS sym
+    FROM aug
+),
+kept AS (
+    SELECT doc_id, text FROM g
+    WHERE n >= 50 AND n <= 100000
+      AND (nc - (n - 1)) / n >= 3.0 AND (nc - (n - 1)) / n <= 10.0
+      AND stop / n >= 0.02 AND sym / nc <= 0.1
+),
+e AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS s
+    FROM kept),
+i AS (
+    SELECT doc_id, n_email,
+           len(regexp_extract_all(s, '\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}')) AS n_ip,
+           regexp_replace(s, '\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}', '<IP>', 'g') AS s
+    FROM e),
+p AS (
+    SELECT doc_id, n_email, n_ip,
+           len(regexp_extract_all(s, '\+\d{{1,3}} \d{{3}} \d{{3,6}}')) AS n_phone,
+           regexp_replace(s, '\+\d{{1,3}} \d{{3}} \d{{3,6}}', '<PHONE>', 'g') AS s
+    FROM i),
+d AS (
+    SELECT doc_id, s, n_email, n_ip, n_phone,
+           ROW_NUMBER() OVER (PARTITION BY md5(s) ORDER BY doc_id) AS rn
+    FROM p)
+SELECT doc_id, s AS text, n_email, n_ip, n_phone,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM d WHERE rn = 1
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus rollup — the dashboard query a corpus
     sweep ends with: doc counts, token totals, mean doc length. One
@@ -1100,6 +1168,7 @@ QUERIES = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),

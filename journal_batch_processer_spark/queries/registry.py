@@ -51,6 +51,7 @@ def _build() -> dict[str, QuerySpec]:
         "dedup_incremental",
         "sample_stratified",
         "decontaminate",
+        "corpus_pipeline",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",
