@@ -52,6 +52,7 @@ def _build() -> dict[str, QuerySpec]:
         "sample_stratified",
         "decontaminate",
         "corpus_pipeline",
+        "window_session_ids",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",

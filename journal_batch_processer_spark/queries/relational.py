@@ -377,6 +377,43 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session assignment (the labeling pass sessionization
+    pipelines actually persist): 30-minute-gap boundaries numbered by
+    a running sum per user. Same µs-precision gap rule as
+    window_session; one window shuffle, two frames over the same
+    partitioning (Catalyst reuses the sort)."""
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    boundary = F.when(gap > 1800 * 1_000_000, F.lit(1)).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.sum(boundary).over(run) + 1).cast("long").alias("session_id"),
+    )
+
+
+SQL_WINDOW_SESSION_IDS = """
+WITH marked AS (
+    SELECT event_id, user_id,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                    > 1800 * 1000000
+                THEN 1 ELSE 0 END AS b,
+           ts
+    FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_id
+FROM marked
+"""
+
+
 SQL_WINDOW_SESSION = """
 WITH marked AS (
     SELECT user_id,
@@ -614,6 +651,7 @@ QUERIES = {
     "window_lead_lag": (q_window_lead_lag, SQL_WINDOW_LEAD_LAG),
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "window_session": (q_window_session, SQL_WINDOW_SESSION),
+    "window_session_ids": (q_window_session_ids, SQL_WINDOW_SESSION_IDS),
     "window_tumble": (q_window_tumble, SQL_WINDOW_TUMBLE),
     "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
