@@ -53,6 +53,8 @@ def _build() -> dict[str, QuerySpec]:
         "decontaminate",
         "corpus_pipeline",
         "window_session_ids",
+        "window_session_native",
+        "stream_dedup",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",

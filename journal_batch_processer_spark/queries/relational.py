@@ -414,6 +414,49 @@ FROM marked
 """
 
 
+def q_window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (the built-in the streaming path
+    uses) under a full oracle: 30-minute-gap sessions per user with
+    start / end / event count. session_window merges an event into the
+    current session when ts < previous end, i.e. a gap of EXACTLY the
+    30-minute duration starts a new session — the oracle's
+    gaps-and-islands CTE uses >= for the boundary accordingly, and
+    end = last event + gap by definition."""
+    events = _events(spark, sf_dir)
+    out = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format(F.col("w.start"), fmt).alias("session_start"),
+        F.date_format(F.col("w.end"), fmt).alias("session_end"),
+        "n_events",
+    )
+
+
+SQL_WINDOW_SESSION_NATIVE = """
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts))
+                    >= 1800 * 1000000
+                THEN 1 ELSE 0 END AS b
+    FROM events),
+grp AS (
+    SELECT user_id, ts,
+           SUM(b) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS g
+    FROM marked)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+           AS session_end,
+       COUNT(*) AS n_events
+FROM grp GROUP BY user_id, g
+"""
+
+
 SQL_WINDOW_SESSION = """
 WITH marked AS (
     SELECT user_id,
@@ -652,6 +695,7 @@ QUERIES = {
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "window_session": (q_window_session, SQL_WINDOW_SESSION),
     "window_session_ids": (q_window_session_ids, SQL_WINDOW_SESSION_IDS),
+    "window_session_native": (q_window_session_native, SQL_WINDOW_SESSION_NATIVE),
     "window_tumble": (q_window_tumble, SQL_WINDOW_TUMBLE),
     "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),

@@ -71,6 +71,50 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup: dropDuplicates on the content hash
+    over a documents file stream, drained with availableNow. The
+    surviving KEY SET is deterministic (which full row wins is not, so
+    only the hash column is emitted), giving the streaming dedup state
+    store a full value oracle: DISTINCT md5(text). At production scale
+    the same query runs watermarked (dropDuplicatesWithinWatermark)
+    to bound state."""
+    import os as _os
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    d = _os.path.join(tempfile.gettempdir(), f"jbp_stream_docs_{tag}")
+    _os.makedirs(d, exist_ok=True)
+    link = _os.path.join(d, "documents.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(_os.path.join(sf_dir, "documents.parquet"), link)
+
+    from pyspark.sql import functions as F
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .select(F.md5("text").alias("content_hash"))
+        .dropDuplicates(["content_hash"])
+    )
+    name = "jbp_stream_dedup_mem"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+    return spark.table(name)
+
+
+SQL_STREAM_DEDUP = "SELECT DISTINCT md5(text) AS content_hash FROM documents"
+
+
 QUERIES = {
     "stream_tumble": (q_stream_tumble, SQL_STREAM_TUMBLE),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
 }
