@@ -1046,6 +1046,33 @@ FROM d WHERE rn = 1
 """
 
 
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length quantiles per language (the doc-length P50/P90/P99
+    dashboard): Spark's exact `percentile` (linear interpolation, same
+    definition as DuckDB quantile_cont) so the ordered statistic is
+    value-checked, not approximate. At 100 TB swap to
+    percentile_approx and the oracle to a tolerance check — the exact
+    form is the semantics contract."""
+    docs = _docs(spark, sf_dir)
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.expr(f"percentile(n_chars, {p})"), 6).alias(name)
+            for name, p in qs.items()
+        ],
+    )
+
+
+SQL_CORPUS_QUANTILES = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus rollup — the dashboard query a corpus
     sweep ends with: doc counts, token totals, mean doc length. One
@@ -1169,6 +1196,7 @@ QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
+    "corpus_quantiles": (q_corpus_quantiles, SQL_CORPUS_QUANTILES),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),

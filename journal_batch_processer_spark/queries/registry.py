@@ -55,6 +55,7 @@ def _build() -> dict[str, QuerySpec]:
         "window_session_ids",
         "window_session_native",
         "stream_dedup",
+        "corpus_quantiles",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",

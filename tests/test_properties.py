@@ -225,3 +225,28 @@ def test_stratified_sample_nested_and_exclusive(spark):
     assert {k for k, s in big if s == "b"} == {k for k, s_ in rows if s_ == "b"}
     n_a = sum(1 for _, s in kept({"a": 0.5}) if s == "a")
     assert abs(n_a / 200 - 0.5) < 0.15  # ~frac within md5 tolerance
+
+
+def test_portable_hash64_matches_duckdb(spark):
+    """The md5-derived 60-bit hash must be BIT-IDENTICAL across
+    engines — it is the foundation of the minhash/simhash full
+    oracles. Pin the contract on ASCII, unicode, empty, and long
+    inputs."""
+    import duckdb
+
+    from journal_batch_processer_spark.operators.dedup import portable_hash64
+    from pyspark.sql import functions as F
+
+    strs = ["", "a", "hello world", "naïve café 東京", "x" * 10_000,
+            "0", " leading space", "tab\tsep"]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_hash64(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in strs:
+        want = con.execute(
+            "SELECT ('0x' || substring(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[s] == want, s
