@@ -107,6 +107,31 @@ def test_skew_queries_plan_shape(spark):
     assert sj.cartesian == 0 and sj.nested_loop_joins == 0
 
 
+def test_new_pipeline_queries_plan_shape(spark):
+    """Scale contracts for the r02 pipeline queries: the composed
+    corpus pass stays within its documented two-shuffle budget
+    (dedup window + ingest-layout spread), decontaminate keeps its
+    benchmark side broadcast, and nothing degenerates to a cartesian
+    or nested-loop join."""
+    from journal_batch_processer_spark.plans.audit import plan_stats
+    from journal_batch_processer_spark.queries.llmops import (
+        q_corpus_pipeline,
+        q_decontaminate,
+        q_dedup_incremental,
+    )
+
+    s = plan_stats(q_corpus_pipeline(spark, SF))
+    assert s.shuffles <= 2, s.plan
+    assert s.cartesian == 0 and s.nested_loop_joins == 0
+
+    d = plan_stats(q_decontaminate(spark, SF))
+    assert d.broadcast_hash_joins >= 1, d.plan  # benchmark side broadcast
+    assert d.cartesian == 0 and d.nested_loop_joins == 0
+
+    i = plan_stats(q_dedup_incremental(spark, SF))
+    assert i.cartesian == 0 and i.nested_loop_joins == 0
+
+
 def test_numpy_topk_matches_expression_ranking(spark):
     from journal_batch_processer_spark.operators.similarity import (
         cosine_topk,
