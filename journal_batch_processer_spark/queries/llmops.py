@@ -1046,6 +1046,59 @@ FROM d WHERE rn = 1
 """
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON serialization fidelity gate: every doc row → to_json →
+    from_json → fields. The oracle is the identity select, so any
+    lossiness in the engine's JSON writer/parser (type coercion,
+    unicode mangling, null handling) hash-fails. JSONL being the
+    interchange format of training corpora makes this a contract
+    worth pinning, not a toy."""
+    docs = _docs(spark, sf_dir)
+    schema = "doc_id bigint, lang string, source string, n_chars bigint"
+    j = F.to_json(F.struct("doc_id", "lang", "source", "n_chars"))
+    return (
+        docs.select(j.alias("j"))
+        .select(F.from_json("j", schema).alias("r"))
+        .select("r.*")
+    )
+
+
+SQL_JSON_ROUNDTRIP = """
+SELECT doc_id, lang, source, n_chars FROM documents
+"""
+
+
+def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JSONL file round-trip: write the documents table as JSONL
+    (the spark.write.json path), read it back with an explicit schema
+    (spark.read.json), aggregate. Oracle aggregates the original
+    parquet — so writer+reader fidelity is value-checked through the
+    actual file format, not just the in-memory codec."""
+    import os as _os
+    import tempfile as _tf
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    out = _os.path.join(_tf.gettempdir(), f"jbp_jsonl_{tag}")
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source", "n_chars")
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
+SQL_JSONL_SCAN = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       SUM(length(text)) AS total_text_len
+FROM documents GROUP BY lang
+"""
+
+
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact length quantiles per language (the doc-length P50/P90/P99
     dashboard): Spark's exact `percentile` (linear interpolation, same
@@ -1197,6 +1250,8 @@ QUERIES = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "corpus_quantiles": (q_corpus_quantiles, SQL_CORPUS_QUANTILES),
+    "json_roundtrip": (q_json_roundtrip, SQL_JSON_ROUNDTRIP),
+    "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),

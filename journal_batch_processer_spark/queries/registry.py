@@ -56,6 +56,8 @@ def _build() -> dict[str, QuerySpec]:
         "window_session_native",
         "stream_dedup",
         "corpus_quantiles",
+        "json_roundtrip",
+        "jsonl_scan",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",
