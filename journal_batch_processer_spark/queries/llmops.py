@@ -1099,6 +1099,60 @@ FROM documents GROUP BY lang
 """
 
 
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real multimodal ingest path: ``spark.read.format
+    ("binaryFile")`` over a directory of opaque payload files →
+    (name, size, content md5). Fixture payloads are the first 64
+    docs' text bytes, materialized once per sf tag (driver-side
+    setup, not the measured operator); the oracle re-reads the same
+    files with DuckDB's read_blob, so the byte-level scan fidelity is
+    value-checked. At 100 TB this source partitions by file and
+    prunes on path — the documented ingest shape for image/audio
+    payloads (operators/multimodal.py)."""
+    import os as _os
+    import tempfile as _tf
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    d = _os.path.join(_tf.gettempdir(), f"jbp_blobs_{tag}")
+    done = _os.path.join(d, ".done")
+    if not _os.path.exists(done):
+        _os.makedirs(d, exist_ok=True)
+        rows = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(_os.path.join(d, f"doc_{r['doc_id']:05d}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        with open(done, "w") as f:
+            f.write("ok")
+
+    scan = spark.read.format("binaryFile").load(_os.path.join(d, "*.bin"))
+    return scan.select(
+        F.regexp_extract("path", r"[^/]+$", 0).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+SQL_BINARY_INGEST_TEMPLATE = """
+SELECT regexp_extract(filename, '[^/]+$') AS fname,
+       octet_length(content) AS n_bytes,
+       md5(content::VARCHAR) AS content_md5
+FROM read_blob('{tmp}/jbp_blobs_{tag}/*.bin')
+"""
+
+
+def _binary_ingest_sql() -> str:
+    import tempfile as _tf
+
+    # the driver's oracle runs at sf0.01; the Spark side materializes
+    # the same files for whatever sf_dir it receives
+    return SQL_BINARY_INGEST_TEMPLATE.format(tmp=_tf.gettempdir(), tag="sf0.01")
+
+
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact length quantiles per language (the doc-length P50/P90/P99
     dashboard): Spark's exact `percentile` (linear interpolation, same
@@ -1252,6 +1306,7 @@ QUERIES = {
     "corpus_quantiles": (q_corpus_quantiles, SQL_CORPUS_QUANTILES),
     "json_roundtrip": (q_json_roundtrip, SQL_JSON_ROUNDTRIP),
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
+    "binary_ingest": (q_binary_ingest, _binary_ingest_sql()),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),

@@ -58,6 +58,7 @@ def _build() -> dict[str, QuerySpec]:
         "corpus_quantiles",
         "json_roundtrip",
         "jsonl_scan",
+        "binary_ingest",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",
