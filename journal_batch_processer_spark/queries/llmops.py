@@ -1099,6 +1099,59 @@ FROM documents GROUP BY lang
 """
 
 
+def q_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow cogroup surface: clicks and purchases cogrouped per user
+    through ``groupBy().cogroup().applyInPandas`` — the two-sided
+    custom-aggregation shape (each side arrives as its own pandas
+    frame, partitioned by the same key). The aggregate itself is
+    SQL-expressible (FULL JOIN of per-side counts — the oracle), so
+    the Python path is value-checked; a real pipeline would put
+    model-feature logic in the body. One shuffle per side."""
+    import pandas as pd
+
+    events = load_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+
+    def stats(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "spend": [round(float(right["value"].sum()), 6)],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            stats,
+            "user_id long, n_clicks long, n_purchases long, spend double",
+        )
+    )
+
+
+SQL_COGROUP_CONVERSION = """
+WITH c AS (
+    SELECT user_id, COUNT(*) AS n_clicks FROM events
+    WHERE event_type = 'click' GROUP BY user_id),
+p AS (
+    SELECT user_id, COUNT(*) AS n_purchases, SUM(value) AS spend
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(p.n_purchases, 0) AS n_purchases,
+       ROUND(COALESCE(p.spend, 0), 6) AS spend
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
 def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real multimodal ingest path: ``spark.read.format
     ("binaryFile")`` over a directory of opaque payload files →
@@ -1307,6 +1360,7 @@ QUERIES = {
     "json_roundtrip": (q_json_roundtrip, SQL_JSON_ROUNDTRIP),
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
     "binary_ingest": (q_binary_ingest, _binary_ingest_sql()),
+    "cogroup_conversion": (q_cogroup_conversion, SQL_COGROUP_CONVERSION),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),

@@ -59,6 +59,7 @@ def _build() -> dict[str, QuerySpec]:
         "json_roundtrip",
         "jsonl_scan",
         "binary_ingest",
+        "cogroup_conversion",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",
