@@ -517,6 +517,66 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup: candidates restricted to
+    one shared hyperplane bucket (equi-join, linear in corpus +
+    collisions — never all-pairs), exact cosine verify at ≥ 0.4.
+    Full oracle via the same Python-inlined ±1 plane literals as
+    sim_search_ann; at 100 TB the corpus is written partitioned by
+    bucket, making this a partition-pruned self-join."""
+    from journal_batch_processer_spark.operators.similarity import (
+        hyperplane_sign_bits,
+    )
+
+    embs = _embs(spark, sf_dir)
+    e = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"), EMB_DIM)))
+    e = e.withColumn(
+        "bucket", hyperplane_sign_bits(F.col("v"), EMB_DIM, n_planes=8)
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = dot_expr(F.col("va"), F.col("vb"), EMB_DIM) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _embed_lsh_oracle_sql(n_planes: int = 8) -> str:
+    from journal_batch_processer_spark.operators.similarity import plane_sign
+
+    def proj(p: int) -> str:
+        return " + ".join(
+            f"v[{d + 1}] * {plane_sign(p, d)!r}" for d in range(EMB_DIM)
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({proj(p)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH {_NORM_CTE},
+b AS (SELECT vec_id, v, nrm, {bucket} AS bucket FROM e)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       ROUND({_DOT_SQL.replace('b.', 'c.')} / (a.nrm * c.nrm), 6) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {_DOT_SQL.replace('b.', 'c.')} / (a.nrm * c.nrm) >= 0.4
+"""
+
+
+SQL_DEDUP_EMBED_LSH = _embed_lsh_oracle_sql()
+
+
 SQL_DEDUP_EMBED = f"""
 WITH {_NORM_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1337,6 +1397,7 @@ QUERIES = {
     "dedup_near": (q_dedup_near, SQL_DEDUP_NEAR),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
+    "dedup_embed_lsh": (q_dedup_embed_lsh, SQL_DEDUP_EMBED_LSH),
     "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
     "sim_search": (q_sim_search, SQL_SIM_SEARCH),
     "sim_search_ann": (q_sim_search_ann, SQL_SIM_SEARCH_ANN),

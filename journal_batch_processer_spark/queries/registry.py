@@ -60,6 +60,7 @@ def _build() -> dict[str, QuerySpec]:
         "jsonl_scan",
         "binary_ingest",
         "cogroup_conversion",
+        "dedup_embed_lsh",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",
