@@ -1159,6 +1159,41 @@ FROM documents GROUP BY lang
 """
 
 
+def q_udtf_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (table function: one doc row → N paragraph
+    rows) driven through SQL LATERAL — the user-defined-table-function
+    API a text-chunking stage would use. The chunking rule itself is
+    trivially SQL-expressible (the oracle zips unnest with its index),
+    so the UDTF execution path is value-checked; production chunkers
+    put tokenizer-aware logic in eval(). Arrow-optimized UDTFs
+    (useArrow) are the batch-transfer variant at scale."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="para_idx int, para string")
+    class SplitParas:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, p in enumerate(text.split(". ")):
+                yield i, p
+
+    spark.udtf.register("jbp_split_paras", SplitParas)
+    _docs(spark, sf_dir).createOrReplaceTempView("jbp_docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, s.para_idx, s.para "
+        "FROM jbp_docs_udtf, LATERAL jbp_split_paras(text) s"
+    )
+
+
+SQL_UDTF_PARAGRAPHS = """
+WITH t AS (SELECT doc_id, string_split(text, '. ') AS paras FROM documents)
+SELECT doc_id,
+       CAST(UNNEST(range(len(paras))) AS INT) AS para_idx,
+       UNNEST(paras) AS para
+FROM t
+"""
+
+
 def q_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow cogroup surface: clicks and purchases cogrouped per user
     through ``groupBy().cogroup().applyInPandas`` — the two-sided
@@ -1422,6 +1457,7 @@ QUERIES = {
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
     "binary_ingest": (q_binary_ingest, _binary_ingest_sql()),
     "cogroup_conversion": (q_cogroup_conversion, SQL_COGROUP_CONVERSION),
+    "udtf_paragraphs": (q_udtf_paragraphs, SQL_UDTF_PARAGRAPHS),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),

@@ -61,6 +61,7 @@ def _build() -> dict[str, QuerySpec]:
         "binary_ingest",
         "cogroup_conversion",
         "dedup_embed_lsh",
+        "udtf_paragraphs",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",
