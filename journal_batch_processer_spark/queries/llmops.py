@@ -1159,6 +1159,57 @@ FROM documents GROUP BY lang
 """
 
 
+def q_pandas_udf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two remaining Arrow UDF shapes, value-checked: a SCALAR
+    pandas_udf (vectorized utf-8 byte length per row) and a
+    GROUPED_AGG pandas_udf (geometric mean per language — a custom
+    aggregator Spark lacks natively). Both are SQL-expressible
+    (octet_length / EXP(AVG(LN)) — the oracle), so the Arrow batch
+    transfer and aggregation paths are verified; production bodies
+    hold tokenizer or model logic. These are the 10-100× path over
+    row-at-a-time Python UDFs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: real (non-string) annotations are required for pandas_udf
+    # to infer the UDF kind, and `from __future__ import annotations`
+    # stringifies any inline hints in this module — so the hints are
+    # attached explicitly.
+    def _utf8_bytes(s):
+        return s.str.encode("utf-8").str.len().astype("int64")
+
+    _utf8_bytes.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    utf8_bytes = pandas_udf(_utf8_bytes, "long")
+
+    def _geo_mean(v):
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    _geo_mean.__annotations__ = {"v": pd.Series, "return": float}
+    geo_mean = pandas_udf(_geo_mean, "double")
+
+    docs = _docs(spark, sf_dir).withColumn("text_bytes", utf8_bytes("text"))
+    # a GROUPED_AGG pandas UDF cannot share an agg() with built-in
+    # aggregates — two aggregations over the same grouping, joined
+    # (both shuffle on lang; AQE broadcasts the 5-row geo side)
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("text_bytes").alias("total_text_bytes"),
+    )
+    geo = docs.groupBy("lang").agg(
+        F.round(geo_mean("n_chars"), 6).alias("geo_mean_chars")
+    )
+    return base.join(geo, "lang")
+
+
+SQL_PANDAS_UDF_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(octet_length(encode(text))) AS total_text_bytes,
+       ROUND(EXP(AVG(LN(n_chars))), 6) AS geo_mean_chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_udtf_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (table function: one doc row → N paragraph
     rows) driven through SQL LATERAL — the user-defined-table-function
@@ -1458,6 +1509,7 @@ QUERIES = {
     "binary_ingest": (q_binary_ingest, _binary_ingest_sql()),
     "cogroup_conversion": (q_cogroup_conversion, SQL_COGROUP_CONVERSION),
     "udtf_paragraphs": (q_udtf_paragraphs, SQL_UDTF_PARAGRAPHS),
+    "pandas_udf_stats": (q_pandas_udf_stats, SQL_PANDAS_UDF_STATS),
     "multimodal_cols": (q_multimodal_cols, SQL_MULTIMODAL_COLS),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),

@@ -62,6 +62,7 @@ def _build() -> dict[str, QuerySpec]:
         "cogroup_conversion",
         "dedup_embed_lsh",
         "udtf_paragraphs",
+        "pandas_udf_stats",
         # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",
