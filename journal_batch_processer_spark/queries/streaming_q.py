@@ -25,16 +25,28 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _events_stream_dir(sf_dir: str) -> str:
-    """File-source streams list a DIRECTORY; expose the single events
-    parquet through a stable per-sf symlink dir."""
+def _stream_dir(sf_dir: str, table: str, prefix: str) -> str:
+    """File-source streams list a DIRECTORY; expose the single parquet
+    through a stable per-sf symlink dir. lexists + re-point handles a
+    stale/broken symlink left by an earlier run against a since-
+    removed sf_dir (exists() follows the link and would then let
+    os.symlink raise FileExistsError)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"jbp_stream_events_{tag}")
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    link = os.path.join(d, f"{table}.parquet")
+    target = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.lexists(link):
+        if not os.path.islink(link) or os.readlink(link) != target:
+            os.unlink(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
     return d
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    return _stream_dir(sf_dir, "events", "jbp_stream_events")
 
 
 def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,14 +91,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store a full value oracle: DISTINCT md5(text). At production scale
     the same query runs watermarked (dropDuplicatesWithinWatermark)
     to bound state."""
-    import os as _os
-
-    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
-    d = _os.path.join(tempfile.gettempdir(), f"jbp_stream_docs_{tag}")
-    _os.makedirs(d, exist_ok=True)
-    link = _os.path.join(d, "documents.parquet")
-    if not _os.path.exists(link):
-        _os.symlink(_os.path.join(sf_dir, "documents.parquet"), link)
+    d = _stream_dir(sf_dir, "documents", "jbp_stream_docs")
 
     from pyspark.sql import functions as F
 

@@ -461,3 +461,19 @@ def test_minhash_incremental_matches_cross_parity_self_join(spark):
     assert inc == cross
     assert (0, 1) in full or (1, 0) in inc or True  # planted pair sanity below
     assert all(n % 2 == 1 and o % 2 == 0 for n, o in inc)
+
+
+def test_connected_components_star_empty_and_selfloops(spark):
+    """Edge cases the sweep's data never hits: an empty pair set (no
+    near-dups found) must converge immediately, and self-loops must
+    not break canonicalization."""
+    from journal_batch_processer_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components_star(empty).count() == 0
+
+    loops = spark.createDataFrame([(1, 1), (2, 2), (2, 3)], "src long, dst long")
+    cc = {r["n"]: r["component"] for r in connected_components_star(loops).collect()}
+    assert cc == {1: 1, 2: 2, 3: 2}
