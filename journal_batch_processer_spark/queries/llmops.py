@@ -1323,20 +1323,7 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
     d = _os.path.join(_tf.gettempdir(), f"jbp_blobs_{tag}")
-    done = _os.path.join(d, ".done")
-    if not _os.path.exists(done):
-        _os.makedirs(d, exist_ok=True)
-        rows = (
-            _docs(spark, sf_dir)
-            .filter(F.col("doc_id") < 64)
-            .select("doc_id", "text")
-            .collect()
-        )
-        for r in rows:
-            with open(_os.path.join(d, f"doc_{r['doc_id']:05d}.bin"), "wb") as f:
-                f.write(r["text"].encode("utf-8"))
-        with open(done, "w") as f:
-            f.write("ok")
+    _materialize_blobs(sf_dir)
 
     scan = spark.read.format("binaryFile").load(_os.path.join(d, "*.bin"))
     return scan.select(
@@ -1354,11 +1341,41 @@ FROM read_blob('{tmp}/jbp_blobs_{tag}/*.bin')
 """
 
 
+def _materialize_blobs(sf_dir: str) -> None:
+    """Write the first 64 docs' text bytes as payload files (once per
+    sf tag). DuckDB-based so it needs no SparkSession — called both at
+    import time for the oracle's sf0.01 dir (the driver may run the
+    oracle BEFORE the Spark query) and from q_binary_ingest for
+    whatever sf_dir it receives."""
+    import os as _os
+    import tempfile as _tf
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    d = _os.path.join(_tf.gettempdir(), f"jbp_blobs_{tag}")
+    done = _os.path.join(d, ".done")
+    src = _os.path.join(sf_dir, "documents.parquet")
+    if _os.path.exists(done) or not _os.path.exists(src):
+        return
+    import duckdb as _duck
+
+    _os.makedirs(d, exist_ok=True)
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{src}') "
+        "WHERE doc_id < 64 ORDER BY doc_id"
+    ).fetchall()
+    for doc_id, text in rows:
+        with open(_os.path.join(d, f"doc_{doc_id:05d}.bin"), "wb") as f:
+            f.write(text.encode("utf-8"))
+    with open(done, "w") as f:
+        f.write("ok")
+
+
 def _binary_ingest_sql() -> str:
     import tempfile as _tf
 
-    # the driver's oracle runs at sf0.01; the Spark side materializes
-    # the same files for whatever sf_dir it receives
+    # the driver's oracle runs at sf0.01; make its files exist NOW so
+    # oracle-before-query execution order cannot break it
+    _materialize_blobs("/root/testdata/sf0.01")
     return SQL_BINARY_INGEST_TEMPLATE.format(tmp=_tf.gettempdir(), tag="sf0.01")
 
 
