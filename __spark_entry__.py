@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from journal_batch_processer_spark.queries import REGISTRY  # noqa: E402
+from journal_batch_processer_spark.queries.registry import (  # noqa: E402
+    resolve_oracle,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -40,5 +43,7 @@ def oracle_sql() -> dict[str, str]:
     (minhash, simhash, LSH ANN, HLL) are intentionally omitted →
     rows-only checks."""
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: resolve_oracle(spec)
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
     }

@@ -4,11 +4,20 @@
 ONE JSON line:
 
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q_name": sec, ...}, "sf": 0.1}
+     "queries": {"q_name": sec, ...}, "sf": 0.1, "host": {...}}
 
 Each query is timed as a full action (count of the result), after a
 shared warm-up that loads the session and JIT paths. Per-query wall
 time includes plan + execution — what a user actually waits for.
+
+Steal-awareness: the bench box is a shared microVM with episodic CPU
+steal (identical code has measured 12.4s and 79.6s an hour apart —
+BASELINE.md). Around every rep we read /proc/stat and record the
+steal+iowait fraction of that interval; a rep taken under heavy steal
+triggers extra reps, and the reported per-query figure is min-over-reps
+(the standard estimator of true cost absent interference). The JSON
+carries per-query and whole-run steal fractions so a reader can tell a
+plan regression from a noisy host.
 """
 
 from __future__ import annotations
@@ -24,7 +33,7 @@ from journal_batch_processer_spark.queries import REGISTRY  # noqa: E402
 from journal_batch_processer_spark.session import get_spark  # noqa: E402
 
 # Headline set: the reference's pipeline spine + each operator family's
-# heaviest representative.
+# heaviest representative (BASELINE.md carries the rows to beat).
 BENCH_QUERIES = [
     "pipeline_chain",    # format→split end-to-end (regex+sort+impute)
     "desc_extract",      # regex dispatch alone
@@ -33,14 +42,42 @@ BENCH_QUERIES = [
     "window_rank",       # partitioned window
     "join_asof",         # union-window as-of join
     "enrich_fetch",      # update-stage enrichment join
+    "dedup_ngram",       # naive shingle-join Jaccard (r01 baseline row)
     "dedup_ngram_prefix",  # PPJoin prefix-filtered exact Jaccard
     "dedup_minhash",     # LSH banding
-    "sim_search",        # brute-force cosine top-k
+    "dedup_near",        # minhash→band→verify near-dup end-to-end
+    "sim_search",        # brute-force cosine top-k (BLAS matrix path)
     "text_quality",      # text scoring
     "window_tumble",     # time-window aggregation
     "text_pii_scrub",    # regex redaction battery
     "dedup_cluster",     # iterative connected components
+    "corpus_pipeline",   # gate→scrub→dedup→split corpus pass
 ]
+
+MAX_REPS = 4          # extra reps only bought when a rep saw steal
+STEAL_RETRY_FRAC = 0.05
+
+
+def _proc_stat():
+    """(busy_or_idle_total, steal, iowait) jiffies from /proc/stat."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        total = sum(vals)
+        iowait = vals[4] if len(vals) > 4 else 0
+        steal = vals[7] if len(vals) > 7 else 0
+        return total, steal, iowait
+    except OSError:  # non-Linux: report zeros, never fail the bench
+        return 0, 0, 0
+
+
+def _interval_frac(before, after):
+    """Steal+iowait fraction of the CPU-time interval between samples."""
+    dt = after[0] - before[0]
+    if dt <= 0:
+        return 0.0
+    return round((after[1] - before[1] + after[2] - before[2]) / dt, 4)
 
 
 def main() -> None:
@@ -52,19 +89,32 @@ def main() -> None:
     # warm-up: JVM + parquet footer reads
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Two timed runs per query, report the min: the host is a shared
-    # microVM with episodic CPU-steal stalls, and min-over-repeats is
-    # the standard estimator of true cost absent interference.
+    run_start = _proc_stat()
     timings: dict[str, float] = {}
+    steal_at_best: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
-        best, n = float("inf"), 0
-        for _ in range(2):
+        best, best_steal, n, reps = float("inf"), 0.0, 0, 0
+        while reps < MAX_REPS:
+            s0 = _proc_stat()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            frac = _interval_frac(s0, _proc_stat())
+            reps += 1
+            if wall < best:
+                best, best_steal = wall, frac
+            # always take 2 reps (plan-cache warm); buy more only while
+            # the best rep so far ran under visible steal/iowait
+            if reps >= 2 and best_steal <= STEAL_RETRY_FRAC:
+                break
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        steal_at_best[name] = best_steal
+        print(
+            f"# {name}: {timings[name]}s ({n} rows, {reps} reps, "
+            f"steal@best={best_steal})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,6 +125,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host": {
+                    "run_steal_iowait_frac": _interval_frac(
+                        run_start, _proc_stat()
+                    ),
+                    "steal_iowait_frac_at_best": steal_at_best,
+                    "cpus": os.cpu_count(),
+                },
             }
         )
     )

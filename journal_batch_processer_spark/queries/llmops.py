@@ -49,6 +49,26 @@ from journal_batch_processer_spark.session import load_events
 
 EMB_DIM = 64
 
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _parse_byte_size(s: str, default: int = _DEFAULT_MAX_PARTITION_BYTES) -> int:
+    """Parse a Spark byte-size conf value: bare bytes (``134217728``)
+    or unit-suffixed (``128m``, ``128MB``, ``1g``, ``512k``, with or
+    without a trailing ``b``). Driver-supplied sessions set the
+    human-readable form, which ``int(...)`` rejected. Unparseable →
+    ``default`` (never crash a split estimate over a conf string)."""
+    units = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    t = str(s).strip().lower()
+    if t.endswith("b"):
+        t = t[:-1]
+    suffix = t[-1] if t and t[-1] in units else ""
+    num = t[: -1] if suffix else t
+    try:
+        return int(num) * units[suffix]
+    except (ValueError, KeyError):
+        return default
+
 
 def _estimated_splits(spark: SparkSession, df: DataFrame) -> int:
     """Estimate scan partitions from the file listing — no RDD
@@ -62,8 +82,8 @@ def _estimated_splits(spark: SparkSession, df: DataFrame) -> int:
     files = df.inputFiles()
     if not files:
         return 1 << 30  # non-file source (memory/stream): leave alone
-    max_bytes = int(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+    max_bytes = _parse_byte_size(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     splits = 0
     for f in files:
@@ -957,7 +977,7 @@ rk AS (
     FROM cnt
 ),
 per AS (
-    SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
            max(CASE WHEN rn = 1 THEN tok END) AS top_token,
            max(CASE WHEN rn = 1 THEN c END) AS top_c
     FROM rk GROUP BY 1
@@ -1147,11 +1167,15 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile as _tf
 
+    from journal_batch_processer_spark import fixture_cache as _fc
+
     tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
     out = _os.path.join(_tf.gettempdir(), f"jbp_jsonl_{tag}")
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source", "n_chars")
-    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+    fp = _fc.source_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
+    if not _fc.is_fresh(out, fp):
         docs.write.mode("overwrite").json(out)
+        _fc.mark_fresh(out, fp)
     back = spark.read.schema(
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).json(out)
@@ -1163,8 +1187,8 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_JSONL_SCAN = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       SUM(length(text)) AS total_text_len
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len
 FROM documents GROUP BY lang
 """
 
@@ -1214,7 +1238,7 @@ def q_pandas_udf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PANDAS_UDF_STATS = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(octet_length(encode(text))) AS total_text_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_text_bytes,
        ROUND(EXP(AVG(LN(n_chars))), 6) AS geo_mean_chars
 FROM documents GROUP BY lang
 """
@@ -1274,12 +1298,20 @@ def q_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def stats(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # a key present on only one side arrives with the other side's
+        # frame EMPTY AND COLUMN-LESS — guard both sides or a user with
+        # clicks but no purchases (guaranteed at real scale) crashes
+        spend = (
+            float(right["value"].sum())
+            if "value" in right.columns and len(right)
+            else 0.0
+        )
         return pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_clicks": [len(left)],
                 "n_purchases": [len(right)],
-                "spend": [round(float(right["value"].sum()), 6)],
+                "spend": [round(spend, 6)],
             }
         )
 
@@ -1350,15 +1382,22 @@ def _materialize_blobs(sf_dir: str) -> None:
     import os as _os
     import tempfile as _tf
 
+    from journal_batch_processer_spark import fixture_cache as _fc
+
     tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
     d = _os.path.join(_tf.gettempdir(), f"jbp_blobs_{tag}")
-    done = _os.path.join(d, ".done")
     src = _os.path.join(sf_dir, "documents.parquet")
-    if _os.path.exists(done) or not _os.path.exists(src):
+    if not _os.path.exists(src):
+        return
+    fp = _fc.source_fingerprint(src)
+    if _fc.is_fresh(d, fp):
         return
     import duckdb as _duck
 
     _os.makedirs(d, exist_ok=True)
+    for old in _os.listdir(d):  # drop payloads from a prior fixture gen
+        if old.endswith(".bin"):
+            _os.unlink(_os.path.join(d, old))
     rows = _duck.sql(
         f"SELECT doc_id, text FROM read_parquet('{src}') "
         "WHERE doc_id < 64 ORDER BY doc_id"
@@ -1366,17 +1405,22 @@ def _materialize_blobs(sf_dir: str) -> None:
     for doc_id, text in rows:
         with open(_os.path.join(d, f"doc_{doc_id:05d}.bin"), "wb") as f:
             f.write(text.encode("utf-8"))
-    with open(done, "w") as f:
-        f.write("ok")
+    _fc.mark_fresh(d, fp)
 
 
 def _binary_ingest_sql() -> str:
+    """Lazy oracle builder (invoked at oracle-request time, not import):
+    materializes the blob fixture for the oracle's sf_dir so
+    oracle-before-query execution order cannot break it. The sf is
+    env-overridable because the driver pins oracles to sf0.01 while
+    local sweeps may target another dir."""
+    import os as _os
     import tempfile as _tf
 
-    # the driver's oracle runs at sf0.01; make its files exist NOW so
-    # oracle-before-query execution order cannot break it
-    _materialize_blobs("/root/testdata/sf0.01")
-    return SQL_BINARY_INGEST_TEMPLATE.format(tmp=_tf.gettempdir(), tag="sf0.01")
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    _materialize_blobs(sf_dir)
+    return SQL_BINARY_INGEST_TEMPLATE.format(tmp=_tf.gettempdir(), tag=tag)
 
 
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1427,7 +1471,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_STATS = """
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        ROUND(SUM(n_chars) / COUNT(*), 6) AS mean_chars
 FROM documents
 GROUP BY 1, 2
@@ -1533,7 +1577,7 @@ QUERIES = {
     "corpus_quantiles": (q_corpus_quantiles, SQL_CORPUS_QUANTILES),
     "json_roundtrip": (q_json_roundtrip, SQL_JSON_ROUNDTRIP),
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
-    "binary_ingest": (q_binary_ingest, _binary_ingest_sql()),
+    "binary_ingest": (q_binary_ingest, _binary_ingest_sql),
     "cogroup_conversion": (q_cogroup_conversion, SQL_COGROUP_CONVERSION),
     "udtf_paragraphs": (q_udtf_paragraphs, SQL_UDTF_PARAGRAPHS),
     "pandas_udf_stats": (q_pandas_udf_stats, SQL_PANDAS_UDF_STATS),

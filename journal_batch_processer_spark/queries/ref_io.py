@@ -69,7 +69,7 @@ def q_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CSV_SINK = """
-SELECT COUNT(*) AS n_rows, SUM(l_orderkey) AS sum_key FROM lineitem
+SELECT COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key FROM lineitem
 """
 
 

@@ -16,8 +16,16 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    # str, or a zero-arg callable producing the SQL at request time
+    # (lazy — for oracles that must materialize side fixtures first);
+    # None → non-SQL-expressible, rows-only check
+    oracle: str | Callable[[], str] | None
     note: str = ""
+
+
+def resolve_oracle(spec: QuerySpec) -> str | None:
+    """Resolve a spec's oracle to concrete SQL (invoking lazy builders)."""
+    return spec.oracle() if callable(spec.oracle) else spec.oracle
 
 
 def _build() -> dict[str, QuerySpec]:
@@ -37,44 +45,55 @@ def _build() -> dict[str, QuerySpec]:
     # exposes as rest_push_sink — same operator, both ids answer.
     registry["push_partition"] = registry["rest_push_sink"]
 
-    # Verification-priority order. The round-1 driver sweep processed
-    # the registry serially and stopped after 50 entries, leaving the
-    # whole tail (sim-search / text / multimodal / pipeline families)
-    # without a driver correctness row. Emit the least-recently-verified
-    # queries FIRST so a budget-limited sweep always covers them;
-    # queries with fresh green rows from CORRECTNESS_r01 go last.
+    # Verification-priority order: the driver sweeps the registry
+    # serially under a budget (50 entries in r01/r03), so emit the
+    # least-trusted queries FIRST. For round 4 that is (a) everything
+    # fixed this round (NTZ normalization, HUGEINT oracle casts,
+    # cogroup guard, bounded approx_distinct) and (b) every
+    # events.ts consumer whose green row predates the fixture
+    # regeneration to µs-NTZ; fresh r03 greens go last.
     priority = [
-        # new in r02 — never swept
+        # fixed in r04 — crashed or hash-failed in r03
+        "window_session",
+        "window_session_ids",
+        "stream_tumble",
+        "csv_sink",
+        "jsonl_scan",
+        "pandas_udf_stats",
+        "text_repetition",
+        "corpus_stats",
+        "cogroup_conversion",
+        "approx_distinct",
+        "binary_ingest",
+        # events.ts consumers last swept before the µs-NTZ fixture regen
+        "window_lead_lag",
+        "window_running",
+        "window_tumble",
+        "window_range_frame",
+        "window_rank",
+        "window_session_native",
+        "join_asof",
+        "json_extract",
+        # r02/r03 families — keep a driver row current
         "agg_salted_skewed",
         "join_skew_hot",
-        "stream_tumble",
         "dedup_incremental",
         "sample_stratified",
         "decontaminate",
         "corpus_pipeline",
-        "window_session_ids",
-        "window_session_native",
         "stream_dedup",
         "corpus_quantiles",
         "json_roundtrip",
-        "jsonl_scan",
-        "binary_ingest",
-        "cogroup_conversion",
         "dedup_embed_lsh",
         "udtf_paragraphs",
-        "pandas_udf_stats",
-        # r02: converted from rows-only to full value oracles
         "dedup_minhash",
         "sim_search_ann",
         "sim_search_ivf",
-        # no driver row in r01 (registry positions 51-80)
         "dedup_near",
         "dedup_simhash",
         "dedup_embed",
         "dedup_cluster",
         "sim_search",
-        "sim_search_ann",
-        "sim_search_ivf",
         "text_tokens",
         "text_quality",
         "text_langid",
@@ -82,24 +101,19 @@ def _build() -> dict[str, QuerySpec]:
         "text_analysis",
         "text_tokens_bpe",
         "text_pii_scrub",
-        "text_repetition",
         "quality_filter",
         "hash_split",
         "sample_stable",
-        "corpus_stats",
         "multimodal_cols",
         "multimodal_resize",
         "multimodal_frames",
         "csv_scan",
-        "csv_sink",
         "xml_serialize",
         "xml_parse",
         "pipeline_chain",
         "pipeline_update",
         "runtime_metric",
         "push_partition",
-        # failed hash_match in r01; fixed this round — re-verify early
-        "window_session",
     ]
     ordered = {name: registry[name] for name in priority if name in registry}
     ordered.update({n: s for n, s in registry.items() if n not in ordered})

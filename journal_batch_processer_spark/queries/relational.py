@@ -117,12 +117,33 @@ FROM orders
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ — approximate by design: rows-only check (the
-    engine's scale path for distinct over 100 TB)."""
+    """HyperLogLog++ — the engine's scale path for distinct over
+    100 TB. The sketch value itself is implementation-defined, so it
+    can't be value-oracled directly; instead the query emits the exact
+    count plus a ``within_bound`` flag asserting the HLL estimate is
+    inside 3·rsd of exact — the oracle expects (exact, TRUE), making
+    this a BOUNDED full-value check instead of rows-only. (The exact
+    countDistinct here is the verification harness, not the scale
+    path.)"""
     orders = _orders(spark, sf_dir)
-    return orders.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_custs_approx")
+    rsd = 0.01
+    agg = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=rsd).alias("approx"),
+        F.countDistinct("o_custkey").alias("n_custs_exact"),
     )
+    bound = F.lit(3 * rsd) * F.col("n_custs_exact")
+    return agg.select(
+        "n_custs_exact",
+        (F.abs(F.col("approx") - F.col("n_custs_exact")) <= bound).alias(
+            "within_bound"
+        ),
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT COUNT(DISTINCT o_custkey) AS n_custs_exact, TRUE AS within_bound
+FROM orders
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -681,7 +702,7 @@ QUERIES = {
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
-    "approx_distinct": (q_approx_distinct, None),
+    "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
     "join_anti": (q_join_anti, SQL_JOIN_ANTI),
     "join_range": (q_join_range, SQL_JOIN_RANGE),

@@ -72,6 +72,10 @@ def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(timeout=180)
     if q.isActive:  # pragma: no cover - defensive against a hung drain
         q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within 180s; a partial sink "
+            "would be silently wrong — failing loud instead"
+        )
     return spark.table(name)
 
 
@@ -113,6 +117,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(timeout=180)
     if q.isActive:  # pragma: no cover - defensive against a hung drain
         q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within 180s; a partial sink "
+            "would be silently wrong — failing loud instead"
+        )
     return spark.table(name)
 
 

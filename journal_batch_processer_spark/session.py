@@ -106,19 +106,39 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     return out
 
 
-def load_events(spark: SparkSession, sf_dir: str):
-    """events.parquet stores ns-precision timestamps; Spark reads them
-    as long (nanosAsLong) — convert to µs timestamps (floor division,
-    matching DuckDB's µs truncation)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+def normalize_events_ts(df):
+    """Normalize any physical encoding of ``events.ts`` to one canonical
+    logical type: session-zoned TIMESTAMP at µs precision.
 
+    A 100 TB lake mixes parquet written by different engines/epochs —
+    ns-as-long (legacy nanosAsLong reads), µs TIMESTAMP_NTZ
+    (isAdjustedToUTC=0), and instant-semantics TIMESTAMP all denote the
+    same logical data. Every downstream consumer (window sessionization,
+    streaming tumble, as-of joins) must see exactly one type, so the
+    branch lives here — never at call sites.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # ns since epoch; integer `div` — double division would round
+        # above 2^53 ns (matches DuckDB's µs truncation)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        # wall-clock µs; interpret as UTC deterministically regardless
+        # of the session timezone (a bare cast would shift with it)
+        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str):
+    """Read events.parquet and canonicalize ``ts`` (see
+    normalize_events_ts) so consumers never branch on the fixture's
+    physical timestamp encoding."""
     try:  # driver-supplied sessions may lack the builder config
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 - static conf on some builds
         pass
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if isinstance(df.schema["ts"].dataType, LongType):
-        # integer `div` — double division would round above 2^53 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_events_ts(df)

@@ -21,39 +21,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns since epoch (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream of events parquet with ns→µs conversion —
-    the same normalization as the batch loader (session.load_events)."""
+    """File-source stream of events parquet.
+
+    The stream schema is probed from the files themselves (one cheap
+    footer read via the batch reader) rather than hardcoded — the lake
+    has carried both ns-as-long and µs-NTZ encodings of ``ts``, and a
+    pinned schema silently corrupts timestamps when the encoding
+    changes. Normalization is shared with the batch loader
+    (session.normalize_events_ts): one conversion, both paths.
+    """
+    from journal_batch_processer_spark.session import normalize_events_ts
+
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001
         pass
+    schema = spark.read.parquet(events_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -81,12 +73,28 @@ SESSION_OUTPUT_SCHEMA = (
 
 def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Custom stateful operator: emit a session row when a user's gap
-    exceeds ``gap_seconds`` (applyInPandasWithState, timeout-driven)."""
+    exceeds ``gap_seconds`` (applyInPandasWithState).
+
+    Timeouts are EVENT-time (watermark-driven), not processing-time:
+    a session closes when the watermark passes ``last_ts + gap`` —
+    deterministic and replayable (the same input always yields the
+    same sessions, independent of wall clock), and a bounded
+    availableNow drain terminates instead of idling until wall-clock
+    timers fire (processing-time timers kept the micro-batch engine
+    alive for the full 30-minute gap after input drained).
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fn(key, pdfs, state):
         user_id = key[0]
+        if state.hasTimedOut:
+            last_ts, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_end": [last_ts], "n_events": [n]}
+            )
+            return
         last_ts, n = state.get if state.exists else (0, 0)
         out = []
         for pdf in pdfs:
@@ -96,7 +104,11 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
                     n = 0
                 last_ts, n = ts, n + 1
         state.update((last_ts, n))
-        state.setTimeoutDuration(gap_seconds * 1000)
+        # event-time timer must sit above the current watermark
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max((last_ts + gap_seconds) * 1000, wm_ms + 1)
+        )
         yield pd.DataFrame(
             out, columns=["user_id", "session_end", "n_events"]
         ) if out else pd.DataFrame(
@@ -111,7 +123,7 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -168,5 +180,9 @@ def run_available_now(
     q.awaitTermination(timeout=180)
     if q.isActive:
         q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not drain within 180s; "
+            "refusing to return a partially-filled sink"
+        )
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}").collect()

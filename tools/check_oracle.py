@@ -72,6 +72,7 @@ def main() -> int:
     import duckdb
 
     from journal_batch_processer_spark.queries import REGISTRY
+    from journal_batch_processer_spark.queries.registry import resolve_oracle
     from journal_batch_processer_spark.session import get_spark
 
     names = sys.argv[1:] or sorted(REGISTRY)
@@ -102,15 +103,26 @@ def main() -> int:
             n_skip += 1
             continue
         try:
-            res = con.execute(spec.oracle)
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
+            rel = con.sql(resolve_oracle(spec))
+            o_cols = list(rel.columns)
+            o_types = [str(t).upper() for t in rel.types]
+            o_rows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
             continue
 
         problems = []
+        # The driver's value hash is Arrow-type-sensitive: a DuckDB
+        # HUGEINT (int128 in Arrow) never hash-matches Spark's int64
+        # even when every value is equal — Python-level fetchall()
+        # can't see the difference, so check the relation types.
+        for c, t in zip(o_cols, o_types):
+            if "HUGEINT" in t or "INT128" in t:
+                problems.append(
+                    f"oracle col {c!r} is {t} (Arrow int128 — driver "
+                    f"hash-mismatch); CAST(... AS BIGINT) in the SQL"
+                )
         if len(s_rows) != len(o_rows):
             problems.append(f"rows {len(s_rows)} != {len(o_rows)}")
         if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
