@@ -83,8 +83,88 @@ class StubDecoder(Decoder):
         ]
 
 
+def decode_ppm_bytes(data: bytes) -> dict:
+    """REAL image decode: binary PPM (P6) — the netpbm format — parsed
+    from raw bytes with no imaging library. Handles '#' comments and
+    arbitrary whitespace in the header per the netpbm spec; 8-bit
+    maxval only (the common case). Returns width/height and per-channel
+    means computed from the actual pixel bytes.
+
+    Raises ValueError on malformed input — a decode stage must fail
+    loudly on corrupt payloads (route to an error side at scale),
+    never emit fabricated features.
+    """
+    import numpy as np
+
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated PPM header")
+        c = data[pos:pos + 1]
+        if c == b"#":  # comment runs to end of line
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end:end + 1].isspace():
+                end += 1
+            tokens.append(data[pos:end])
+            pos = end
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    pos += 1  # single whitespace byte after maxval, per spec
+    need = w * h * 3
+    px = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+    if px.size < need:
+        raise ValueError("truncated PPM pixel data")
+    rgb = px.reshape(-1, 3).mean(axis=0) if need else (0.0, 0.0, 0.0)
+    return {
+        "width": w,
+        "height": h,
+        "mean_r": float(rgb[0]),
+        "mean_g": float(rgb[1]),
+        "mean_b": float(rgb[2]),
+    }
+
+
+def decode_wav_bytes(data: bytes) -> dict:
+    """REAL audio decode: RIFF/WAV PCM via the stdlib ``wave`` module
+    (no external audio library). Returns container facts plus the RMS
+    amplitude of the actual 16-bit samples."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        n_channels = wf.getnchannels()
+        sample_rate = wf.getframerate()
+        n_frames = wf.getnframes()
+        width = wf.getsampwidth()
+        raw = wf.readframes(n_frames)
+    if width != 2:
+        raise ValueError(f"only PCM16 supported, sampwidth={width}")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    rms = math.sqrt(float((samples * samples).mean())) if samples.size else 0.0
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate if sample_rate else 0,
+        "rms": rms,
+    }
+
+
 class MediaDecoder(Decoder):
-    """Real-media integration point: PIL for images, av for video.
+    """Real-media integration point for formats that NEED external
+    libs (JPEG/PNG via PIL, MP4 via av). Formats decodable with the
+    stdlib are already real: see decode_ppm_bytes / decode_wav_bytes.
 
     Not wired in this environment (libs absent) — each method raises
     until the imports below are satisfied, so selecting it fails loudly

@@ -31,6 +31,7 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 def _build() -> dict[str, QuerySpec]:
     from journal_batch_processer_spark.queries import (
         llmops,
+        media,
         ref_io,
         ref_surface,
         relational,
@@ -38,7 +39,7 @@ def _build() -> dict[str, QuerySpec]:
     )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (ref_surface, relational, llmops, ref_io, streaming_q):
+    for module in (ref_surface, relational, llmops, ref_io, streaming_q, media):
         for name, (fn, sql) in module.QUERIES.items():
             registry[name] = QuerySpec(fn=fn, oracle=sql)
     # SURVEY §2g names `push_partition` for the PUT routing the engine
@@ -65,6 +66,9 @@ def _build() -> dict[str, QuerySpec]:
         "cogroup_conversion",
         "approx_distinct",
         "binary_ingest",
+        # new in r04 — real media decode (PPM/WAV), never swept
+        "media_image_decode",
+        "media_audio_decode",
         # events.ts consumers last swept before the µs-NTZ fixture regen
         "window_lead_lag",
         "window_running",

@@ -1,0 +1,95 @@
+"""Real media decode: byte-level PPM/WAV parsing + the Spark query path."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+
+from journal_batch_processer_spark.operators.multimodal import (
+    decode_ppm_bytes,
+    decode_wav_bytes,
+)
+
+
+def _ppm(w, h, pixels, comment=False):
+    hdr = b"P6\n" + (b"# a comment\n" if comment else b"") + f"{w} {h}\n255\n".encode()
+    return hdr + bytes(pixels)
+
+
+def test_ppm_decode_solid():
+    img = _ppm(2, 2, [10, 20, 30] * 4)
+    f = decode_ppm_bytes(img)
+    assert (f["width"], f["height"]) == (2, 2)
+    assert (f["mean_r"], f["mean_g"], f["mean_b"]) == (10.0, 20.0, 30.0)
+
+
+def test_ppm_decode_mixed_pixels_and_comment():
+    # two pixels: (0,0,0) and (255, 100, 50) → means (127.5, 50, 25)
+    img = _ppm(2, 1, [0, 0, 0, 255, 100, 50], comment=True)
+    f = decode_ppm_bytes(img)
+    assert f["width"] == 2 and f["height"] == 1
+    assert (f["mean_r"], f["mean_g"], f["mean_b"]) == (127.5, 50.0, 25.0)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"P5\n1 1\n255\n\x00",          # wrong magic (PGM)
+        b"P6\n2 2\n255\n\x00\x01",      # truncated pixels
+        b"P6\n1 1\n65535\n\x00\x00\x00",  # 16-bit maxval unsupported
+        b"P6\n1",                        # truncated header
+    ],
+)
+def test_ppm_decode_rejects_malformed(payload):
+    with pytest.raises(ValueError):
+        decode_ppm_bytes(payload)
+
+
+def _wav(v, n_frames, rate=8000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack("<h", v) * n_frames)
+    return buf.getvalue()
+
+
+def test_wav_decode_constant_signal():
+    f = decode_wav_bytes(_wav(-700, 400))
+    assert f["n_channels"] == 1
+    assert f["sample_rate"] == 8000
+    assert f["n_frames"] == 400
+    assert f["duration_ms"] == 50
+    assert f["rms"] == 700.0  # exact: sqrt of an exactly-representable square
+
+
+def test_wav_decode_empty():
+    f = decode_wav_bytes(_wav(0, 0))
+    assert f["n_frames"] == 0 and f["rms"] == 0.0
+
+
+def test_media_queries_match_arithmetic(spark):
+    """The Spark decode path agrees with the doc_id arithmetic the
+    DuckDB oracle uses (same contract the driver checks at sf0.01)."""
+    from journal_batch_processer_spark.queries.media import (
+        q_media_audio_decode,
+        q_media_image_decode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    imgs = {r.fname: r for r in q_media_image_decode(spark, sf).collect()}
+    assert len(imgs) == 64
+    r = imgs["img_00007.ppm"]
+    assert (r.width, r.height) == (8 + 7 % 8, 6 + 7 % 5)
+    assert (r.mean_r, r.mean_g, r.mean_b) == (49.0, 91.0, 203.0)
+
+    snds = {r.fname: r for r in q_media_audio_decode(spark, sf).collect()}
+    assert len(snds) == 64
+    s = snds["snd_00009.wav"]
+    assert s.n_frames == 8 * (50 + 9 % 25)
+    assert s.duration_ms == s.n_frames // 8
+    assert s.rms == float(abs((37 * 9) % 2000 - 1000))
