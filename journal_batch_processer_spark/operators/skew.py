@@ -18,10 +18,22 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "__salt") -> DataFrame:
-    # deterministic pseudo-salt (no Math.random in the plan): spread by
-    # a hash of the whole row via monotonically increasing id
+    """Row-content salt: ``xxhash64`` over every column, mod n_salts.
+
+    Content-derived (not ``monotonically_increasing_id``/``rand``) so
+    the salt is (a) independent of partition layout — a repartition or
+    a different scan split assigns the same salts — and (b) stable
+    under task retries, where nondeterministic expressions can
+    redistribute rows mid-recompute and corrupt a two-level aggregate.
+    Degenerate case: byte-identical duplicate rows share a salt; a hot
+    key whose rows are ALL identical stays on one reducer (such rows
+    carry no grouping information to spread — pre-aggregate them).
+    """
     return df.withColumn(
-        col_name, (F.monotonically_increasing_id() % n_salts).cast("int")
+        col_name,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast(
+            "int"
+        ),
     )
 
 
