@@ -170,9 +170,55 @@ def _star_rounds(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     return cur, rounds
 
 
+# Below this many edges the whole graph is at most a few MB and the
+# distributed star rounds are pure scheduling overhead (measured: 3.5s
+# of jobs for a 256-edge fixpoint at local[32]); a driver union-find
+# answers in milliseconds. 100k edges ≈ 1.6 MB collected — far under
+# any broadcast-size comfort zone, and union-find is O(E α(N)).
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _union_find_labels(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for SMALL edge sets (bounded by the
+    caller): returns the same (n, component=min reachable id) contract
+    as the distributed path."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.select("src", "dst").collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    from pyspark.sql.types import StructField, StructType
+
+    t = edges.schema["src"].dataType
+    schema = StructType(
+        [StructField("n", t), StructField("component", t)]
+    )
+    rows = [(node, comp_min[find(node)]) for node in parent]
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components_star(
     edges: DataFrame,
     max_iter: int = 50,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Large-star/small-star connected components over a (src, dst)
     edge list (symmetry not required). Returns (n, component) for
@@ -181,10 +227,20 @@ def connected_components_star(
     O(log n) rounds on any graph shape (chains included), so this is
     the 100 TB default.
 
+    Adaptive small-graph path: the edge count is known for free after
+    the checkpoint; at or below ``small_graph_edges`` the closure runs
+    as a driver union-find instead of distributed rounds. Candidate
+    pairs AFTER bucketed near-dup filtering are often tiny even when
+    the corpus is 100 TB — the filtering did the scale work; pay
+    milliseconds, not per-round job latency, for the closure. Above
+    the bound the distributed star rounds run unchanged.
+
     Reference capability: BatchUpdate.py has no graph op — this backs
     the dedup_cluster EXT query (pairs → transitive closure).
     """
     edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= small_graph_edges:
+        return _union_find_labels(edges)
     star, _ = _star_rounds(edges, max_iter)
     # At fixpoint every edge points node → its component's minimum id,
     # and roots have no outgoing high→low edge (they ARE the minimum).

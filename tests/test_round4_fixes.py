@@ -193,3 +193,31 @@ def test_run_available_now_raises_on_hung_drain(spark, monkeypatch):
 
     with pytest.raises(TimeoutError):
         jobs.run_available_now(FakeDF(), "jbp_never_drains")
+
+
+# ---------------------------------------------------------------------------
+# CC small-graph fast path must equal the distributed star rounds
+# ---------------------------------------------------------------------------
+
+
+def test_cc_small_graph_path_matches_star(spark):
+    from journal_batch_processer_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        # two components (one a 4-chain — worst case for label prop),
+        # plus self-loop and duplicate edges
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (5, 5)],
+        "src long, dst long",
+    )
+    small = sorted(
+        (r.n, r.component)
+        for r in graph.connected_components_star(edges).collect()
+    )
+    star = sorted(
+        (r.n, r.component)
+        for r in graph.connected_components_star(
+            edges, small_graph_edges=0
+        ).collect()
+    )
+    assert small == star
+    assert dict(small)[4] == 1 and dict(small)[11] == 10
