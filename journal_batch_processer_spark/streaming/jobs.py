@@ -97,12 +97,18 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
             return
         last_ts, n = state.get if state.exists else (0, 0)
         out = []
-        for pdf in pdfs:
-            for ts in sorted(int(t.timestamp()) for t in pd.to_datetime(pdf["ts"])):
-                if last_ts and ts - last_ts > gap_seconds:
-                    out.append((user_id, last_ts, n))
-                    n = 0
-                last_ts, n = ts, n + 1
+        # sort across ALL Arrow chunks — a heavy user's batch arrives
+        # as several pdfs, and per-chunk sorting would interleave time
+        all_ts = sorted(
+            int(t.timestamp())
+            for pdf in pdfs
+            for t in pd.to_datetime(pdf["ts"])
+        )
+        for ts in all_ts:
+            if last_ts and ts - last_ts > gap_seconds:
+                out.append((user_id, last_ts, n))
+                n = 0
+            last_ts, n = ts, n + 1
         state.update((last_ts, n))
         # event-time timer must sit above the current watermark
         wm_ms = state.getCurrentWatermarkMs()
