@@ -26,13 +26,20 @@ from journal_batch_processer_spark.sources.xml import (
     xml_serialize,
 )
 
-_CSV_CACHE: dict[str, str] = {}
+_CSV_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _ensure_csv(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize lineitem keys as a header CSV once per sf_dir."""
-    if sf_dir in _CSV_CACHE and os.path.exists(_CSV_CACHE[sf_dir]):
-        return _CSV_CACHE[sf_dir]
+    """Materialize lineitem keys as a header CSV once per sf_dir.
+
+    Keyed on (sf_dir, source fingerprint) so a fixture regeneration —
+    even mid-process — invalidates the cache instead of silently
+    serving the previous fixture's bytes."""
+    from journal_batch_processer_spark.fixture_cache import source_fingerprint
+
+    key = (sf_dir, source_fingerprint(os.path.join(sf_dir, "lineitem.parquet")))
+    if key in _CSV_CACHE and os.path.exists(_CSV_CACHE[key]):
+        return _CSV_CACHE[key]
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         F.col("l_orderkey").cast("string"),
         F.col("l_linenumber").cast("string"),
@@ -40,7 +47,7 @@ def _ensure_csv(spark: SparkSession, sf_dir: str) -> str:
     )
     out_dir = tempfile.mkdtemp(prefix="jbp_csv_")
     path = write_stage_csv(li, out_dir, "f_", "lineitem.csv")
-    _CSV_CACHE[sf_dir] = path
+    _CSV_CACHE[key] = path
     return path
 
 
