@@ -71,6 +71,8 @@ def _build() -> dict[str, QuerySpec]:
         "media_image_decode",
         "media_audio_decode",
         "stream_session",
+        "window_slide",
+        "stream_slide",
         # events.ts consumers last swept before the µs-NTZ fixture regen
         "window_lead_lag",
         "window_running",

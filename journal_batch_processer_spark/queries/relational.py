@@ -518,6 +518,48 @@ GROUP BY 1, 2
 """
 
 
+def q_window_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 2-hour window, 1-hour slide — every
+    event lands in exactly two windows. Spark assigns windows in the
+    aggregation expression itself (no row explosion in user code; the
+    WindowExec generates the per-window rows), one shuffle on
+    (window, event_type)."""
+    events = _events(spark, sf_dir)
+    dv = F.col("value").cast("decimal(18,6)")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dv).cast("double").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# An event at t belongs to the 2h/1h-slide windows starting at
+# trunc_hour(t) and trunc_hour(t) − 1h — the UNION ALL reproduces
+# Spark's window assignment exactly.
+SQL_WINDOW_SLIDE = """
+WITH x AS (
+  SELECT date_trunc('hour', ts) AS wstart, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS wstart, event_type, value
+  FROM events
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM x
+GROUP BY 1, 2
+"""
+
+
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets via the SQL surface (the engine exposes
     both DataFrame and spark.sql paths over registered views)."""
@@ -718,6 +760,7 @@ QUERIES = {
     "window_session_ids": (q_window_session_ids, SQL_WINDOW_SESSION_IDS),
     "window_session_native": (q_window_session_native, SQL_WINDOW_SESSION_NATIVE),
     "window_tumble": (q_window_tumble, SQL_WINDOW_TUMBLE),
+    "window_slide": (q_window_slide, SQL_WINDOW_SLIDE),
     "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),

@@ -209,8 +209,58 @@ WHERE a.sid < l.max_sid
 """
 
 
+def q_stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (2 h window / 1 h hop) watermarked aggregate executed as
+    a genuine streaming job, drained with availableNow; complete-mode
+    output over fully-drained input equals the batch sliding aggregate
+    (= the window_slide oracle)."""
+    from journal_batch_processer_spark.streaming.jobs import (
+        read_events_stream,
+        windowed_counts,
+    )
+
+    name = "jbp_stream_slide_mem"
+    stream = windowed_counts(
+        read_events_stream(spark, _events_stream_dir(sf_dir)),
+        window="2 hours",
+        slide="1 hour",
+        start_col="window_start",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within 180s; a partial sink "
+            "would be silently wrong — failing loud instead"
+        )
+    return spark.table(name)
+
+
+SQL_STREAM_SLIDE = """
+WITH x AS (
+  SELECT date_trunc('hour', ts) AS wstart, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS wstart, event_type, value
+  FROM events
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM x
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumble": (q_stream_tumble, SQL_STREAM_TUMBLE),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "stream_session": (q_stream_session, SQL_STREAM_SESSION),
+    "stream_slide": (q_stream_slide, SQL_STREAM_SLIDE),
 }

@@ -48,21 +48,34 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return normalize_events_ts(raw)
 
 
-def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Watermarked tumbling 1-hour counts per event type. Late rows
-    beyond the watermark are dropped; state is bounded per window."""
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    start_col: str = "hour_start",
+) -> DataFrame:
+    """Watermarked windowed counts per event type — tumbling when
+    ``slide`` is None, sliding (hopping) otherwise. Late rows beyond
+    the watermark are dropped; state is bounded per open window."""
     dv = F.col("value").cast("decimal(18,6)")
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .groupBy(w.alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum(dv).cast("double").alias("sum_value"))
         .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(start_col),
             "event_type",
             "n",
             "sum_value",
         )
     )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour counts per event type."""
+    return windowed_counts(events, "1 hour", None, watermark)
 
 
 SESSION_STATE_SCHEMA = "last_ts long, n_events long"
