@@ -73,6 +73,8 @@ def _build() -> dict[str, QuerySpec]:
         "stream_session",
         "window_slide",
         "stream_slide",
+        "agg_pivot",
+        "approx_quantile",
         # events.ts consumers last swept before the µs-NTZ fixture regen
         "window_lead_lag",
         "window_running",

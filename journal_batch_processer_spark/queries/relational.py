@@ -146,6 +146,79 @@ FROM orders
 """
 
 
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order totals by priority × status. The
+    value set is pinned explicitly — at 100 TB an unpinned pivot first
+    runs a distinct over the pivot column; pinning makes the plan a
+    single groupBy with conditional aggregates (one shuffle)."""
+    orders = _orders(spark, sf_dir)
+    dv = F.col("o_totalprice").cast("decimal(18,4)")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(dv).cast("double"))
+        .withColumnsRenamed({"F": "total_f", "O": "total_o", "P": "total_p"})
+    )
+
+
+SQL_AGG_PIVOT = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (o_orderstatus = 'F') AS DOUBLE) AS total_f,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (o_orderstatus = 'O') AS DOUBLE) AS total_o,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (o_orderstatus = 'P') AS DOUBLE) AS total_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald–Khanna quantile sketch (`percentile_approx`) —
+    the 100 TB path for order statistics — under a BOUNDED full-value
+    oracle, same pattern as approx_distinct: the sketch guarantees the
+    returned element's rank is within ±1/accuracy of the target, so
+    the query emits the exact interpolated quantile plus a flag that
+    the approx value lies between the exact quantiles at q ± 2/acc;
+    the oracle expects (exact, TRUE)."""
+    li = _li(spark, sf_dir)
+    acc = 1000
+    eps = 2.0 / acc
+    qs = [0.5, 0.9, 0.99]
+    col = "l_extendedprice"
+    aggs = []
+    for q in qs:
+        tag = str(int(q * 100))
+        aggs += [
+            F.expr(f"percentile_approx({col}, {q}, {acc})").alias(f"a{tag}"),
+            F.expr(f"percentile({col}, {q})").alias(f"p{tag}_exact"),
+            F.expr(f"percentile({col}, {max(q - eps, 0.0)})").alias(f"lo{tag}"),
+            F.expr(f"percentile({col}, {min(q + eps, 1.0)})").alias(f"hi{tag}"),
+        ]
+    agg = li.agg(*aggs)
+    out = []
+    for q in qs:
+        tag = str(int(q * 100))
+        out += [
+            F.round(F.col(f"p{tag}_exact"), 4).alias(f"p{tag}_exact"),
+            F.col(f"a{tag}")
+            .between(F.col(f"lo{tag}"), F.col(f"hi{tag}"))
+            .alias(f"p{tag}_within_bound"),
+        ]
+    return agg.select(*out)
+
+
+SQL_APPROX_QUANTILE = """
+SELECT ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50_exact,
+       TRUE AS p50_within_bound,
+       ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90_exact,
+       TRUE AS p90_within_bound,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+       TRUE AS p99_within_bound
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # join family
 # ---------------------------------------------------------------------------
@@ -743,6 +816,8 @@ QUERIES = {
     "group_agg": (q_group_agg, SQL_GROUP_AGG),
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
+    "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
+    "approx_quantile": (q_approx_quantile, SQL_APPROX_QUANTILE),
     "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
