@@ -75,6 +75,10 @@ def _build() -> dict[str, QuerySpec]:
         "stream_slide",
         "agg_pivot",
         "approx_quantile",
+        "agg_unpivot",
+        "set_ops",
+        "string_agg",
+        "array_functions",
         # events.ts consumers last swept before the µs-NTZ fixture regen
         "window_lead_lag",
         "window_running",

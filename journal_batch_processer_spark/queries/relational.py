@@ -219,6 +219,127 @@ FROM lineitem
 """
 
 
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): the inverse of agg_pivot — per-priority
+    status totals melted back to (priority, status, total) rows.
+    ``DataFrame.unpivot`` plans as a single generator projection (no
+    shuffle beyond the feeding aggregate)."""
+    wide = q_agg_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["total_f", "total_o", "total_p"],
+        "status",
+        "total",
+    ).filter(F.col("total").isNotNull())
+
+
+SQL_AGG_UNPIVOT = """
+WITH wide AS (
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (o_orderstatus = 'F') AS DOUBLE) AS total_f,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (o_orderstatus = 'O') AS DOUBLE) AS total_o,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (o_orderstatus = 'P') AS DOUBLE) AS total_p
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, total FROM (
+    SELECT o_orderpriority, 'total_f' AS status, total_f AS total FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'total_o', total_o FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'total_p', total_p FROM wide
+) WHERE total IS NOT NULL
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics: customers who placed BOTH a
+    high-value (>400k) and an urgent order, minus those with any
+    failed ('F') order. Set ops plan as aggregate-based joins —
+    distinct semantics without an explicit dropDuplicates."""
+    orders = _orders(spark, sf_dir)
+    high = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    failed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        high.intersect(urgent)
+        .exceptAll(failed.distinct())
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+SQL_SET_OPS = """
+SELECT o_custkey AS custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: per priority, the sorted
+    distinct status set joined with ','. ``collect_list`` alone is
+    partition-order-dependent — ``array_sort`` before the join is what
+    makes the result reproducible (and oracle-checkable) on any
+    cluster layout."""
+    orders = _orders(spark, sf_dir)
+    return orders.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("o_orderstatus"))
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_STRING_AGG = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           AS statuses,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column — the
+    expression-only vector toolkit (no UDF): L2 norm via
+    transform+aggregate, max element, dimensionality. Everything stays
+    in whole-stage codegen; this is the building block the similarity
+    operators compose."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 6
+        ).alias("max_val"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+SQL_ARRAY_FUNCTIONS = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       ROUND(list_max(list_transform(embedding,
+             x -> CAST(x AS DOUBLE))), 6) AS max_val,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings
+"""
+
+
 # ---------------------------------------------------------------------------
 # join family
 # ---------------------------------------------------------------------------
@@ -818,6 +939,10 @@ QUERIES = {
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
     "approx_quantile": (q_approx_quantile, SQL_APPROX_QUANTILE),
+    "agg_unpivot": (q_agg_unpivot, SQL_AGG_UNPIVOT),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "string_agg": (q_string_agg, SQL_STRING_AGG),
+    "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
     "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
