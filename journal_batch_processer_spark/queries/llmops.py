@@ -1544,6 +1544,114 @@ FROM documents, UNNEST(range(0, length(text) // 16, 2)) AS t(f)
 """
 
 
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (fuzzy) near-dup pairs: Levenshtein ≤ 4 over a
+    40-char prefix, candidates blocked by (lang, length band ±8).
+
+    The blocking is the scale story: each doc emits 3 band keys
+    (len//8 − 1 … +1), candidates come from a bucket-equi join —
+    never an all-pairs cross — and the |len diff| ≤ 8 predicate makes
+    the banding semantically invisible (any pair it admits is within
+    one band of its neighbor). Levenshtein runs JVM-side
+    (``F.levenshtein``), only on the blocked candidates. At 100 TB the
+    same plan holds: band keys partition-prune the join.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 40).alias("prefix"),
+        F.length("text").alias("n"),
+    )
+    band = (F.col("n") / F.lit(8)).cast("int")
+    cand = docs.select(
+        "*", F.explode(F.array(band - 1, band, band + 1)).alias("bk")
+    )
+    right = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("prefix").alias("prefix_b"),
+        F.col("n").alias("n_b"),
+        (F.col("n") / F.lit(8)).cast("int").alias("bk"),
+    )
+    pairs = (
+        cand.join(right, ["bk"])
+        .filter(
+            (F.col("doc_id") < F.col("doc_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.abs(F.col("n") - F.col("n_b")) <= 8)
+        )
+        .select(
+            "doc_id",
+            "doc_b",
+            F.levenshtein("prefix", "prefix_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+        .distinct()
+    )
+    return pairs.select(
+        F.col("doc_id").alias("doc_a"), "doc_b", "dist"
+    )
+
+
+SQL_DEDUP_EDITDIST = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT)
+           AS dist
+FROM documents a JOIN documents b
+  ON a.lang = b.lang
+ AND a.doc_id < b.doc_id
+ AND abs(length(a.text) - length(b.text)) <= 8
+WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 4
+"""
+
+
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers (|x − mean| > 1.65σ within
+    return-flag group) — the expression-only anomaly-detection shape:
+    one window over the group for the moments, one filter; no UDF, no
+    collect. (TPC-H prices are uniform, max |z| ≈ √3 ≈ 1.73, so a
+    classic 3σ cut returns nothing — 1.65σ keeps a real tail under
+    the oracle.)"""
+    li = _spread(spark, spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag")
+    x = F.col("l_extendedprice")
+    mu = F.avg(x).over(w)
+    sd = F.stddev_samp(x).over(w)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            x.alias("price"),
+            ((x - mu) / sd).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 1.65)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "price",
+            F.round("z", 6).alias("z"),
+        )
+    )
+
+
+SQL_OUTLIER_ZSCORE = """
+WITH s AS (
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           l_extendedprice AS price,
+           (l_extendedprice - avg(l_extendedprice) OVER w)
+               / stddev_samp(l_extendedprice) OVER w AS z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+)
+SELECT l_orderkey, l_linenumber, l_returnflag, price, ROUND(z, 6) AS z
+FROM s WHERE abs(z) > 1.65
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_hash": (q_dedup_exact_hash, SQL_DEDUP_EXACT_HASH),
@@ -1553,6 +1661,8 @@ QUERIES = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_near": (q_dedup_near, SQL_DEDUP_NEAR),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_editdist": (q_dedup_editdist, SQL_DEDUP_EDITDIST),
+    "outlier_zscore": (q_outlier_zscore, SQL_OUTLIER_ZSCORE),
     "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
     "dedup_embed_lsh": (q_dedup_embed_lsh, SQL_DEDUP_EMBED_LSH),
     "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),

@@ -79,6 +79,8 @@ def _build() -> dict[str, QuerySpec]:
         "set_ops",
         "string_agg",
         "array_functions",
+        "dedup_editdist",
+        "outlier_zscore",
         # events.ts consumers last swept before the µs-NTZ fixture regen
         "window_lead_lag",
         "window_running",
