@@ -81,6 +81,7 @@ def _build() -> dict[str, QuerySpec]:
         "array_functions",
         "dedup_editdist",
         "outlier_zscore",
+        "stream_join",
         # events.ts consumers last swept before the µs-NTZ fixture regen
         "window_lead_lag",
         "window_running",

@@ -258,9 +258,66 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the
+    static customer dimension (broadcast per micro-batch — the
+    standard streaming-enrichment shape; the static side is re-read
+    per batch, so a dimension update is picked up without restarting
+    the query), then a complete-mode aggregate per market segment.
+    Fully drained with availableNow, the result equals the batch
+    join+group — the oracle."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.streaming.jobs import read_events_stream
+
+    name = "jbp_stream_join_mem"
+    customers = F.broadcast(
+        spark.read.parquet(_os.path.join(sf_dir, "customer.parquet")).select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    stream = (
+        read_events_stream(spark, _events_stream_dir(sf_dir))
+        .join(customers, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within 180s; a partial sink "
+            "would be silently wrong — failing loud instead"
+        )
+    return spark.table(name)
+
+
+SQL_STREAM_JOIN = """
+SELECT c.c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "stream_tumble": (q_stream_tumble, SQL_STREAM_TUMBLE),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "stream_session": (q_stream_session, SQL_STREAM_SESSION),
     "stream_slide": (q_stream_slide, SQL_STREAM_SLIDE),
+    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
 }
