@@ -93,3 +93,42 @@ def test_media_queries_match_arithmetic(spark):
     assert s.n_frames == 8 * (50 + 9 % 25)
     assert s.duration_ms == s.n_frames // 8
     assert s.rms == float(abs((37 * 9) % 2000 - 1000))
+
+
+# ---------------------------------------------------------------------------
+# property-based: decoders over arbitrary well-formed payloads
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    pix=st.integers(0, 255),
+    comment=st.booleans(),
+)
+def test_ppm_decode_roundtrip_property(w, h, pix, comment):
+    """Any well-formed solid P6 image decodes to its exact parameters."""
+    f = decode_ppm_bytes(_ppm(w, h, [pix] * (w * h * 3), comment=comment))
+    assert (f["width"], f["height"]) == (w, h)
+    assert f["mean_r"] == f["mean_g"] == f["mean_b"] == float(pix)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    v=st.integers(-32768, 32767),
+    n=st.integers(0, 2000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_decode_roundtrip_property(v, n, rate):
+    """Any constant-amplitude PCM16 mono file decodes to exact facts;
+    RMS of a constant signal is exactly |v|."""
+    f = decode_wav_bytes(_wav(v, n, rate))
+    assert f["n_channels"] == 1
+    assert f["sample_rate"] == rate
+    assert f["n_frames"] == n
+    assert f["duration_ms"] == n * 1000 // rate
+    assert f["rms"] == (float(abs(v)) if n else 0.0)

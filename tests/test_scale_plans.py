@@ -177,3 +177,47 @@ def test_lake_sink_partition_pruning(spark, tmp_path):
         "PartitionFilters:"
     )[1].split("]")[0], stats.plan
     assert one.count() == docs.filter(F.col("lang") == langs[0]).count()
+
+
+def test_round4_operators_plan_shape(spark):
+    """Plan pins for the round-4 surface: no cartesian anywhere, the
+    stream-static join side broadcasts, the blocked fuzzy join is an
+    equi join, and the media decode is a shuffle-free scan→mapInPandas."""
+    from journal_batch_processer_spark.queries.llmops import q_dedup_editdist
+    from journal_batch_processer_spark.queries.media import q_media_image_decode
+    from journal_batch_processer_spark.queries.relational import (
+        q_agg_pivot,
+        q_array_functions,
+    )
+
+    ed = plan_stats(q_dedup_editdist(spark, SF))
+    assert ed.cartesian == 0 and ed.nested_loop_joins == 0, ed.plan
+
+    # pivot with pinned values: Spark plans two aggregates (pre-agg on
+    # (group, pivot) then PivotFirst on group) = 2 exchanges; pinning
+    # the values avoids the extra distinct job, not an exchange
+    pv = plan_stats(q_agg_pivot(spark, SF))
+    assert pv.cartesian == 0, pv.plan
+    assert pv.shuffles <= 2, pv.plan
+
+    md = plan_stats(q_media_image_decode(spark, SF))
+    assert md.shuffles == 0, md.plan
+
+    af = plan_stats(q_array_functions(spark, SF))
+    assert af.shuffles == 0, af.plan  # expression-only projection
+
+
+def test_stream_join_static_side_broadcasts(spark):
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.plans import plan_stats
+
+    customers = F.broadcast(
+        spark.read.parquet(f"{SF}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    joined = events.join(customers, F.col("user_id") == F.col("c_custkey"))
+    stats = plan_stats(joined)
+    assert stats.broadcast_hash_joins >= 1, stats.plan
