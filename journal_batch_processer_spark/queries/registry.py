@@ -82,6 +82,7 @@ def _build() -> dict[str, QuerySpec]:
         "dedup_editdist",
         "outlier_zscore",
         "stream_join",
+        "stream_dedup_watermarked",
         # events.ts consumers last swept before the µs-NTZ fixture regen
         "window_lead_lag",
         "window_running",

@@ -314,9 +314,55 @@ GROUP BY 1
 """
 
 
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE streaming dedup: ``dropDuplicatesWithinWatermark``
+    — state for a key is evicted once the watermark passes its event
+    time + delay, which is what makes streaming dedup viable on an
+    unbounded stream (plain dropDuplicates grows state forever). Over
+    the fully-drained bounded fixture the surviving KEY SET equals
+    plain distinct — the oracle; only key columns are emitted because
+    which full row survives is arrival-order-dependent."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.streaming.jobs import read_events_stream
+
+    name = "jbp_stream_dedup_wm_mem"
+    stream = (
+        read_events_stream(spark, _events_stream_dir(sf_dir))
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within 180s; a partial sink "
+            "would be silently wrong — failing loud instead"
+        )
+    return spark.table(name)
+
+
+SQL_STREAM_DEDUP_WM = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 QUERIES = {
     "stream_tumble": (q_stream_tumble, SQL_STREAM_TUMBLE),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_dedup_watermarked": (
+        q_stream_dedup_watermarked,
+        SQL_STREAM_DEDUP_WM,
+    ),
     "stream_session": (q_stream_session, SQL_STREAM_SESSION),
     "stream_slide": (q_stream_slide, SQL_STREAM_SLIDE),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
