@@ -83,6 +83,7 @@ def _build() -> dict[str, QuerySpec]:
         "outlier_zscore",
         "stream_join",
         "stream_dedup_watermarked",
+        "time_gap_fill",
         # events.ts consumers last swept before the µs-NTZ fixture regen
         "window_lead_lag",
         "window_running",

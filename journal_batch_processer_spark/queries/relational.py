@@ -340,6 +340,59 @@ FROM embeddings
 """
 
 
+def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time series from sparse events: every (hour, event_type)
+    bucket across the full span, zero-filled where no events landed —
+    the resample/gap-fill shape every monitoring pipeline needs.
+    ``sequence()`` generates the hour spine (one row, exploded), cross
+    join with the small distinct type dimension (broadcast — the spine
+    × types product is tiny relative to the fact side), left join the
+    hourly aggregate. No UDF; the fact aggregate is the only real
+    shuffle."""
+    events = _events(spark, sf_dir)
+    hours = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    counts = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hours.crossJoin(F.broadcast(types))
+        .join(counts, ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+SQL_TIME_GAP_FILL = """
+WITH span AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour, t.event_type,
+       COALESCE(c.n, 0) AS n
+FROM spine s CROSS JOIN types t
+LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # join family
 # ---------------------------------------------------------------------------
@@ -943,6 +996,7 @@ QUERIES = {
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "string_agg": (q_string_agg, SQL_STRING_AGG),
     "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
+    "time_gap_fill": (q_time_gap_fill, SQL_TIME_GAP_FILL),
     "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
