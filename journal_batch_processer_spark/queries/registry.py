@@ -84,6 +84,8 @@ def _build() -> dict[str, QuerySpec]:
         "stream_join",
         "stream_dedup_watermarked",
         "time_gap_fill",
+        "window_ntile",
+        "join_full",
         # events.ts consumers last swept before the µs-NTZ fixture regen
         "window_lead_lag",
         "window_running",

@@ -340,6 +340,66 @@ FROM embeddings
 """
 
 
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window battery: ntile / percent_rank /
+    cume_dist over order totals per priority — one window, one
+    shuffle. The orderBy includes the key for deterministic tie-break
+    (percent_rank/cume_dist are tie-sensitive; o_orderkey is unique so
+    every rank is reproducible)."""
+    orders = _orders(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_WINDOW_NTILE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-custkey order stats × customer dim — rows
+    survive from BOTH unmatched sides (customers without orders keep
+    NULL stats; the COALESCE key pattern is the standard reconciliation
+    shape)."""
+    orders = _orders(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stats = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return stats.join(
+        cust, stats["o_custkey"] == cust["c_custkey"], "full_outer"
+    ).select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        "c_mktsegment",
+    )
+
+
+SQL_JOIN_FULL = """
+WITH stats AS (
+    SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(s.o_custkey, c.c_custkey) AS custkey,
+       COALESCE(s.n_orders, 0) AS n_orders,
+       c.c_mktsegment
+FROM stats s FULL OUTER JOIN customer c ON s.o_custkey = c.c_custkey
+"""
+
+
 def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense time series from sparse events: every (hour, event_type)
     bucket across the full span, zero-filled where no events landed —
@@ -997,6 +1057,8 @@ QUERIES = {
     "string_agg": (q_string_agg, SQL_STRING_AGG),
     "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
     "time_gap_fill": (q_time_gap_fill, SQL_TIME_GAP_FILL),
+    "window_ntile": (q_window_ntile, SQL_WINDOW_NTILE),
+    "join_full": (q_join_full, SQL_JOIN_FULL),
     "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
