@@ -86,6 +86,7 @@ def _build() -> dict[str, QuerySpec]:
         "time_gap_fill",
         "window_ntile",
         "join_full",
+        "map_functions",
         # events.ts consumers last swept before the µs-NTZ fixture regen
         "window_lead_lag",
         "window_running",

@@ -1046,6 +1046,30 @@ FROM events GROUP BY 1
 """
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON props parsed into a real map column, then
+    map_keys / element_at / size — the semi-structured per-row bag
+    every event pipeline carries. Everything is expression-level
+    (from_json to map<string,string>, no schema inference pass)."""
+    events = _events(spark, sf_dir)
+    m = F.from_json("props", "map<string,string>")
+    return events.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys"),
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+    )
+
+
+SQL_MAP_FUNCTIONS = """
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+"""
+
+
 QUERIES = {
     "group_agg": (q_group_agg, SQL_GROUP_AGG),
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
@@ -1059,6 +1083,7 @@ QUERIES = {
     "time_gap_fill": (q_time_gap_fill, SQL_TIME_GAP_FILL),
     "window_ntile": (q_window_ntile, SQL_WINDOW_NTILE),
     "join_full": (q_join_full, SQL_JOIN_FULL),
+    "map_functions": (q_map_functions, SQL_MAP_FUNCTIONS),
     "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
