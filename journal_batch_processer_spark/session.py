@@ -140,5 +140,12 @@ def load_events(spark: SparkSession, sf_dir: str):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 - static conf on some builds
         pass
+    try:
+        # date_format / window-start rendering is session-tz dependent;
+        # a driver-supplied session without UTC would shift every
+        # rendered timestamp against the oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return normalize_events_ts(df)
