@@ -117,7 +117,20 @@ def decode_ppm_bytes(data: bytes) -> dict:
     w, h, maxval = (int(t) for t in tokens)
     if maxval != 255:
         raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
-    pos += 1  # single whitespace byte after maxval, per spec
+    # exactly ONE whitespace byte separates maxval from the raster, per
+    # spec; a CRLF-emitting writer would mis-offset the raster by one
+    # byte and silently corrupt every channel mean — fail loud instead.
+    # A lone '\r' separator with '\n' next is CRLF in practice (a
+    # raster genuinely starting with byte 0x0A after a bare-CR header
+    # is indistinguishable, so the spec-violating writer loses).
+    if not data[pos:pos + 1].isspace():
+        raise ValueError("PPM header not terminated by a whitespace byte")
+    if data[pos:pos + 2] == b"\r\n":
+        raise ValueError(
+            "PPM header terminated by CRLF (spec requires a single "
+            "whitespace byte); raster offset would be ambiguous"
+        )
+    pos += 1
     need = w * h * 3
     px = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
     if px.size < need:

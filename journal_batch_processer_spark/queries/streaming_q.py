@@ -42,6 +42,27 @@ def _stream_dir(sf_dir: str, table: str, prefix: str) -> str:
             os.symlink(target, link)
     else:
         os.symlink(target, link)
+    # The stream oracles (DISTINCT for dedup, final-watermark-only
+    # session close) assume the whole fixture drains as ONE file in ONE
+    # micro-batch so the watermark stays at 0 while data is in flight.
+    # A multi-file source would advance the watermark mid-stream —
+    # evicting dedup state (re-emitting keys) and firing session timers
+    # early — making output file-arrival-order dependent vs the oracle.
+    # Guard the assumption instead of silently mismatching.
+    if not os.path.isfile(target):
+        raise RuntimeError(
+            f"stream source {target!r} is not a single parquet file; the "
+            "single-batch determinism the stream oracles rely on no "
+            "longer holds — re-derive the oracles for multi-file input"
+        )
+    extra = [
+        f for f in os.listdir(d) if f.endswith(".parquet") and f != f"{table}.parquet"
+    ]
+    if extra:
+        raise RuntimeError(
+            f"stream dir {d!r} holds extra parquet entries {extra}; "
+            "expected exactly one file-per-batch source"
+        )
     return d
 
 

@@ -126,9 +126,18 @@ def normalize_events_ts(df):
         # above 2^53 ns (matches DuckDB's µs truncation)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(dt, TimestampNTZType):
-        # wall-clock µs; interpret as UTC deterministically regardless
-        # of the session timezone (a bare cast would shift with it)
-        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+        # wall-clock µs, to be read as UTC. The NTZ→TIMESTAMP cast
+        # interprets the wall clock in the SESSION timezone (instant =
+        # wall − off(tz)), so compose it with from_utc_timestamp(·, tz)
+        # which adds off(tz) back: the result is the UTC instant for
+        # any session timezone, not just UTC-pinned sessions. (The two
+        # offsets are evaluated an offset apart; they can only diverge
+        # inside a DST transition hour of the session zone — canonical
+        # loaders pin UTC, where the offset is constant zero.)
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        df = df.withColumn(
+            "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz)
+        )
     return df
 
 

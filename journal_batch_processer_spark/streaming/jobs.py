@@ -39,6 +39,14 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001
         pass
+    try:
+        # date_format / window rendering downstream is session-tz
+        # dependent; a driver-supplied non-UTC session would silently
+        # shift every rendered timestamp against the oracle (same pin
+        # as the batch loader, session.load_events)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001
+        pass
     schema = spark.read.parquet(events_dir).schema
     raw = (
         spark.readStream.schema(schema)
