@@ -47,70 +47,63 @@ def _build() -> dict[str, QuerySpec]:
     registry["push_partition"] = registry["rest_push_sink"]
 
     # Verification-priority order: the driver sweeps the registry
-    # serially under a budget (50 entries in r01/r03), so emit the
-    # least-trusted queries FIRST. For round 4 that is (a) everything
-    # fixed this round (NTZ normalization, HUGEINT oracle casts,
-    # cogroup guard, bounded approx_distinct) and (b) every
-    # events.ts consumer whose green row predates the fixture
-    # regeneration to µs-NTZ; fresh r03 greens go last.
+    # serially under a budget (~50 entries/round), so emit the
+    # least-trusted queries FIRST. For round 5 (VERDICT r04 next-round
+    # #3): (a) keys NEW or CHANGED this round, then (b) the ~40 keys
+    # whose most recent driver row predates the r03 testdata
+    # regeneration (r01^/r02^ in the VERDICT coverage table) so every
+    # key gets a post-regen driver row; everything green in the r03/r04
+    # driver sweeps goes last.
     priority = [
-        # fixed in r04 — crashed or hash-failed in r03
-        "window_session",
-        "window_session_ids",
-        "stream_tumble",
-        "csv_sink",
-        "jsonl_scan",
-        "pandas_udf_stats",
-        "text_repetition",
-        "corpus_stats",
-        "cogroup_conversion",
-        "approx_distinct",
-        "binary_ingest",
-        # new in r04 — real media decode (PPM/WAV) and the stateful
-        # sessionizer under a full oracle; never swept
-        "media_image_decode",
-        "media_audio_decode",
-        "stream_session",
-        "window_slide",
-        "stream_slide",
-        "agg_pivot",
-        "approx_quantile",
-        "agg_unpivot",
-        "set_ops",
-        "string_agg",
-        "array_functions",
-        "dedup_editdist",
-        "outlier_zscore",
-        "stream_join",
-        "stream_dedup_watermarked",
-        "time_gap_fill",
-        "window_ntile",
-        "join_full",
-        "map_functions",
-        # events.ts consumers last swept before the µs-NTZ fixture regen
-        "window_lead_lag",
-        "window_running",
-        "window_tumble",
-        "window_range_frame",
-        "window_rank",
-        "window_session_native",
-        "join_asof",
-        "json_extract",
-        # r02/r03 families — keep a driver row current
-        "agg_salted_skewed",
-        "join_skew_hot",
-        "dedup_incremental",
-        "sample_stratified",
-        "decontaminate",
-        "corpus_pipeline",
-        "stream_dedup",
-        "corpus_quantiles",
-        "json_roundtrip",
-        "dedup_embed_lsh",
-        "udtf_paragraphs",
-        "dedup_minhash",
+        # new in r05 — never swept
+        "media_image_decode_png",
+        "dedup_ngram_capped",
+        "pipeline_chain_strict",
+        # changed in r05 — multi-probe LSH, trained IVF centroids
         "sim_search_ann",
         "sim_search_ivf",
+        # last driver row r01 — reference surface
+        "desc_extract",
+        "nomatch_count",
+        "row_count",
+        "project_columns",
+        "numeric_guard",
+        "strip_guard_quote",
+        "ensure_columns",
+        "dependent_columns",
+        "fill_blank_default",
+        "overwrite_constant",
+        "code_lookup",
+        "code_validate",
+        "dim_join_broadcast",
+        "enrich_fetch",
+        "rest_fetch_source",
+        "field_merge",
+        "error_route",
+        "flag_missing_barcode",
+        "flag_i_barcode",
+        "notes_append",
+        "month_normalize",
+        "natural_sort",
+        "year_impute",
+        "year_impute_window",
+        # last driver row r01 — relational families
+        "group_agg",
+        "agg_rollup",
+        "agg_cube",
+        "distinct_count",
+        "join_semi",
+        "join_anti",
+        "join_range",
+        "join_colocated",
+        "agg_salted",
+        "agg_grouping_sets",
+        "scalar_functions",
+        "dedup_exact",
+        "dedup_exact_hash",
+        "dedup_ngram",
+        "dedup_ngram_prefix",
+        # last driver row r02 — dedup/sim/text/multimodal EXT
         "dedup_near",
         "dedup_simhash",
         "dedup_embed",
@@ -129,13 +122,15 @@ def _build() -> dict[str, QuerySpec]:
         "multimodal_cols",
         "multimodal_resize",
         "multimodal_frames",
+        # last driver row r03
         "csv_scan",
         "xml_serialize",
         "xml_parse",
         "pipeline_chain",
         "pipeline_update",
-        "runtime_metric",
+        "rest_push_sink",
         "push_partition",
+        "runtime_metric",
     ]
     ordered = {name: registry[name] for name in priority if name in registry}
     ordered.update({n: s for n, s in registry.items() if n not in ordered})
