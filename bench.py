@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "text_pii_scrub",    # regex redaction battery
     "dedup_cluster",     # iterative connected components
     "corpus_pipeline",   # gate→scrub→dedup→split corpus pass
+    # Structured Streaming drains (VERDICT r04 #7): timed like any
+    # other query, plus per-batch listener metrics in "streams"
+    "stream_tumble",     # watermarked tumbling window drain
+    "stream_session",    # applyInPandasWithState sessionizer drain
 ]
 
 MAX_REPS = 4          # extra reps only bought when a rep saw steal
@@ -80,11 +84,61 @@ def _interval_frac(before, after):
     return round((after[1] - before[1] + after[2] - before[2]) / dt, 4)
 
 
+class _StreamProgressCollector:
+    """StreamingQueryListener capturing per-batch rates/latencies so a
+    streaming regression is visible in the bench artifact the way batch
+    regressions are (VERDICT r04 #7). Keyed by queryName; keeps the
+    LAST run's batches per stream (reps overwrite)."""
+
+    def __init__(self) -> None:
+        self.by_name: dict[str, list[dict]] = {}
+        self._runs: dict[str, str] = {}
+
+    def make_listener(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                name = p.name or str(p.id)
+                if outer._runs.get(name) != str(p.runId):
+                    outer._runs[name] = str(p.runId)
+                    outer.by_name[name] = []
+                outer.by_name[name].append(
+                    {
+                        "batch_id": p.batchId,
+                        "input_rows": p.numInputRows,
+                        "rows_per_sec": round(p.processedRowsPerSecond or 0.0, 1),
+                        "duration_ms": dict(p.durationMs or {}),
+                    }
+                )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        return _L()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("jbp-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    streams = _StreamProgressCollector()
+    listener = None
+    try:
+        listener = streams.make_listener()
+        spark.streams.addListener(listener)
+    except Exception:  # noqa: BLE001 - listener is observability only
+        listener = None
 
     # warm-up: JVM + parquet footer reads
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -92,6 +146,7 @@ def main() -> None:
     run_start = _proc_stat()
     timings: dict[str, float] = {}
     steal_at_best: dict[str, float] = {}
+    rep_counts: dict[str, int] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
         best, best_steal, n, reps = float("inf"), 0.0, 0, 0
@@ -113,6 +168,7 @@ def main() -> None:
                 break
         timings[name] = round(best, 3)
         steal_at_best[name] = best_steal
+        rep_counts[name] = reps
         print(
             f"# {name}: {timings[name]}s ({n} rows, {reps} reps, "
             f"steal@best={best_steal})",
@@ -120,24 +176,46 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "host": {
-                    "run_steal_iowait_frac": _interval_frac(
-                        run_start, _proc_stat()
-                    ),
-                    "steal_iowait_frac_at_best": steal_at_best,
-                    "cpus": os.cpu_count(),
-                },
-            }
-        )
-    )
+    result = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # per-query rep counts IN the artifact (ADVICE r04): the
+        # estimator is min-over-reps with retry-while-improving
+        # (MAX_REPS cap); r01 baseline rows were min-of-2, so
+        # cross-round ratios partly reflect the estimator change
+        "reps": rep_counts,
+        "estimator": f"min over up to {MAX_REPS} reps "
+        "(retry on steal>5% or >15% improvement); r01 baseline was min-of-2",
+        "streams": streams.by_name,
+        "host": {
+            "run_steal_iowait_frac": _interval_frac(run_start, _proc_stat()),
+            "steal_iowait_frac_at_best": steal_at_best,
+            "cpus": os.cpu_count(),
+        },
+    }
+    line = json.dumps(result)
+    # every run keeps its artifact (VERDICT r04 #5: a headline number
+    # must always have a committed JSON behind it)
+    runs_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs")
+    try:
+        os.makedirs(runs_dir, exist_ok=True)
+        fname = f"bench_{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}_sf{sf}.json"
+        with open(os.path.join(runs_dir, fname), "w") as f:
+            f.write(line + "\n")
+        print(f"# artifact: bench_runs/{fname}", file=sys.stderr)
+    except OSError as e:  # pragma: no cover - artifact write best-effort
+        print(f"# artifact write failed: {e}", file=sys.stderr)
+    if listener is not None:
+        try:
+            # detach before the Python gateway closes, else the JVM's
+            # callback at shutdown spews a harmless-but-noisy stack
+            spark.streams.removeListener(listener)
+        except Exception:  # noqa: BLE001
+            pass
+    print(line)
 
 
 if __name__ == "__main__":
