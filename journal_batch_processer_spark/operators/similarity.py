@@ -240,12 +240,29 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 10,
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
 
+    ``n_probe_bits`` enables MULTI-PROBE (VERDICT r04 #2): each query
+    additionally probes the buckets at Hamming distance 1 obtained by
+    flipping its first ``n_probe_bits`` sign bits — the near-boundary
+    buckets where single-bucket probing's recall cliff lives. The
+    query side EXPLODES over its probe set (queries are the small
+    broadcast side, so the fan-out is `|Q| × (1+n_probe_bits)` rows,
+    never a corpus blow-up), and the join stays bucket-equi. A corpus
+    vector lands in exactly one bucket, so probe buckets contribute
+    disjoint candidates — no dedup step needed.
+
     At 100 TB the corpus is bucketed once (write-time partition column)
-    and each query touches one bucket — a partition-pruned scan.
+    and each query touches ``1 + n_probe_bits`` buckets — still a
+    partition-pruned scan.
     """
+    if not 0 <= n_probe_bits <= n_planes:
+        raise ValueError(
+            f"n_probe_bits must be in [0, n_planes={n_planes}], "
+            f"got {n_probe_bits}"
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cvec")
     )
@@ -254,6 +271,15 @@ def lsh_bucket_topk(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
     )
     q = q.withColumn("bucket", hyperplane_sign_bits(F.col("qvec"), dim, n_planes))
+    if n_probe_bits:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_probe_bits)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
 
     scored = (
         c.join(F.broadcast(q), "bucket")

@@ -646,22 +646,35 @@ WHERE rank <= 5
 """
 
 
+_ANN_PROBE_BITS = 2  # multi-probe: query bucket + 1-bit flips of bits 0..1
+
+
 def q_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN. FULL oracle: the ±1 hyperplane matrix is
-    computed in Python (md5 parity) and inlined as literals into both
-    the Spark expression and the DuckDB SQL, so bucketing, candidate
-    set, and ranked cosines are value-checked end-to-end (recall vs
-    brute force additionally asserted in tests)."""
+    """LSH-bucketed ANN with MULTI-PROBE (query bucket + 1-bit-flip
+    neighbors of the first _ANN_PROBE_BITS planes — the near-boundary
+    recall fix, VERDICT r04 #2). FULL oracle: the ±1 hyperplane matrix
+    is computed in Python (md5 parity) and inlined as literals into
+    both the Spark expression and the DuckDB SQL, and the oracle's
+    join admits exactly the same probe set (XOR in {{0, 1, 2}}), so
+    bucketing, candidate set, and ranked cosines are value-checked
+    end-to-end (recall uplift vs single-probe asserted in tests)."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
-    return lsh_bucket_topk(embs, queries, dim=EMB_DIM, k=5, n_planes=6).select(
+    return lsh_bucket_topk(
+        embs, queries, dim=EMB_DIM, k=5, n_planes=6,
+        n_probe_bits=_ANN_PROBE_BITS,
+    ).select(
         "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
 
 
-def _ann_oracle_sql(n_planes: int = 6, k: int = 5) -> str:
+def _ann_oracle_sql(
+    n_planes: int = 6, k: int = 5, n_probe_bits: int = _ANN_PROBE_BITS
+) -> str:
     """DuckDB oracle for q_sim_search_ann: same sign literals, same
-    left-to-right projection order, same bucket packing and ranking."""
+    left-to-right projection order, same bucket packing and ranking;
+    the probe set is expressed as xor(c.bucket, q.bucket) being 0 or a
+    flipped low bit — identical candidates to the exploded Spark side."""
     from journal_batch_processer_spark.operators.similarity import plane_sign
 
     def proj(p: int) -> str:
@@ -672,6 +685,12 @@ def _ann_oracle_sql(n_planes: int = 6, k: int = 5) -> str:
     bucket = " + ".join(
         f"(CASE WHEN ({proj(p)}) > 0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes)
+    )
+    probe_xors = ", ".join(str(1 << p) for p in range(n_probe_bits))
+    bucket_cond = (
+        f"xor(c.bucket, q.bucket) IN (0, {probe_xors})"
+        if n_probe_bits
+        else "c.bucket = q.bucket"
     )
     dot = _DOT_SQL.replace("a.", "q.").replace("b.", "c.")
     return f"""
@@ -685,7 +704,7 @@ SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
                ORDER BY {dot} / (q.nrm * c.nrm) DESC, c.vec_id
            ) AS rank
     FROM b q JOIN b c
-      ON q.vec_id < 10 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      ON q.vec_id < 10 AND {bucket_cond} AND c.vec_id <> q.vec_id
 ) WHERE rank <= {k}
 """
 
