@@ -713,29 +713,68 @@ SQL_SIM_SEARCH_ANN = _ann_oracle_sql()
 
 
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN. FULL oracle: the coarse centroids are the first
-    16 corpus vectors (no training step), so cell assignment, probe
-    set, and ranked cosines are all reproducible in SQL (recall vs
-    brute force additionally asserted in tests; models the
-    partition-pruned cell layout used at scale)."""
+    """IVF-cell ANN with TRAINED coarse centroids: deterministic
+    spherical k-means over a portable-hash sample (VERDICT r04 #4 —
+    first-N centroids gave no cell-balance guarantee). FULL oracle:
+    training is reproducible from the parquet alone, so the identical
+    centroid literals are inlined into both the Spark plan and the
+    DuckDB SQL; cell assignment, probe set, and ranked cosines are
+    value-checked end-to-end (cell balance additionally asserted in
+    tests; models the partition-pruned cell layout used at scale)."""
+    import os as _os
+
+    from journal_batch_processer_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
-    return ivf_topk(embs, queries, k=5, n_centroids=16, n_probe=4, dim=EMB_DIM).select(
+    cents = train_ivf_centroids(
+        _os.path.join(sf_dir, "embeddings.parquet"), n_centroids=16
+    )
+    return ivf_topk(
+        embs, queries, k=5, n_centroids=16, n_probe=4, dim=EMB_DIM,
+        centroids=cents,
+    ).select(
         "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
 
 
 def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
-    """DuckDB oracle for q_sim_search_ivf: same deterministic
-    centroids, nearest-cell assignment (ties on cent_id), n_probe
-    cells per query, exact ranked cosine within probed cells."""
+    """LAZY DuckDB oracle for q_sim_search_ivf: trains the SAME
+    deterministic centroids from the oracle's sf dir (driver pins
+    sf0.01; env-overridable like the other fixture-dependent oracles)
+    and inlines them as full-precision literals — nearest-cell
+    assignment (ties on cent_id), n_probe cells per query, exact
+    ranked cosine within probed cells."""
+    import os as _os
+
+    from journal_batch_processer_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cents = train_ivf_centroids(
+        _os.path.join(sf_dir, "embeddings.parquet"), n_centroids=n_centroids
+    )
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}])"
+        for i, c in enumerate(cents)
+    )
     dot_ec = _DOT_SQL.replace("a.", "e.").replace("b.", "c2.")
     dot_qc = _DOT_SQL.replace("a.", "q.").replace("b.", "c.")
     return f"""
 WITH {_NORM_CTE},
 cents AS (
-    SELECT vec_id AS cent_id, v, nrm FROM e
-    ORDER BY vec_id LIMIT {n_centroids}
+    SELECT cent_id, v,
+           sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                        i -> v[i] * v[i]))) AS nrm
+    FROM (
+        SELECT cent_id, v::DOUBLE[] AS v
+        FROM (VALUES {vals}) t(cent_id, v)
+    )
 ),
 assigned AS (
     SELECT vec_id, v, nrm, cent_id, rn FROM (
@@ -761,7 +800,8 @@ SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
 """
 
 
-SQL_SIM_SEARCH_IVF = _ivf_oracle_sql()
+# lazy: trains centroids at oracle-request time (fixture-dependent)
+SQL_SIM_SEARCH_IVF = _ivf_oracle_sql
 
 
 # ---------------------------------------------------------------------------

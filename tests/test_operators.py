@@ -210,6 +210,64 @@ def test_lsh_multiprobe_recall_uplift(spark):
     assert len(multi) >= len(single)
 
 
+def test_ivf_trained_centroids_balanced_and_deterministic():
+    """VERDICT r04 #4: trained centroids must (a) be bit-reproducible
+    (the oracle inlines the same literals) and (b) yield balanced
+    cells — max cell ≤ 4× mean — where first-N centroids had no
+    guarantee."""
+    import numpy as np
+
+    from journal_batch_processer_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    c1 = train_ivf_centroids(path, n_centroids=16)
+    c2 = train_ivf_centroids(path, n_centroids=16)
+    assert c1 == c2  # bit-identical across runs
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{path}') ORDER BY vec_id"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    assign = np.argmax(xn @ np.array(c1).T, axis=1)
+    counts = np.bincount(assign, minlength=16)
+    mean = len(rows) / 16
+    assert counts.max() <= 4 * mean, f"skewed cells: {counts.tolist()}"
+    # every cell should be populated on this corpus (no dead centroids)
+    assert (counts > 0).sum() >= 12
+
+
+def test_ivf_trained_recall(spark):
+    """Trained-centroid IVF keeps recall vs brute force on the real
+    fixture embeddings (n_probe=4 of 16 cells)."""
+    from journal_batch_processer_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from journal_batch_processer_spark.queries.llmops import EMB_DIM, _embs
+
+    sf = "/root/testdata/sf0.001"
+    embs = _embs(spark, sf)
+    queries = embs.filter(F.col("vec_id") < 10)
+    cents = train_ivf_centroids(f"{sf}/embeddings.parquet", n_centroids=16)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(embs, queries, k=5, dim=EMB_DIM).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            embs, queries, k=5, n_probe=4, dim=EMB_DIM, centroids=cents
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
 def test_lsh_multiprobe_validates_bits(spark):
     from journal_batch_processer_spark.operators.similarity import (
         lsh_bucket_topk,
