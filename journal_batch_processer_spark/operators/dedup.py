@@ -156,6 +156,7 @@ def ngram_jaccard_pairs_prefix(
     text_col: str,
     n: int = 3,
     threshold: float = 0.1,
+    max_shingles_per_doc: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (PPJoin-family): for
     Jaccard ≥ t, two sets of sizes |A|,|B| must share a shingle inside
@@ -170,6 +171,22 @@ def ngram_jaccard_pairs_prefix(
     frequent shingle would otherwise fan out quadratically. Rarest-
     first ordering makes prefixes maximally selective; ties break on
     the hashed shingle so the prefix choice is deterministic.
+
+    ``max_shingles_per_doc`` is the MEGA-DOCUMENT skew guard (VERDICT
+    r04 #6): each document's shingle set is truncated to its
+    ``max_shingles_per_doc`` globally-rarest shingles (rarest-first —
+    the most discriminative ones survive), and Jaccard is computed
+    EXACTLY over the capped sets (``sz`` = capped size). For documents
+    under the cap the result is identical to the exact operator;
+    above it, the output is the exact threshold-Jaccard of the capped
+    sets — a documented, deterministic approximation that bounds the
+    quadratic candidate fan-out and the per-doc verify-array memory a
+    book-length outlier would otherwise concentrate in one task (the
+    rank window itself stays O(n log n) and disk-spillable). With the
+    cap on, rank ties break on the shingle STRING rather than its
+    hash so the kept set is portable to the SQL oracle (dedup_ngram
+    _capped is value-checked end-to-end; hash-order capping would be
+    equally valid but unverifiable in DuckDB, which lacks xxhash64).
     """
     # Float guard: t*sz can land an ulp above the exact product (e.g.
     # 150/3 → 50.000000000000007), and ceil would then SHORTEN a prefix
@@ -185,9 +202,16 @@ def ngram_jaccard_pairs_prefix(
     # tie-breaks by hash instead of string — a different but equally
     # deterministic order, and verification makes the output identical
     # either way)
-    sh = shingle_table(df, id_col, text_col, n).select(
-        "doc", F.xxhash64("shingle").alias("shingle")
-    )
+    cap = max_shingles_per_doc
+    sel = ["doc", F.xxhash64("shingle").alias("shingle")]
+    if cap is not None:
+        if cap < 1:
+            raise ValueError(f"max_shingles_per_doc must be >= 1, got {cap}")
+        # keep the string ONLY to order rank ties portably; it is
+        # dropped before the persisted relation, so the candidate join
+        # and verify arrays still move 8-byte longs
+        sel.append(F.col("shingle").alias("shingle_str"))
+    sh = shingle_table(df, id_col, text_col, n).select(*sel)
 
     # Document frequency, rarest-first rank, and set size as WINDOW
     # counts, not aggregate+join rounds: one exchange on shingle, one
@@ -196,15 +220,20 @@ def ngram_jaccard_pairs_prefix(
     # the verify-arrays branch both read it without recompute.
     w_sh = Window.partitionBy("shingle")
     w_doc = Window.partitionBy("doc")
+    tie = "shingle_str" if cap is not None else "shingle"
     annotated = (
         sh.withColumn("df_", F.count(F.lit(1)).over(w_sh))
         .withColumn(
             "rnk",
-            F.row_number().over(w_doc.orderBy("df_", "shingle")),
+            F.row_number().over(w_doc.orderBy("df_", tie)),
         )
         .withColumn("sz", F.count(F.lit(1)).over(w_doc))
-        .persist()
     )
+    if cap is not None:
+        annotated = annotated.filter(F.col("rnk") <= cap).withColumn(
+            "sz", F.least(F.col("sz"), F.lit(cap))
+        )
+    annotated = annotated.select("doc", "shingle", "rnk", "sz").persist()
     ranked = annotated.filter(
         # prefix length: sz - ceil(t*sz) + 1
         F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - eps) + 1

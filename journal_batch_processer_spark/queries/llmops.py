@@ -250,6 +250,63 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin with the per-doc shingle cap (the mega-document skew
+    guard, VERDICT r04 #6): every document contributes at most its 40
+    rarest shingles, so one book-length outlier cannot concentrate a
+    quadratic candidate fan-out or an unbounded verify array in a
+    single task. Output = EXACT threshold-Jaccard over the capped
+    (rarest-40) sets — deterministic and fully value-oracled (rank
+    ties on the shingle string, portable to DuckDB)."""
+    docs = _docs(spark, sf_dir)
+    out = ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingles_per_doc=40
+    )
+    return out.select(
+        "doc_a", "doc_b", "inter", "sz_a", "sz_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_DEDUP_NGRAM_CAPPED = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+),
+flat AS (
+    SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh
+),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM flat GROUP BY 1),
+ranked AS (
+    SELECT doc, shingle,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc ORDER BY d.df, shingle) AS rnk
+    FROM flat JOIN dfreq d USING (shingle)
+),
+capped AS (SELECT doc, shingle FROM ranked WHERE rnk <= 40),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM capped GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM capped a JOIN capped b USING (shingle)
+    WHERE a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs. FULL oracle: the portable md5-seeded
     permutations make the whole signature→band→candidate pipeline
@@ -1716,6 +1773,7 @@ QUERIES = {
     "dedup_exact_hash": (q_dedup_exact_hash, SQL_DEDUP_EXACT_HASH),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_ngram_prefix": (q_dedup_ngram_prefix, SQL_DEDUP_NGRAM_T50),
+    "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_near": (q_dedup_near, SQL_DEDUP_NEAR),

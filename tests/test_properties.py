@@ -250,3 +250,108 @@ def test_portable_hash64_matches_duckdb(spark):
             "SELECT ('0x' || substring(md5(?), 1, 15))::BIGINT", [s]
         ).fetchone()[0]
         assert got[s] == want, s
+
+
+# ---------------------------------------------------------------------------
+# capped PPJoin: exact threshold-Jaccard over rarest-N capped sets
+# ---------------------------------------------------------------------------
+
+
+def _capped_jaccard_model(texts: dict[int, str], cap: int | None, t: float):
+    """Independent pure-Python model of ngram_jaccard_pairs_prefix with
+    max_shingles_per_doc: distinct 3-word shingles, per-doc truncation
+    to the cap rarest (ties on the shingle string), exact Jaccard."""
+    from collections import Counter
+
+    sets = {}
+    for d, txt in texts.items():
+        toks = txt.lower().split(" ")
+        sets[d] = (
+            {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else set()
+        )
+    df = Counter(s for ss in sets.values() for s in ss)
+    if cap is not None:
+        sets = {
+            d: set(sorted(ss, key=lambda s: (df[s], s))[:cap])
+            for d, ss in sets.items()
+        }
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= t:
+                out[(a, b)] = (inter, len(sa), len(sb))
+    return out
+
+
+def test_ppjoin_cap_matches_model(spark):
+    """Capped PPJoin == the naive capped-set model, on a corpus with a
+    mega-document whose shingle count far exceeds the cap."""
+    from journal_batch_processer_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    texts = {
+        1: base,
+        2: base + " today",                      # near-dup of 1
+        3: "completely different words appear in this other document body",
+        4: "completely different words appear in this other document text",
+        # mega-doc: 60x repetition + unique tail -> way over the cap
+        5: " ".join(
+            f"w{i} w{i + 1} common phrase block" for i in range(60)
+        ),
+        6: " ".join(
+            f"w{i} w{i + 1} common phrase block" for i in range(60)
+        ) + " extra tail words here",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    for cap in (8, 25, None):
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["inter"], r["sz_a"], r["sz_b"])
+            for r in ngram_jaccard_pairs_prefix(
+                df, "doc_id", "text", n=3, threshold=0.3,
+                max_shingles_per_doc=cap,
+            ).collect()
+        }
+        want = _capped_jaccard_model(texts, cap, 0.3)
+        assert got == want, f"cap={cap}: {got} != {want}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    cap=st.integers(3, 12),
+)
+def test_ppjoin_cap_property(spark, seed, cap):
+    """Random small corpora: capped operator == capped model for any
+    cap; docs under the cap behave exactly like the uncapped operator."""
+    import random
+
+    from journal_batch_processer_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+        for d in range(1, 7)
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["sz_a"], r["sz_b"])
+        for r in ngram_jaccard_pairs_prefix(
+            df, "doc_id", "text", n=3, threshold=0.2, max_shingles_per_doc=cap
+        ).collect()
+    }
+    assert got == _capped_jaccard_model(texts, cap, 0.2)
