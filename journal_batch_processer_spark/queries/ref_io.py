@@ -181,8 +181,14 @@ _MONTH_NORM = {
 }
 
 
-def _norm_case(col: str) -> str:
-    branches = " ".join(f"WHEN '{m}' THEN '{_MONTH_NORM[m]}'" for m in MONTHS)
+def _norm_case(col: str, strict: bool = False) -> str:
+    """strict=True reproduces the reference's November bug: the rule at
+    BatchUpdate.py:322 substitutes '\"' instead of 'Nov'."""
+    branches = " ".join(
+        f"WHEN '{m}' THEN "
+        + ("'\"'" if strict and _MONTH_NORM[m] == "Nov" else f"'{_MONTH_NORM[m]}'")
+        for m in MONTHS
+    )
     return f"CASE {col} {branches} END"
 
 
@@ -217,6 +223,63 @@ SELECT
         WHEN 4 THEN ''
         WHEN 5 THEN ''
         ELSE {_norm_case('mon1')} || ' '
+    END AS chron_j,
+    e.pattern,
+    '' AS notes
+FROM iv JOIN expected e ON iv.o_orderkey = e.o_orderkey
+"""
+
+
+def q_pipeline_chain_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_chain under ``strict_reference_mode=True`` — bit-parity
+    with the reference's ACTUAL (buggy) behavior (VERDICT r04 #8).
+
+    Of the three latent reference bugs the mode reproduces, exactly one
+    is observable in this view: the November rule substitutes ``\"``
+    instead of ``Nov`` (BatchUpdate.py:322), so every chron_j that
+    canonicalizes a 'nov' spelling carries the bug bit-for-bit. The
+    code-table-scoped fill quirk (:231,:258) is a no-op here because
+    the default contract's add-tier defaults (Material Type, Item
+    Policy) ARE code-table columns, and the unstripped suc_/err_
+    filename prefixes live at the CSV sink, not in this DataFrame
+    (both covered by tests/test_golden_pipeline.py goldens)."""
+    iv = item_view(spark, sf_dir).drop("g", "k", "o_orderkey")
+    out = split_stage(format_stage(iv), strict_reference_mode=True)
+    return out.select(
+        F.col("MMS ID").alias("mms_id"),
+        F.col("Barcode").alias("barcode"),
+        F.col("title"),
+        F.col("Material Type").alias("material_type"),
+        F.col("Item Policy").alias("item_policy"),
+        F.col("Description").alias("description"),
+        F.col("Enum A").alias("enum_a"),
+        F.col("Enum B").alias("enum_b"),
+        F.col("Chron I").alias("chron_i"),
+        F.col("Chron J").alias("chron_j"),
+        F.col("Pattern").alias("pattern"),
+        F.col("Notes").alias("notes"),
+    )
+
+
+SQL_PIPELINE_CHAIN_STRICT = f"""
+WITH {BASE_CTE}, {EXPECTED_EXTRACT_SQL}
+SELECT
+    '''' || CAST(9000000000000 + iv.g AS VARCHAR) AS mms_id,
+    '''' || CAST(iv.o_orderkey AS VARCHAR) AS barcode,
+    'Journal ' || iv.g AS title,
+    'Bound Issue' AS material_type,
+    'non-circulating' AS item_policy,
+    {_DESC_SQL} AS description,
+    e.enum_a, e.enum_b,
+    CASE WHEN iv.style = 6 THEN CAST(iv.y4 AS VARCHAR) ELSE e.chron_i END AS chron_i,
+    CASE iv.style
+        WHEN 0 THEN {_norm_case('mon1', strict=True)} || ' '
+        WHEN 1 THEN {_norm_case('mon1', strict=True)}
+        WHEN 2 THEN {_norm_case('mon1', strict=True)} || '-' || {_norm_case('mon2', strict=True)}
+        WHEN 3 THEN {_norm_case('mon1', strict=True)} || ' '
+        WHEN 4 THEN ''
+        WHEN 5 THEN ''
+        ELSE {_norm_case('mon1', strict=True)} || ' '
     END AS chron_j,
     e.pattern,
     '' AS notes
@@ -317,6 +380,7 @@ QUERIES = {
     "xml_serialize": (q_xml_serialize, SQL_XML_SERIALIZE),
     "xml_parse": (q_xml_parse, SQL_XML_PARSE),
     "pipeline_chain": (q_pipeline_chain, SQL_PIPELINE_CHAIN),
+    "pipeline_chain_strict": (q_pipeline_chain_strict, SQL_PIPELINE_CHAIN_STRICT),
     "pipeline_update": (q_pipeline_update, SQL_PIPELINE_UPDATE),
     "runtime_metric": (q_runtime_metric, None),
 }
