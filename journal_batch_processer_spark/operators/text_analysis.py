@@ -246,3 +246,62 @@ def quality_gate(
         ok_sym.alias("ok_symbols"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-corpus dedup key)
+# ---------------------------------------------------------------------------
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for dedup grouping — the web-corpus
+    staple where the same page arrives as http/https, with/without
+    ``www.``, with tracking params, fragments, or a trailing slash.
+
+    Rules (all expression-only, whole-stage codegen; each is a
+    deliberate, documented normalization — canonicalization is policy,
+    not parsing):
+    - scheme stripped (``http://``/``https://``/any RFC-3986 scheme)
+    - fragment (``#...``) stripped
+    - host lowercased, leading ``www.`` stripped (paths stay
+      case-sensitive per RFC 3986)
+    - ``utm_*`` tracking params removed; ``?`` dropped if none remain
+      (param ORDER is preserved — reordering params can change
+      semantics on some sites, so it is not normalized away)
+    - trailing slashes on the path stripped
+
+    Reference: BatchUpdate.py has no URL surface (EXT per SURVEY §2i).
+    """
+    u0 = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    u = F.regexp_replace(u0, r"#.*$", "")
+    host_raw = F.regexp_extract(u, r"^([^/?]*)", 1)
+    host = F.regexp_replace(F.lower(host_raw), r"^www\.", "")
+    tail = F.substr(u, F.length(host_raw) + F.lit(1))
+    path_raw = F.regexp_extract(tail, r"^([^?]*)", 1)
+    path = F.regexp_replace(path_raw, r"/+$", "")
+    qs = F.substr(tail, F.length(path_raw) + F.lit(2))
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (~p.startswith("utm_")) & (p != F.lit("")),
+    )
+    q2 = F.array_join(kept, "&")
+    return F.concat(
+        host,
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Group rows by canonical URL: one shuffle on the canonical key
+    (min-id winner + count, the deterministic dedup contract used by
+    dedup_exact). At 100 TB the canonical key is also the right
+    bucketing/partition column for the crawl store."""
+    return (
+        df.withColumn("canonical", canonical_url(F.col(url_col)))
+        .groupBy("canonical")
+        .agg(
+            F.min(id_col).alias("first_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )

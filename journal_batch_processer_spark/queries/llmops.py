@@ -1309,6 +1309,204 @@ FROM documents GROUP BY lang
 """
 
 
+def q_jsonl_scan_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED JSONL round-trip: write the documents table as
+    gzip-compressed JSONL (spark.write.option('compression','gzip')),
+    read it back with an explicit schema, aggregate. The oracle
+    aggregates the original parquet, so codec+writer+reader fidelity
+    is value-checked through real .json.gz files.
+
+    Scale note: gzip is NOT splittable — one stream per file — so at
+    100 TB the writer must emit many moderate files (this plan's
+    per-partition files do exactly that); prefer zstd/snappy parquet
+    or many-file gzip JSONL over few huge .gz blobs."""
+    import os as _os
+    import tempfile as _tf
+
+    from journal_batch_processer_spark import fixture_cache as _fc
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    out = _os.path.join(_tf.gettempdir(), f"jbp_jsonl_gz_{tag}")
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source", "n_chars")
+    fp = _fc.source_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
+    if not _fc.is_fresh(out, fp):
+        docs.write.mode("overwrite").option("compression", "gzip").json(out)
+        _fc.mark_fresh(out, fp)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
+SQL_JSONL_SCAN_GZ = """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+FROM documents GROUP BY source
+"""
+
+
+_ENT_MAX_K = 1024  # log2 lookup domain; token counts beyond it -> NULL (visible)
+
+
+def _log2_literals() -> list[tuple[int, float]]:
+    import math
+
+    return [(k, math.log2(k)) for k in range(1, _ENT_MAX_K + 1)]
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-level Shannon entropy — the classic quality/
+    gibberish signal — with a BIT-EXACT oracle despite the
+    transcendentals: log2 values come from a 1024-row broadcast
+    LITERAL table (generated once in Python, inlined into both the
+    Spark plan and the DuckDB VALUES), and the weighted sum folds over
+    the token-sorted count list so both engines add in the same order.
+    H = log2(n) − (Σ k·log2 k)/n over per-token counts k.
+
+    Plan shape: explode→(doc,tok) count (one shuffle), per-doc sorted
+    fold (second shuffle on doc), two broadcast joins against the log
+    table. No UDF, no rounding, no approximation."""
+    docs = _docs(spark, sf_dir)
+    logt = spark.createDataFrame(_log2_literals(), "k long, lg double")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    per = (
+        counts.join(F.broadcast(logt), "k", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("tok"), (F.col("k") * F.col("lg")).alias("klg"))
+                )
+            ).alias("cc"),
+        )
+    )
+    logn = logt.select(F.col("k").alias("n_tokens"), F.col("lg").alias("lg_n"))
+    return (
+        per.join(F.broadcast(logn), "n_tokens", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (
+                F.col("lg_n")
+                - F.aggregate(
+                    F.col("cc"), F.lit(0.0), lambda a, x: a + x["klg"]
+                )
+                / F.col("n_tokens")
+            ).alias("entropy"),
+        )
+    )
+
+
+def _text_entropy_oracle_sql() -> str:
+    # e-notation on every literal: DuckDB types bare decimal literals
+    # as DECIMAL, and BOTH the VALUES unification and the
+    # DECIMAL→DOUBLE cast can lose the last ulp (measured:
+    # 3.9068905956085187::DOUBLE → ...183). An exponent suffix makes
+    # the parser read the literal directly as DOUBLE via strtod,
+    # which is correctly rounded — bit-identical to the Python double
+    def _lit(x: float) -> str:
+        r = repr(x)
+        return r if "e" in r or "E" in r else r + "e0"
+
+    vals = ", ".join(f"({k}, {_lit(lg)})" for k, lg in _log2_literals())
+    return f"""
+WITH logt(k, lg) AS (VALUES {vals}),
+toks AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+    SELECT doc_id, tok, COUNT(*) AS k FROM toks GROUP BY 1, 2
+),
+per AS (
+    SELECT c.doc_id,
+           CAST(SUM(c.k) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           -- list_reduce, NOT list_sum: list_sum may sum pairwise,
+           -- which differs from Spark's sequential fold in the last
+           -- ulp; list_reduce is a guaranteed left-to-right fold
+           list_reduce(list(c.k * l.lg ORDER BY c.tok),
+                       (a, b) -> a + b) AS klg_sum
+    FROM counts c LEFT JOIN logt l ON c.k = l.k
+    GROUP BY c.doc_id
+)
+SELECT p.doc_id, p.n_tokens, p.n_distinct,
+       l.lg - p.klg_sum / p.n_tokens AS entropy
+FROM per p LEFT JOIN logt l ON p.n_tokens = l.k
+"""
+
+
+SQL_TEXT_ENTROPY = _text_entropy_oracle_sql
+
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (web-corpus staple): the same page
+    arrives under 4 synthesized variants per doc (scheme change,
+    upper-case WWW host + trailing slash, utm_* tracking params,
+    fragment + mixed params) and the canonicalizer must collapse them.
+    The oracle never parses URLs — it derives the expected canonical
+    key directly from the doc_id arithmetic, so the whole expression
+    pipeline (scheme/fragment/host/utm/slash rules) is independently
+    value-checked."""
+    from journal_batch_processer_spark.operators.text_analysis import url_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example"), k, F.lit(".com/page/"), m))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("http://WWW.EXAMPLE"), k, F.lit(".COM/page/"), m, F.lit("/")
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://www.example"), k, F.lit(".com/page/"), m,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example"), k, F.lit(".com/page/"), m,
+                F.lit("?id="), m, F.lit("&utm_medium=email#frag"),
+            )
+        )
+    )
+    return url_dedup(docs.withColumn("url", url), "doc_id", "url")
+
+
+SQL_DEDUP_URL = """
+WITH d AS (
+    SELECT doc_id, doc_id % 7 AS k, doc_id % 50 AS m, doc_id % 4 AS v
+    FROM documents
+),
+canon AS (
+    SELECT doc_id,
+           CASE WHEN v = 3
+                THEN 'example' || k || '.com/page/' || m || '?id=' || m
+                ELSE 'example' || k || '.com/page/' || m
+           END AS canonical
+    FROM d
+)
+SELECT canonical, MIN(doc_id) AS first_id, COUNT(*) AS n_dupes
+FROM canon GROUP BY 1
+"""
+
+
 def q_pandas_udf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two remaining Arrow UDF shapes, value-checked: a SCALAR
     pandas_udf (vectorized utf-8 byte length per row) and a
@@ -1804,6 +2002,9 @@ QUERIES = {
     "corpus_quantiles": (q_corpus_quantiles, SQL_CORPUS_QUANTILES),
     "json_roundtrip": (q_json_roundtrip, SQL_JSON_ROUNDTRIP),
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
+    "jsonl_scan_gz": (q_jsonl_scan_gz, SQL_JSONL_SCAN_GZ),
+    "text_entropy": (q_text_entropy, SQL_TEXT_ENTROPY),
+    "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "binary_ingest": (q_binary_ingest, _binary_ingest_sql),
     "cogroup_conversion": (q_cogroup_conversion, SQL_COGROUP_CONVERSION),
     "udtf_paragraphs": (q_udtf_paragraphs, SQL_UDTF_PARAGRAPHS),

@@ -59,6 +59,9 @@ def _build() -> dict[str, QuerySpec]:
         "media_image_decode_png",
         "dedup_ngram_capped",
         "pipeline_chain_strict",
+        "jsonl_scan_gz",
+        "text_entropy",
+        "dedup_url",
         # changed in r05 — multi-probe LSH, trained IVF centroids
         "sim_search_ann",
         "sim_search_ivf",

@@ -480,8 +480,16 @@ def test_multimodal_decoder_contract(spark, monkeypatch):
     ]
 
     real = mm.MediaDecoder()
+    # features is REAL as of r05 (stdlib PNG/PPM + PIL-gated JPEG):
+    # a known format decodes to the stage schema, junk fails loud
+    png = mm.encode_png_bytes(2, 2, [[(10, 20, 30)] * 2] * 2)
+    rf = real.features(png)
+    assert set(rf) == {"n_bytes", "width", "height", "mean_byte"}
+    assert rf["width"] == 2 and rf["mean_byte"] == 20.0
+    with pytest.raises(ValueError):
+        real.features(b"x")  # no known magic — never fake-succeeds
+    # video-side bodies still need external libs and must raise
     for call in (
-        lambda: real.features(b"x"),
         lambda: real.resize(b"x", 2, 2),
         lambda: real.frames(b"x", 8, 2),
     ):
@@ -583,3 +591,32 @@ def test_connected_components_star_empty_and_selfloops(spark):
     loops = spark.createDataFrame([(1, 1), (2, 2), (2, 3)], "src long, dst long")
     cc = {r["n"]: r["component"] for r in connected_components_star(loops).collect()}
     assert cc == {1: 1, 2: 2, 3: 2}
+
+
+def test_canonical_url_rules(spark):
+    from journal_batch_processer_spark.operators.text_analysis import (
+        canonical_url,
+    )
+
+    cases = [
+        ("https://Example.com", "example.com"),
+        ("http://www.example.com/", "example.com"),
+        ("https://WWW.EXAMPLE.COM/Path/To/Page/", "example.com/Path/To/Page"),
+        ("example.com/a", "example.com/a"),  # schemeless passthrough
+        ("https://e.com/p?utm_source=x&utm_campaign=y", "e.com/p"),
+        ("https://e.com/p?id=3&utm_medium=m&q=2", "e.com/p?id=3&q=2"),
+        ("https://e.com/p#frag", "e.com/p"),
+        ("https://e.com/p?a=1#frag?b=2", "e.com/p?a=1"),
+        ("ftp://files.e.com/x//", "files.e.com/x"),
+        # param ORDER is deliberately preserved (policy, see docstring)
+        ("https://e.com/p?b=2&a=1", "e.com/p?b=2&a=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
