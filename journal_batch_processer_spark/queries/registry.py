@@ -36,10 +36,19 @@ def _build() -> dict[str, QuerySpec]:
         ref_surface,
         relational,
         streaming_q,
+        trainprep,
     )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (ref_surface, relational, llmops, ref_io, streaming_q, media):
+    for module in (
+        ref_surface,
+        relational,
+        llmops,
+        ref_io,
+        streaming_q,
+        media,
+        trainprep,
+    ):
         for name, (fn, sql) in module.QUERIES.items():
             registry[name] = QuerySpec(fn=fn, oracle=sql)
     # SURVEY §2g names `push_partition` for the PUT routing the engine
@@ -55,6 +64,15 @@ def _build() -> dict[str, QuerySpec]:
     # key gets a post-regen driver row; everything green in the r03/r04
     # driver sweeps goes last.
     priority = [
+        # new in r05 (second batch) — never swept
+        "chunk_sliding",
+        "seq_pack",
+        "tfidf_topk",
+        "text_bigrams",
+        "embed_quantize",
+        "graph_pagerank",
+        "funnel_events",
+        "dedup_chunks",
         # new in r05 — never swept
         "media_image_decode_png",
         "dedup_ngram_capped",

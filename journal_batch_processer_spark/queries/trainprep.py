@@ -1,0 +1,590 @@
+"""Training-data preparation operators beyond the r04 surface: document
+chunking, sequence packing, keyword extraction, n-gram LM counts,
+embedding quantization, iterative PageRank, event funnels, and
+sub-document chunk dedup.
+
+These extend SURVEY.md §2i (EXT). The reference
+(BatchUpdate.py) has no equivalent surface — these are the operations a
+100 TB pretraining pipeline runs between raw ingest and tokenization:
+split long documents into model-window chunks, pack short ones into
+dense training sequences, build corpus-level n-gram/keyword statistics,
+compress embeddings for ANN serving, rank pages by link structure, and
+drop boilerplate chunks shared across documents.
+
+Oracle discipline (same rules the r05 notes record): every key carries
+a FULL DuckDB value oracle; floating-point is avoided in favor of
+integer arithmetic wherever a ranking or iteration would otherwise
+depend on summation order (integer-scaled tf-idf scores, integer
+PageRank mass), and the only doubles emitted (quantization scale) are
+single widened floats, bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.queries.llmops import _docs, _embs
+from journal_batch_processer_spark.session import load_events
+
+# ---------------------------------------------------------------------------
+# chunking & packing
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 50  # tokens per chunk
+CHUNK_STRIDE = 30  # tokens between chunk starts (overlap = 20)
+PACK_CAP = 256  # tokens per packed training sequence
+
+
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (the RAG / long-context prep
+    staple): each document becomes ceil((n-W)/S)+1 overlapping chunks
+    of ≤50 tokens with stride 30. Expression-only — `sequence` +
+    `posexplode` generate chunk starts JVM-side and `slice` cuts the
+    token array; no Python, no shuffle at all (narrow map over the
+    scan), so at 100 TB this is pure scan-bound throughput."""
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    docs = docs.select("doc_id", t.alias("t"), F.size(t).alias("n_tokens"))
+    pos = F.posexplode(
+        F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(CHUNK_STRIDE))
+    )
+    chunked = docs.select(
+        "doc_id", "t", "n_tokens", pos.alias("chunk_idx", "chunk_start")
+    )
+    chunk_len = F.least(
+        F.lit(CHUNK_WINDOW), F.col("n_tokens") - F.col("chunk_start")
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        chunk_len.alias("chunk_len"),
+        F.concat_ws(
+            " ", F.slice(F.col("t"), F.col("chunk_start") + 1, chunk_len)
+        ).alias("chunk_text"),
+    )
+
+
+SQL_CHUNK_SLIDING = f"""
+WITH tk AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+st AS (
+    SELECT doc_id, t, len(t) AS n_tokens,
+           UNNEST(generate_series(0, len(t) - 1, {CHUNK_STRIDE})) AS chunk_start
+    FROM tk
+)
+SELECT doc_id,
+       chunk_start // {CHUNK_STRIDE} AS chunk_idx,
+       chunk_start,
+       LEAST({CHUNK_WINDOW}, n_tokens - chunk_start) AS chunk_len,
+       array_to_string(
+           list_slice(t, chunk_start + 1,
+                      LEAST(chunk_start + {CHUNK_WINDOW}, n_tokens)), ' '
+       ) AS chunk_text
+FROM st
+"""
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): documents are laid end to
+    end in doc_id order and cut into 256-token training sequences; a
+    document spanning a boundary is split across bins. Output is the
+    packing manifest — (source, bin, doc, in-doc segment) — which is
+    what a tokenizer shard consumes.
+
+    Scale shape: the running token offset is a window cumsum
+    partitioned by `source`, NOT a single global ordering — each
+    source packs independently and in parallel (a global ORDER BY
+    window would serialize 100 TB through one task). All arithmetic is
+    integer, so the oracle is hash-exact."""
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = docs.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start"),
+    ).withColumn("end", F.col("start") + F.col("n_tokens"))
+    spans = spans.select(
+        "source",
+        "doc_id",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {PACK_CAP}"), F.expr(f"(end - 1) div {PACK_CAP}")
+            )
+        ).alias("bin_id"),
+    )
+    seg_lo = F.greatest(F.col("start"), F.col("bin_id") * PACK_CAP)
+    seg_hi = F.least(F.col("end"), (F.col("bin_id") + 1) * PACK_CAP)
+    return spans.select(
+        "source",
+        "bin_id",
+        "doc_id",
+        (seg_lo - F.col("start")).alias("seg_start"),
+        (seg_hi - seg_lo).alias("seg_len"),
+    )
+
+
+SQL_SEQ_PACK = f"""
+WITH spans AS (
+    SELECT source, doc_id,
+           COALESCE(SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS start,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+bins AS (
+    SELECT source, doc_id, start, start + n_tokens AS "end",
+           UNNEST(generate_series(CAST(start // {PACK_CAP} AS BIGINT),
+                                  CAST((start + n_tokens - 1) // {PACK_CAP} AS BIGINT))) AS bin_id
+    FROM spans
+)
+SELECT source, bin_id, doc_id,
+       CAST(GREATEST(start, bin_id * {PACK_CAP}) - start AS BIGINT) AS seg_start,
+       CAST(LEAST("end", (bin_id + 1) * {PACK_CAP})
+           - GREATEST(start, bin_id * {PACK_CAP}) AS BIGINT) AS seg_len
+FROM bins
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: keywords & n-gram LM counts
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-5 tokens by tf-idf. The
+    score is integer-scaled linear idf — (k * 1e9) div df — because a
+    log-idf double score would make the RANKING depend on both
+    engines' libm and summation; the constant corpus-size factor N
+    cancels out of a per-document ranking, and integer division is
+    bit-identical everywhere. Ties break on token text, so the top-5
+    cut is total-ordered and the oracle hash-exact.
+
+    Scale shape: two shuffles (doc-term counts, then document
+    frequency) + one broadcast-size df join per vocab shard; the
+    window top-k partitions by doc_id, never globally."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    dfreq = counts.groupBy("tok").agg(F.count(F.lit(1)).alias("df_cnt"))
+    scored = counts.join(dfreq, "tok").withColumn(
+        "score_scaled", F.expr("(k * 1000000000) div df_cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "tok", "k", "df_cnt", "score_scaled", "rnk")
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+    SELECT doc_id, tok, COUNT(*) AS k FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+    SELECT tok, COUNT(*) AS df_cnt FROM counts GROUP BY 1
+),
+scored AS (
+    SELECT c.doc_id, c.tok, c.k, d.df_cnt,
+           (c.k * 1000000000) // d.df_cnt AS score_scaled,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.doc_id
+               ORDER BY (c.k * 1000000000) // d.df_cnt DESC, c.tok ASC
+           ) AS rnk
+    FROM counts c JOIN dfreq d USING (tok)
+)
+SELECT doc_id, tok, k, df_cnt, score_scaled, rnk
+FROM scored WHERE rnk <= 5
+"""
+
+
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts (the n-gram LM / collocation
+    table behind quality filters and decontamination): adjacent token
+    pairs via `zip_with` over two shifted `slice`s of the token array
+    — pure JVM expressions, one explode, one shuffle on the bigram.
+    The ≥3 count floor is the standard LM vocabulary cut and keeps the
+    emitted table bounded at scale."""
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_total") >= 3)
+    )
+
+
+SQL_TEXT_BIGRAMS = """
+WITH tk AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pr AS (
+    SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 1)) AS i FROM tk
+)
+SELECT t[i] || ' ' || t[i + 1] AS bigram,
+       COUNT(*) AS n_total,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM pr
+GROUP BY 1
+HAVING COUNT(*) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the ANN-serving
+    compression step — 4× smaller vectors, SIMD-int dot products):
+    per-vector scale = max|x|, q_i = floor(x_i/scale*127 + 0.5).
+    Expression-only `transform`/`array_max` — zero shuffle, pure map.
+
+    Bit-exactness: inputs are float32; both engines widen to float64
+    (exact), and the divide/multiply/floor chain is the same IEEE
+    sequence, so even the rounding boundary cases hash-match. The
+    floor(x+0.5) form (round-half-up) is used instead of ROUND
+    because engines disagree on half-even vs half-away ties."""
+    embs = _embs(spark, sf_dir)
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(vd, lambda x: F.abs(x)))
+    q = F.transform(
+        F.col("vd"), lambda x: F.floor(x / F.col("maxabs") * 127 + F.lit(0.5))
+    )
+    return (
+        embs.select("vec_id", "label", vd.alias("vd"), maxabs.alias("maxabs"))
+        .select(
+            "vec_id",
+            "label",
+            "maxabs",
+            q.alias("q"),
+        )
+        .withColumn(
+            "q_sum",
+            F.aggregate(
+                F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x
+            ),
+        )
+    )
+
+
+SQL_EMBED_QUANTIZE = """
+WITH vd AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+sc AS (
+    SELECT vec_id, label, v,
+           list_max(list_transform(v, x -> ABS(x))) AS maxabs
+    FROM vd
+)
+SELECT vec_id, label, maxabs,
+       list_transform(v, x -> CAST(FLOOR(x / maxabs * 127 + 5e-1) AS BIGINT)) AS q,
+       list_reduce(list_transform(v, x -> CAST(FLOOR(x / maxabs * 127 + 5e-1) AS BIGINT)),
+                   (a, b) -> a + b) AS q_sum
+FROM sc
+"""
+
+
+# ---------------------------------------------------------------------------
+# iterative PageRank (integer mass)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_TOTAL = 1_000_000_000_000  # initial integer mass per node
+
+
+def _pagerank_edges(nodes: DataFrame) -> DataFrame:
+    """Deterministic 3-regular synthetic link graph over doc_ids:
+    node → (3i+1)%N, (7i+11)%N, (i+1)%N. N rides along as a column
+    (from a broadcast 1-row count) so the whole graph is plan-only."""
+    e = None
+    for a, c in ((3, 1), (7, 11), (1, 1)):
+        part = nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * a + c) % F.col("n")).alias("dst"),
+        )
+        e = part if e is None else e.unionAll(part)
+    return e
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 5 synchronous iterations over a deterministic
+    3-out-regular graph on doc_ids — the canonical iterative-join-agg
+    workload (web-graph page quality scores feeding corpus filters).
+
+    All mass is INTEGER (start 1e12 per node; contribution = rank div
+    outdeg; damping = (85·in) div 100; teleport = 15e12 div (100·N)) so
+    per-group sums are order-independent and the unrolled 5-iteration
+    DuckDB oracle is hash-exact — float PageRank could never be, since
+    shuffle summation order varies run to run.
+
+    Scale shape: each iteration is one shuffle join (ranks × edges on
+    src — at real scale both sides pre-partitioned on the key, so the
+    join is co-located after iteration 1) plus one groupBy(dst). On a
+    real cluster each iteration would checkpoint to truncate lineage
+    (operators/graph.py:52 does exactly that for connected
+    components); 5 unrolled plan levels need no checkpoint."""
+    docs = _docs(spark, sf_dir)
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    nodes = docs.select(F.col("doc_id").alias("node")).crossJoin(
+        F.broadcast(cnt)
+    )
+    edges = _pagerank_edges(nodes)
+    ranks = nodes.select("node", "n", F.lit(PR_TOTAL).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"), "pr"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr div 3")).alias("insum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                "n",
+                (
+                    F.expr(f"({PR_TOTAL} * 15) div (100 * n)")
+                    + F.expr("(85 * coalesce(insum, 0)) div 100")
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(F.col("node").alias("node_id"), F.col("pr").alias("pr_mass"))
+
+
+def _pagerank_oracle_sql() -> str:
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents),",
+        "nodes AS (SELECT doc_id AS node FROM documents),",
+        "edges AS (",
+        "  SELECT node AS src, (node * 3 + 1) % nn.n AS dst FROM nodes, nn",
+        "  UNION ALL SELECT node, (node * 7 + 11) % nn.n FROM nodes, nn",
+        "  UNION ALL SELECT node, (node + 1) % nn.n FROM nodes, nn",
+        "),",
+        f"r0 AS (SELECT node, CAST({PR_TOTAL} AS BIGINT) AS pr FROM nodes),",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts += [
+            f"s{i} AS (",
+            f"  SELECT e.dst AS node, SUM(r.pr // 3) AS insum",
+            f"  FROM edges e JOIN r{i - 1} r ON e.src = r.node GROUP BY 1",
+            "),",
+            f"r{i} AS (",
+            f"  SELECT n.node,",
+            f"         ({PR_TOTAL} * 15) // (100 * (SELECT n FROM nn))",
+            f"           + (85 * COALESCE(s.insum, 0)) // 100 AS pr",
+            f"  FROM nodes n LEFT JOIN s{i} s ON n.node = s.node",
+            "),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")  # drop trailing comma after last CTE
+    # CAST: DuckDB's integer // promotes through HUGEINT in the CTE
+    # chain; the driver hash is type-sensitive, so pin BIGINT
+    parts.append(
+        f"SELECT node AS node_id, CAST(pr AS BIGINT) AS pr_mass FROM r{PR_ITERS}"
+    )
+    return "\n".join(parts)
+
+
+SQL_GRAPH_PAGERANK = _pagerank_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# event funnel
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (product-analytics staple): per user, the
+    earliest view → first click strictly after it → first purchase
+    strictly after that. Three filtered min-aggregations chained by
+    joins — each stage shuffles once on user_id and, at scale, reuses
+    the same hash partitioning (no re-shuffle after stage 1; AQE
+    broadcasts the shrinking stage frontier). Timestamps are emitted
+    as epoch microseconds (integer) so the oracle compare is exact
+    regardless of either engine's timestamp rendering."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("t1_us"),
+            F.unix_micros("t2").alias("t2_us"),
+            F.unix_micros("t3").alias("t3_us"),
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+SQL_FUNNEL_EVENTS = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    GROUP BY 1
+)
+SELECT v.user_id,
+       epoch_us(v.t1) AS t1_us,
+       epoch_us(c.t2) AS t2_us,
+       epoch_us(p.t3) AS t3_us,
+       CAST(1 + (c.t2 IS NOT NULL)::INT + (p.t3 IS NOT NULL)::INT
+            AS INTEGER) AS stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sub-document chunk dedup (boilerplate detection)
+# ---------------------------------------------------------------------------
+
+DEDUP_CHUNK_TOKENS = 20
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact chunk dedup (RefinedWeb/CCNet line-dedup
+    shape, over fixed 20-token chunks since this corpus has no
+    newlines): chunk every document, md5 each chunk, report chunks
+    shared by >1 document. This catches boilerplate and partial
+    duplication that document-level dedup misses. One shuffle on the
+    16-byte hash; at 100 TB the chunk table is written bucketed by
+    hash so the nightly pass joins co-located."""
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(DEDUP_CHUNK_TOKENS))
+        ).alias("start"),
+        "t",
+        "n",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    F.col("start") + 1,
+                    F.least(
+                        F.lit(DEDUP_CHUNK_TOKENS), F.col("n") - F.col("start")
+                    ),
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DEDUP_CHUNKS = f"""
+WITH tk AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+st AS (
+    SELECT doc_id, t, len(t) AS n,
+           UNNEST(generate_series(0, len(t) - 1, {DEDUP_CHUNK_TOKENS})) AS start
+    FROM tk
+),
+ch AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               list_slice(t, start + 1,
+                          LEAST(start + {DEDUP_CHUNK_TOKENS}, n)), ' ')) AS chunk_hash
+    FROM st
+)
+SELECT chunk_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc
+FROM ch
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) > 1
+"""
+
+
+QUERIES = {
+    "chunk_sliding": (q_chunk_sliding, SQL_CHUNK_SLIDING),
+    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
+    "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "funnel_events": (q_funnel_events, SQL_FUNNEL_EVENTS),
+    "dedup_chunks": (q_dedup_chunks, SQL_DEDUP_CHUNKS),
+}
