@@ -37,6 +37,7 @@ def _build() -> dict[str, QuerySpec]:
         relational,
         streaming_q,
         trainprep,
+        warehouse,
     )
 
     registry: dict[str, QuerySpec] = {}
@@ -48,6 +49,7 @@ def _build() -> dict[str, QuerySpec]:
         streaming_q,
         media,
         trainprep,
+        warehouse,
     ):
         for name, (fn, sql) in module.QUERIES.items():
             registry[name] = QuerySpec(fn=fn, oracle=sql)
@@ -65,6 +67,10 @@ def _build() -> dict[str, QuerySpec]:
     # driver sweeps goes last.
     priority = [
         # new in r05 (second batch) — never swept
+        "orc_roundtrip",
+        "partitioned_prune",
+        "upsert_merge",
+        "scd2_dim",
         "chunk_sliding",
         "seq_pack",
         "tfidf_topk",

@@ -1,0 +1,196 @@
+"""Storage-layout and table-maintenance operators: ORC round-trip,
+partitioned writes with partition-pruned reads, CDC-style upsert
+merge, and SCD Type-2 dimension builds.
+
+These are the warehouse-side operations a 100 TB corpus store runs
+daily: land data in a columnar format, lay it out partitioned so
+probes read 1/Nth of the files, apply nightly change batches without
+rewriting the snapshot, and keep slowly-changing dimensions versioned.
+The reference (BatchUpdate.py) materializes every stage boundary as a
+flat CSV (SURVEY §3) — this module is that boundary done Spark-first:
+columnar, partitioned, pruned.
+
+All four keys carry FULL DuckDB value oracles. Round-trips are oracled
+as the identity aggregate over the source parquet (lossless-format
+contract); merge/SCD2 arithmetic is doubling and integer epoch-µs only,
+so cross-engine hashes are exact.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.queries.llmops import _docs
+from journal_batch_processer_spark.session import load_events
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read → aggregate (the second columnar format next
+    to parquet; some warehouses are ORC-native). The oracle is the
+    same aggregate over the source parquet, so any type coercion or
+    value mangling through the ORC writer/reader hash-fails. The
+    aggregate includes a doc_id checksum so row identity — not just
+    counts — survives the round-trip."""
+    out = tempfile.mkdtemp(prefix="jbp_orc_")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents GROUP BY 1
+"""
+
+
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-PRUNED read: documents land
+    partitioned by lang (`write.partitionBy`), and the filtered
+    re-read must touch only the en/de directories — the layout that
+    turns a 100 TB scan into a 2-partition scan. The pruning itself is
+    pinned by a plan test (PartitionFilters in the scan node); this
+    key value-checks that the pruned read returns exactly the filtered
+    source rows."""
+    out = tempfile.mkdtemp(prefix="jbp_part_")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+SQL_PARTITIONED_PRUNE = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+WHERE lang IN ('en', 'de')
+GROUP BY 1, 2
+"""
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE (the nightly upsert a snapshot store without
+    MERGE INTO still needs): a change batch — updates doubling `value`
+    for event_id % 7 == 0, plus inserts of new keys — is applied to
+    the events snapshot via one full outer join with COALESCE
+    reconciliation, tagging each row kept/updated/inserted.
+
+    Scale shape: one shuffle on the merge key; at real scale the
+    snapshot is written bucketed by key so the nightly merge joins
+    co-located (operators/bucketing.py), and the change batch —
+    typically ≪ snapshot — broadcasts under AQE. Doubling is exact in
+    binary floating point, so the oracle hash is exact."""
+    ev = load_events(spark, sf_dir).select("event_id", "value")
+    updates = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", (F.col("value") * 2).alias("value")
+    )
+    inserts = ev.filter(F.col("event_id") % 1000 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"), "value"
+    )
+    batch = updates.unionAll(inserts)
+    b = batch.select(
+        F.col("event_id").alias("u_event_id"), F.col("value").alias("u_value")
+    )
+    merged = ev.join(b, ev.event_id == b.u_event_id, "full_outer")
+    return merged.select(
+        F.coalesce("u_event_id", "event_id").alias("event_id"),
+        F.coalesce("u_value", "value").alias("value_final"),
+        F.when(F.col("event_id").isNull(), "inserted")
+        .when(F.col("u_event_id").isNull(), "kept")
+        .otherwise("updated")
+        .alias("src"),
+    )
+
+
+SQL_UPSERT_MERGE = """
+WITH batch AS (
+    SELECT event_id, value * 2 AS value FROM events WHERE event_id % 7 = 0
+    UNION ALL
+    SELECT event_id + 10000000, value FROM events WHERE event_id % 1000 = 0
+)
+SELECT COALESCE(b.event_id, e.event_id) AS event_id,
+       COALESCE(b.value, e.value) AS value_final,
+       CASE WHEN e.event_id IS NULL THEN 'inserted'
+            WHEN b.event_id IS NULL THEN 'kept'
+            ELSE 'updated' END AS src
+FROM events e FULL OUTER JOIN batch b ON e.event_id = b.event_id
+"""
+
+
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change log: per user, each
+    change of `event_type` opens a new version row with
+    [valid_from, valid_to) bounds and an is_current flag — the
+    versioned-dimension shape every warehouse keeps for
+    point-in-time joins.
+
+    Two window passes, both partitioned by user_id (ONE shuffle — the
+    second window reuses the partitioning): pass 1 drops rows equal to
+    their predecessor (lag), pass 2 numbers the surviving versions and
+    closes each with the successor's open time (lead). Ordering
+    tie-breaks on event_id so the build is deterministic; bounds are
+    epoch-µs integers, so the oracle is exact."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w_all)).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w_kept = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w_kept).alias("valid_to_us"),
+        F.row_number().over(w_kept).alias("version"),
+        F.lead(F.unix_micros("ts")).over(w_kept).isNull().alias("is_current"),
+    )
+
+
+SQL_SCD2_DIM = """
+WITH chg AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+kept AS (
+    SELECT user_id, event_type, ts, event_id FROM chg
+    WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) AS valid_to_us,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) AS INTEGER) AS version,
+       LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) IS NULL AS is_current
+FROM kept
+"""
+
+
+QUERIES = {
+    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "partitioned_prune": (q_partitioned_prune, SQL_PARTITIONED_PRUNE),
+    "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
+    "scd2_dim": (q_scd2_dim, SQL_SCD2_DIM),
+}
