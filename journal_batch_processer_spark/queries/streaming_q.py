@@ -377,7 +377,57 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply: ``foreachBatch`` maintains a versioned
+    last-value-per-user snapshot merged with every micro-batch (the
+    keyed-materialized-view pattern for engines without MERGE INTO —
+    see streaming/jobs.upsert_snapshot_sink for the idempotent
+    version-swap). Drained availableNow over the full fixture, the
+    snapshot equals the batch latest-row-per-key query — the oracle —
+    REGARDLESS of batch boundaries, because the latest-row choice is a
+    total-order integer struct max and counts are additive."""
+    import tempfile as _tf
+
+    from journal_batch_processer_spark.streaming.jobs import (
+        read_events_stream,
+        read_snapshot,
+        upsert_snapshot_sink,
+    )
+
+    snap_root = _tf.mkdtemp(prefix="jbp_snap_")
+    ckpt = _tf.mkdtemp(prefix="jbp_snap_ckpt_")
+    stream = read_events_stream(spark, _events_stream_dir(sf_dir))
+    q = upsert_snapshot_sink(stream, snap_root, ckpt)
+    q.awaitTermination(timeout=180)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+        raise TimeoutError(
+            "stream_upsert did not drain within 180s; a partial "
+            "snapshot would be silently wrong — failing loud instead"
+        )
+    return read_snapshot(spark, snap_root)
+
+
+SQL_STREAM_UPSERT = """
+WITH ranked AS (
+    SELECT user_id, event_id, value, ts,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+)
+SELECT user_id,
+       epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id,
+       value AS last_value,
+       CAST(n_events AS BIGINT) AS n_events
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "stream_upsert": (q_stream_upsert, SQL_STREAM_UPSERT),
     "stream_tumble": (q_stream_tumble, SQL_STREAM_TUMBLE),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "stream_dedup_watermarked": (

@@ -213,3 +213,105 @@ def run_available_now(
         )
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def _latest_snapshot_version(root: str) -> int:
+    import os
+
+    if not os.path.isdir(root):
+        return -1
+    vs = [
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    return max(vs, default=-1)
+
+
+def merge_snapshot_batch(batch_df: DataFrame, snap_root: str) -> None:
+    """One CDC-apply step: merge a batch of events into the newest
+    snapshot version under ``snap_root`` and write the next version.
+    Shared by the ``foreachBatch`` sink and the boundary-invariance
+    test (so the tested code IS the production merge)."""
+    import os
+
+    spark = batch_df.sparkSession
+    b = batch_df.select(
+        "user_id",
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+        F.lit(1).cast("bigint").alias("n_events"),
+    )
+    v = _latest_snapshot_version(snap_root)
+    if v >= 0:
+        cur = spark.read.parquet(os.path.join(snap_root, f"v{v}"))
+        b = b.unionByName(cur)
+    merged = (
+        b.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("last_ts_us", "last_event_id", "last_value")
+            ).alias("m"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "m.last_ts_us",
+            "m.last_event_id",
+            "m.last_value",
+            "n_events",
+        )
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(snap_root, f"v{v + 1}"))
+
+
+def upsert_snapshot_sink(
+    events: DataFrame,
+    snap_root: str,
+    checkpoint_dir: str,
+) -> "StreamingQuery":  # noqa: F821 - pyspark.sql.streaming type
+    """CDC-apply via ``foreachBatch``: maintain a last-value-per-key
+    snapshot (latest event per user, by (ts, event_id)) merged with
+    each micro-batch — the streaming MERGE pattern engines without
+    MERGE INTO run everywhere (Kafka topic → keyed materialized view).
+
+    The snapshot is versioned (``snap_root/v{n}``): each batch reads
+    the newest version, merges, and writes ``v{n+1}`` — never
+    overwriting the directory it is reading (Spark forbids that), and
+    a crashed batch leaves the previous version intact, so replay from
+    the checkpoint is idempotent (same batch_id → same v{n+1}).
+
+    Determinism: the latest row is chosen by integer struct max over
+    (epoch-µs, event_id) — a total order — and counts are additive
+    across merges, so the drained snapshot equals the batch
+    QUALIFY-row_number oracle regardless of batch boundaries (pinned
+    by tests/test_streaming.py's boundary-invariance test, which
+    drives this same merge_snapshot_batch over different cuts).
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_snapshot_batch(batch_df, snap_root)
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_snapshot(spark: SparkSession, snap_root: str) -> DataFrame:
+    """Read the newest snapshot version written by
+    ``upsert_snapshot_sink`` (fails loud if no version exists — a
+    drained stream over non-empty input must have produced one)."""
+    import os
+
+    vs = [
+        int(d[1:])
+        for d in os.listdir(snap_root)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    if not vs:
+        raise RuntimeError(f"no snapshot versions under {snap_root!r}")
+    return spark.read.parquet(os.path.join(snap_root, f"v{max(vs)}"))

@@ -75,3 +75,37 @@ def test_foreach_batch_push_counts(spark, tmp_path):
     assert sum(n for _, n, _ in got) == batch.good.count() == 80
     assert sum(e for _, _, e in got) == batch.error.count() == 20
     assert len(got) >= 2  # maxFilesPerTrigger=2 over 4 files -> >1 micro-batch
+
+
+def test_upsert_snapshot_batch_boundary_invariance(spark, tmp_path):
+    """The foreachBatch CDC-apply must produce the same snapshot no
+    matter how the input is cut into micro-batches: apply the merge
+    over one whole batch vs two ts-split halves and compare exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.session import load_events
+    from journal_batch_processer_spark.streaming.jobs import read_snapshot
+
+    ev = load_events(spark, os.environ.get(
+        "SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"
+    )).select("user_id", "event_id", "value", "ts")
+
+    from journal_batch_processer_spark.streaming.jobs import merge_snapshot_batch
+
+    def apply_batches(batches, root):
+        # drives the REAL production merge (the same function the
+        # foreachBatch sink dispatches to) over static frames
+        for b in batches:
+            merge_snapshot_batch(b, root)
+        return {tuple(r) for r in read_snapshot(spark, root).collect()}
+
+    cut = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).first()[0]
+    first = ev.filter(F.unix_micros("ts") <= cut)
+    second = ev.filter(F.unix_micros("ts") > cut)
+    assert first.count() > 0 and second.count() > 0
+
+    one = apply_batches([ev], str(tmp_path / "one"))
+    two = apply_batches([first, second], str(tmp_path / "two"))
+    assert one == two
