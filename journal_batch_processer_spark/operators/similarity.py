@@ -381,3 +381,196 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def train_pq_codebooks(
+    parquet_path: str,
+    m: int = 8,
+    ksub: int = 16,
+    n_iters: int = 8,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: the embedding is
+    split into ``m`` subvectors and each subspace gets its own
+    ``ksub``-centroid plain-L2 k-means — the FAISS-style PQ layout
+    (8 × 16 codes on 64-dim → 8 bytes per vector, 32× smaller than
+    float32, the compression that keeps a 100 TB corpus's codes
+    memory-resident for ADC scans).
+
+    Same determinism/portability contract as train_ivf_centroids
+    (portable md5 sample, md5-order seeding, fixed Lloyd rounds in
+    float64, argmin ties → lowest index, empty cell keeps its
+    centroid) so bit-identical codebook literals can be inlined into
+    BOTH the Spark plan and the DuckDB oracle.
+    """
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"""
+        SELECT {id_col}, {vec_col} FROM (
+            SELECT {id_col}, {vec_col}
+            FROM read_parquet('{parquet_path}')
+            ORDER BY md5('pq:' || CAST({id_col} AS VARCHAR)), {id_col}
+            LIMIT {sample_cap}
+        ) ORDER BY {id_col}
+        """
+    ).fetchall()
+    if len(rows) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to train, got {len(rows)}")
+    ids = [r[0] for r in rows]
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    # train on UNIT vectors: PQ approximates L2, search wants cosine;
+    # on the unit sphere ||a-b||^2 = 2 - 2cos(a,b), so L2 ranking IS
+    # cosine ranking. (Exact normalization arithmetic here need not
+    # match the engines' — codebooks are constants either way.)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seed_order = sorted(
+        range(len(ids)),
+        key=lambda j: (hashlib.md5(f"pq:{ids[j]}".encode()).hexdigest(), ids[j]),
+    )
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cents = sub[seed_order[:ksub]].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest code
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                # empty cell keeps its previous centroid (deterministic)
+        books.append([[float(v) for v in row] for row in cents])
+    return books
+
+
+def _pq_sub_dists(vec: F.Column, book: list[list[float]], j: int, dsub: int):
+    """The ksub squared-L2 distances of subvector j to its codebook,
+    as strictly left-folded codegen expressions (identical add order
+    to the SQL oracle)."""
+    dists = []
+    for cent in book:
+        d0 = F.element_at(vec, j * dsub + 1) - F.lit(cent[0])
+        s = d0 * d0
+        for d in range(1, dsub):
+            dd = F.element_at(vec, j * dsub + d + 1) - F.lit(cent[d])
+            s = s + dd * dd
+        dists.append(s)
+    return dists
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: the corpus is ENCODED (m small int
+    codes per vector — at scale these 8 bytes/vector are what's
+    scanned, not the raw floats), each query builds its m×ksub
+    distance table, and the approximate distance is m table lookups +
+    adds per candidate (asymmetric distance computation). Encoding,
+    lookups, and the sum are all codegen expressions with pinned fold
+    order, so the ranking is bit-reproducible and fully value-oracled.
+
+    Plan shape: encode = narrow map over the corpus scan; score =
+    broadcast(queries with their distance tables) × encoded corpus —
+    no shuffle except the per-query top-k window. At 100 TB PQ pairs
+    with the IVF cell layout (partition-pruned probe over codes).
+
+    ``refine`` enables the standard two-stage search: ADC produces a
+    ``refine``-deep shortlist (codes only — the compressed scan), then
+    raw vectors are fetched FOR THE SHORTLIST ONLY (a join back to the
+    corpus on id — at scale a point-lookup-shaped join over ~R·|Q|
+    rows, not a second corpus scan) and exact unit-vector cosine
+    re-ranks the final top-k. This is what turns PQ's lossy ranking
+    into high recall while still never scanning raw floats.
+    """
+    m = len(codebooks)
+    dsub = dim // m
+    vec_c = _as_double(F.col(vec_col))
+
+    def _unit(df: DataFrame, out: str) -> DataFrame:
+        # normalize with the same unrolled fold order as the oracle
+        # (codebooks are trained on unit vectors — see
+        # train_pq_codebooks; element-wise division is order-free)
+        df = df.withColumn("__nrm", norm_expr(F.col("__raw"), dim))
+        return df.withColumn(
+            out, F.transform(F.col("__raw"), lambda x: x / F.col("__nrm"))
+        ).drop("__raw", "__nrm")
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), vec_c.alias("__raw"))
+    c = _unit(c, "cv")
+    for j, book in enumerate(codebooks):
+        dists = F.array(*_pq_sub_dists(F.col("cv"), book, j, dsub))
+        c = c.withColumn(
+            f"code_{j}",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+    c = c.drop("cv")
+
+    q = queries.select(F.col(id_col).alias("query_id"), vec_c.alias("__raw"))
+    q = _unit(q, "qv")
+    for j, book in enumerate(codebooks):
+        q = q.withColumn(
+            f"dt_{j}", F.array(*_pq_sub_dists(F.col("qv"), book, j, dsub))
+        )
+    q = q.drop("qv")
+
+    joined = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    )
+    approx = F.element_at(F.col("dt_0"), F.col("code_0") + 1)
+    for j in range(1, m):
+        approx = approx + F.element_at(
+            F.col(f"dt_{j}"), F.col(f"code_{j}") + 1
+        )
+    scored = joined.withColumn("approx_dist", approx)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "rank", "neighbor_id", "approx_dist"
+        )
+
+    short = ranked.filter(F.col("rank") <= refine).select(
+        "query_id", "neighbor_id"
+    )
+    cu = _unit(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), vec_c.alias("__raw")
+        ),
+        "cu",
+    )
+    qu = _unit(
+        queries.select(F.col(id_col).alias("query_id"), vec_c.alias("__raw")),
+        "qu",
+    )
+    rescored = (
+        short.join(cu, "neighbor_id")
+        .join(F.broadcast(qu), "query_id")
+        .withColumn("cosine", dot_expr(F.col("qu"), F.col("cu"), dim))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

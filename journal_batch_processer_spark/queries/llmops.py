@@ -1966,8 +1966,148 @@ FROM s WHERE abs(z) > 1.65
 """
 
 
+def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search with exact re-rank (the
+    FAISS-style two-stage layout): 16×16 codebooks encode each 64-dim
+    vector to 16 bytes (16× smaller than float32 — the compression
+    that makes a 100 TB corpus's codes memory-resident), ADC scans the
+    codes for a 50-deep shortlist, and raw vectors are fetched for the
+    SHORTLIST ONLY to re-rank the exact top-5 (recall@5 ≈ 0.88 vs
+    brute force on this corpus, asserted in tests). Codebooks are
+    trained deterministically (operators.similarity.train_pq_codebooks
+    — portable md5 sample, fixed Lloyd rounds), so bit-identical
+    literals inline into both the Spark plan and the DuckDB oracle:
+    encoding, distance tables, shortlist, and re-ranked cosines are
+    value-checked end-to-end at full precision."""
+    import os as _os
+
+    from journal_batch_processer_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    books = train_pq_codebooks(
+        _os.path.join(sf_dir, "embeddings.parquet"), m=16, ksub=16
+    )
+    return pq_topk(embs, queries, books, dim=EMB_DIM, k=5, refine=50)
+
+
+def _pq_oracle_sql(
+    m: int = 16, ksub: int = 16, k: int = 5, refine: int = 50
+) -> str:
+    """LAZY DuckDB oracle for q_sim_search_pq: trains the SAME
+    deterministic codebooks and inlines them as e-notation literals
+    (DuckDB parses those directly as correctly-rounded doubles — the
+    DECIMAL-literal ulp trap recorded in NOTES_r05). Every arithmetic
+    step mirrors the Spark expressions' fold order exactly, so the
+    compare is full-precision, no rounding."""
+    import os as _os
+
+    from journal_batch_processer_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    books = train_pq_codebooks(
+        _os.path.join(sf_dir, "embeddings.parquet"), m=m, ksub=ksub
+    )
+    dsub = EMB_DIM // m
+
+    def _lit(x: float) -> str:
+        r = repr(x)
+        return r if "e" in r or "E" in r else r + "e0"
+
+    def dists_sql(book: list[list[float]], j: int) -> str:
+        terms = []
+        for cent in book:
+            parts = [
+                f"(v[{j * dsub + d + 1}] - {_lit(cent[d])})"
+                f" * (v[{j * dsub + d + 1}] - {_lit(cent[d])})"
+                for d in range(dsub)
+            ]
+            terms.append(" + ".join(parts))
+        return "list_value(" + ", ".join(terms) + ")"
+
+    enc_cols = ", ".join(
+        f"CAST(list_indexof(dl_{j}, list_min(dl_{j})) - 1 AS INTEGER)"
+        f" AS code_{j}"
+        for j in range(m)
+    )
+    dl_cols = ", ".join(
+        f"{dists_sql(book, j)} AS dl_{j}" for j, book in enumerate(books)
+    )
+    approx = " + ".join(f"q.dl_{j}[c.code_{j} + 1]" for j in range(m))
+    # unit-normalize with the SAME unrolled fold order as Spark's
+    # norm_expr (list_sum would sum pairwise — the NOTES_r05 trap)
+    nrm_sum = " + ".join(
+        f"embedding[{i}]::DOUBLE * embedding[{i}]::DOUBLE"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return f"""
+WITH v0 AS (
+    SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x / nrm) AS v
+    FROM (
+        SELECT vec_id, embedding, sqrt({nrm_sum}) AS nrm FROM embeddings
+    )
+),
+dl AS (
+    SELECT vec_id, {dl_cols} FROM v0
+),
+enc AS (
+    SELECT vec_id, {enc_cols} FROM dl
+),
+qd AS (
+    SELECT * FROM dl WHERE vec_id < 10
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {approx} AS approx_dist
+    FROM qd q JOIN enc c ON c.vec_id <> q.vec_id
+),
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY approx_dist ASC, neighbor_id
+               ) AS arn
+        FROM scored
+    ) WHERE arn <= {refine}
+),
+rescored AS (
+    SELECT s.query_id, s.neighbor_id, {_pq_unit_dot()} AS cosine
+    FROM short s
+    JOIN v0 c ON c.vec_id = s.neighbor_id
+    JOIN v0 q ON q.vec_id = s.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS rank
+    FROM rescored
+) WHERE rank <= {k}
+"""
+
+
+def _pq_unit_dot() -> str:
+    """Unrolled q·c over unit vectors (dot of units IS cosine), same
+    left-assoc add order as Spark's dot_expr."""
+    return " + ".join(f"q.v[{i}] * c.v[{i}]" for i in range(1, EMB_DIM + 1))
+
+
+# lazy: trains codebooks at oracle-request time (fixture-dependent)
+SQL_SIM_SEARCH_PQ = _pq_oracle_sql
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "sim_search_pq": (q_sim_search_pq, SQL_SIM_SEARCH_PQ),
     "dedup_exact_hash": (q_dedup_exact_hash, SQL_DEDUP_EXACT_HASH),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_ngram_prefix": (q_dedup_ngram_prefix, SQL_DEDUP_NGRAM_T50),

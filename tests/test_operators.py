@@ -620,3 +620,85 @@ def test_canonical_url_rules(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_pq_codebooks_deterministic_and_shaped():
+    """PQ codebooks must be bit-reproducible (the oracle inlines the
+    same literals) with the m × ksub × dsub shape."""
+    from journal_batch_processer_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    b1 = train_pq_codebooks(path, m=16, ksub=16)
+    b2 = train_pq_codebooks(path, m=16, ksub=16)
+    assert b1 == b2  # bit-identical across runs
+    assert len(b1) == 16
+    assert all(len(book) == 16 for book in b1)
+    assert all(len(c) == 4 for book in b1 for c in book)
+
+
+def test_pq_full_refine_equals_exact(spark):
+    """With the shortlist covering the whole corpus, PQ-with-refine
+    must return EXACTLY the brute-force ranking — the re-rank stage is
+    exact cosine, so any divergence would mean the shortlist or the
+    rescoring arithmetic is wrong."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 10)
+    books = train_pq_codebooks(f"{sf}/embeddings.parquet", m=16, ksub=16)
+    n = embs.count()
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(embs, qs, k=5, dim=64).collect()
+    }
+    refined = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in pq_topk(
+            embs, qs, books, dim=64, k=5, refine=n
+        ).collect()
+    }
+    assert refined == exact
+
+
+def test_pq_refine_beats_adc_only(spark):
+    """The two-stage search must dominate raw ADC ranking: re-ranked
+    recall@5 >= ADC-only recall@5, and ADC-only must itself beat
+    chance by a wide margin."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 10)
+    books = train_pq_codebooks(f"{sf}/embeddings.parquet", m=16, ksub=16)
+
+    ex = {}
+    for r in cosine_topk(embs, qs, k=5, dim=64).collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(ex[q] & got.get(q, set())) for q in ex) / sum(
+            len(ex[q]) for q in ex
+        )
+
+    adc = recall(pq_topk(embs, qs, books, dim=64, k=5))
+    ref = recall(pq_topk(embs, qs, books, dim=64, k=5, refine=20))
+    assert ref >= adc
+    assert adc >= 0.2  # far above chance (5/49) on this corpus
