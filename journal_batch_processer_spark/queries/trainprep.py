@@ -326,15 +326,14 @@ PR_ITERS = 5
 PR_TOTAL = 1_000_000_000_000  # initial integer mass per node
 
 
-def _pagerank_edges(nodes: DataFrame) -> DataFrame:
+def _pagerank_edges(nodes: DataFrame, n: int) -> DataFrame:
     """Deterministic 3-regular synthetic link graph over doc_ids:
-    node → (3i+1)%N, (7i+11)%N, (i+1)%N. N rides along as a column
-    (from a broadcast 1-row count) so the whole graph is plan-only."""
+    node → (3i+1)%N, (7i+11)%N, (i+1)%N."""
     e = None
     for a, c in ((3, 1), (7, 11), (1, 1)):
         part = nodes.select(
             F.col("node").alias("src"),
-            ((F.col("node") * a + c) % F.col("n")).alias("dst"),
+            ((F.col("node") * a + c) % F.lit(n)).alias("dst"),
         )
         e = part if e is None else e.unionAll(part)
     return e
@@ -353,17 +352,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each iteration is one shuffle join (ranks × edges on
     src — at real scale both sides pre-partitioned on the key, so the
-    join is co-located after iteration 1) plus one groupBy(dst). On a
-    real cluster each iteration would checkpoint to truncate lineage
-    (operators/graph.py:52 does exactly that for connected
-    components); 5 unrolled plan levels need no checkpoint."""
+    join is co-located after iteration 1) plus one groupBy(dst). N is
+    resolved by ONE bounded scalar action (the graph.py:64 precedent —
+    a 1-row aggregate, never data) and the static node/edge relations
+    are localCheckpoint-ed so the unrolled iterations reference a
+    truncated lineage instead of re-expanding the scan 5× (without
+    this the static plan held 84 scans and 42 broadcast-nested-loop
+    count joins — pinned by tests/test_scale_plans.py)."""
     docs = _docs(spark, sf_dir)
-    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
-    nodes = docs.select(F.col("doc_id").alias("node")).crossJoin(
-        F.broadcast(cnt)
-    )
-    edges = _pagerank_edges(nodes)
-    ranks = nodes.select("node", "n", F.lit(PR_TOTAL).alias("pr"))
+    n = docs.count()  # scalar action: graph size, needed as a literal
+    nodes = docs.select(F.col("doc_id").alias("node")).localCheckpoint()
+    edges = _pagerank_edges(nodes, n).localCheckpoint()
+    ranks = nodes.select("node", F.lit(PR_TOTAL).alias("pr"))
+    teleport = (PR_TOTAL * 15) // (100 * n)
     for _ in range(PR_ITERS):
         contrib = (
             edges.join(
@@ -376,9 +377,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
-                "n",
                 (
-                    F.expr(f"({PR_TOTAL} * 15) div (100 * n)")
+                    F.lit(teleport)
                     + F.expr("(85 * coalesce(insum, 0)) div 100")
                 ).alias("pr"),
             )

@@ -221,3 +221,70 @@ def test_stream_join_static_side_broadcasts(spark):
     joined = events.join(customers, F.col("user_id") == F.col("c_custkey"))
     stats = plan_stats(joined)
     assert stats.broadcast_hash_joins >= 1, stats.plan
+
+
+def test_round5_operators_plan_shape(spark):
+    """Plan pins for the round-5 surface: chunking/quantization are
+    shuffle-free narrow maps, keyword extraction and packing stay at
+    their minimal exchange counts, PageRank's 5 iterations plan no
+    cartesian/nested-loop joins, and the PQ search broadcasts its
+    query side everywhere (corpus side never shuffles for scoring)."""
+    from journal_batch_processer_spark.queries.trainprep import (
+        q_chunk_sliding,
+        q_embed_quantize,
+        q_graph_pagerank,
+        q_seq_pack,
+        q_tfidf_topk,
+    )
+    from journal_batch_processer_spark.queries.warehouse import q_upsert_merge
+
+    # pure scan→explode→slice / transform maps: the only allowed
+    # exchange is the documented single-file ingest spread (round
+    # robin, a no-op at real scale) — never a key shuffle
+    ch = plan_stats(q_chunk_sliding(spark, SF))
+    assert ch.shuffles <= 1 and "hashpartitioning" not in ch.plan, ch.plan
+
+    eq = plan_stats(q_embed_quantize(spark, SF))
+    assert eq.shuffles <= 1 and "hashpartitioning" not in eq.plan, eq.plan
+
+    # counts agg + dfreq agg + join back + per-doc window; the static
+    # plan prints the counts subtree twice (both join inputs derive
+    # from it) — ReuseExchange dedupes the identical exchanges at
+    # runtime, so pin the static ceiling and the join staying
+    # broadcast (the vocab side is the small one)
+    tf = plan_stats(q_tfidf_topk(spark, SF))
+    assert tf.cartesian == 0, tf.plan
+    assert tf.shuffles <= 8, tf.plan
+    assert tf.broadcast_hash_joins >= 1, tf.plan
+
+    # one cumsum window + explode: a single per-source exchange
+    # (AQE may add a read-side coalesce but no second hash exchange)
+    sp = plan_stats(q_seq_pack(spark, SF))
+    assert sp.cartesian == 0, sp.plan
+    assert sp.shuffles <= 2, sp.plan
+
+    pr = plan_stats(q_graph_pagerank(spark, SF))
+    assert pr.cartesian == 0 and pr.nested_loop_joins == 0, pr.plan
+
+    um = plan_stats(q_upsert_merge(spark, SF))
+    assert um.cartesian == 0, um.plan
+    # full outer join on the key: both sides hash to the key once
+    assert um.shuffles <= 3, um.plan
+
+
+def test_pq_search_broadcasts_queries(spark):
+    """The PQ ADC scan must keep the corpus un-shuffled: queries (with
+    their distance tables) broadcast, candidates flow map-side, and
+    the only exchanges are the per-query top-k windows and the
+    shortlist re-rank join back to the corpus."""
+    from journal_batch_processer_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 10)
+    books = train_pq_codebooks(f"{SF}/embeddings.parquet", m=16, ksub=16)
+    st = plan_stats(pq_topk(embs, qs, books, dim=64, k=5, refine=20))
+    assert st.cartesian == 0, st.plan
+    assert st.broadcast_hash_joins + st.nested_loop_joins >= 1, st.plan
