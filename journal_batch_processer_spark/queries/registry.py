@@ -67,6 +67,7 @@ def _build() -> dict[str, QuerySpec]:
     # driver sweeps goes last.
     priority = [
         # new in r05 (second batch) — never swept
+        "layout_zorder",
         "sim_search_pq",
         "stream_upsert",
         "orc_roundtrip",

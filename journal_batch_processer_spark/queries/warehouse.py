@@ -23,6 +23,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from journal_batch_processer_spark.operators.layout import (
+    zorder_key,
+    zorder_terms_sql,
+)
 from journal_batch_processer_spark.queries.llmops import _docs
 from journal_batch_processer_spark.session import load_events
 
@@ -188,7 +192,48 @@ FROM kept
 """
 
 
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over the two dimensions events are
+    actually probed by — user and hour-of-day: 8+8 bits interleaved
+    into a 16-bit Z-value plus the 16-way range bucket the row would
+    land in under OPTIMIZE ZORDER BY. The interleave is pure integer
+    div/mod arithmetic (identical in both engines — bit-shift
+    OPERATORS are not portable), so every Z-value and bucket is
+    value-oracled. The actual clustering (repartitionByRange + sort
+    within partitions) lives in operators/layout.cluster_by_zorder and
+    is pinned by a plan test asserting the range exchange; this key
+    checks the math that layout depends on."""
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    base = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("x"),
+        F.hour("ts").cast("bigint").alias("y"),
+    )
+    z = zorder_key("x", "y", bits=8)
+    return base.select(
+        "event_id", "x", "y", z.alias("zvalue"),
+        F.expr(f"({zorder_terms_sql('x', 'y', 8).format(div='div')}) div 4096")
+        .alias("zbucket"),
+    )
+
+
+SQL_LAYOUT_ZORDER = f"""
+WITH base AS (
+    SELECT event_id, user_id % 256 AS x,
+           CAST(hour(ts) AS BIGINT) AS y
+    FROM events
+)
+SELECT event_id, x, y,
+       CAST({zorder_terms_sql("x", "y", 8).format(div="//")} AS BIGINT)
+           AS zvalue,
+       CAST(({zorder_terms_sql("x", "y", 8).format(div="//")}) // 4096
+           AS BIGINT) AS zbucket
+FROM base
+"""
+
+
 QUERIES = {
+    "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "partitioned_prune": (q_partitioned_prune, SQL_PARTITIONED_PRUNE),
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),

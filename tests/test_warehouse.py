@@ -109,3 +109,37 @@ def test_orc_roundtrip_lossless(spark):
         for r in q_orc_roundtrip(spark, SF_DIR).collect()
     }
     assert got == {k: tuple(v) for k, v in expected.items()}
+
+
+def test_zorder_matches_python_model_and_plans_range_exchange(spark):
+    from journal_batch_processer_spark.operators.layout import (
+        cluster_by_zorder,
+        zorder_python,
+    )
+    from journal_batch_processer_spark.plans import plan_stats
+    from journal_batch_processer_spark.queries.warehouse import q_layout_zorder
+
+    rows = q_layout_zorder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.zvalue == zorder_python(r.x, r.y, 8), (r.x, r.y)
+        assert r.zbucket == r.zvalue // 4096
+
+    # z-locality: both dimensions' spread within a bucket must be far
+    # tighter than the global spread (the whole point of the layout)
+    from collections import defaultdict
+
+    spans = defaultdict(lambda: [256, -1, 256, -1])
+    for r in rows:
+        s = spans[r.zbucket]
+        s[0] = min(s[0], r.x); s[1] = max(s[1], r.x)
+        s[2] = min(s[2], r.y); s[3] = max(s[3], r.y)
+    avg_x_span = sum(s[1] - s[0] for s in spans.values()) / len(spans)
+    assert avg_x_span <= 128  # global span is 255
+
+    df = spark.createDataFrame(
+        [(i % 7, i % 11) for i in range(100)], "x long, y long"
+    )
+    st = plan_stats(cluster_by_zorder(df, "x", "y", n_partitions=4))
+    assert "rangepartitioning" in st.plan.lower(), st.plan
+    assert "Sort" in st.plan, st.plan
