@@ -468,6 +468,32 @@ def _pq_sub_dists(vec: F.Column, book: list[list[float]], j: int, dsub: int):
     return dists
 
 
+def _pq_dist_array(vec: F.Column, book: list[list[float]], j: int, dsub: int):
+    """Same ksub distances as ``_pq_sub_dists`` (bit-identical values
+    and fold order) but expressed as a ``transform`` over the LITERAL
+    codebook array, so codegen emits one loop over the 16 centroids
+    instead of ~200 unrolled expressions per code column. With m=16
+    codebooks the fully-unrolled form overflows janino's 64 KB method
+    limit and the whole stage silently drops to interpreted eval
+    (~20x slower) — the loop form compiles. The inner per-dimension
+    sum stays unrolled left-to-right, matching the SQL oracle."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in cent]) for cent in book]
+    )
+
+    def _d2(cent: F.Column) -> F.Column:
+        d0 = F.element_at(vec, j * dsub + 1) - F.element_at(cent, 1)
+        s = d0 * d0
+        for d in range(1, dsub):
+            dd = F.element_at(vec, j * dsub + d + 1) - F.element_at(
+                cent, d + 1
+            )
+            s = s + dd * dd
+        return s
+
+    return F.transform(cents, _d2)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -514,19 +540,41 @@ def pq_topk(
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), vec_c.alias("__raw"))
     c = _unit(c, "cv")
-    for j, book in enumerate(codebooks):
-        dists = F.array(*_pq_sub_dists(F.col("cv"), book, j, dsub))
-        c = c.withColumn(
-            f"code_{j}",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
-        )
-    c = c.drop("cv")
+    # Two-stage encode: materialize each 16-centroid distance array as a
+    # named column FIRST, then take its argmin in a separate projection.
+    # Inlining the array into array_position(dists, array_min(dists))
+    # duplicates the whole unrolled expression twice per code column —
+    # at m=16 that single collapsed projection overflows janino's 64 KB
+    # method limit and the stage silently falls back to interpreted
+    # evaluation (~20x slower). CollapseProject keeps the split because
+    # each d_j alias is non-cheap and referenced twice.
+    c = c.select(
+        "neighbor_id",
+        *[
+            _pq_dist_array(F.col("cv"), book, j, dsub).alias(f"d_{j}")
+            for j, book in enumerate(codebooks)
+        ],
+    )
+    c = c.select(
+        "neighbor_id",
+        *[
+            (
+                F.array_position(
+                    F.col(f"d_{j}"), F.array_min(F.col(f"d_{j}"))
+                )
+                - 1
+            )
+            .cast("int")
+            .alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
 
     q = queries.select(F.col(id_col).alias("query_id"), vec_c.alias("__raw"))
     q = _unit(q, "qv")
     for j, book in enumerate(codebooks):
         q = q.withColumn(
-            f"dt_{j}", F.array(*_pq_sub_dists(F.col("qv"), book, j, dsub))
+            f"dt_{j}", _pq_dist_array(F.col("qv"), book, j, dsub)
         )
     q = q.drop("qv")
 
