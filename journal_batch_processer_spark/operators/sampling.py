@@ -16,7 +16,7 @@ Catalyst pushes into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -105,3 +105,133 @@ def deterministic_sample(df: DataFrame, key_col: str, frac: float) -> DataFrame:
     if not 0 <= t <= 0x10000:
         raise ValueError(f"bad sample fraction: {frac}")
     return df.filter(_bucket(F.col(key_col), width=4) < F.lit(_hex_threshold(t, 4)))
+
+
+def corpus_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    shares_ppm: dict[str, int],
+    salt: str = "mix:",
+) -> DataFrame:
+    """Rebalance a corpus to TARGET output proportions (the
+    domain-mixing step of a pretraining pipeline: "the mix should be
+    40% en / 30% de / 30% zh" regardless of what the crawl delivered).
+
+    Unlike :func:`stratified_sample` the keep rates are DERIVED FROM
+    THE DATA: the largest total consistent with the target shares is
+    T = min_s(count_s · 1e6 / share_s) — the scarcest stratum is kept
+    whole and every other stratum is downsampled to match. All rate
+    arithmetic is integer (ppm), and membership is the usual md5-hex
+    threshold, so the kept set is deterministic across runs,
+    partitionings, and engines, and NESTED under share changes that
+    only raise a stratum's rate.
+
+    Plan shape: one tiny aggregate over ``strata_col`` (stratum
+    cardinality, not corpus rows) broadcast back onto the scan; the
+    corpus side is a narrow filter — the only full-data shuffle is
+    none. Strata absent from ``shares_ppm`` are dropped.
+
+    Returns the kept rows plus ``keep_ppm`` (audit: the applied rate).
+    """
+    if not shares_ppm:
+        raise ValueError("shares_ppm must name at least one stratum")
+    if sum(shares_ppm.values()) != 1_000_000:
+        raise ValueError(f"shares must sum to 1e6 ppm, got {shares_ppm}")
+    share_expr = None
+    for s, ppm in shares_ppm.items():
+        if not 0 < ppm <= 1_000_000:
+            raise ValueError(f"bad share for {s!r}: {ppm}")
+        cond = F.col(strata_col) == s
+        val = F.lit(ppm).cast("bigint")
+        share_expr = (
+            F.when(cond, val)
+            if share_expr is None
+            else share_expr.when(cond, val)
+        )
+    in_scope = df.filter(F.col(strata_col).isin(*shares_ppm))
+    counts = (
+        in_scope.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("share_ppm", share_expr)
+    )
+    # implied max total per stratum; global min is the achievable total
+    w_all = Window.partitionBy(F.lit(0))
+    counts = counts.withColumn(
+        "t_total",
+        F.min(F.expr("(cnt * 1000000) div share_ppm")).over(w_all),
+    )
+    counts = counts.withColumn(
+        "keep_ppm",
+        F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.expr("(((t_total * share_ppm) div 1000000) * 1000000) div cnt"),
+        ),
+    )
+    # 6-hex-char threshold on the 16^6 grid; full-rate strata get the
+    # 'g' sentinel (hex('1000000') would be 7 chars and lpad truncates)
+    counts = counts.select(
+        strata_col,
+        "keep_ppm",
+        F.when(F.col("keep_ppm") >= 1_000_000, F.lit("g"))
+        .otherwise(
+            F.lower(
+                F.lpad(
+                    F.hex(F.expr("(keep_ppm * 16777216) div 1000000")),
+                    6,
+                    "0",
+                )
+            )
+        )
+        .alias("__thr"),
+    )
+    kept = in_scope.join(F.broadcast(counts), strata_col).filter(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 6
+        )
+        < F.col("__thr")
+    )
+    return kept.drop("__thr")
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    n_salt: int = 8,
+    salt: str = "res:",
+) -> DataFrame:
+    """Fixed-size deterministic sample per group: the ``k`` rows with
+    the smallest md5(salt || key) in each group — a reproducible
+    reservoir (same members across runs/engines, unlike an actual
+    streaming reservoir whose members depend on arrival order).
+
+    Scale shape: a single ``row_number`` over ``partitionBy(group)``
+    puts an entire group in one task — a mega-group (one language
+    dominating a crawl) stalls the stage. So the top-k runs TWO-LEVEL:
+    rank within (group, hash-salt cell) and keep k per cell (bounded
+    fan-in, n_salt× parallel), then re-rank the surviving n_salt·k
+    rows per group. The global top-k by hash is a subset of the union
+    of per-cell top-k's, so the result is EXACTLY the single-window
+    answer — the oracle checks against the naive form.
+
+    Output: the input row plus ``rn`` (1-based rank by hash order).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    cell = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salt))
+    w1 = Window.partitionBy(F.col(group_col), cell).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    survivors = (
+        df.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+    )

@@ -292,6 +292,122 @@ def ivf_topk(
     )
 
 
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-trained-centroid assignment (the k-means "predict"
+    half, shared by IVF layout and corpus clustering): broadcast the
+    centroid literals against the corpus, rank by cosine (ties →
+    lowest ``cell``), keep rank 1. Output keeps the unit-less vector
+    and its norm (``v``, ``nrm``) so downstream ops (SemDeDup's exact
+    pair verify) reuse them without a second scan.
+
+    One broadcast join + one per-id window; at 100 TB the assignment
+    is the partition-key computation of the cell-partitioned layout.
+    """
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "cell long, cvec array<double>",
+    )
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", norm_expr(F.col("v"), dim))
+    scored = e.join(F.broadcast(cents)).withColumn(
+        "csim",
+        dot_expr(F.col("v"), F.col("cvec"), dim)
+        / (F.col("nrm") * norm_expr(F.col("cvec"), dim)),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "v", "nrm", "cell", "csim")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    trained centroids, then WITHIN each cluster drop any vector that
+    has a near-duplicate (exact cosine ≥ ``tau``) which is closer to
+    the centroid (ties → lower id wins). Keeps one representative per
+    semantic near-dup set without ever comparing across clusters.
+
+    Scale shape: the pair join is cell-equi — candidate volume is
+    Σ|cell|², bounded by the trained-cell balance (asserted in tests),
+    never corpus². At 100 TB cells are written as partitions and each
+    runs independently; an oversized cell would be sub-bucketed by
+    hyperplane LSH (operators.similarity.hyperplane_sign_bits) before
+    the pair join, exactly like dedup_embed_lsh.
+
+    The drop rule is a per-row EXISTS (left-anti shape), not connected
+    components — deterministic and single-pass, the standard SemDeDup
+    policy. Output: ``vec_id, cell, kept`` (kept = 1/0) for every
+    input vector.
+    """
+    a = assign_nearest_centroid(df, centroids, dim, id_col, vec_col)
+    x = a.select(
+        F.col("vec_id").alias("xa_id"),
+        F.col("v").alias("xa_v"),
+        F.col("nrm").alias("xa_nrm"),
+        F.col("cell").alias("xa_cell"),
+        F.col("csim").alias("xa_csim"),
+    )
+    y = a.select(
+        F.col("vec_id").alias("yb_id"),
+        F.col("v").alias("yb_v"),
+        F.col("nrm").alias("yb_nrm"),
+        F.col("cell").alias("yb_cell"),
+        F.col("csim").alias("yb_csim"),
+    )
+    pair_cos = dot_expr(F.col("xa_v"), F.col("yb_v"), dim) / (
+        F.col("xa_nrm") * F.col("yb_nrm")
+    )
+    dominated = (
+        x.join(
+            y,
+            (F.col("xa_cell") == F.col("yb_cell"))
+            & (F.col("xa_id") != F.col("yb_id")),
+        )
+        .filter(
+            (pair_cos >= tau)
+            & (
+                (F.col("yb_csim") > F.col("xa_csim"))
+                | (
+                    (F.col("yb_csim") == F.col("xa_csim"))
+                    & (F.col("yb_id") < F.col("xa_id"))
+                )
+            )
+        )
+        .select(F.col("xa_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a.join(dominated.withColumn("__drop", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("__drop").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+    )
+
+
 def plane_sign(p: int, d: int) -> float:
     """±1 component d of random hyperplane p — md5-parity, computed in
     PYTHON at plan-build time so the identical literal matrix can be

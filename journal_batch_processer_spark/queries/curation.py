@@ -1,0 +1,266 @@
+"""Corpus-curation operators: data-dependent domain mixing, fixed-size
+per-group reservoirs, embedding k-means clustering, and SemDeDup-style
+semantic deduplication.
+
+These extend SURVEY.md §2i (EXT) — the reference (BatchUpdate.py) has
+no equivalent surface. They are the curation stages between dedup and
+tokenization in a 100 TB pretraining pipeline: rebalance the crawl to
+the target language/domain mix, pull bounded per-stratum audit
+samples, cluster the embedding space, and drop semantic near-dups
+cluster-locally (SemDeDup: arXiv 2303.09540 — the published recipe,
+reimplemented on Spark primitives).
+
+Oracle discipline: rate arithmetic is integer (ppm) and membership is
+md5-hex thresholds, so corpus_mix / sample_reservoir are hash-exact;
+the embedding keys inline deterministically-trained centroid literals
+into BOTH engines (the sim_search_ivf pattern) so cluster assignment,
+pair cosines, and the kept/dropped verdicts are value-checked at full
+precision (cosines rounded to 6 only at the output boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.queries.llmops import (
+    _DOT_SQL,
+    _NORM_CTE,
+    EMB_DIM,
+    _docs,
+    _embs,
+)
+
+# ---------------------------------------------------------------------------
+# corpus mixing
+# ---------------------------------------------------------------------------
+
+# target output mix: en 40%, zh/de/fr 20% each; es dropped. On the
+# sf fixtures en/zh/de are downsampled and fr is the scarcest stratum
+# (kept whole — exercises the 'g' full-rate sentinel).
+MIX_SHARES_PPM = {"en": 400_000, "zh": 200_000, "de": 200_000, "fr": 200_000}
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a target language mix. Rates are derived
+    from the DATA (scarcest stratum kept whole, others downsampled to
+    match), not fixed fractions — the real mixing step, distinct from
+    sample_stratified's static rates. Integer ppm arithmetic + md5
+    thresholds make the kept set hash-exact across engines."""
+    from journal_batch_processer_spark.operators.sampling import corpus_mix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return corpus_mix(docs, "doc_id", "lang", MIX_SHARES_PPM).select(
+        "doc_id", "lang", "keep_ppm"
+    )
+
+
+def _mix_case_sql() -> str:
+    return (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{s}' THEN CAST({ppm} AS BIGINT)"
+            for s, ppm in MIX_SHARES_PPM.items()
+        )
+        + " END"
+    )
+
+
+SQL_CORPUS_MIX = f"""
+WITH c AS (
+    SELECT lang, COUNT(*) AS cnt, {_mix_case_sql()} AS share_ppm
+    FROM documents
+    WHERE lang IN ({", ".join(f"'{s}'" for s in MIX_SHARES_PPM)})
+    GROUP BY lang
+),
+t AS (
+    SELECT lang, cnt, share_ppm,
+           MIN((cnt * 1000000) // share_ppm) OVER () AS t_total
+    FROM c
+),
+r AS (
+    SELECT lang,
+           CAST(LEAST(
+               1000000,
+               (((t_total * share_ppm) // 1000000) * 1000000) // cnt
+           ) AS BIGINT) AS keep_ppm
+    FROM t
+),
+th AS (
+    SELECT lang, keep_ppm,
+           CASE WHEN keep_ppm >= 1000000 THEN 'g'
+                ELSE lower(lpad(hex((keep_ppm * 16777216) // 1000000),
+                                6, '0'))
+           END AS thr
+    FROM r
+)
+SELECT d.doc_id, d.lang, th.keep_ppm
+FROM documents d JOIN th ON d.lang = th.lang
+WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 6) < th.thr
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group reservoir
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 10
+
+
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic per-language sample (k=10): the audit /
+    eval-slice puller. Runs two-level (per-salt-cell top-k, then
+    per-group re-rank) so no single task ever holds a whole group —
+    the oracle checks it against the naive single-window form, proving
+    the two-level rewrite exact."""
+    from journal_batch_processer_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return reservoir_per_group(docs, "lang", "doc_id", RESERVOIR_K).select(
+        "doc_id", "lang", "rn"
+    )
+
+
+SQL_SAMPLE_RESERVOIR = f"""
+SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('res:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= {RESERVOIR_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding k-means clustering + SemDeDup
+# ---------------------------------------------------------------------------
+
+SEMANTIC_TAU = 0.4  # near-dup threshold (matches dedup_embed's sweep)
+_N_CLUSTERS = 16
+
+
+def _centroids(sf_dir: str) -> list[list[float]]:
+    import os as _os
+
+    from journal_batch_processer_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    return train_ivf_centroids(
+        _os.path.join(sf_dir, "embeddings.parquet"), n_centroids=_N_CLUSTERS
+    )
+
+
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering: every embedding assigned to its nearest
+    deterministic spherical-k-means centroid (the clustered layout
+    behind IVF partition pruning, diversity balancing, and SemDeDup).
+    Centroid literals inline into both engines, so assignments AND the
+    centroid cosine are value-checked; cell balance asserted in
+    tests."""
+    from journal_batch_processer_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+
+    embs = _embs(spark, sf_dir)
+    a = assign_nearest_centroid(embs, _centroids(sf_dir), EMB_DIM)
+    return a.select(
+        "vec_id", "cell", F.round("csim", 6).alias("cos_centroid")
+    )
+
+
+def _assigned_cte(cents: list[list[float]]) -> str:
+    """Shared oracle CTE: nearest-centroid assignment with the trained
+    literals (the _ivf_oracle_sql pattern — llmops.py:800)."""
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}])"
+        for i, c in enumerate(cents)
+    )
+    dot_ec = _DOT_SQL.replace("a.", "e.").replace("b.", "c2.")
+    return f"""{_NORM_CTE},
+cents AS (
+    SELECT cell, v,
+           sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                        i -> v[i] * v[i]))) AS nrm
+    FROM (
+        SELECT CAST(cell AS BIGINT) AS cell, v::DOUBLE[] AS v
+        FROM (VALUES {vals}) t(cell, v)
+    )
+),
+assigned AS (
+    SELECT vec_id, v, nrm, cell, sim FROM (
+        SELECT e.vec_id, e.v, e.nrm, c2.cell,
+               ({dot_ec} / (e.nrm * c2.nrm)) AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ({dot_ec} / (e.nrm * c2.nrm)) DESC, c2.cell
+               ) AS rn
+        FROM e CROSS JOIN cents c2
+    ) WHERE rn = 1
+)"""
+
+
+def _embed_kmeans_oracle_sql() -> str:
+    import os as _os
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    return f"""
+WITH {_assigned_cte(_centroids(sf_dir))}
+SELECT vec_id, cell, ROUND(sim, 6) AS cos_centroid FROM assigned
+"""
+
+
+SQL_EMBED_KMEANS = _embed_kmeans_oracle_sql  # lazy: trains from fixture
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within each trained cluster, drop any vector that has
+    an exact-cosine near-duplicate (≥ 0.4) closer to the centroid
+    (ties → lower id). Cell-equi pair join — candidates are Σ|cell|²,
+    never corpus² — with the kept/dropped verdict value-checked for
+    every vector."""
+    from journal_batch_processer_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    embs = _embs(spark, sf_dir)
+    return semantic_dedup(embs, _centroids(sf_dir), EMB_DIM, SEMANTIC_TAU)
+
+
+def _dedup_semantic_oracle_sql() -> str:
+    import os as _os
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    dot_xy = _DOT_SQL.replace("a.", "x.").replace("b.", "y.")
+    return f"""
+WITH {_assigned_cte(_centroids(sf_dir))},
+dropped AS (
+    SELECT DISTINCT x.vec_id
+    FROM assigned x JOIN assigned y
+      ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    WHERE ({dot_xy} / (x.nrm * y.nrm)) >= {SEMANTIC_TAU}
+      AND (y.sim > x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
+)
+SELECT a.vec_id, a.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+SQL_DEDUP_SEMANTIC = _dedup_semantic_oracle_sql  # lazy: trains from fixture
+
+
+QUERIES = {
+    "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
+    "sample_reservoir": (q_sample_reservoir, SQL_SAMPLE_RESERVOIR),
+    "embed_kmeans": (q_embed_kmeans, SQL_EMBED_KMEANS),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+}

@@ -30,6 +30,7 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 
 def _build() -> dict[str, QuerySpec]:
     from journal_batch_processer_spark.queries import (
+        curation,
         llmops,
         media,
         ref_io,
@@ -50,6 +51,7 @@ def _build() -> dict[str, QuerySpec]:
         media,
         trainprep,
         warehouse,
+        curation,
     ):
         for name, (fn, sql) in module.QUERIES.items():
             registry[name] = QuerySpec(fn=fn, oracle=sql)
@@ -66,6 +68,11 @@ def _build() -> dict[str, QuerySpec]:
     # key gets a post-regen driver row; everything green in the r03/r04
     # driver sweeps goes last.
     priority = [
+        # new in r05 (third batch) — never swept
+        "corpus_mix",
+        "sample_reservoir",
+        "embed_kmeans",
+        "dedup_semantic",
         # new in r05 (second batch) — never swept
         "layout_zorder",
         "sim_search_pq",
