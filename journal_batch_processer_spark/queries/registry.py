@@ -73,6 +73,8 @@ def _build() -> dict[str, QuerySpec]:
         "sample_reservoir",
         "embed_kmeans",
         "dedup_semantic",
+        "join_bloom",
+        "stream_stats",
         # new in r05 (second batch) — never swept
         "layout_zorder",
         "sim_search_pq",

@@ -1070,8 +1070,37 @@ FROM events
 """
 
 
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-reduced fact join: lineitem pre-filtered by a 2-hash bloom
+    built from urgent orders' keys, then exactly joined. The bloom
+    prunes probe rows BEFORE the join exchange (the shuffle-volume
+    lever at 100 TB); the exact join removes its false positives, so
+    the result — and the oracle — is the plain equi join."""
+    from journal_batch_processer_spark.operators.joins import (
+        bloom_filtered_join,
+    )
+
+    li = _li(spark, sf_dir).select("l_orderkey", "l_linenumber", "l_quantity")
+    urgent = (
+        _orders(spark, sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+    )
+    return bloom_filtered_join(li, urgent, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_totalprice"
+    )
+
+
+SQL_JOIN_BLOOM = """
+SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 QUERIES = {
     "group_agg": (q_group_agg, SQL_GROUP_AGG),
+    "join_bloom": (q_join_bloom, SQL_JOIN_BLOOM),
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),

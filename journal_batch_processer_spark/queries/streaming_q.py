@@ -426,8 +426,62 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unwindowed keyed streaming aggregate: running per-user stats
+    (event count, decimal-exact value sum, min/max value) over the
+    events stream, complete-mode memory sink, availableNow drain. This
+    is the OTHER streaming-state layout — one state row per key
+    forever, no window eviction — the shape of live per-entity
+    counters; at production scale it runs in update mode with state
+    TTL. Fully drained, complete mode equals the batch aggregate,
+    which is what the oracle computes."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    name = "jbp_stream_stats_mem"
+    dv = F.col("value").cast("decimal(18,6)")
+    stream = (
+        read_events_stream(spark, _events_stream_dir(sf_dir))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dv).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within 180s; a partial sink "
+            "would be silently wrong — failing loud instead"
+        )
+    return spark.table(name)
+
+
+SQL_STREAM_STATS = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "stream_upsert": (q_stream_upsert, SQL_STREAM_UPSERT),
+    "stream_stats": (q_stream_stats, SQL_STREAM_STATS),
     "stream_tumble": (q_stream_tumble, SQL_STREAM_TUMBLE),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "stream_dedup_watermarked": (
