@@ -12,7 +12,7 @@ pytest against the exact operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from journal_batch_processer_spark.operators.dedup import (
@@ -1966,6 +1966,81 @@ FROM s WHERE abs(z) > 1.65
 """
 
 
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median absolute deviation per event
+    type (the heavy-tail-safe alternative to outlier_zscore — one
+    corrupted batch of extreme values shifts a z-score's mean/stddev
+    but not the median). Flags |value − med| > 3·MAD.
+
+    Exactness: both medians are the LOWER median — the value at rank
+    (n+1) div 2 in (value, event_id) order — an ORDER STATISTIC, not
+    an interpolated percentile, so no engine-specific interpolation
+    arithmetic exists to disagree; every emitted double is an input
+    value or a single IEEE subtraction, making the oracle hash-exact.
+
+    Scale shape: two rank windows partitioned by event_type. Exact
+    per-group medians need a per-group sort; with few huge groups the
+    production variant is approx_percentile(0.5) (one partial-agg
+    pass, no sort) with this exact path as its verification baseline —
+    the same exact/approx pairing as corpus_quantiles."""
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    med = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    ranked2 = dev.withColumn("rn2", F.row_number().over(w2)).withColumn(
+        "n2", F.count(F.lit(1)).over(wc)
+    )
+    mad = ranked2.filter(F.expr("rn2 = (n2 + 1) div 2")).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+SQL_OUTLIER_MAD = """
+WITH ranked AS (
+    SELECT event_id, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+med AS (
+    SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+    SELECT e.event_id, e.event_type, e.value, m.med,
+           ABS(e.value - m.med) AS dev
+    FROM events e JOIN med m USING (event_type)
+),
+r2 AS (
+    SELECT event_type, dev,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY dev, event_id) AS rn2,
+           COUNT(*) OVER (PARTITION BY event_type) AS n2
+    FROM dev
+),
+mad AS (
+    SELECT event_type, dev AS mad FROM r2 WHERE rn2 = (n2 + 1) // 2
+)
+SELECT d.event_id, d.event_type, d.value, d.med, m2.mad
+FROM dev d JOIN mad m2 USING (event_type)
+WHERE d.dev > 3 * m2.mad
+"""
+
+
 def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC search with exact re-rank (the
     FAISS-style two-stage layout): 16×16 codebooks encode each 64-dim
@@ -2118,6 +2193,7 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_editdist": (q_dedup_editdist, SQL_DEDUP_EDITDIST),
     "outlier_zscore": (q_outlier_zscore, SQL_OUTLIER_ZSCORE),
+    "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
     "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
     "dedup_embed_lsh": (q_dedup_embed_lsh, SQL_DEDUP_EMBED_LSH),
     "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),

@@ -75,6 +75,8 @@ def _build() -> dict[str, QuerySpec]:
         "dedup_semantic",
         "join_bloom",
         "stream_stats",
+        "outlier_mad",
+        "compact_plan",
         # new in r05 (second batch) — never swept
         "layout_zorder",
         "sim_search_pq",

@@ -232,8 +232,92 @@ FROM base
 """
 
 
+COMPACT_TARGET_BYTES = 4096
+
+
+def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the table-maintenance pass every
+    long-lived warehouse needs — thousands of tiny ingest files →
+    target-sized rewrites): list the payload directory via the
+    binaryFile source, lay files end to end in name order, and cut
+    bins at the byte target. A file spanning a boundary starts the
+    next bin (whole files only — compaction concatenates, never
+    splits), implemented as `start div target` over the running size
+    cumsum, exactly the seq_pack integer shape, so the manifest is
+    hash-exact.
+
+    Scale shape: the plan runs over file METADATA (one row per file,
+    ~millions at 100 TB — window over name order within each table
+    partition, not a data scan); the rewrite the manifest drives is
+    the data pass. Fixture reuses the binary_ingest payload dir so the
+    DuckDB oracle lists the same files via read_blob."""
+    import os as _os
+    import tempfile as _tf
+
+    from journal_batch_processer_spark.queries.llmops import (
+        _materialize_blobs,
+    )
+
+    _materialize_blobs(sf_dir)
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    d = _os.path.join(_tf.gettempdir(), f"jbp_blobs_{tag}")
+    files = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.bin"))
+        .select(
+            F.regexp_extract("path", r"[^/]+$", 0).alias("fname"),
+            F.col("length").alias("n_bytes"),
+        )
+    )
+    w = Window.orderBy("fname").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        files.withColumn(
+            "start", F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+        )
+        .select(
+            "fname",
+            "n_bytes",
+            F.expr(f"start div {COMPACT_TARGET_BYTES}").alias("bin_id"),
+        )
+    )
+
+
+def _compact_plan_sql() -> str:
+    import os as _os
+    import tempfile as _tf
+
+    from journal_batch_processer_spark.queries.llmops import (
+        _materialize_blobs,
+    )
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    _materialize_blobs(sf_dir)
+    return f"""
+WITH f AS (
+    SELECT regexp_extract(filename, '[^/]+$') AS fname,
+           octet_length(content) AS n_bytes
+    FROM read_blob('{_tf.gettempdir()}/jbp_blobs_{tag}/*.bin')
+),
+s AS (
+    SELECT fname, n_bytes,
+           COALESCE(SUM(n_bytes) OVER (
+               ORDER BY fname
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS start
+    FROM f
+)
+SELECT fname, n_bytes,
+       CAST(start // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id
+FROM s
+"""
+
+
 QUERIES = {
     "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
+    "compact_plan": (q_compact_plan, _compact_plan_sql),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "partitioned_prune": (q_partitioned_prune, SQL_PARTITIONED_PRUNE),
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
