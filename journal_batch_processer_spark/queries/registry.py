@@ -77,6 +77,8 @@ def _build() -> dict[str, QuerySpec]:
         "stream_stats",
         "outlier_mad",
         "compact_plan",
+        "join_interval",
+        "stream_enrich",
         # new in r05 (second batch) — never swept
         "layout_zorder",
         "sim_search_pq",

@@ -1098,9 +1098,78 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+CAMPAIGNS = [
+    ("c1", "2024-01-02 12:00:00", "2024-01-04 00:00:00"),
+    ("c2", "2024-01-05 00:00:00", "2024-01-05 06:00:00"),
+    ("c3", "2024-01-10 18:00:00", "2024-01-12 09:30:00"),
+    ("c4", "2024-01-15 00:00:00", "2024-01-21 23:59:59"),
+    ("c5", "2024-01-28 06:00:00", "2024-02-02 00:00:00"),
+]
+
+
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (attribution shape): per-user daily
+    activity intervals [first,last event] × campaign windows that
+    overlap them, with the exact overlap duration. Runs through the
+    banded operator (day-bucket equi join, overlap-start pinning —
+    never a cartesian theta join); the oracle is the direct theta join
+    the banding must reproduce exactly."""
+    from journal_batch_processer_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    ua = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("a_lo"), F.max("ts").alias("a_hi"))
+    camps = spark.createDataFrame(
+        list(CAMPAIGNS),
+        "campaign_id string, c_lo_s string, c_hi_s string",
+    ).select(
+        "campaign_id",
+        F.to_timestamp("c_lo_s").alias("c_lo"),
+        F.to_timestamp("c_hi_s").alias("c_hi"),
+    )
+    out = interval_overlap_join(ua, camps, "a_lo", "a_hi", "c_lo", "c_hi")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "campaign_id",
+        (
+            F.unix_micros(F.least(F.col("a_hi"), F.col("c_hi")))
+            - F.unix_micros(F.greatest(F.col("a_lo"), F.col("c_lo")))
+        ).alias("overlap_us"),
+    )
+
+
+def _campaigns_values_sql() -> str:
+    return ", ".join(
+        f"('{c}', TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+        for c, lo, hi in CAMPAIGNS
+    )
+
+
+SQL_JOIN_INTERVAL = f"""
+WITH ua AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           MIN(ts) AS a_lo, MAX(ts) AS a_hi
+    FROM events GROUP BY 1, 2
+),
+camps(campaign_id, c_lo, c_hi) AS (VALUES {_campaigns_values_sql()})
+SELECT ua.user_id,
+       strftime(ua.day, '%Y-%m-%d') AS day,
+       camps.campaign_id,
+       epoch_us(LEAST(ua.a_hi, camps.c_hi))
+           - epoch_us(GREATEST(ua.a_lo, camps.c_lo)) AS overlap_us
+FROM ua JOIN camps
+  ON ua.a_lo <= camps.c_hi AND camps.c_lo <= ua.a_hi
+"""
+
+
 QUERIES = {
     "group_agg": (q_group_agg, SQL_GROUP_AGG),
     "join_bloom": (q_join_bloom, SQL_JOIN_BLOOM),
+    "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),

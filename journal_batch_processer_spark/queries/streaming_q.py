@@ -479,9 +479,67 @@ FROM events GROUP BY 1
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined to the
+    STATIC customer dimension (the lookup-table join every live
+    pipeline runs — stream-static joins need no watermark and no
+    stream-side state; the static side is simply broadcast into each
+    micro-batch), then a keyed aggregate per market segment,
+    complete-mode drain. Oracle = the batch join + aggregate."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    name = "jbp_stream_enrich_mem"
+    cust = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    stream = (
+        read_events_stream(spark, _events_stream_dir(sf_dir))
+        .join(F.broadcast(cust), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dv).cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within 180s; a partial sink "
+            "would be silently wrong — failing loud instead"
+        )
+    return spark.table(name)
+
+
+SQL_STREAM_ENRICH = """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "stream_upsert": (q_stream_upsert, SQL_STREAM_UPSERT),
     "stream_stats": (q_stream_stats, SQL_STREAM_STATS),
+    "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
     "stream_tumble": (q_stream_tumble, SQL_STREAM_TUMBLE),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "stream_dedup_watermarked": (

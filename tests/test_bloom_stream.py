@@ -114,3 +114,108 @@ def test_stream_stats_equals_batch_aggregate(spark):
         .collect()
     }
     assert got == want
+
+
+def test_interval_join_equals_theta_join(spark):
+    """The day-bucket banding + overlap-start pinning must reproduce
+    the naive theta join exactly — including multi-day intervals that
+    share several buckets with a match (matched once, not per day)."""
+    from journal_batch_processer_spark.operators.joins import (
+        interval_overlap_join,
+    )
+    from journal_batch_processer_spark.queries.relational import (
+        CAMPAIGNS,
+        q_join_interval,
+    )
+    from journal_batch_processer_spark.session import load_events
+
+    got = {
+        (r["user_id"], r["day"], r["campaign_id"], r["overlap_us"])
+        for r in q_join_interval(spark, SF_DIR).collect()
+    }
+    ev = load_events(spark, SF_DIR)
+    ua = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("a_lo"), F.max("ts").alias("a_hi")
+    )
+    camps = spark.createDataFrame(
+        list(CAMPAIGNS), "campaign_id string, lo_s string, hi_s string"
+    ).select(
+        "campaign_id",
+        F.to_timestamp("lo_s").alias("c_lo"),
+        F.to_timestamp("hi_s").alias("c_hi"),
+    )
+    naive = ua.join(
+        camps,
+        (F.col("a_lo") <= F.col("c_hi")) & (F.col("c_lo") <= F.col("a_hi")),
+    ).select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "campaign_id",
+        (
+            F.unix_micros(F.least("a_hi", "c_hi"))
+            - F.unix_micros(F.greatest("a_lo", "c_lo"))
+        ).alias("overlap_us"),
+    )
+    want = {
+        (r["user_id"], r["day"], r["campaign_id"], r["overlap_us"])
+        for r in naive.collect()
+    }
+    assert got == want
+    assert got
+
+
+def test_interval_join_multiday_pair_matches_once(spark):
+    """Two multi-day intervals overlapping across several shared days
+    must produce exactly one joined row."""
+    from journal_batch_processer_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("L1", "2024-01-01 00:00:00", "2024-01-10 00:00:00")],
+        "lid string, lo_s string, hi_s string",
+    ).select(
+        "lid",
+        F.to_timestamp("lo_s").alias("l_lo"),
+        F.to_timestamp("hi_s").alias("l_hi"),
+    )
+    right = spark.createDataFrame(
+        [("R1", "2024-01-03 12:00:00", "2024-01-08 12:00:00")],
+        "rid string, lo_s string, hi_s string",
+    ).select(
+        "rid",
+        F.to_timestamp("lo_s").alias("r_lo"),
+        F.to_timestamp("hi_s").alias("r_hi"),
+    )
+    out = interval_overlap_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi")
+    assert out.count() == 1
+
+
+def test_stream_enrich_equals_batch(spark):
+    from journal_batch_processer_spark.queries.streaming_q import (
+        q_stream_enrich,
+    )
+    from journal_batch_processer_spark.session import load_events
+
+    got = {
+        r["segment"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in q_stream_enrich(spark, SF_DIR).collect()
+    }
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    want = {
+        r["segment"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in load_events(spark, SF_DIR)
+        .join(cust, "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dv).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) >= 3
