@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     # other query, plus per-batch listener metrics in "streams"
     "stream_tumble",     # watermarked tumbling window drain
     "stream_session",    # applyInPandasWithState sessionizer drain
+    # round-5 late additions (extended set only — the 14-query
+    # baseline-comparable subset in BASELINE.md is unchanged)
+    "sim_search_pq",     # PQ-ADC shortlist + exact re-rank
+    "dedup_semantic",    # SemDeDup cell-local near-dup drop
+    "join_bloom",        # bloom semi-join reduction before the join
 ]
 
 MAX_REPS = 4          # extra reps only bought when a rep saw steal

@@ -359,7 +359,14 @@ def semantic_dedup(
     policy. Output: ``vec_id, cell, kept`` (kept = 1/0) for every
     input vector.
     """
-    a = assign_nearest_centroid(df, centroids, dim, id_col, vec_col)
+    # the assignment feeds BOTH pair-join sides and the final verdict
+    # join — localCheckpoint materializes it once (3 scans + 3 assign
+    # windows collapse to 1; the graph.py lineage-truncation pattern).
+    # At 100 TB this is the cell-partitioned assignment table WRITTEN
+    # once and read by every downstream curation pass.
+    a = assign_nearest_centroid(
+        df, centroids, dim, id_col, vec_col
+    ).localCheckpoint()
     x = a.select(
         F.col("vec_id").alias("xa_id"),
         F.col("v").alias("xa_v"),
