@@ -20,17 +20,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot_expr(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
+def dot_expr(
+    a: F.Column | str, b: F.Column | str, dim: int | None = None
+) -> F.Column:
     """Left-to-right dot-product fold. With ``dim`` given the fold is
     UNROLLED into a flat expression tree — higher-order functions
     (aggregate/zip_with) run interpreted, outside whole-stage codegen,
     which shows up 10×+ in profiles; the unrolled form codegens and is
-    bit-identical (same add order; IEEE ``0.0 + v == v``)."""
+    bit-identical (same add order; IEEE ``0.0 + v == v``).
+
+    Pass COLUMN NAMES (str) to build the unrolled fold as ONE parsed
+    ``F.expr`` string instead of ~3·dim py4j calls: plan CONSTRUCTION
+    cost, not execution — building the 64-dim fold column-by-column
+    measured 1.4s of py4j traffic per call, and pq_topk needs five of
+    them. `x + y + z` parses left-associative, so the add order (and
+    the result, bit-for-bit) is identical to the Column form."""
     if dim is not None:
+        if isinstance(a, str) and isinstance(b, str):
+            return F.expr(
+                " + ".join(
+                    f"element_at({a},{i})*element_at({b},{i})"
+                    for i in range(1, dim + 1)
+                )
+            )
         s = F.element_at(a, 1) * F.element_at(b, 1)
         for i in range(2, dim + 1):
             s = s + F.element_at(a, i) * F.element_at(b, i)
         return s
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -38,7 +58,7 @@ def dot_expr(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
     )
 
 
-def norm_expr(a: F.Column, dim: int | None = None) -> F.Column:
+def norm_expr(a: F.Column | str, dim: int | None = None) -> F.Column:
     return F.sqrt(dot_expr(a, a, dim))
 
 
@@ -63,16 +83,16 @@ def cosine_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cvec")
-    ).withColumn("cnorm", norm_expr(F.col("cvec"), dim))
+    ).withColumn("cnorm", norm_expr("cvec", dim))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
-    ).withColumn("qnorm", norm_expr(F.col("qvec"), dim))
+    ).withColumn("qnorm", norm_expr("qvec", dim))
 
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("qvec"), F.col("cvec"), dim)
+            dot_expr("qvec", "cvec", dim)
             / (F.col("qnorm") * F.col("cnorm")),
         )
     )
@@ -249,7 +269,7 @@ def ivf_topk(
         scored = df.join(F.broadcast(cents)).withColumn(
             "__sim",
             dot_expr(vec, F.col("cvec"), dim)
-            / (norm_expr(vec, dim) * norm_expr(F.col("cvec"), dim)),
+            / (norm_expr(vec, dim) * norm_expr("cvec", dim)),
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("__sim").desc(), F.col("cent_id")
@@ -278,8 +298,8 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("qvec2"), F.col("cvec2"), dim)
-            / (norm_expr(F.col("qvec2"), dim) * norm_expr(F.col("cvec2"), dim)),
+            dot_expr("qvec2", "cvec2", dim)
+            / (norm_expr("qvec2", dim) * norm_expr("cvec2", dim)),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -317,11 +337,11 @@ def assign_nearest_centroid(
     e = df.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("nrm", norm_expr(F.col("v"), dim))
+    ).withColumn("nrm", norm_expr("v", dim))
     scored = e.join(F.broadcast(cents)).withColumn(
         "csim",
-        dot_expr(F.col("v"), F.col("cvec"), dim)
-        / (F.col("nrm") * norm_expr(F.col("cvec"), dim)),
+        dot_expr("v", "cvec", dim)
+        / (F.col("nrm") * norm_expr("cvec", dim)),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("cell")
@@ -381,7 +401,7 @@ def semantic_dedup(
         F.col("cell").alias("yb_cell"),
         F.col("csim").alias("yb_csim"),
     )
-    pair_cos = dot_expr(F.col("xa_v"), F.col("yb_v"), dim) / (
+    pair_cos = dot_expr("xa_v", "yb_v", dim) / (
         F.col("xa_nrm") * F.col("yb_nrm")
     )
     dominated = (
@@ -492,8 +512,8 @@ def lsh_bucket_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot_expr(F.col("qvec"), F.col("cvec"), dim)
-            / (norm_expr(F.col("qvec"), dim) * norm_expr(F.col("cvec"), dim)),
+            dot_expr("qvec", "cvec", dim)
+            / (norm_expr("qvec", dim) * norm_expr("cvec", dim)),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -591,7 +611,7 @@ def _pq_sub_dists(vec: F.Column, book: list[list[float]], j: int, dsub: int):
     return dists
 
 
-def _pq_dist_array(vec: F.Column, book: list[list[float]], j: int, dsub: int):
+def _pq_dist_array(vec: str, book: list[list[float]], j: int, dsub: int):
     """Same ksub distances as ``_pq_sub_dists`` (bit-identical values
     and fold order) but expressed as a ``transform`` over the LITERAL
     codebook array, so codegen emits one loop over the 16 centroids
@@ -599,22 +619,36 @@ def _pq_dist_array(vec: F.Column, book: list[list[float]], j: int, dsub: int):
     codebooks the fully-unrolled form overflows janino's 64 KB method
     limit and the whole stage silently drops to interpreted eval
     (~20x slower) — the loop form compiles. The inner per-dimension
-    sum stays unrolled left-to-right, matching the SQL oracle."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(v)) for v in cent]) for cent in book]
+    sum stays unrolled left-to-right, matching the SQL oracle.
+
+    The whole thing — literal matrix AND the lambda body — is ONE
+    parsed ``F.expr`` string: plan construction is py4j traffic, and
+    the per-node form (ksub×dsub F.lit calls plus ~30 ops per lambda,
+    ×16 books ×2 sides) measured ~5s per query before any execution.
+    ``repr`` round-trips the doubles and Spark parses exponent /
+    D-suffixed literals with correctly-rounded Double.parseDouble, so
+    the inlined values stay bit-identical to the oracle's. ``vec`` is
+    a column NAME; the lambda variable ``c`` shadows any column of
+    that name inside the transform."""
+
+    def _d_lit(v: float) -> str:
+        r = repr(float(v))
+        return r if ("e" in r or "E" in r) else r + "D"
+
+    cents = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_d_lit(v) for v in cent) + ")"
+            for cent in book
+        )
+        + ")"
     )
-
-    def _d2(cent: F.Column) -> F.Column:
-        d0 = F.element_at(vec, j * dsub + 1) - F.element_at(cent, 1)
-        s = d0 * d0
-        for d in range(1, dsub):
-            dd = F.element_at(vec, j * dsub + d + 1) - F.element_at(
-                cent, d + 1
-            )
-            s = s + dd * dd
-        return s
-
-    return F.transform(cents, _d2)
+    body = " + ".join(
+        f"(element_at({vec},{j * dsub + d + 1})-element_at(c,{d + 1}))"
+        f"*(element_at({vec},{j * dsub + d + 1})-element_at(c,{d + 1}))"
+        for d in range(dsub)
+    )
+    return F.expr(f"transform({cents}, c -> {body})")
 
 
 def pq_topk(
@@ -656,7 +690,7 @@ def pq_topk(
         # normalize with the same unrolled fold order as the oracle
         # (codebooks are trained on unit vectors — see
         # train_pq_codebooks; element-wise division is order-free)
-        df = df.withColumn("__nrm", norm_expr(F.col("__raw"), dim))
+        df = df.withColumn("__nrm", norm_expr("__raw", dim))
         return df.withColumn(
             out, F.transform(F.col("__raw"), lambda x: x / F.col("__nrm"))
         ).drop("__raw", "__nrm")
@@ -674,7 +708,7 @@ def pq_topk(
     c = c.select(
         "neighbor_id",
         *[
-            _pq_dist_array(F.col("cv"), book, j, dsub).alias(f"d_{j}")
+            _pq_dist_array("cv", book, j, dsub).alias(f"d_{j}")
             for j, book in enumerate(codebooks)
         ],
     )
@@ -697,7 +731,7 @@ def pq_topk(
     q = _unit(q, "qv")
     for j, book in enumerate(codebooks):
         q = q.withColumn(
-            f"dt_{j}", _pq_dist_array(F.col("qv"), book, j, dsub)
+            f"dt_{j}", _pq_dist_array("qv", book, j, dsub)
         )
     q = q.drop("qv")
 
@@ -735,7 +769,7 @@ def pq_topk(
     rescored = (
         short.join(cu, "neighbor_id")
         .join(F.broadcast(qu), "query_id")
-        .withColumn("cosine", dot_expr(F.col("qu"), F.col("cu"), dim))
+        .withColumn("cosine", dot_expr("qu", "cu", dim))
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

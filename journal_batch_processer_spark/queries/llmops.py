@@ -578,7 +578,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = embs.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"), EMB_DIM)))
+    ).withColumn("nrm", F.sqrt(dot_expr("v", "v", EMB_DIM)))
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -586,7 +586,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = dot_expr(F.col("va"), F.col("vb"), EMB_DIM) / (F.col("na") * F.col("nb"))
+    cos = dot_expr("va", "vb", EMB_DIM) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= 0.4)
@@ -608,7 +608,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     e = embs.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"), EMB_DIM)))
+    ).withColumn("nrm", F.sqrt(dot_expr("v", "v", EMB_DIM)))
     e = e.withColumn(
         "bucket", hyperplane_sign_bits(F.col("v"), EMB_DIM, n_planes=8)
     )
@@ -621,7 +621,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"), "bucket",
     )
     pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = dot_expr(F.col("va"), F.col("vb"), EMB_DIM) / (F.col("na") * F.col("nb"))
+    cos = dot_expr("va", "vb", EMB_DIM) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= 0.4)
