@@ -265,11 +265,17 @@ def ivf_topk(
         )
 
     def assign(df: DataFrame, out_col: str, keep_n: int) -> DataFrame:
-        vec = _as_double(F.col(vec_col))
-        scored = df.join(F.broadcast(cents)).withColumn(
-            "__sim",
-            dot_expr(vec, F.col("cvec"), dim)
-            / (norm_expr(vec, dim) * norm_expr("cvec", dim)),
+        # name-form dot/norm (parsed expr strings) need the cast as a
+        # named column — one extra projection, thousands fewer py4j
+        # calls at plan-construction time (see dot_expr docstring)
+        scored = (
+            df.withColumn("__vd", _as_double(F.col(vec_col)))
+            .join(F.broadcast(cents))
+            .withColumn(
+                "__sim",
+                dot_expr("__vd", "cvec", dim)
+                / (norm_expr("__vd", dim) * norm_expr("cvec", dim)),
+            )
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("__sim").desc(), F.col("cent_id")
@@ -277,7 +283,7 @@ def ivf_topk(
         return (
             scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= keep_n)
-            .select(df[id_col], df[vec_col], F.col("cent_id").alias(out_col))
+            .select(id_col, vec_col, F.col("cent_id").alias(out_col))
         )
 
     c_assigned = assign(corpus, "cell", 1)
