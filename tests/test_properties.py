@@ -355,3 +355,60 @@ def test_ppjoin_cap_property(spark, seed, cap):
         ).collect()
     }
     assert got == _capped_jaccard_model(texts, cap, 0.2)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20 * 24), st.integers(1, 90)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 20 * 24), st.integers(1, 120)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_interval_overlap_join_equals_theta(spark, lefts, rights):
+    """Banded interval join == naive theta join on arbitrary interval
+    sets (hour-granular starts/durations over a 3-week range, so
+    single-bucket, multi-day and boundary-touching intervals all
+    occur)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    base = _dt.datetime(2024, 3, 1)
+
+    def mk(rows, pref):
+        data = [
+            (
+                f"{pref}{i}",
+                base + _dt.timedelta(hours=h),
+                base + _dt.timedelta(hours=h + d),
+            )
+            for i, (h, d) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, f"{pref}id string, {pref}lo timestamp, {pref}hi timestamp"
+        )
+
+    L, R = mk(lefts, "l"), mk(rights, "r")
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            L, R, "llo", "lhi", "rlo", "rhi"
+        ).collect()
+    }
+    want = {
+        (r["lid"], r["rid"])
+        for r in L.join(
+            R, (F.col("llo") <= F.col("rhi")) & (F.col("rlo") <= F.col("lhi"))
+        ).collect()
+    }
+    assert got == want

@@ -288,3 +288,49 @@ def test_pq_search_broadcasts_queries(spark):
     st = plan_stats(pq_topk(embs, qs, books, dim=64, k=5, refine=20))
     assert st.cartesian == 0, st.plan
     assert st.broadcast_hash_joins + st.nested_loop_joins >= 1, st.plan
+
+
+def test_late_round5_operators_plan_shape(spark):
+    """Plan pins for the late round-5 surface: corpus_mix never
+    shuffles the corpus (its one exchange is the tiny stratum-count
+    aggregate broadcast back), SemDeDup stays at the checkpointed
+    4-exchange shape (assignment materialized ONCE — the pre-fix plan
+    recomputed it three times for 12 shuffles / 6 rescans), the
+    interval join is bucket-equi with the tiny side broadcast (never a
+    cartesian), and outlier_mad's median joins broadcast."""
+    from journal_batch_processer_spark.queries.curation import (
+        q_corpus_mix,
+        q_dedup_semantic,
+        q_sample_reservoir,
+    )
+    from journal_batch_processer_spark.queries.llmops import q_outlier_mad
+    from journal_batch_processer_spark.queries.relational import (
+        q_join_interval,
+    )
+
+    cm = plan_stats(q_corpus_mix(spark, SF))
+    assert cm.cartesian == 0, cm.plan
+    # corpus side: scan → broadcast-join → filter. Exchanges: the
+    # stratum-count agg, the 3-row global-min window, and the
+    # single-file ingest spread printed once per scan of the shared
+    # _docs relation (round robin — a no-op at real scale); never a
+    # key shuffle of corpus rows
+    assert cm.broadcast_hash_joins >= 1, cm.plan
+    assert cm.shuffles <= 5, cm.plan
+    assert cm.plan.count("hashpartitioning(doc_id") == 0, cm.plan
+
+    sr = plan_stats(q_sample_reservoir(spark, SF))
+    # two rank windows (salt-cell, then group) — nothing else
+    assert sr.shuffles <= 3 and sr.cartesian == 0, sr.plan
+
+    ds = plan_stats(q_dedup_semantic(spark, SF))
+    assert ds.cartesian == 0, ds.plan
+    assert ds.shuffles <= 4, ds.plan  # checkpointed assignment
+
+    ji = plan_stats(q_join_interval(spark, SF))
+    assert ji.cartesian == 0, ji.plan
+    assert ji.broadcast_hash_joins >= 1, ji.plan
+
+    om = plan_stats(q_outlier_mad(spark, SF))
+    assert om.cartesian == 0, om.plan
+    assert om.broadcast_hash_joins >= 2, om.plan
