@@ -305,3 +305,89 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dupes"),
         )
     )
+
+
+BPE_SEP = "\x1f"  # unit separator: cannot occur in natural text
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    sep: str = BPE_SEP,
+) -> list[tuple[int, str, str, str, int]]:
+    """Byte-pair-encoding merge training (the real tokenizer-training
+    loop, not the BPE-ish regex tokenizer in ``bpe_token_count``):
+    start from characters, repeatedly count adjacent symbol pairs
+    weighted by word frequency and merge the most frequent pair
+    (ties → lexicographically smallest). Returns the learned merge
+    table [(round, left, right, merged, freq)].
+
+    Distribution shape — why this scales: the iterated state is the
+    WORD-FREQUENCY table (vocabulary), which aggregation collapses to
+    ~|vocab| rows however big the corpus is; the corpus itself is
+    scanned exactly once. Each round is one pair-count aggregate over
+    the vocab plus one narrow `replace`, with the winning pair pulled
+    to the driver (a 1-row action, the graph.py scalar-action
+    precedent) because round r+1's plan needs it as a literal.
+    localCheckpoint after each round keeps the 8-round lineage flat.
+
+    Exactness: pair application is leftmost-greedy non-overlapping —
+    exactly the semantics of string `replace` over the
+    separator-joined symbol string (replace consumes matches left to
+    right and continues AFTER the replacement, so "A A A" merges to
+    "AA A", not "AA AA") — and both engines' `replace` agree, which is
+    what makes the unrolled SQL oracle hash-exact. Words containing
+    the separator (impossible in natural text) are dropped, loudly.
+    """
+    w = F.col("__w")
+    words = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("__w")
+        )
+        .filter((w != "") & (~w.contains(sep)))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    words = words.select(
+        "freq",
+        F.concat(
+            F.lit(sep), F.array_join(F.split("__w", ""), sep), F.lit(sep)
+        ).alias("s"),
+    )
+    cur = words.localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        arr = F.split("s", sep)  # ['', s1..sk, ''] — sep is not regex-meta
+        k = F.size(arr) - 2
+        pairs = (
+            cur.select(
+                "freq",
+                F.slice(arr, 2, k - 1).alias("la"),
+                F.slice(arr, 3, k - 1).alias("ra"),
+            )
+            .select("freq", F.explode(F.arrays_zip("la", "ra")).alias("p"))
+            .select(
+                F.col("p.la").alias("l"), F.col("p.ra").alias("r"), "freq"
+            )
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged — nothing left to learn
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((rnd, l, r, l + r, int(cnt)))
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(sep + l + sep + r + sep),
+                F.lit(sep + l + r + sep),
+            ),
+        ).localCheckpoint()
+    return merges

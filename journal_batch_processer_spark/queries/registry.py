@@ -79,6 +79,7 @@ def _build() -> dict[str, QuerySpec]:
         "compact_plan",
         "join_interval",
         "stream_enrich",
+        "tokenizer_train",
         # new in r05 (second batch) — never swept
         "layout_zorder",
         "sim_search_pq",

@@ -578,8 +578,82 @@ HAVING COUNT(DISTINCT doc_id) > 1
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 8
+
+
+def q_tokenizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training over the corpus vocabulary: 8 rounds of
+    count-the-pairs → merge-the-winner, the actual tokenizer-training
+    loop. The iterated state is the word-frequency table (corpus
+    scanned once, vocab-sized state per round — the shape that holds
+    at 100 TB); the DuckDB oracle unrolls all 8 rounds with correlated
+    scalar subqueries, so every learned merge and its frequency is
+    value-checked."""
+    from journal_batch_processer_spark.operators.text_analysis import (
+        bpe_train,
+    )
+
+    merges = bpe_train(_docs(spark, sf_dir), "text", BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, "round int, lsym string, rsym string, merged string, freq bigint"
+    )
+
+
+def _bpe_oracle_sql(n: int = BPE_N_MERGES) -> str:
+    s31 = "chr(31)"
+    # every w{i} is referenced twice (pair counts + next round) — an
+    # inlined CTE chain doubles per round (2^n parquet scans, "too
+    # many open files" at n=8); MATERIALIZED pins each round to one
+    # evaluation, mirroring the Spark side's localCheckpoint
+    parts = [
+        "WITH w1 AS MATERIALIZED (",
+        f"  SELECT freq, {s31} || array_to_string(chars, {s31}) || {s31} AS s",
+        "  FROM (",
+        "    SELECT w, COUNT(*) AS freq,",
+        "           list_transform(range(1, len(w) + 1), i -> w[i]) AS chars",
+        "    FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)",
+        "    WHERE w <> '' GROUP BY w",
+        "  )",
+        "),",
+    ]
+    for i in range(1, n + 1):
+        parts += [
+            f"p{i} AS (",
+            "  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt",
+            "  FROM (",
+            f"    SELECT freq, string_split(s, {s31}) AS syms,",
+            f"           UNNEST(generate_series(2, len(string_split(s, {s31})) - 2)) AS i",
+            f"    FROM w{i}",
+            "  ) GROUP BY 1, 2",
+            "),",
+            f"b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),",
+            f"w{i + 1} AS MATERIALIZED (",
+            "  SELECT freq,",
+            f"         replace(s, {s31} || (SELECT l FROM b{i}) || {s31} || (SELECT r FROM b{i}) || {s31},",
+            f"                    {s31} || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || {s31}) AS s",
+            f"  FROM w{i}",
+            "),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS round, l AS lsym, r AS rsym, "
+        f"l || r AS merged, CAST(cnt AS BIGINT) AS freq FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    parts.append(union)
+    return "\n".join(parts)
+
+
+SQL_TOKENIZER_TRAIN = _bpe_oracle_sql()
+
+
 QUERIES = {
     "chunk_sliding": (q_chunk_sliding, SQL_CHUNK_SLIDING),
+    "tokenizer_train": (q_tokenizer_train, SQL_TOKENIZER_TRAIN),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),

@@ -236,3 +236,66 @@ def test_dedup_chunks_matches_python_model(spark):
         for r in q_dedup_chunks(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_bpe_train_matches_python_model(spark):
+    """The learned merge table must equal a pure-Python BPE trainer
+    (dict counting, leftmost-greedy merge application) run on the same
+    corpus."""
+    import os
+    from collections import Counter
+
+    from journal_batch_processer_spark.operators.text_analysis import (
+        bpe_train,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    got = bpe_train(docs, "text", n_merges=6)
+
+    freq = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {tuple(w): f for w, f in freq.items()}
+    expected = []
+    for rnd in range(1, 7):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rnd, l, r, l + r, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    assert got == expected
+    assert len(got) == 6
+
+
+def test_bpe_merge_is_leftmost_greedy(spark):
+    """'A A A' must merge to 'AA A' (left pair wins, no overlap)."""
+    from journal_batch_processer_spark.operators.text_analysis import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame([("a a a aaa",)], "text string")
+    # words: 'a' ×3 (single char, no pairs), 'aaa' (pairs (a,a)×2)
+    merges = bpe_train(docs, "text", n_merges=2)
+    assert merges[0][1:] == ("a", "a", "aa", 2)
+    # after merging: 'aaa' -> [aa, a]; next best pair is (aa, a)
+    assert merges[1][1:] == ("aa", "a", "aaa", 1)
