@@ -80,6 +80,7 @@ def _build() -> dict[str, QuerySpec]:
         "join_interval",
         "stream_enrich",
         "tokenizer_train",
+        "tokenizer_encode",
         # new in r05 (second batch) — never swept
         "layout_zorder",
         "sim_search_pq",

@@ -603,7 +603,9 @@ def q_tokenizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(n: int = BPE_N_MERGES) -> str:
+def _bpe_cte_prefix(n: int = BPE_N_MERGES) -> list[str]:
+    """The shared unrolled-training CTE chain (w1..b{n}) used by both
+    the train and encode oracles."""
     s31 = "chr(31)"
     # every w{i} is referenced twice (pair counts + next round) — an
     # inlined CTE chain doubles per round (2^n parquet scans, "too
@@ -638,6 +640,11 @@ def _bpe_oracle_sql(n: int = BPE_N_MERGES) -> str:
             f"  FROM w{i}",
             "),",
         ]
+    return parts
+
+
+def _bpe_train_oracle_sql(n: int = BPE_N_MERGES) -> str:
+    parts = _bpe_cte_prefix(n)
     parts[-1] = parts[-1].rstrip(",")
     union = "\nUNION ALL ".join(
         f"SELECT CAST({i} AS INTEGER) AS round, l AS lsym, r AS rsym, "
@@ -648,12 +655,80 @@ def _bpe_oracle_sql(n: int = BPE_N_MERGES) -> str:
     return "\n".join(parts)
 
 
-SQL_TOKENIZER_TRAIN = _bpe_oracle_sql()
+SQL_TOKENIZER_TRAIN = _bpe_train_oracle_sql()
+
+
+def q_tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of BPE: apply the learned merge table (trained
+    by the same deterministic loop) to every document and report
+    per-doc BPE token counts. Encoding is a chain of 8 `replace`
+    expressions over the per-word symbol string — pure codegen, no
+    Python, the only shuffle the per-doc sum. At 100 TB the merge
+    table ships as plan literals (here) or a broadcast map; the
+    corpus pass stays narrow."""
+    from journal_batch_processer_spark.operators.text_analysis import (
+        BPE_SEP,
+        bpe_train,
+    )
+
+    sep = BPE_SEP
+    merges = bpe_train(_docs(spark, sf_dir), "text", BPE_N_MERGES)
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    s = F.concat(
+        F.lit(sep), F.array_join(F.split("w", ""), sep), F.lit(sep)
+    )
+    for _, l, r, _m, _f in merges:
+        s = F.replace(s, F.lit(sep + l + sep + r + sep), F.lit(sep + l + r + sep))
+    return (
+        words.select("doc_id", (F.size(F.split(s, sep)) - 2).alias("nt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nt").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_encode_oracle_sql(n: int = BPE_N_MERGES) -> str:
+    s31 = "chr(31)"
+    parts = _bpe_cte_prefix(n)
+    parts += [
+        "enc0 AS (",
+        f"  SELECT doc_id, {s31} || array_to_string(",
+        "             list_transform(range(1, len(w) + 1), i -> w[i]),",
+        f"             {s31}) || {s31} AS s",
+        "  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w",
+        "        FROM documents) WHERE w <> ''",
+        "),",
+    ]
+    for i in range(1, n + 1):
+        parts += [
+            f"enc{i} AS (",
+            "  SELECT doc_id,",
+            f"         replace(s, {s31} || (SELECT l FROM b{i}) || {s31} || (SELECT r FROM b{i}) || {s31},",
+            f"                    {s31} || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || {s31}) AS s",
+            f"  FROM enc{i - 1}",
+            "),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT doc_id, COUNT(*) AS n_words,\n"
+        f"       CAST(SUM(len(string_split(s, {s31})) - 2) AS BIGINT)"
+        f" AS n_bpe_tokens\nFROM enc{n} GROUP BY doc_id"
+    )
+    return "\n".join(parts)
+
+
+SQL_TOKENIZER_ENCODE = _bpe_encode_oracle_sql()
 
 
 QUERIES = {
     "chunk_sliding": (q_chunk_sliding, SQL_CHUNK_SLIDING),
     "tokenizer_train": (q_tokenizer_train, SQL_TOKENIZER_TRAIN),
+    "tokenizer_encode": (q_tokenizer_encode, SQL_TOKENIZER_ENCODE),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),

@@ -299,3 +299,70 @@ def test_bpe_merge_is_leftmost_greedy(spark):
     assert merges[0][1:] == ("a", "a", "aa", 2)
     # after merging: 'aaa' -> [aa, a]; next best pair is (aa, a)
     assert merges[1][1:] == ("aa", "a", "aaa", 1)
+
+
+def test_bpe_encode_counts_match_python_model(spark):
+    """Per-doc BPE token counts after 6 merges must equal the python
+    model's encode (train with the model, apply leftmost-greedy)."""
+    import os
+    from collections import Counter
+
+    from journal_batch_processer_spark.queries.trainprep import (
+        q_tokenizer_encode,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in q_tokenizer_encode(spark, SF_DIR).collect()
+    }
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    rows = docs.select("doc_id", "text").collect()
+    freq = Counter()
+    for r in rows:
+        for w in r["text"].split(" "):
+            if w:
+                freq[w] += 1
+
+    def apply(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    vocab = {tuple(w): f for w, f in freq.items()}
+    merges = []
+    for _ in range(8):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((l, r))
+        # re-derive vocab by applying all merges so far to raw words
+        vocab = {}
+        for w, f in freq.items():
+            syms = tuple(w)
+            for ml, mr in merges:
+                syms = apply(syms, ml, mr)
+            vocab[syms] = vocab.get(syms, 0) + f
+
+    enc_cache = {}
+    for w in freq:
+        syms = tuple(w)
+        for ml, mr in merges:
+            syms = apply(syms, ml, mr)
+        enc_cache[w] = len(syms)
+    want = {}
+    for r in rows:
+        ws = [w for w in r["text"].split(" ") if w]
+        want[r["doc_id"]] = (len(ws), sum(enc_cache[w] for w in ws))
+    assert got == want
