@@ -81,6 +81,7 @@ def _build() -> dict[str, QuerySpec]:
         "stream_enrich",
         "tokenizer_train",
         "tokenizer_encode",
+        "stream_session_native",
         # new in r05 (second batch) — never swept
         "layout_zorder",
         "sim_search_pq",

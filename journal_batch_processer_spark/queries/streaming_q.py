@@ -536,10 +536,84 @@ GROUP BY 1
 """
 
 
+def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN streaming session windows (session_window +
+    watermark — the managed-state counterpart to stream_session's
+    hand-rolled applyInPandasWithState sessionizer): 30-minute-gap
+    sessions per user over the events stream, complete-mode drain.
+    Fully drained single-batch input closes every session at the final
+    watermark, so the output equals the batch session_window aggregate
+    — the same gaps-and-islands oracle as window_session_native."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    name = "jbp_stream_session_native_mem"
+    stream = (
+        read_events_stream(spark, _events_stream_dir(sf_dir))
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(
+                F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            F.date_format(
+                F.col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within 180s; a partial sink "
+            "would be silently wrong — failing loud instead"
+        )
+    return spark.table(name)
+
+
+SQL_STREAM_SESSION_NATIVE = """
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts))
+                    >= 1800 * 1000000
+                THEN 1 ELSE 0 END AS b
+    FROM events),
+grp AS (
+    SELECT user_id, ts,
+           SUM(b) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS g
+    FROM marked)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+           AS session_end,
+       COUNT(*) AS n_events
+FROM grp GROUP BY user_id, g
+"""
+
+
 QUERIES = {
     "stream_upsert": (q_stream_upsert, SQL_STREAM_UPSERT),
     "stream_stats": (q_stream_stats, SQL_STREAM_STATS),
     "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
+    "stream_session_native": (q_stream_session_native, SQL_STREAM_SESSION_NATIVE),
     "stream_tumble": (q_stream_tumble, SQL_STREAM_TUMBLE),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "stream_dedup_watermarked": (

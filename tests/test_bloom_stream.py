@@ -219,3 +219,19 @@ def test_stream_enrich_equals_batch(spark):
     }
     assert got == want
     assert len(got) >= 3
+
+
+def test_stream_session_native_equals_batch(spark):
+    """Built-in streaming session_window fully drained == the batch
+    session_window aggregate."""
+    from journal_batch_processer_spark.queries.relational import (
+        q_window_session_native,
+    )
+    from journal_batch_processer_spark.queries.streaming_q import (
+        q_stream_session_native,
+    )
+
+    got = {tuple(r) for r in q_stream_session_native(spark, SF_DIR).collect()}
+    want = {tuple(r) for r in q_window_session_native(spark, SF_DIR).collect()}
+    assert got == want
+    assert got
