@@ -82,6 +82,8 @@ def _build() -> dict[str, QuerySpec]:
         "tokenizer_train",
         "tokenizer_encode",
         "stream_session_native",
+        "schema_evolution",
+        "anonymize_k",
         # new in r05 (second batch) — never swept
         "layout_zorder",
         "sim_search_pq",

@@ -315,9 +315,85 @@ FROM s
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations (every long-lived lake
+    table hits this): generation 1 is written without a column that
+    generation 2 adds; `mergeSchema` reads both as ONE table with the
+    missing column null-filled for old files. The oracle replays the
+    same two generations with DuckDB's union_by_name, so the unified
+    schema, null-filling, and values all hash-check. At 100 TB schema
+    merging is metadata-only (footers), never a data rewrite — which
+    is exactly why additive evolution is the only kind a lake allows."""
+    out = tempfile.mkdtemp(prefix="jbp_evo_")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    gen1 = docs.filter(F.col("doc_id") % 2 == 0)
+    gen2 = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality_ppm", (F.col("n_chars") % 1000) * 1000
+    )
+    gen1.write.mode("overwrite").parquet(f"{out}/g=1")
+    gen2.write.mode("overwrite").parquet(f"{out}/g=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/g=1", f"{out}/g=2"
+    )
+    return back.select("doc_id", "lang", "n_chars", "quality_ppm")
+
+
+SQL_SCHEMA_EVOLUTION = """
+SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality_ppm
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, n_chars, (n_chars % 1000) * 1000 AS quality_ppm
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+ANON_K = 5
+
+
+def q_anonymize_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression over quasi-identifiers (the privacy
+    gate a training corpus with user-derived records needs): rows are
+    grouped by the quasi-identifier tuple (lang, 50-char length band —
+    granular enough that suppression BINDS on the fixtures: 27 rows
+    in 12 under-k groups drop at sf0.01);
+    any row whose group has fewer than k=5 members is SUPPRESSED —
+    re-identification needs < k candidates, so those rows can't ship.
+    Output keeps the group size as the audit column.
+
+    One aggregate over the quasi-identifier (group cardinality ≪
+    rows) broadcast back onto the scan — the corpus_mix plan shape, no
+    corpus shuffle. Composes with text_pii_scrub (value-level
+    redaction) — this is the ROW-level counterpart."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    docs = docs.withColumn("len_band", F.expr("n_chars div 50"))
+    sizes = docs.groupBy("lang", "len_band").agg(
+        F.count(F.lit(1)).alias("group_n")
+    )
+    return (
+        docs.join(F.broadcast(sizes), ["lang", "len_band"])
+        .filter(F.col("group_n") >= ANON_K)
+        .select("doc_id", "lang", "len_band", "group_n")
+    )
+
+
+SQL_ANONYMIZE_K = f"""
+WITH b AS (
+    SELECT doc_id, lang, n_chars // 50 AS len_band FROM documents
+),
+s AS (
+    SELECT lang, len_band, COUNT(*) AS group_n FROM b GROUP BY 1, 2
+)
+SELECT b.doc_id, b.lang, CAST(b.len_band AS BIGINT) AS len_band, s.group_n
+FROM b JOIN s USING (lang, len_band)
+WHERE s.group_n >= {ANON_K}
+"""
+
+
 QUERIES = {
     "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
     "compact_plan": (q_compact_plan, _compact_plan_sql),
+    "schema_evolution": (q_schema_evolution, SQL_SCHEMA_EVOLUTION),
+    "anonymize_k": (q_anonymize_k, SQL_ANONYMIZE_K),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "partitioned_prune": (q_partitioned_prune, SQL_PARTITIONED_PRUNE),
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),

@@ -143,3 +143,43 @@ def test_zorder_matches_python_model_and_plans_range_exchange(spark):
     st = plan_stats(cluster_by_zorder(df, "x", "y", n_partitions=4))
     assert "rangepartitioning" in st.plan.lower(), st.plan
     assert "Sort" in st.plan, st.plan
+
+
+def test_schema_evolution_nullfills_old_generation(spark):
+    from journal_batch_processer_spark.queries.warehouse import (
+        q_schema_evolution,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = q_schema_evolution(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["doc_id"] % 2 == 0:  # generation-1 file: column absent
+            assert r["quality_ppm"] is None
+        else:
+            assert r["quality_ppm"] == (r["n_chars"] % 1000) * 1000
+
+
+def test_anonymize_k_suppresses_small_groups(spark):
+    from journal_batch_processer_spark.queries.warehouse import (
+        ANON_K,
+        q_anonymize_k,
+    )
+    from tests.conftest import SF_DIR
+
+    out = q_anonymize_k(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    # every surviving row's group is at least k
+    assert all(r["group_n"] >= ANON_K for r in rows)
+    # re-derive group sizes from the output: consistent and >= k
+    sizes = {}
+    for r in rows:
+        sizes[(r["lang"], r["len_band"])] = sizes.get(
+            (r["lang"], r["len_band"]), 0
+        ) + 1
+    for (lang, band), n in sizes.items():
+        assert n >= ANON_K
+    # suppression must actually bind on the fixture
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert out.count() < docs.count()
