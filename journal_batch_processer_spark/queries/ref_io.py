@@ -374,6 +374,71 @@ def q_runtime_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PySpark 4 Python DataSource API: a custom connector
+    (sources/python_source.ShardedLogSource) declaring 8 shards that
+    executors read IN PARALLEL — the sanctioned pure-Python connector
+    shape (Kafka partitions / S3 prefixes / DB ranges in real use),
+    replacing driver-side materialization or RDD hacks. Rows are a
+    pure md5 function of (shard, seq), so the DuckDB oracle
+    regenerates the identical stream from generate_series and the
+    whole custom-source read path is value-checked."""
+    from journal_batch_processer_spark.sources.python_source import (
+        ShardedLogSource,
+    )
+
+    try:
+        spark.dataSource.register(ShardedLogSource)
+    except Exception:  # noqa: BLE001 - already registered this session
+        pass
+    df = spark.read.format("jbp_shardlog").load()
+    return df.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("latency_us").alias("sum_latency_us"),
+        F.min("latency_us").alias("min_latency_us"),
+        F.max("latency_us").alias("max_latency_us"),
+        F.countDistinct("shard").alias("n_shards"),
+    )
+
+
+_HEXPOS = "strpos('0123456789abcdef', h[{i}]) - 1"
+
+
+def _pyds_oracle_sql() -> str:
+    from journal_batch_processer_spark.sources.python_source import (
+        LEVELS,
+        N_SHARDS,
+        ROWS_PER_SHARD,
+    )
+
+    lv = ", ".join(f"'{x}'" for x in LEVELS)
+    c = [_HEXPOS.format(i=i) for i in range(1, 6)]
+    return f"""
+WITH g AS (
+    SELECT s.shard, q.seq,
+           md5('log:' || s.shard || ':' || q.seq) AS h
+    FROM generate_series(0, {N_SHARDS - 1}) s(shard),
+         generate_series(0, {ROWS_PER_SHARD - 1}) q(seq)
+),
+r AS (
+    SELECT CAST(shard AS INTEGER) AS shard,
+           [{lv}][(({c[0]}) % 4) + 1] AS level,
+           CAST(({c[1]}) * 4096 + ({c[2]}) * 256
+                + ({c[3]}) * 16 + ({c[4]}) AS INTEGER) AS latency_us
+    FROM g
+)
+SELECT level, COUNT(*) AS n,
+       CAST(SUM(latency_us) AS BIGINT) AS sum_latency_us,
+       MIN(latency_us) AS min_latency_us,
+       MAX(latency_us) AS max_latency_us,
+       COUNT(DISTINCT shard) AS n_shards
+FROM r GROUP BY 1
+"""
+
+
+SQL_PYTHON_DATASOURCE = _pyds_oracle_sql
+
+
 QUERIES = {
     "csv_scan": (q_csv_scan, SQL_CSV_SCAN),
     "csv_sink": (q_csv_sink, SQL_CSV_SINK),
@@ -383,4 +448,5 @@ QUERIES = {
     "pipeline_chain_strict": (q_pipeline_chain_strict, SQL_PIPELINE_CHAIN_STRICT),
     "pipeline_update": (q_pipeline_update, SQL_PIPELINE_UPDATE),
     "runtime_metric": (q_runtime_metric, None),
+    "python_datasource": (q_python_datasource, SQL_PYTHON_DATASOURCE),
 }

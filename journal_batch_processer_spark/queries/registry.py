@@ -84,6 +84,9 @@ def _build() -> dict[str, QuerySpec]:
         "stream_session_native",
         "schema_evolution",
         "anonymize_k",
+        "variant_extract",
+        "lateral_join",
+        "python_datasource",
         # new in r05 (second batch) — never swept
         "layout_zorder",
         "sim_search_pq",

@@ -1166,9 +1166,88 @@ FROM ua JOIN camps
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type (the open semi-structured column format —
+    binary-encoded JSON with typed path extraction, what Snowflake
+    VARIANT / Delta variant shredding standardized): props parsed via
+    parse_json into a VARIANT, typed variant_get extraction, typed
+    aggregation downstream. At 100 TB VARIANT beats string-JSON scans
+    because the binary encoding skips re-tokenizing every row and
+    shredded columns prune like any other. Oracle: the same typed path
+    extraction with DuckDB's JSON operators."""
+    ev = _events(spark, sf_dir)
+    v = F.parse_json("props")
+    rows = ev.select(
+        "event_id",
+        "event_type",
+        F.variant_get(v, "$.k", "int").alias("k_val"),
+    )
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k_val").alias("sum_k"),
+        F.min("k_val").alias("min_k"),
+        F.max("k_val").alias("max_k"),
+        F.sum(F.col("k_val").isNull().cast("bigint")).alias("n_null"),
+    )
+
+
+SQL_VARIANT_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+FROM events GROUP BY 1
+"""
+
+
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL surface parity — the top-N-
+    per-entity idiom analysts write): for each nation's top-2 customers
+    by balance, via a LATERAL join the optimizer decorrelates into the
+    same window plan a hand-written rank would produce. Both engines
+    support the syntax; the oracle runs the identical query."""
+    _orders(spark, sf_dir)  # touch to keep loader symmetry
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "v_customer"
+    )
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "v_nation"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM v_nation n,
+        LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM v_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+SQL_LATERAL_JOIN = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 2
+) t
+"""
+
+
 QUERIES = {
     "group_agg": (q_group_agg, SQL_GROUP_AGG),
     "join_bloom": (q_join_bloom, SQL_JOIN_BLOOM),
+    "variant_extract": (q_variant_extract, SQL_VARIANT_EXTRACT),
+    "lateral_join": (q_lateral_join, SQL_LATERAL_JOIN),
     "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),

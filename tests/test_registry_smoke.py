@@ -28,3 +28,44 @@ def test_every_registry_query_runs(spark):
         except Exception as exc:  # noqa: BLE001 - collect all failures
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
     assert not failures, "\n".join(failures)
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The custom DataSource must expose all 8 shards and produce the
+    exact md5-derived rows (spot-checked against the shared row
+    function)."""
+    from journal_batch_processer_spark.sources.python_source import (
+        N_SHARDS,
+        ROWS_PER_SHARD,
+        ShardedLogSource,
+        row_for,
+    )
+
+    try:
+        spark.dataSource.register(ShardedLogSource)
+    except Exception:
+        pass
+    df = spark.read.format("jbp_shardlog").load()
+    assert df.rdd.getNumPartitions() == N_SHARDS
+    assert df.count() == N_SHARDS * ROWS_PER_SHARD
+    got = {
+        (r["shard"], r["seq"]): (r["level"], r["latency_us"])
+        for r in df.filter("seq < 3").collect()
+    }
+    for shard in range(N_SHARDS):
+        for seq in range(3):
+            _, _, level, lat = row_for(shard, seq)
+            assert got[(shard, seq)] == (level, lat)
+
+
+def test_variant_extract_typed_values(spark):
+    from tests.conftest import SF_DIR
+
+    from journal_batch_processer_spark.queries.relational import (
+        q_variant_extract,
+    )
+
+    rows = q_variant_extract(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["min_k"] is not None and r["min_k"] <= r["max_k"]
