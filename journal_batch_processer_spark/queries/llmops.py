@@ -1966,6 +1966,114 @@ FROM s WHERE abs(z) > 1.65
 """
 
 
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API (df.observe): pipeline metrics collected as
+    accumulator-style side output DURING the main action — zero extra
+    passes, the mechanism behind production row-count/quality gates
+    (the reference prints its row counts from a separate pass;
+    SURVEY §3). The observed metrics themselves are the query result
+    here, value-checked against the same aggregates in SQL."""
+    from pyspark.sql import Observation
+
+    ev = load_events(spark, sf_dir)
+    obs = Observation("jbp_metrics")
+    dv = F.col("value").cast("decimal(18,6)")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dv).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_value"], m["min_event_id"], m["max_event_id"])],
+        "n_rows long, sum_value double, min_event_id long, max_event_id long",
+    )
+
+
+SQL_OBSERVE_METRICS = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events
+"""
+
+
+def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the RecordBatch-level Python path — no pandas
+    conversion at all, columns stay Arrow buffers end to end (the
+    lowest-overhead Python hook; pandas_udf adds a pandas layer on
+    top of this). Discounted price computed with pyarrow.compute
+    (IEEE-identical to the SQL expression), then a decimal-exact
+    aggregate; the whole Arrow round-trip is value-checked."""
+    import pyarrow as pa
+
+    li = _li_cols(spark, sf_dir)
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            price = b.column("l_extendedprice")
+            disc = b.column("l_discount")
+            dp = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_returnflag"), dp], ["l_returnflag", "disc_price"]
+            )
+
+    out = li.mapInArrow(fn, "l_returnflag string, disc_price double")
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("disc_price").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_disc_price"),
+    )
+
+
+def _li_cols(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+
+
+SQL_ARROW_MAP = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (pyspark.pandas): the DataFrame dialect
+    pandas users write, compiling to the same Catalyst plans — a
+    groupby-agg here runs as a hash aggregate, not driver pandas.
+    Emitted metrics are exact (counts, integer key checksum, min/max)
+    so the oracle hash-matches regardless of float summation order."""
+    import pyspark.pandas as ps
+
+    pdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    g = pdf.groupby("o_orderpriority").agg(
+        n=("o_orderkey", "count"),
+        key_checksum=("o_orderkey", "sum"),
+        min_price=("o_totalprice", "min"),
+        max_price=("o_totalprice", "max"),
+    )
+    return g.reset_index().to_spark()
+
+
+SQL_PANDAS_API = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
 def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection: median absolute deviation per event
     type (the heavy-tail-safe alternative to outlier_zscore — one
@@ -2194,6 +2302,9 @@ QUERIES = {
     "dedup_editdist": (q_dedup_editdist, SQL_DEDUP_EDITDIST),
     "outlier_zscore": (q_outlier_zscore, SQL_OUTLIER_ZSCORE),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
+    "observe_metrics": (q_observe_metrics, SQL_OBSERVE_METRICS),
+    "arrow_map": (q_arrow_map, SQL_ARROW_MAP),
+    "pandas_api": (q_pandas_api, SQL_PANDAS_API),
     "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
     "dedup_embed_lsh": (q_dedup_embed_lsh, SQL_DEDUP_EMBED_LSH),
     "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),

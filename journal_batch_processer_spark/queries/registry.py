@@ -87,6 +87,9 @@ def _build() -> dict[str, QuerySpec]:
         "variant_extract",
         "lateral_join",
         "python_datasource",
+        "observe_metrics",
+        "arrow_map",
+        "pandas_api",
         # new in r05 (second batch) — never swept
         "layout_zorder",
         "sim_search_pq",
