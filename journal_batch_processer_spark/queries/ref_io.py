@@ -438,6 +438,56 @@ FROM r GROUP BY 1
 
 SQL_PYTHON_DATASOURCE = _pyds_oracle_sql
 
+def q_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER half of the Python DataSource API: events rows pushed
+    through a custom two-phase-commit sink (tasks write temp files +
+    commit messages; the driver's commit() renames into place and
+    writes the _SUCCESS manifest — failed/speculative tasks never
+    become visible), then read back and aggregated. The oracle is the
+    same aggregate over the source table, so the custom write path is
+    value-checked end to end: any dropped/duplicated/mangled row
+    hash-fails."""
+    import os as _os
+    import tempfile as _tf
+
+    from journal_batch_processer_spark.sources.python_source import (
+        ShardedLogSink,
+    )
+    from journal_batch_processer_spark.session import load_events
+
+    try:
+        spark.dataSource.register(ShardedLogSink)
+    except Exception:  # noqa: BLE001 - already registered this session
+        pass
+    out = _tf.mkdtemp(prefix="jbp_sink_")
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    ev.repartition(4).write.format("jbp_shardsink").option("path", out).mode(
+        "append"
+    ).save()
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        raise RuntimeError("custom sink commit did not write _SUCCESS")
+    back = spark.read.json(
+        _os.path.join(out, "part-*.jsonl"),
+        schema="event_id long, event_type string, ts_us long",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("id_checksum"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+
+
+SQL_PYTHON_DATASINK = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       MIN(epoch_us(ts)) AS min_ts_us,
+       MAX(epoch_us(ts)) AS max_ts_us
+FROM events GROUP BY 1
+"""
+
 
 QUERIES = {
     "csv_scan": (q_csv_scan, SQL_CSV_SCAN),
@@ -449,4 +499,5 @@ QUERIES = {
     "pipeline_update": (q_pipeline_update, SQL_PIPELINE_UPDATE),
     "runtime_metric": (q_runtime_metric, None),
     "python_datasource": (q_python_datasource, SQL_PYTHON_DATASOURCE),
+    "python_datasink": (q_python_datasink, SQL_PYTHON_DATASINK),
 }

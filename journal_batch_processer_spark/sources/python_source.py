@@ -22,7 +22,9 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 N_SHARDS = 8
@@ -61,3 +63,76 @@ class ShardedLogSource(DataSource):
 
     def reader(self, schema):
         return ShardedLogReader()
+
+
+# ---------------------------------------------------------------------------
+# writer half: custom sink via the same DataSource API
+# ---------------------------------------------------------------------------
+
+
+class _LogSinkCommitMessage(WriterCommitMessage):
+    """Pickled executor→driver commit message: which file this task
+    wrote and how many rows (the two-phase-commit unit)."""
+
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class ShardedLogWriter(DataSourceWriter):
+    """Per-partition JSONL writer with two-phase commit: tasks write
+    to `<path>/_tmp_<partition>.jsonl` and report via commit message;
+    the DRIVER's commit() renames all temp files into place and writes
+    a `_SUCCESS` manifest — a failed/speculative task's temp file is
+    never visible to readers (the exactly-once contract every real
+    sink needs; abort() removes temp files)."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jbp_shardlog sink requires a 'path' option")
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path, f"_tmp_{pid}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _LogSinkCommitMessage(tmp, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        total = 0
+        for m in messages:
+            final = m.path.replace("_tmp_", "part-")
+            os.replace(m.path, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(json.dumps({"n_rows": total}))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.unlink(m.path)
+            except OSError:
+                pass
+
+
+class ShardedLogSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jbp_shardsink"
+
+    def writer(self, schema, overwrite):
+        return ShardedLogWriter(self.options)

@@ -69,3 +69,40 @@ def test_variant_extract_typed_values(spark):
     assert rows
     for r in rows:
         assert r["min_k"] is not None and r["min_k"] <= r["max_k"]
+
+
+def test_python_datasink_two_phase_commit(spark, tmp_path):
+    """Tasks write temp files; only the driver's commit() makes them
+    visible (renamed part-* + _SUCCESS manifest with the row total)."""
+    import json
+    import os
+
+    from journal_batch_processer_spark.sources.python_source import (
+        ShardedLogSink,
+    )
+
+    try:
+        spark.dataSource.register(ShardedLogSink)
+    except Exception:
+        pass
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    df = spark.range(100).selectExpr(
+        "id AS event_id", "CAST(id % 3 AS STRING) AS event_type", "id AS ts_us"
+    )
+    df.repartition(3).write.format("jbp_shardsink").option(
+        "path", out
+    ).mode("append").save()
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    assert not [f for f in files if f.startswith("_tmp_")]
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) == 3
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["n_rows"] == 100
+    n = sum(
+        1
+        for f in parts
+        for _ in open(os.path.join(out, f))
+    )
+    assert n == 100
