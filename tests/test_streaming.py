@@ -109,3 +109,61 @@ def test_upsert_snapshot_batch_boundary_invariance(spark, tmp_path):
     one = apply_batches([ev], str(tmp_path / "one"))
     two = apply_batches([first, second], str(tmp_path / "two"))
     assert one == two
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting a streaming aggregation from its checkpoint must
+    resume exactly-once: batch-1 files are NOT re-counted (the source
+    offsets live in the checkpoint) and state carries over, so the
+    final complete-mode output equals the batch aggregate over both
+    generations."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def gen(lo, hi, path):
+        spark.range(lo, hi).selectExpr(
+            "id", "CAST(id % 4 AS STRING) AS k"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    gen(0, 500, f"{src}/g1")
+    # file-source over a glob of subdirs; one drain per generation
+    schema = "id long, k string"
+
+    def run_drain(name):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        assert not q.isActive
+        return {r["k"]: (r["n"], r["s"]) for r in spark.table(name).collect()}
+
+    first = run_drain("jbp_ckpt_t1")
+    assert sum(n for n, _ in first.values()) == 500
+
+    gen(500, 800, f"{src}/g2")
+    second = run_drain("jbp_ckpt_t2")
+
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in spark.read.parquet(f"{src}/*")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert second == want
+    assert sum(n for n, _ in second.values()) == 800
