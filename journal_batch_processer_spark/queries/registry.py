@@ -87,6 +87,7 @@ def _build() -> dict[str, QuerySpec]:
         "variant_extract",
         "lateral_join",
         "python_datasource",
+        "curriculum_order",
         "python_datasink",
         "observe_metrics",
         "arrow_map",

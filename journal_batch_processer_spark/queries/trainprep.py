@@ -725,8 +725,63 @@ def _bpe_encode_oracle_sql(n: int = BPE_N_MERGES) -> str:
 SQL_TOKENIZER_ENCODE = _bpe_encode_oracle_sql()
 
 
+CURRICULUM_STAGES = 4
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering (the data-ordering step of a
+    staged training run): documents are split into 4 length stages
+    (short → long, the classic length curriculum) by EXPLICIT quartile
+    rank — rank·4 div n, not NTILE, because NTILE's remainder
+    distribution is engine-defined — and SHUFFLED WITHIN each stage by
+    md5 so every epoch replays the identical order (position is
+    resume/restart-stable, which `orderBy(rand())` can never be).
+    Output: (doc_id, stage, position) — the manifest a dataloader
+    consumes.
+
+    Scale shape: two rank windows; the stage window partitions by
+    stage (4 partitions here — at real scale the in-stage position is
+    computed per (stage, shard) exactly like sample_reservoir's
+    two-level rank, since a global per-stage ordering would serialize
+    a stage through one task)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    w_len = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    n = docs.count()
+    # integer div, not float `/`: float-quotient truncation at exact
+    # stage boundaries would hinge on both engines' rounding
+    staged = docs.withColumn("__rn", F.row_number().over(w_len)).select(
+        "doc_id",
+        F.expr(
+            f"CAST(((__rn - 1) * {CURRICULUM_STAGES}) div {n} AS INT)"
+        ).alias("stage"),
+    )
+    h = F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    w_stage = Window.partitionBy("stage").orderBy(h.asc(), F.col("doc_id").asc())
+    return staged.select(
+        "doc_id", "stage", F.row_number().over(w_stage).alias("position")
+    )
+
+
+SQL_CURRICULUM_ORDER = f"""
+WITH ranked AS (
+    SELECT doc_id,
+           CAST(((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
+                 * {CURRICULUM_STAGES})
+                // (SELECT COUNT(*) FROM documents) AS INTEGER) AS stage
+    FROM documents
+)
+SELECT doc_id, stage,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY stage
+           ORDER BY md5('cur:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INTEGER) AS position
+FROM ranked
+"""
+
+
 QUERIES = {
     "chunk_sliding": (q_chunk_sliding, SQL_CHUNK_SLIDING),
+    "curriculum_order": (q_curriculum_order, SQL_CURRICULUM_ORDER),
     "tokenizer_train": (q_tokenizer_train, SQL_TOKENIZER_TRAIN),
     "tokenizer_encode": (q_tokenizer_encode, SQL_TOKENIZER_ENCODE),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),

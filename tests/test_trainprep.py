@@ -366,3 +366,38 @@ def test_bpe_encode_counts_match_python_model(spark):
         ws = [w for w in r["text"].split(" ") if w]
         want[r["doc_id"]] = (len(ws), sum(enc_cache[w] for w in ws))
     assert got == want
+
+
+def test_curriculum_order_stages_and_positions(spark):
+    """Stages are length-ordered quartiles (earlier stage => shorter
+    docs at the boundary) and positions are a permutation 1..|stage|."""
+    import os
+
+    from journal_batch_processer_spark.queries.trainprep import (
+        CURRICULUM_STAGES,
+        q_curriculum_order,
+    )
+    from tests.conftest import SF_DIR
+
+    out = q_curriculum_order(spark, SF_DIR)
+    rows = out.collect()
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    lens = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert len(rows) == len(lens)
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert set(by_stage) == set(range(CURRICULUM_STAGES))
+    # positions form 1..n per stage
+    for stage, rs in by_stage.items():
+        assert sorted(x["position"] for x in rs) == list(
+            range(1, len(rs) + 1)
+        )
+    # stage boundaries respect length order: max length of stage s
+    # <= min length of stage s+2 is too weak; use quantile ordering:
+    # every stage's MEDIAN length must be nondecreasing
+    meds = []
+    for stage in range(CURRICULUM_STAGES):
+        ls = sorted(lens[x["doc_id"]] for x in by_stage[stage])
+        meds.append(ls[len(ls) // 2])
+    assert meds == sorted(meds)
