@@ -99,7 +99,18 @@ def bloom_filtered_join(
     impossible (every build key sets its two positions). The result is
     bit-identical to ``probe.join(build, ...)`` — which is exactly what
     the oracle checks.
+
+    INNER (or inner-like) joins only: the bloom pre-filter drops
+    probe rows before the join, which is exactly wrong for outer/anti
+    semantics (a left-outer would lose its null-extended rows; an
+    anti would return only bloom false-positives).
     """
+    if how not in ("inner", "cross"):
+        raise ValueError(
+            f"bloom_filtered_join supports inner joins only, got {how!r}: "
+            "the bloom pre-filter removes probe rows a left/outer/anti "
+            "join must keep"
+        )
 
     def pos(salt: str, c: F.Column) -> F.Column:
         return F.pmod(F.xxhash64(F.lit(salt), c), F.lit(n_bits))
@@ -146,7 +157,16 @@ def interval_overlap_join(
     bucket granularity trades explode factor against candidate
     selectivity, and both sides can be written bucket-partitioned so
     the equi join is co-located. Interval columns must be timestamps.
+
+    INNER joins only: the post-join overlap/pin filter would discard
+    a left/outer join's null-extended rows (null predicate → dropped),
+    silently degrading it to inner.
     """
+    if how != "inner":
+        raise ValueError(
+            f"interval_overlap_join supports inner joins only, got "
+            f"{how!r}: the overlap filter drops null-extended rows"
+        )
     l2 = left.withColumn(
         "__b",
         F.explode(

@@ -155,6 +155,19 @@ def corpus_mix(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("share_ppm", share_expr)
     )
+    # a requested stratum with ZERO rows makes the target mix
+    # unachievable (T = min_s(count_s/share_s) = 0); silently min-ing
+    # over only the present strata would instead ship a wrong mix.
+    # The counts relation is stratum-sized (tiny) — one bounded
+    # driver action to fail loud (the graph.py scalar-action
+    # precedent).
+    present = {r[0] for r in counts.select(strata_col).collect()}
+    missing = sorted(set(shares_ppm) - present)
+    if missing:
+        raise ValueError(
+            f"corpus_mix: requested strata have no rows: {missing}; "
+            "the target mix is unachievable (T would be 0)"
+        )
     # implied max total per stratum; global min is the achievable total
     w_all = Window.partitionBy(F.lit(0))
     counts = counts.withColumn(

@@ -70,6 +70,27 @@ def _events_stream_dir(sf_dir: str) -> str:
     return _stream_dir(sf_dir, "events", "jbp_stream_events")
 
 
+def _drain_to_memory(spark, stream, name: str, output_mode: str):
+    """Shared memory-sink drain: start, availableNow-drain, fail LOUD
+    on a hung query (a partial sink would be silently wrong), return
+    the sink table. One definition for all ten streaming keys."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within 180s; a partial sink "
+            "would be silently wrong — failing loud instead"
+        )
+    return spark.table(name)
+
+
 def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 1-hour tumbling counts, executed as a genuine
     Structured Streaming job and drained with availableNow into a
@@ -83,21 +104,7 @@ def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "jbp_stream_tumble_mem"
     stream = tumbling_counts(read_events_stream(spark, _events_stream_dir(sf_dir)))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=180)
-    if q.isActive:  # pragma: no cover - defensive against a hung drain
-        q.stop()
-        raise TimeoutError(
-            f"stream {name!r} did not drain within 180s; a partial sink "
-            "would be silently wrong — failing loud instead"
-        )
-    return spark.table(name)
+    return _drain_to_memory(spark, stream, name, "complete")
 
 
 SQL_STREAM_TUMBLE = """
@@ -128,21 +135,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["content_hash"])
     )
     name = "jbp_stream_dedup_mem"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=180)
-    if q.isActive:  # pragma: no cover - defensive against a hung drain
-        q.stop()
-        raise TimeoutError(
-            f"stream {name!r} did not drain within 180s; a partial sink "
-            "would be silently wrong — failing loud instead"
-        )
-    return spark.table(name)
+    return _drain_to_memory(spark, stream, name, "append")
 
 
 SQL_STREAM_DEDUP = "SELECT DISTINCT md5(text) AS content_hash FROM documents"
@@ -173,21 +166,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sessionize_stateful(
         read_events_stream(spark, _events_stream_dir(sf_dir))
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=180)
-    if q.isActive:  # pragma: no cover - defensive against a hung drain
-        q.stop()
-        raise TimeoutError(
-            f"stream {name!r} did not drain within 180s; a partial sink "
-            "would be silently wrong — failing loud instead"
-        )
-    return spark.table(name)
+    return _drain_to_memory(spark, stream, name, "append")
 
 
 # Mirrors the operator's two emission rules. ts is truncated to whole
@@ -247,21 +226,7 @@ def q_stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
         slide="1 hour",
         start_col="window_start",
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=180)
-    if q.isActive:  # pragma: no cover - defensive against a hung drain
-        q.stop()
-        raise TimeoutError(
-            f"stream {name!r} did not drain within 180s; a partial sink "
-            "would be silently wrong — failing loud instead"
-        )
-    return spark.table(name)
+    return _drain_to_memory(spark, stream, name, "complete")
 
 
 SQL_STREAM_SLIDE = """
@@ -310,21 +275,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=180)
-    if q.isActive:  # pragma: no cover - defensive against a hung drain
-        q.stop()
-        raise TimeoutError(
-            f"stream {name!r} did not drain within 180s; a partial sink "
-            "would be silently wrong — failing loud instead"
-        )
-    return spark.table(name)
+    return _drain_to_memory(spark, stream, name, "complete")
 
 
 SQL_STREAM_JOIN = """
@@ -355,21 +306,7 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=180)
-    if q.isActive:  # pragma: no cover - defensive against a hung drain
-        q.stop()
-        raise TimeoutError(
-            f"stream {name!r} did not drain within 180s; a partial sink "
-            "would be silently wrong — failing loud instead"
-        )
-    return spark.table(name)
+    return _drain_to_memory(spark, stream, name, "append")
 
 
 SQL_STREAM_DEDUP_WM = """
@@ -453,21 +390,7 @@ def q_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=180)
-    if q.isActive:  # pragma: no cover - defensive against a hung drain
-        q.stop()
-        raise TimeoutError(
-            f"stream {name!r} did not drain within 180s; a partial sink "
-            "would be silently wrong — failing loud instead"
-        )
-    return spark.table(name)
+    return _drain_to_memory(spark, stream, name, "complete")
 
 
 SQL_STREAM_STATS = """
@@ -510,21 +433,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dv).cast("double").alias("sum_value"),
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=180)
-    if q.isActive:  # pragma: no cover - defensive against a hung drain
-        q.stop()
-        raise TimeoutError(
-            f"stream {name!r} did not drain within 180s; a partial sink "
-            "would be silently wrong — failing loud instead"
-        )
-    return spark.table(name)
+    return _drain_to_memory(spark, stream, name, "complete")
 
 
 SQL_STREAM_ENRICH = """
@@ -570,21 +479,7 @@ def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=180)
-    if q.isActive:  # pragma: no cover - defensive against a hung drain
-        q.stop()
-        raise TimeoutError(
-            f"stream {name!r} did not drain within 180s; a partial sink "
-            "would be silently wrong — failing loud instead"
-        )
-    return spark.table(name)
+    return _drain_to_memory(spark, stream, name, "complete")
 
 
 SQL_STREAM_SESSION_NATIVE = """

@@ -98,8 +98,15 @@ class ShardedLogWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        tmp = os.path.join(self.path, f"_tmp_{pid}.jsonl")
+        ctx = TaskContext.get()
+        # the ATTEMPT id (globally unique), not just the partition id:
+        # a retried or speculative attempt of the same partition must
+        # write its own temp file — sharing one name would interleave
+        # two concurrent writers and commit corrupted rows
+        tmp = os.path.join(
+            self.path,
+            f"_tmp_{ctx.partitionId()}_{ctx.taskAttemptId()}.jsonl",
+        )
         n = 0
         with open(tmp, "w") as f:
             for row in iterator:
@@ -112,17 +119,27 @@ class ShardedLogWriter(DataSourceWriter):
         import os
 
         total = 0
-        for m in messages:
-            final = m.path.replace("_tmp_", "part-")
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
             os.replace(m.path, final)
             total += m.n_rows
+        # losing attempts' temp files (task retried, message discarded)
+        for leftover in os.listdir(self.path):
+            if leftover.startswith("_tmp_"):
+                try:
+                    os.unlink(os.path.join(self.path, leftover))
+                except OSError:
+                    pass
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(json.dumps({"n_rows": total}))
 
     def abort(self, messages):
         import os
 
+        # messages holds None for tasks that failed before reporting
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.unlink(m.path)
             except OSError:
