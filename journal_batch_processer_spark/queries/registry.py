@@ -88,6 +88,7 @@ def _build() -> dict[str, QuerySpec]:
         "lateral_join",
         "python_datasource",
         "curriculum_order",
+        "python_stream_source",
         "python_datasink",
         "observe_metrics",
         "arrow_map",

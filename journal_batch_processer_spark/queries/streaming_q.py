@@ -504,8 +504,99 @@ FROM grp GROUP BY user_id, g
 """
 
 
+def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source via the Python DataSource API's
+    SimpleDataSourceStreamReader — the third leg of the connector
+    story (batch read and two-phase-commit write are
+    python_datasource / python_datasink). The source hands out one
+    deterministic md5-derived batch per offset; the query drains it
+    with THREE sequential availableNow runs sharing one checkpoint, so
+    offsets persist and advance across restarts: each run consumes
+    exactly the next batch, none is skipped, none is re-read. The
+    union of the five drains — value-oracled by regenerating the
+    stream content in SQL — is therefore an exactly-once proof for
+    the custom source's offset/commit protocol.
+
+    (availableNow against a Simple reader captures one prefetched
+    batch per run by design — which is precisely what makes the
+    restart loop a meaningful offset-tracking test rather than a
+    single-drain formality.)"""
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.sources.python_source import (
+        TICK_BATCHES,
+        TickStreamSource,
+    )
+
+    try:
+        spark.dataSource.register(TickStreamSource)
+    except Exception:  # noqa: BLE001 - already registered this session
+        pass
+    root = _tf.mkdtemp(prefix="jbp_ticks_")
+    _shutil.rmtree(root, ignore_errors=True)
+    ckpt, outdir = f"{root}/ckpt", f"{root}/out"
+    for run in range(TICK_BATCHES):
+        stream = spark.readStream.format("jbp_ticks").load()
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+            raise TimeoutError(f"tick drain {run} hung")
+    # the parquet STREAMING sink is fault-tolerant (its _spark_metadata
+    # commit log names exactly the committed files), unlike the memory
+    # sink, which refuses checkpoint recovery outright
+    out = spark.read.parquet(outdir)
+    return out.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.sum("i").alias("i_checksum"),
+    )
+
+
+def _pyss_oracle_sql() -> str:
+    from journal_batch_processer_spark.sources.python_source import (
+        TICK_BATCHES,
+        TICK_PER_BATCH,
+    )
+
+    hexpos = "strpos('0123456789abcdef', h[{i}]) - 1"
+    c = [hexpos.format(i=i) for i in range(1, 5)]
+    return f"""
+WITH g AS (
+    SELECT b.batch, q.i,
+           md5('tick:' || b.batch || ':' || q.i) AS h
+    FROM generate_series(0, {TICK_BATCHES - 1}) b(batch),
+         generate_series(0, {TICK_PER_BATCH - 1}) q(i)
+),
+r AS (
+    SELECT CAST(batch AS INTEGER) AS batch, i,
+           ({c[0]}) * 4096 + ({c[1]}) * 256
+           + ({c[2]}) * 16 + ({c[3]}) AS value
+    FROM g
+)
+SELECT batch, COUNT(*) AS n,
+       CAST(SUM(value) AS BIGINT) AS sum_value,
+       CAST(SUM(i) AS BIGINT) AS i_checksum
+FROM r GROUP BY 1
+"""
+
+
+SQL_PYTHON_STREAM_SOURCE = _pyss_oracle_sql
+
+
 QUERIES = {
     "stream_upsert": (q_stream_upsert, SQL_STREAM_UPSERT),
+    "python_stream_source": (q_python_stream_source, SQL_PYTHON_STREAM_SOURCE),
     "stream_stats": (q_stream_stats, SQL_STREAM_STATS),
     "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
     "stream_session_native": (q_stream_session_native, SQL_STREAM_SESSION_NATIVE),

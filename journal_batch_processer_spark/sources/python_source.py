@@ -24,6 +24,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -153,3 +154,57 @@ class ShardedLogSink(DataSource):
 
     def writer(self, schema, overwrite):
         return ShardedLogWriter(self.options)
+
+
+# ---------------------------------------------------------------------------
+# streaming half: custom micro-batch source via SimpleDataSourceStreamReader
+# ---------------------------------------------------------------------------
+
+TICK_BATCHES = 3  # each costs a full query startup; 3 restarts prove the protocol
+TICK_PER_BATCH = 200
+
+
+def tick_row(batch: int, i: int) -> tuple[int, int, int]:
+    """Deterministic tick row (the md5 trick again): any engine
+    regenerates the stream's exact content."""
+    h = hashlib.md5(f"tick:{batch}:{i}".encode()).hexdigest()
+    return (batch, i, int(h[:4], 16))
+
+
+class TickStreamReader(SimpleDataSourceStreamReader):
+    """Bounded deterministic micro-batch source: offset = {"batch": b};
+    each read() returns one batch of rows and advances the offset,
+    empty after TICK_BATCHES. readBetweenOffsets() replays any offset
+    range — the REPLAY contract that gives a streaming source
+    exactly-once semantics under failure/restart (Spark re-reads a
+    committed-but-unprocessed range from the checkpointed offsets)."""
+
+    def initialOffset(self):
+        return {"batch": 0}
+
+    def read(self, start):
+        b = start["batch"]
+        if b >= TICK_BATCHES:
+            return iter([]), {"batch": b}
+        return (
+            iter([tick_row(b, i) for i in range(TICK_PER_BATCH)]),
+            {"batch": b + 1},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        rows = []
+        for b in range(start["batch"], end["batch"]):
+            rows.extend(tick_row(b, i) for i in range(TICK_PER_BATCH))
+        return iter(rows)
+
+
+class TickStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jbp_ticks"
+
+    def schema(self) -> str:
+        return "batch int, i int, value int"
+
+    def simpleStreamReader(self, schema):
+        return TickStreamReader()
