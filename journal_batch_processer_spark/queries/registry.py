@@ -89,6 +89,7 @@ def _build() -> dict[str, QuerySpec]:
         "python_datasource",
         "curriculum_order",
         "python_stream_source",
+        "xml_native",
         "python_datasink",
         "observe_metrics",
         "arrow_map",

@@ -57,6 +57,45 @@ FROM documents GROUP BY 1
 """
 
 
+def q_xml_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE XML data source (write + schema'd read — new
+    in 4.0; the custom reference-parity XML edge in sources/xml.py
+    predates it and models the reference's quirks instead): documents
+    round-tripped through .format("xml") and aggregated, with the
+    identity aggregate over the source parquet as the oracle — any
+    escaping/type mangling through the XML writer/reader hash-fails.
+    Complements xml_parse/xml_serialize, which stay on the custom
+    expression-level path the reference's semantics require."""
+    out = tempfile.mkdtemp(prefix="jbp_xmlnative_")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    (
+        docs.write.format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, source string, n_chars long")
+        .load(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+SQL_XML_NATIVE = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents GROUP BY 1
+"""
+
+
 def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned write + partition-PRUNED read: documents land
     partitioned by lang (`write.partitionBy`), and the filtered
@@ -395,6 +434,7 @@ QUERIES = {
     "schema_evolution": (q_schema_evolution, SQL_SCHEMA_EVOLUTION),
     "anonymize_k": (q_anonymize_k, SQL_ANONYMIZE_K),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "xml_native": (q_xml_native, SQL_XML_NATIVE),
     "partitioned_prune": (q_partitioned_prune, SQL_PARTITIONED_PRUNE),
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
     "scd2_dim": (q_scd2_dim, SQL_SCD2_DIM),
