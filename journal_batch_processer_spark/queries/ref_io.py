@@ -385,12 +385,10 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole custom-source read path is value-checked."""
     from journal_batch_processer_spark.sources.python_source import (
         ShardedLogSource,
+        register_once,
     )
 
-    try:
-        spark.dataSource.register(ShardedLogSource)
-    except Exception:  # noqa: BLE001 - already registered this session
-        pass
+    register_once(spark, ShardedLogSource)
     df = spark.read.format("jbp_shardlog").load()
     return df.groupBy("level").agg(
         F.count(F.lit(1)).alias("n"),
@@ -401,11 +399,9 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HEXPOS = "strpos('0123456789abcdef', h[{i}]) - 1"
-
-
 def _pyds_oracle_sql() -> str:
     from journal_batch_processer_spark.sources.python_source import (
+        HEXPOS_SQL as _HEXPOS,
         LEVELS,
         N_SHARDS,
         ROWS_PER_SHARD,
@@ -452,13 +448,11 @@ def q_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from journal_batch_processer_spark.sources.python_source import (
         ShardedLogSink,
+        register_once,
     )
     from journal_batch_processer_spark.session import load_events
 
-    try:
-        spark.dataSource.register(ShardedLogSink)
-    except Exception:  # noqa: BLE001 - already registered this session
-        pass
+    register_once(spark, ShardedLogSink)
     out = _tf.mkdtemp(prefix="jbp_sink_")
     ev = load_events(spark, sf_dir).select(
         "event_id", "event_type", F.unix_micros("ts").alias("ts_us")

@@ -70,10 +70,21 @@ def _events_stream_dir(sf_dir: str) -> str:
     return _stream_dir(sf_dir, "events", "jbp_stream_events")
 
 
+def _await_drain(q, name: str, timeout: int = 180) -> None:
+    """Fail-LOUD drain wait (a partial sink/snapshot would be silently
+    wrong) — the one copy of the protocol every streaming key uses."""
+    q.awaitTermination(timeout=timeout)
+    if q.isActive:  # pragma: no cover - defensive against a hung drain
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within {timeout}s; a partial "
+            "sink would be silently wrong — failing loud instead"
+        )
+
+
 def _drain_to_memory(spark, stream, name: str, output_mode: str):
-    """Shared memory-sink drain: start, availableNow-drain, fail LOUD
-    on a hung query (a partial sink would be silently wrong), return
-    the sink table. One definition for all ten streaming keys."""
+    """Shared memory-sink drain: start, availableNow-drain via
+    _await_drain, return the sink table."""
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -81,13 +92,7 @@ def _drain_to_memory(spark, stream, name: str, output_mode: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=180)
-    if q.isActive:  # pragma: no cover - defensive against a hung drain
-        q.stop()
-        raise TimeoutError(
-            f"stream {name!r} did not drain within 180s; a partial sink "
-            "would be silently wrong — failing loud instead"
-        )
+    _await_drain(q, name)
     return spark.table(name)
 
 
@@ -335,13 +340,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _tf.mkdtemp(prefix="jbp_snap_ckpt_")
     stream = read_events_stream(spark, _events_stream_dir(sf_dir))
     q = upsert_snapshot_sink(stream, snap_root, ckpt)
-    q.awaitTermination(timeout=180)
-    if q.isActive:  # pragma: no cover - defensive against a hung drain
-        q.stop()
-        raise TimeoutError(
-            "stream_upsert did not drain within 180s; a partial "
-            "snapshot would be silently wrong — failing loud instead"
-        )
+    _await_drain(q, "stream_upsert")
     return read_snapshot(spark, snap_root)
 
 
@@ -513,7 +512,7 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     with THREE sequential availableNow runs sharing one checkpoint, so
     offsets persist and advance across restarts: each run consumes
     exactly the next batch, none is skipped, none is re-read. The
-    union of the five drains — value-oracled by regenerating the
+    union of the three drains — value-oracled by regenerating the
     stream content in SQL — is therefore an exactly-once proof for
     the custom source's offset/commit protocol.
 
@@ -521,7 +520,6 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch per run by design — which is precisely what makes the
     restart loop a meaningful offset-tracking test rather than a
     single-drain formality.)"""
-    import shutil as _shutil
     import tempfile as _tf
 
     from pyspark.sql import functions as F
@@ -529,14 +527,11 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from journal_batch_processer_spark.sources.python_source import (
         TICK_BATCHES,
         TickStreamSource,
+        register_once,
     )
 
-    try:
-        spark.dataSource.register(TickStreamSource)
-    except Exception:  # noqa: BLE001 - already registered this session
-        pass
+    register_once(spark, TickStreamSource)
     root = _tf.mkdtemp(prefix="jbp_ticks_")
-    _shutil.rmtree(root, ignore_errors=True)
     ckpt, outdir = f"{root}/ckpt", f"{root}/out"
     for run in range(TICK_BATCHES):
         stream = spark.readStream.format("jbp_ticks").load()
@@ -548,10 +543,7 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout=120)
-        if q.isActive:  # pragma: no cover - defensive
-            q.stop()
-            raise TimeoutError(f"tick drain {run} hung")
+        _await_drain(q, f"jbp_ticks_run{run}")
     # the parquet STREAMING sink is fault-tolerant (its _spark_metadata
     # commit log names exactly the committed files), unlike the memory
     # sink, which refuses checkpoint recovery outright
@@ -569,8 +561,11 @@ def _pyss_oracle_sql() -> str:
         TICK_PER_BATCH,
     )
 
-    hexpos = "strpos('0123456789abcdef', h[{i}]) - 1"
-    c = [hexpos.format(i=i) for i in range(1, 5)]
+    from journal_batch_processer_spark.sources.python_source import (
+        HEXPOS_SQL,
+    )
+
+    c = [HEXPOS_SQL.format(i=i) for i in range(1, 5)]
     return f"""
 WITH g AS (
     SELECT b.batch, q.i,

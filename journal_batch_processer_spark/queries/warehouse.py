@@ -85,13 +85,21 @@ def q_xml_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum("doc_id").alias("id_checksum"),
+        # the string column must survive the XML escaping round-trip
+        # too — distinct count + extrema put it inside the hash check
+        F.countDistinct("source").alias("n_sources"),
+        F.min("source").alias("min_source"),
+        F.max("source").alias("max_source"),
     )
 
 
 SQL_XML_NATIVE = """
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       COUNT(DISTINCT source) AS n_sources,
+       MIN(source) AS min_source,
+       MAX(source) AS max_source
 FROM documents GROUP BY 1
 """
 

@@ -31,6 +31,24 @@ from pyspark.sql.datasource import (
 N_SHARDS = 8
 ROWS_PER_SHARD = 1250
 
+# DuckDB-side md5-nibble decoding used by every oracle that regenerates
+# these sources' rows — ONE copy so the load-bearing fragment can't
+# drift between oracles (h is a 1-based-indexed md5 hex string)
+HEXPOS_SQL = "strpos('0123456789abcdef', h[{i}]) - 1"
+
+
+def register_once(spark, source_cls) -> None:
+    """Register a Python DataSource, tolerating ONLY the
+    already-registered case — any other failure (API missing, bad
+    class) surfaces immediately instead of resurfacing later as a
+    misleading 'data source not found'."""
+    try:
+        spark.dataSource.register(source_cls)
+    except Exception as e:  # noqa: BLE001
+        msg = str(e).lower()
+        if "already" not in msg and "exist" not in msg:
+            raise
+
 LEVELS = ["debug", "info", "warn", "error"]
 
 
@@ -160,7 +178,7 @@ class ShardedLogSink(DataSource):
 # streaming half: custom micro-batch source via SimpleDataSourceStreamReader
 # ---------------------------------------------------------------------------
 
-TICK_BATCHES = 3  # each costs a full query startup; 3 restarts prove the protocol
+TICK_BATCHES = 3  # each run costs a full query startup; 3 runs (2 restarts) prove the protocol
 TICK_PER_BATCH = 200
 
 
