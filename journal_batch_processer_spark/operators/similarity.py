@@ -785,3 +785,111 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+KMI_SCALE = 1000  # global quantization scale: q_i = floor(x_i*1000 + 0.5)
+
+
+def kmeans_integer_distributed(
+    embs: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DISTRIBUTED Lloyd k-means with exact integer arithmetic — the
+    training loop itself on the cluster, not the driver-side sampled
+    trainer (train_ivf_centroids). Floats make distributed k-means
+    unverifiable (per-dimension means depend on shuffle summation
+    order), so vectors are globally quantized to integers
+    (floor(x·1000 + 0.5) — one IEEE multiply+floor, bit-identical
+    everywhere) and every step is integer: squared-L2 distances,
+    argmin ties → lowest cluster, centroid update = per-dimension
+    sum div count, empty cluster keeps its centroid. The whole
+    n_iters-round run is reproducible bit-for-bit by an unrolled SQL
+    oracle.
+
+    Scale shape per round: one broadcast(k centroids) × corpus assign
+    (narrow), one (cluster, dim) aggregation — corpus-sized shuffle of
+    (long, int, long) triples, never vectors — and one k-row collect
+    to seed the next round's broadcast literals (the bounded
+    scalar-action precedent; k centroids ARE driver-sized state).
+    Init: first k vectors in portable md5 order. Returns the final
+    (vec_id, cluster, dist) assignment under the round-n centroids.
+    """
+    spark = embs.sparkSession
+    q = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) "
+            f"* {KMI_SCALE} + 0.5D) AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint()
+
+    # portable md5-ordered init (same convention as the sampled trainers)
+    seed_rows = (
+        q.withColumn(
+            "__h", F.md5(F.concat(F.lit("kmi:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("__h", "vec_id")
+        .limit(k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [list(r["qv"]) for r in seed_rows]
+
+    dist_expr = (
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+    def assign(cent_rows: list[list[int]]) -> DataFrame:
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cent_rows)],
+            "cluster int, cv array<bigint>",
+        )
+        scored = q.join(F.broadcast(cdf)).withColumn(
+            "dist", F.expr(dist_expr)
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "qv", "cluster", "dist")
+        )
+
+    for _ in range(n_iters):
+        a = assign(cents)
+        sums = (
+            a.select(
+                "cluster",
+                F.posexplode("qv").alias("d", "v"),
+            )
+            .groupBy("cluster", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["d"]] = (r["s"], r["n"])
+        def trunc_div(s: int, n: int) -> int:
+            # SQL integer division truncates toward zero (DuckDB //,
+            # Spark div); Python // floors — on the negative sums the
+            # quantized embeddings produce, the two differ by one and
+            # the rounds diverge. Match the SQL convention.
+            q_ = abs(s) // n
+            return q_ if s >= 0 else -q_
+
+        new_cents = []
+        for i in range(k):
+            if i in by_cluster:
+                dims = by_cluster[i]
+                new_cents.append(
+                    [trunc_div(dims[d][0], dims[d][1]) for d in range(dim)]
+                )
+            else:  # empty cluster keeps its previous centroid
+                new_cents.append(cents[i])
+        cents = new_cents
+
+    return assign(cents).select("vec_id", "cluster", "dist")

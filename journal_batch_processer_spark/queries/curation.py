@@ -264,3 +264,96 @@ QUERIES = {
     "embed_kmeans": (q_embed_kmeans, SQL_EMBED_KMEANS),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
 }
+
+
+# ---------------------------------------------------------------------------
+# distributed integer k-means
+# ---------------------------------------------------------------------------
+
+KMI_K = 8
+KMI_ITERS = 3
+
+
+def q_kmeans_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means executed ON the cluster (assign =
+    broadcast join, centroid update = per-(cluster, dim) aggregation)
+    — the training loop itself, not the driver-side sampled trainer.
+    Exactness comes from GLOBAL integer quantization: every distance
+    and centroid mean is integer arithmetic, so the 3-round run is
+    bit-reproducible and the unrolled SQL oracle hash-matches the
+    final assignment — a distributed iterative ML training loop under
+    a full value oracle."""
+    from journal_batch_processer_spark.operators.similarity import (
+        kmeans_integer_distributed,
+    )
+
+    embs = _embs(spark, sf_dir)
+    return kmeans_integer_distributed(
+        embs, k=KMI_K, n_iters=KMI_ITERS, dim=EMB_DIM
+    )
+
+
+def _kmi_oracle_sql(k: int = KMI_K, n_iters: int = KMI_ITERS) -> str:
+    dist = (
+        "list_sum(list_transform(range(1, "
+        f"{EMB_DIM + 1}), i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
+    )
+    parts = [
+        "WITH q AS MATERIALIZED (",
+        "  SELECT vec_id,",
+        "         list_transform(embedding,",
+        "             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 5e-1)",
+        "                       AS BIGINT)) AS qv",
+        "  FROM embeddings",
+        "),",
+        "c0 AS MATERIALIZED (",
+        f"  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)",
+        "             AS cluster, qv AS cv",
+        "  FROM (",
+        "    SELECT vec_id, qv FROM q",
+        "    ORDER BY md5('kmi:' || CAST(vec_id AS VARCHAR)), vec_id",
+        f"    LIMIT {k}",
+        "  )",
+        "),",
+    ]
+    for r in range(1, n_iters + 1):
+        parts += [
+            f"a{r} AS MATERIALIZED (",
+            "  SELECT vec_id, qv, cluster, dist FROM (",
+            f"    SELECT q.vec_id, q.qv, c.cluster, {dist} AS dist,",
+            "           ROW_NUMBER() OVER (",
+            f"               PARTITION BY q.vec_id ORDER BY {dist}, c.cluster",
+            "           ) AS rn",
+            f"    FROM q CROSS JOIN c{r - 1} c",
+            "  ) WHERE rn = 1",
+            "),",
+            f"c{r} AS MATERIALIZED (",
+            "  SELECT p.cluster, COALESCE(s.cv, p.cv) AS cv",
+            f"  FROM c{r - 1} p LEFT JOIN (",
+            "    SELECT cluster, list(qsum // qn ORDER BY d) AS cv FROM (",
+            "      SELECT cluster, d, SUM(qv[d]) AS qsum, COUNT(*) AS qn",
+            f"      FROM a{r}, UNNEST(generate_series(1, {EMB_DIM})) t(d)",
+            "      GROUP BY 1, 2",
+            "    ) GROUP BY cluster",
+            "  ) s ON p.cluster = s.cluster",
+            "),",
+        ]
+    parts += [
+        "f AS (",
+        "  SELECT vec_id, cluster, dist FROM (",
+        f"    SELECT q.vec_id, c.cluster, {dist} AS dist,",
+        "           ROW_NUMBER() OVER (",
+        f"               PARTITION BY q.vec_id ORDER BY {dist}, c.cluster",
+        "           ) AS rn",
+        f"    FROM q CROSS JOIN c{n_iters} c",
+        "  ) WHERE rn = 1",
+        ")",
+        "SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist FROM f",
+    ]
+    return "\n".join(parts)
+
+
+SQL_KMEANS_DISTRIBUTED = _kmi_oracle_sql()
+
+
+QUERIES["kmeans_distributed"] = (q_kmeans_distributed, SQL_KMEANS_DISTRIBUTED)

@@ -90,6 +90,8 @@ def _build() -> dict[str, QuerySpec]:
         "curriculum_order",
         "python_stream_source",
         "xml_native",
+        "dq_checks",
+        "kmeans_distributed",
         "python_datasink",
         "observe_metrics",
         "arrow_map",

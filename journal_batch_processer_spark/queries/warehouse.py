@@ -436,8 +436,138 @@ WHERE s.group_n >= {ANON_K}
 """
 
 
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint battery (the dbt-test /
+    Great-Expectations shape every warehouse runs before publishing):
+    each rule is one aggregate expression over a single shared scan —
+    NOT one job per rule — so the whole battery costs one pass per
+    table however many rules are declared. Emitted as a (rule,
+    n_violations, n_checked) summary the orchestrator gates on.
+
+    Rules: not-null, domain membership, uniqueness, referential
+    integrity (orders→customer), range, and cross-column consistency
+    (documents.n_chars == length(text))."""
+    ev = load_events(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("ck")
+    )
+
+    def rules_over(df, rules):
+        aggs = []
+        for rule, bad in rules:
+            aggs.append(F.sum(bad.cast("bigint")).alias(f"v_{rule}"))
+        row = df.agg(F.count(F.lit(1)).alias("n"), *aggs)
+        return row, [r for r, _ in rules]
+
+    ev_row, ev_rules = rules_over(
+        ev,
+        [
+            ("events_user_id_not_null", F.col("user_id").isNull()),
+            (
+                "events_type_in_domain",
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                ),
+            ),
+            ("events_value_nonnegative", F.col("value") < 0),
+        ],
+    )
+    doc_row, doc_rules = rules_over(
+        docs,
+        [
+            (
+                "docs_nchars_consistent",
+                F.col("n_chars") != F.length("text"),
+            ),
+            ("docs_lang_known", ~F.col("lang").isin("en", "de", "fr", "es", "zh")),
+        ],
+    )
+    # uniqueness + referential integrity need their own (small) aggs
+    dup_events = (
+        ev.groupBy("event_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("v"),
+        )
+    )
+    orphan_orders = (
+        orders.join(cust, orders.o_custkey == cust.ck, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    n_ev = ev_row.collect()[0]
+    n_doc = doc_row.collect()[0]
+    n_orders = orders.count()
+    rows = [
+        (r, int(n_ev[f"v_{r}"]), int(n_ev["n"])) for r in ev_rules
+    ] + [
+        (r, int(n_doc[f"v_{r}"]), int(n_doc["n"])) for r in doc_rules
+    ]
+    rows.append(
+        ("events_id_unique", int(dup_events.collect()[0]["v"]), int(n_ev["n"]))
+    )
+    rows.append(
+        (
+            "orders_custkey_exists",
+            int(orphan_orders.collect()[0]["v"]),
+            n_orders,
+        )
+    )
+    return spark.createDataFrame(
+        rows, "rule string, n_violations bigint, n_checked bigint"
+    )
+
+
+SQL_DQ_CHECKS = """
+SELECT 'events_user_id_not_null' AS rule,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+       COUNT(*) AS n_checked
+FROM events
+UNION ALL
+SELECT 'events_type_in_domain',
+       CAST(SUM(CASE WHEN event_type NOT IN
+                ('view','click','purchase','signup','error')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM events
+UNION ALL
+SELECT 'events_value_nonnegative',
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM events
+UNION ALL
+SELECT 'docs_nchars_consistent',
+       CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+            AS BIGINT),
+       COUNT(*)
+FROM documents
+UNION ALL
+SELECT 'docs_lang_known',
+       CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM documents
+UNION ALL
+SELECT 'events_id_unique',
+       CAST(COALESCE((SELECT SUM(c - 1) FROM (
+           SELECT COUNT(*) AS c FROM events GROUP BY event_id
+           HAVING COUNT(*) > 1)), 0) AS BIGINT),
+       (SELECT COUNT(*) FROM events)
+UNION ALL
+SELECT 'orders_custkey_exists',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       (SELECT COUNT(*) FROM orders)
+"""
+
+
 QUERIES = {
     "layout_zorder": (q_layout_zorder, SQL_LAYOUT_ZORDER),
+    "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "compact_plan": (q_compact_plan, _compact_plan_sql),
     "schema_evolution": (q_schema_evolution, SQL_SCHEMA_EVOLUTION),
     "anonymize_k": (q_anonymize_k, SQL_ANONYMIZE_K),

@@ -267,3 +267,64 @@ def test_semantic_dedup_keeps_at_least_one_per_cluster(spark, embs, centroids):
     )
     for r in per_cell:
         assert r["n_kept"] >= 1
+
+
+def test_kmeans_distributed_matches_python_model(spark, embs):
+    """The 3-round distributed integer Lloyd must equal a pure-Python
+    integer Lloyd (same quantization, trunc-division means, md5 init,
+    tie rules)."""
+    import hashlib
+    import math
+
+    from journal_batch_processer_spark.operators.similarity import (
+        KMI_SCALE,
+        kmeans_integer_distributed,
+    )
+
+    k, iters, dim = 8, 3, 64
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_integer_distributed(embs, k=k, n_iters=iters).collect()
+    }
+
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in embs.collect()
+    )
+    qv = {
+        vid: [int(math.floor(x * KMI_SCALE + 0.5)) for x in v]
+        for vid, v in rows
+    }
+    seed = sorted(
+        qv, key=lambda vid: (hashlib.md5(f"kmi:{vid}".encode()).hexdigest(), vid)
+    )[:k]
+    cents = [qv[vid] for vid in sorted(seed)]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign():
+        out = {}
+        for vid, v in qv.items():
+            best = min(range(k), key=lambda c: (d2(v, cents[c]), c))
+            out[vid] = (best, d2(v, cents[best]))
+        return out
+
+    def trunc_div(s, n):
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    for _ in range(iters):
+        a = assign()
+        sums = {}
+        for vid, (c, _) in a.items():
+            acc = sums.setdefault(c, [[0] * dim, 0])
+            acc[1] += 1
+            for d in range(dim):
+                acc[0][d] += qv[vid][d]
+        for c in range(k):
+            if c in sums:
+                tot, n = sums[c]
+                cents[c] = [trunc_div(tot[d], n) for d in range(dim)]
+    want = assign()
+    assert got == want
