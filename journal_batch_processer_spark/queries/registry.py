@@ -92,6 +92,7 @@ def _build() -> dict[str, QuerySpec]:
         "xml_native",
         "dq_checks",
         "kmeans_distributed",
+        "stream_stream_join",
         "python_datasink",
         "observe_metrics",
         "arrow_map",

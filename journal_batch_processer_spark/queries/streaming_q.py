@@ -589,8 +589,74 @@ FROM r GROUP BY 1
 SQL_PYTHON_STREAM_SOURCE = _pyss_oracle_sql
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (the attribution join: each view
+    matched to the clicks that follow it within 2 hours) — distinct
+    from the stream-static enrichment joins: BOTH sides are unbounded,
+    both carry watermarks, and the event-time range condition is what
+    lets Spark bound each side's join state (a view can be evicted
+    once the click watermark passes its ts + 2 h). Fully drained in
+    one availableNow batch, the emitted pair set equals the batch
+    range join — the oracle. Timestamps emitted as epoch-µs integers."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    name = "jbp_stream_stream_join_mem"
+    d = _events_stream_dir(sf_dir)
+    views = (
+        read_events_stream(spark, d)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    clicks = (
+        read_events_stream(spark, d)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("interval 2 hours")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.unix_micros("v_ts").alias("view_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )
+    return _drain_to_memory(spark, joined, name, "append")
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       epoch_us(v.ts) AS view_ts_us,
+       epoch_us(c.ts) AS click_ts_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+"""
+
+
 QUERIES = {
     "stream_upsert": (q_stream_upsert, SQL_STREAM_UPSERT),
+    "stream_stream_join": (q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     "python_stream_source": (q_python_stream_source, SQL_PYTHON_STREAM_SOURCE),
     "stream_stats": (q_stream_stats, SQL_STREAM_STATS),
     "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
