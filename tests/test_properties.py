@@ -412,3 +412,64 @@ def test_interval_overlap_join_equals_theta(spark, lefts, rights):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["en", "de", "fr", "es", "zh"]),
+        st.integers(1, 999_999),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_corpus_mix_matches_python_model(spark, raw_shares):
+    """corpus_mix's kept set and keep rates must equal an independent
+    python recomputation (same integer ppm arithmetic, same md5
+    thresholds) for arbitrary share mixes."""
+    import hashlib
+
+    from journal_batch_processer_spark.operators.sampling import corpus_mix
+
+    # normalize to exactly 1e6 ppm (give the remainder to the first key)
+    ks = sorted(raw_shares)
+    total = sum(raw_shares.values())
+    shares = {k: raw_shares[k] * 1_000_000 // total for k in ks}
+    shares[ks[0]] += 1_000_000 - sum(shares.values())
+    shares = {k: v for k, v in shares.items() if v > 0}
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    rows = [(r["doc_id"], r["lang"]) for r in docs.collect()]
+    counts = {}
+    for _, lang in rows:
+        if lang in shares:
+            counts[lang] = counts.get(lang, 0) + 1
+    if set(shares) - set(counts):
+        return  # unachievable mix: operator raises (covered by unit test)
+
+    t_total = min(counts[s] * 1_000_000 // shares[s] for s in shares)
+    expected = set()
+    expected_ppm = {}
+    for s in shares:
+        target = t_total * shares[s] // 1_000_000
+        keep_ppm = min(1_000_000, target * 1_000_000 // counts[s])
+        expected_ppm[s] = keep_ppm
+        thr = (
+            "g"
+            if keep_ppm >= 1_000_000
+            else format(keep_ppm * 16_777_216 // 1_000_000, "06x")
+        )
+        for doc_id, lang in rows:
+            if lang == s:
+                h = hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:6]
+                if h < thr:
+                    expected.add((doc_id, s))
+
+    got_rows = corpus_mix(docs, "doc_id", "lang", shares).collect()
+    got = {(r["doc_id"], r["lang"]) for r in got_rows}
+    got_ppm = {r["lang"]: r["keep_ppm"] for r in got_rows}
+    assert got == expected
+    for s, p in got_ppm.items():
+        assert expected_ppm[s] == p

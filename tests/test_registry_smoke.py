@@ -106,3 +106,34 @@ def test_python_datasink_two_phase_commit(spark, tmp_path):
         for _ in open(os.path.join(out, f))
     )
     assert n == 100
+
+
+def test_sink_abort_handles_none_messages(tmp_path):
+    """PySpark passes None commit messages for tasks that failed before
+    reporting; abort() must skip them and still unlink the real temp
+    files (no Spark needed — driver-side protocol unit test)."""
+    import os
+
+    from journal_batch_processer_spark.sources.python_source import (
+        ShardedLogWriter,
+        _LogSinkCommitMessage,
+    )
+
+    out = str(tmp_path)
+    w = ShardedLogWriter({"path": out})
+    tmp = os.path.join(out, "_tmp_0_1.jsonl")
+    open(tmp, "w").write("{}\n")
+    gone = os.path.join(out, "_tmp_9_9.jsonl")  # never created
+    w.abort([None, _LogSinkCommitMessage(tmp, 1), _LogSinkCommitMessage(gone, 0)])
+    assert not os.path.exists(tmp)
+
+
+def test_sink_requires_path_option():
+    import pytest as _pytest
+
+    from journal_batch_processer_spark.sources.python_source import (
+        ShardedLogWriter,
+    )
+
+    with _pytest.raises(ValueError, match="path"):
+        ShardedLogWriter({})
