@@ -1,0 +1,482 @@
+"""Pure-stdlib baseline JPEG codec (no PIL, no numpy in the decode
+path): a minimal encoder used to build test/oracle fixtures and a
+general baseline (SOF0) sequential decoder.
+
+Scope — honest and loud:
+- decode: baseline DCT sequential (SOF0), 8-bit, 1 or 3 components,
+  no chroma subsampling (all sampling factors 1×1 — i.e. 4:4:4 or
+  grayscale), no restart markers, one scan. Anything else raises
+  NotImplementedError/ValueError naming the feature: progressive
+  (SOF2), arithmetic coding, 12-bit, subsampled chroma, DNL. These
+  are the features the fixtures and the oracle-ability contract
+  exclude on purpose; a production path would swap in PIL behind the
+  same Decoder interface (operators/multimodal.get_decoder).
+- encode: solid-gray images only (the fixture shape): for an
+  even-valued gray level v, Y = v and Cb = Cr = 128 EXACTLY (BT.601
+  with r=g=b), the DC coefficient 8·(v−128) divides the standard
+  luminance quantizer Q00 = 16, so quantization is lossless and the
+  decoded image equals the input bit-for-bit — which is what lets a
+  DuckDB oracle state the decoded means in closed form while the
+  payload is a genuinely entropy-coded JPEG bitstream.
+
+Tables are the public JPEG spec's (ITU T.81 Annex K): standard
+luminance/chrominance quantization matrices and the typical Huffman
+tables. Zigzag order per the spec.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# ITU T.81 Annex K.1 — standard quantization tables (zigzag order here
+# is NOT used; these are in natural row-major order)
+STD_LUMA_QT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+STD_CHROMA_QT = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 — typical Huffman tables: (bits[1..16], huffval)
+STD_DC_LUMA = (
+    [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_DC_CHROMA = (
+    [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_AC_LUMA = (
+    [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+STD_AC_CHROMA = (
+    [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) per the spec's canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc & 0xFF
+                self.buf.append(b)
+                if b == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:  # pad with 1-bits per spec
+            self.put(1, 1)
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def encode_jpeg_solid_gray(width: int, height: int, v: int) -> bytes:
+    """Minimal baseline JFIF of a solid GRAY image (r=g=b=v), 4:4:4,
+    standard tables. ``v`` must be even and dimensions multiples of 8
+    so DC quantization is exact and the decode round-trips
+    bit-for-bit (module docstring)."""
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    if v % 2 or not 0 <= v <= 255:
+        raise ValueError("fixture encoder requires an even gray 0..255")
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT: table 0 (luma), table 1 (chroma), zigzag order
+    for tid, qt in ((0, STD_LUMA_QT), (1, STD_CHROMA_QT)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(qt[ZIGZAG[i]] for i in range(64))
+    # SOF0: 3 components, all 1x1 sampling
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    # DHT: 4 standard tables
+    for cls, tid, (bits, vals) in (
+        (0, 0, STD_DC_LUMA),
+        (1, 0, STD_AC_LUMA),
+        (0, 1, STD_DC_CHROMA),
+        (1, 1, STD_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(vals)
+        ) + bytes([(cls << 4) | tid])
+        out += bytes(bits[1:17]) + bytes(vals)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+
+    # entropy-coded data: Y DC = 8*(v-128)/Q00 on the first block then
+    # diff 0; chroma DC = 0 throughout; AC all zero (EOB)
+    dc_y = (8 * (v - 128)) // STD_LUMA_QT[0]  # exact by construction
+    dc_luma = _huff_codes(*STD_DC_LUMA)
+    ac_luma = _huff_codes(*STD_AC_LUMA)
+    dc_chroma = _huff_codes(*STD_DC_CHROMA)
+    ac_chroma = _huff_codes(*STD_AC_CHROMA)
+    bw = _BitWriter()
+    n_blocks = (width // 8) * (height // 8)
+    prev = 0
+    for blk in range(n_blocks):
+        diff = dc_y - prev if blk == 0 else 0
+        prev = dc_y
+        cat = _category(diff)
+        code, length = dc_luma[cat]
+        bw.put(code, length)
+        if cat:
+            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw.put(amp, cat)
+        code, length = ac_luma[0x00]  # EOB
+        bw.put(code, length)
+        for table_dc, table_ac in ((dc_chroma, ac_chroma),) * 2:
+            code, length = table_dc[0]  # DC diff 0
+            bw.put(code, length)
+            code, length = table_ac[0x00]
+            bw.put(code, length)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: entropy data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("jpeg: dangling 0xFF in entropy data")
+                marker = self.data[self.pos]
+                if marker == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"jpeg: unexpected marker 0xFF{marker:02X} mid-scan "
+                        "(restart markers are not supported)"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """Return dict (length, code) -> value for sequential decode."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_huff(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("jpeg: invalid Huffman code in scan")
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+_IDCT_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_IDCT_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _idct_block(coef: list[int]) -> list[int]:
+    """Reference 2-D IDCT (T.81 A.3.3), separable rows/cols, then
+    level shift + clamp. O(8·8·8) per dimension — fine for fixtures;
+    a production decoder uses AAN."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                s += _IDCT_C[u] * coef[y * 8 + u] * _IDCT_COS[x][u]
+            tmp[y * 8 + x] = s / 2
+    out = [0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                s += _IDCT_C[v] * tmp[v * 8 + x] * _IDCT_COS[y][v]
+            val = int(round(s / 2)) + 128
+            out[y * 8 + x] = 0 if val < 0 else 255 if val > 255 else val
+    return out
+
+
+def decode_jpeg_baseline(data: bytes) -> dict:
+    """Decode a baseline sequential JPEG (scope in the module
+    docstring) and return features: width, height, channels, and
+    per-channel means over the REAL image area (padding columns/rows
+    from the 8-multiple block grid are excluded). Truncated or
+    malformed payloads raise ValueError — never a silent partial
+    decode."""
+    try:
+        return _decode_jpeg_baseline(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"jpeg: truncated or malformed payload ({e})") from e
+
+
+def _decode_jpeg_baseline(data: bytes) -> dict:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    scan_comps = None
+    entropy_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                zz = seg[p + 1 : p + 65]
+                qt = [0] * 64
+                for i in range(64):
+                    qt[ZIGZAG[i]] = zz[i]
+                qts[tq] = qt
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = [0] + list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = _huff_decoder(
+                    bits, vals
+                )
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise NotImplementedError(
+                f"jpeg: SOF{marker - 0xC0} (progressive/extended) unsupported"
+            )
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_comps.append((cs, tables >> 4, tables & 0xF))
+            entropy_start = pos + seglen
+            break
+        elif marker == 0xDD:
+            raise NotImplementedError("jpeg: restart intervals unsupported")
+        pos += seglen
+    if frame is None or scan_comps is None:
+        raise ValueError("jpeg: missing SOF0/SOS")
+    w, h, comps = frame
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError("jpeg: multi-scan files unsupported")
+
+    # locate EOI from the end (entropy data runs up to it)
+    end = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[entropy_start:end if end != -1 else len(data)])
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    planes = [
+        [[0] * (bx * 8) for _ in range(by * 8)] for _ in comps
+    ]
+    preds = [0] * len(comps)
+    for mcu_y in range(by):
+        for mcu_x in range(bx):
+            for ci, (_cid, qtid) in enumerate(comps):
+                _, dct, act = scan_comps[ci]
+                qt = qts[qtid]
+                cat = _read_huff(br, dc_tables[dct])
+                diff = _extend(br.bits(cat), cat) if cat else 0
+                preds[ci] += diff
+                coef = [0] * 64
+                coef[0] = preds[ci] * qt[0]
+                k = 1
+                while k < 64:
+                    rs = _read_huff(br, ac_tables[act])
+                    r, s = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("jpeg: AC index overrun")
+                    coef[ZIGZAG[k]] = _extend(br.bits(s), s) * qt[k]
+                    k += 1
+                block = _idct_block(coef)
+                py, px = mcu_y * 8, mcu_x * 8
+                plane = planes[ci]
+                for yy in range(8):
+                    row = plane[py + yy]
+                    row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
+
+    n = w * h
+    if len(comps) == 1:
+        tot = sum(sum(planes[0][y][x] for x in range(w)) for y in range(h))
+        mean = tot / n
+        return {
+            "width": w,
+            "height": h,
+            "channels": 1,
+            "mean_r": mean,
+            "mean_g": mean,
+            "mean_b": mean,
+        }
+    sr = sg = sb = 0
+    for y in range(h):
+        yrow, cbrow, crrow = planes[0][y], planes[1][y], planes[2][y]
+        for x in range(w):
+            yy, cb, cr = yrow[x], cbrow[x] - 128, crrow[x] - 128
+            r = int(round(yy + 1.402 * cr))
+            g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
+            b = int(round(yy + 1.772 * cb))
+            sr += 0 if r < 0 else 255 if r > 255 else r
+            sg += 0 if g < 0 else 255 if g > 255 else g
+            sb += 0 if b < 0 else 255 if b > 255 else b
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "mean_r": sr / n,
+        "mean_g": sg / n,
+        "mean_b": sb / n,
+    }

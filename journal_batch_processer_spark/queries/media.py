@@ -53,18 +53,21 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v2-png"
+    fp = _fc.source_fingerprint(src) + ":v3-jpeg"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
 
+    from journal_batch_processer_spark.operators.jpeg import (
+        encode_jpeg_solid_gray,
+    )
     from journal_batch_processer_spark.operators.multimodal import (
         encode_png_bytes,
     )
 
     os.makedirs(d, exist_ok=True)
     for old in os.listdir(d):
-        if old.endswith((".ppm", ".wav", ".png")):
+        if old.endswith((".ppm", ".wav", ".png", ".jpg")):
             os.unlink(os.path.join(d, old))
     doc_ids = [
         r[0]
@@ -94,6 +97,14 @@ def _materialize_media(sf_dir: str) -> str:
                     pw, ph, rows, filter_for_row=lambda y, i=i: (i + y) % 5
                 )
             )
+        # solid EVEN-gray baseline JPEG: the DC coefficient divides the
+        # standard luminance quantizer exactly, so the decode (Huffman
+        # + dequant + IDCT + BT.601) round-trips bit-for-bit and the
+        # decoded means stay doc_id arithmetic (operators/jpeg.py)
+        jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
+        jv = 2 * ((7 * i) % 100) + 20
+        with open(os.path.join(d, f"img_{i:05d}.jpg"), "wb") as f:
+            f.write(encode_jpeg_solid_gray(jw, jh, jv))
         # constant-amplitude PCM16 mono; n_frames multiple of 8 so
         # duration_ms = n_frames/8 is exact integer arithmetic
         v = (37 * i) % 2000 - 1000
@@ -197,6 +208,51 @@ FROM documents WHERE doc_id < {_N_MEDIA}
 """
 
 
+def q_media_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of real baseline JPEGs → Arrow-batched PURE
+    STDLIB decode (operators/jpeg.py: Huffman entropy decode, dequant,
+    reference IDCT, BT.601 conversion — no PIL) → features. The
+    solid even-gray fixtures make DC quantization exact, so every
+    decoded mean is closed-form doc_id arithmetic for the oracle while
+    the payload is a genuinely entropy-coded JPEG bitstream —
+    the "real multimodal corpora are JPEG" gap, closed without any
+    imaging library."""
+    import pandas as pd
+
+    from journal_batch_processer_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+    )
+
+    schema = (
+        "fname string, width int, height int, channels int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            feats = [decode_jpeg_bytes(bytes(b)) for b in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "fname", [p.rsplit("/", 1)[-1] for p in pdf["path"]])
+            for c in ("width", "height", "channels"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    scan = _decode_scan(spark, sf_dir, "*.jpg").select("path", "content")
+    return scan.mapInPandas(decode, schema)
+
+
+SQL_MEDIA_IMAGE_DECODE_JPEG = f"""
+SELECT printf('img_%05d.jpg', doc_id) AS fname,
+       CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+       CAST(8 * (1 + (doc_id // 3) % 4) AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(2 * ((7 * doc_id) % 100) + 20 AS DOUBLE) AS mean_r,
+       CAST(2 * ((7 * doc_id) % 100) + 20 AS DOUBLE) AS mean_g,
+       CAST(2 * ((7 * doc_id) % 100) + 20 AS DOUBLE) AS mean_b
+FROM documents WHERE doc_id < {_N_MEDIA}
+"""
+
+
 def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile scan of real WAV files → stdlib PCM decode →
     (fname, container facts, RMS amplitude). RMS of a constant-
@@ -242,6 +298,10 @@ QUERIES = {
     "media_image_decode_png": (
         q_media_image_decode_png,
         SQL_MEDIA_IMAGE_DECODE_PNG,
+    ),
+    "media_image_decode_jpeg": (
+        q_media_image_decode_jpeg,
+        SQL_MEDIA_IMAGE_DECODE_JPEG,
     ),
     "media_audio_decode": (q_media_audio_decode, SQL_MEDIA_AUDIO_DECODE),
 }

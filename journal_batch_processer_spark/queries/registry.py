@@ -93,6 +93,7 @@ def _build() -> dict[str, QuerySpec]:
         "dq_checks",
         "kmeans_distributed",
         "stream_stream_join",
+        "media_image_decode_jpeg",
         "python_datasink",
         "observe_metrics",
         "arrow_map",

@@ -210,20 +210,21 @@ def test_image_magic_dispatch():
         decode_image_bytes(b"\x00\x01\x02\x03")
 
 
-def test_jpeg_gate():
-    """Without PIL the JPEG path must raise the integration message,
-    never fabricate output; with PIL present it must decode."""
+def test_jpeg_dispatch_decodes_for_real():
+    """decode_jpeg_bytes now runs the stdlib baseline decoder (no PIL
+    gate): a real payload decodes, garbage fails loud, and a
+    magic-matching-but-malformed payload raises instead of fabricating
+    features."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        encode_jpeg_solid_gray,
+    )
+
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_bytes(b"not a jpeg")
-    try:
-        import PIL  # noqa: F401
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    fake_jpeg_prefix = b"\xff\xd8\xff\xe0" + b"\x00" * 16
-    if not has_pil:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            decode_jpeg_bytes(fake_jpeg_prefix)
+    f = decode_jpeg_bytes(encode_jpeg_solid_gray(16, 8, 42))
+    assert (f["width"], f["height"], f["mean_r"]) == (16, 8, 42.0)
+    with pytest.raises(ValueError):
+        decode_jpeg_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 @settings(max_examples=40, deadline=None)
@@ -264,3 +265,141 @@ def test_media_png_query_matches_arithmetic(spark):
         float((17 * 13) % 256),
         float((23 * 13) % 256),
     )
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (operators/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_roundtrip_exact():
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray,
+    )
+
+    for v, w, h in ((20, 8, 8), (128, 16, 8), (254, 24, 32), (0, 8, 16)):
+        f = decode_jpeg_baseline(encode_jpeg_solid_gray(w, h, v))
+        assert (f["width"], f["height"], f["channels"]) == (w, h, 3)
+        assert f["mean_r"] == f["mean_g"] == f["mean_b"] == float(v)
+
+
+def test_jpeg_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(0, 127).map(lambda x: 2 * x),
+        st.integers(1, 4),
+        st.integers(1, 4),
+    )
+    def run(v, bw, bh):
+        f = decode_jpeg_baseline(encode_jpeg_solid_gray(8 * bw, 8 * bh, v))
+        assert f["mean_r"] == float(v)
+        assert (f["width"], f["height"]) == (8 * bw, 8 * bh)
+
+    run()
+
+
+def test_jpeg_ac_coefficient_matches_numpy_idct():
+    """Decode a hand-built bitstream carrying ONE AC coefficient and
+    compare the gray block against an INDEPENDENT numpy matrix-form
+    IDCT of the same dequantized spectrum (validates the Huffman AC
+    path, dezigzag, dequant, and the reference IDCT against a second
+    implementation of the published formula)."""
+    import numpy as np
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        STD_LUMA_QT,
+        ZIGZAG,
+        _BitWriter,
+        _category,
+        _huff_codes,
+        STD_DC_LUMA,
+        STD_AC_LUMA,
+        STD_DC_CHROMA,
+        STD_AC_CHROMA,
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray,
+    )
+
+    # take a valid 8x8 solid file and REBUILD its entropy segment with
+    # DC=4 (quantized) and AC zigzag-index 5 = 3 (quantized)
+    base = encode_jpeg_solid_gray(8, 8, 128)
+    sos = base.find(b"\xff\xda")
+    seglen = int.from_bytes(base[sos + 2 : sos + 4], "big")
+    head = base[: sos + 2 + seglen]
+
+    dc_l = _huff_codes(*STD_DC_LUMA)
+    ac_l = _huff_codes(*STD_AC_LUMA)
+    dc_c = _huff_codes(*STD_DC_CHROMA)
+    ac_c = _huff_codes(*STD_AC_CHROMA)
+    bw = _BitWriter()
+    dcq, acq, ack = 4, 3, 5  # quantized DC, one AC at zigzag index 5
+    cat = _category(dcq)
+    c, ln = dc_l[cat]; bw.put(c, ln); bw.put(dcq, cat)
+    # run 4 zeros then the coefficient at k=5: RS = (4 << 4) | size
+    s = _category(acq)
+    c, ln = ac_l[(4 << 4) | s]; bw.put(c, ln); bw.put(acq, s)
+    c, ln = ac_l[0x00]; bw.put(c, ln)  # EOB
+    for dct, act in ((dc_c, ac_c),) * 2:  # chroma: DC 0, EOB
+        c, ln = dct[0]; bw.put(c, ln)
+        c, ln = act[0x00]; bw.put(c, ln)
+    bw.flush()
+    data = head + bytes(bw.buf) + b"\xff\xd9"
+
+    f = decode_jpeg_baseline(data)
+
+    # independent model: dequantized spectrum -> orthonormal 2-D IDCT
+    spec = np.zeros((8, 8))
+    spec[0, 0] = dcq * STD_LUMA_QT[0]
+    nat = ZIGZAG[ack]
+    spec[nat // 8, nat % 8] = acq * STD_LUMA_QT[nat]
+    # T.81 A.3.3: f(x,y) = 1/4 sum C(u)C(v) F(u,v) cos… == C^T S C with
+    # C the orthonormal DCT-II matrix
+    C = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            C[u, x] = (
+                np.sqrt(1 / 8 if u == 0 else 2 / 8)
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+            )
+    pix = C.T @ spec @ C + 128
+    pix = np.clip(np.round(pix), 0, 255)
+    want_mean = float(pix.mean())
+    # gray: Cb=Cr=128 -> r=g=b=Y, so channel means equal the Y mean
+    assert f["mean_r"] == f["mean_g"] == f["mean_b"]
+    assert abs(f["mean_r"] - want_mean) < 1e-9
+
+
+def test_jpeg_rejects_unsupported_features_loudly():
+    import pytest as _pytest
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray,
+    )
+
+    base = bytearray(encode_jpeg_solid_gray(8, 8, 100))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(base).find(b"\xff\xc0")
+    prog = bytes(base[:i]) + b"\xff\xc2" + bytes(base[i + 2 :])
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_baseline(prog)
+    # corrupt sampling factor of component 1 to 2x2 (subsampled)
+    j = i + 11  # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) cid(1) -> samp
+    sub = bytearray(base)
+    sub[j] = 0x22
+    with _pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg_baseline(bytes(sub))
+    # truncated entropy data
+    with _pytest.raises(ValueError):
+        decode_jpeg_baseline(bytes(base[:-20]))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"\x00\x01\x02")
