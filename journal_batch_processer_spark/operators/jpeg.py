@@ -332,7 +332,55 @@ def decode_jpeg_baseline(data: bytes) -> dict:
         raise ValueError(f"jpeg: truncated or malformed payload ({e})") from e
 
 
+def decode_jpeg_planes(data: bytes):
+    """Decode to raw component planes (Y or Y/Cb/Cr, block-grid sized):
+    (width, height, [plane[y][x]]). The per-pixel surface the tests
+    verify against an independent IDCT — feature means alone cannot
+    detect coefficient-scaling bugs (AC basis functions are
+    zero-mean)."""
+    try:
+        w, h, _comps, planes = _decode_jpeg_planes(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"jpeg: truncated or malformed payload ({e})") from e
+    return w, h, planes
+
+
 def _decode_jpeg_baseline(data: bytes) -> dict:
+    w, h, comps, planes = _decode_jpeg_planes(data)
+    n = w * h
+    if len(comps) == 1:
+        tot = sum(sum(planes[0][y][x] for x in range(w)) for y in range(h))
+        mean = tot / n
+        return {
+            "width": w,
+            "height": h,
+            "channels": 1,
+            "mean_r": mean,
+            "mean_g": mean,
+            "mean_b": mean,
+        }
+    sr = sg = sb = 0
+    for y in range(h):
+        yrow, cbrow, crrow = planes[0][y], planes[1][y], planes[2][y]
+        for x in range(w):
+            yy, cb, cr = yrow[x], cbrow[x] - 128, crrow[x] - 128
+            r = int(round(yy + 1.402 * cr))
+            g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
+            b = int(round(yy + 1.772 * cb))
+            sr += 0 if r < 0 else 255 if r > 255 else r
+            sg += 0 if g < 0 else 255 if g > 255 else g
+            sb += 0 if b < 0 else 255 if b > 255 else b
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "mean_r": sr / n,
+        "mean_g": sg / n,
+        "mean_b": sb / n,
+    }
+
+
+def _decode_jpeg_planes(data: bytes):
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -345,6 +393,10 @@ def _decode_jpeg_baseline(data: bytes) -> dict:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them, never treat a fill 0xFF as a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -440,7 +492,13 @@ def _decode_jpeg_baseline(data: bytes) -> dict:
                     k += r
                     if k > 63:
                         raise ValueError("jpeg: AC index overrun")
-                    coef[ZIGZAG[k]] = _extend(br.bits(s), s) * qt[k]
+                    # quantizer lookup in NATURAL order: qt was
+                    # de-zigzagged at DQT parse, and k is a zigzag
+                    # scan index — qt[k] would scale every AC
+                    # coefficient by the wrong quantizer (caught by
+                    # per-pixel review test; means alone cannot see
+                    # it because AC basis functions are zero-mean)
+                    coef[ZIGZAG[k]] = _extend(br.bits(s), s) * qt[ZIGZAG[k]]
                     k += 1
                 block = _idct_block(coef)
                 py, px = mcu_y * 8, mcu_x * 8
@@ -449,34 +507,4 @@ def _decode_jpeg_baseline(data: bytes) -> dict:
                     row = plane[py + yy]
                     row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
 
-    n = w * h
-    if len(comps) == 1:
-        tot = sum(sum(planes[0][y][x] for x in range(w)) for y in range(h))
-        mean = tot / n
-        return {
-            "width": w,
-            "height": h,
-            "channels": 1,
-            "mean_r": mean,
-            "mean_g": mean,
-            "mean_b": mean,
-        }
-    sr = sg = sb = 0
-    for y in range(h):
-        yrow, cbrow, crrow = planes[0][y], planes[1][y], planes[2][y]
-        for x in range(w):
-            yy, cb, cr = yrow[x], cbrow[x] - 128, crrow[x] - 128
-            r = int(round(yy + 1.402 * cr))
-            g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
-            b = int(round(yy + 1.772 * cb))
-            sr += 0 if r < 0 else 255 if r > 255 else r
-            sg += 0 if g < 0 else 255 if g > 255 else g
-            sb += 0 if b < 0 else 255 if b > 255 else b
-    return {
-        "width": w,
-        "height": h,
-        "channels": 3,
-        "mean_r": sr / n,
-        "mean_g": sg / n,
-        "mean_b": sb / n,
-    }
+    return w, h, comps, planes

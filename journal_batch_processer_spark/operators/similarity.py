@@ -810,15 +810,15 @@ def kmeans_integer_distributed(
     n_iters-round run is reproducible bit-for-bit by an unrolled SQL
     oracle.
 
-    Scale shape per round: one broadcast(k centroids) × corpus assign
-    (narrow), one (cluster, dim) aggregation — corpus-sized shuffle of
+    Scale shape per round: one NARROW assign projection (the k
+    centroids inline as literals — nothing shuffles for assignment),
+    one (cluster, dim) aggregation — corpus-sized shuffle of
     (long, int, long) triples, never vectors — and one k-row collect
     to seed the next round's broadcast literals (the bounded
     scalar-action precedent; k centroids ARE driver-sized state).
     Init: first k vectors in portable md5 order. Returns the final
     (vec_id, cluster, dist) assignment under the round-n centroids.
     """
-    spark = embs.sparkSession
     q = embs.select(
         F.col(id_col).alias("vec_id"),
         F.expr(
@@ -839,24 +839,30 @@ def kmeans_integer_distributed(
     )
     cents = [list(r["qv"]) for r in seed_rows]
 
-    dist_expr = (
-        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
-
     def assign(cent_rows: list[list[int]]) -> DataFrame:
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cent_rows)],
-            "cluster int, cv array<bigint>",
-        )
-        scored = q.join(F.broadcast(cdf)).withColumn(
-            "dist", F.expr(dist_expr)
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("vec_id", "qv", "cluster", "dist")
+        # the k centroids are driver-side literals, so the argmin is a
+        # single NARROW projection — array_min over k (dist, cluster)
+        # structs computed against inlined centroid arrays. The first
+        # cut joined a broadcast centroid table and ranked with a
+        # per-vec_id window, which shuffled k copies of every 64-long
+        # vector per round (review finding); this shape shuffles
+        # nothing at all for assignment.
+        structs = []
+        for i, c in enumerate(cent_rows):
+            arr = "array(" + ",".join(f"{v}L" for v in c) + ")"
+            structs.append(
+                "named_struct('dist', "
+                f"aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x), "
+                f"'cluster', {i})"
+            )
+        best = f"array_min(array({', '.join(structs)}))"
+        scored = q.select("vec_id", "qv", F.expr(best).alias("__best"))
+        return scored.select(
+            "vec_id",
+            "qv",
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.dist").alias("dist"),
         )
 
     for _ in range(n_iters):

@@ -294,6 +294,10 @@ def q_kmeans_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmi_oracle_sql(k: int = KMI_K, n_iters: int = KMI_ITERS) -> str:
+    from journal_batch_processer_spark.operators.similarity import (
+        KMI_SCALE,
+    )
+
     dist = (
         "list_sum(list_transform(range(1, "
         f"{EMB_DIM + 1}), i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
@@ -302,7 +306,7 @@ def _kmi_oracle_sql(k: int = KMI_K, n_iters: int = KMI_ITERS) -> str:
         "WITH q AS MATERIALIZED (",
         "  SELECT vec_id,",
         "         list_transform(embedding,",
-        "             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 5e-1)",
+        f"             x -> CAST(floor(CAST(x AS DOUBLE) * {KMI_SCALE} + 5e-1)",
         "                       AS BIGINT)) AS qv",
         "  FROM embeddings",
         "),",

@@ -125,31 +125,49 @@ def _decode_scan(
     return spark.read.format("binaryFile").load(os.path.join(d, pattern))
 
 
+def _feature_decode_query(
+    spark: SparkSession,
+    sf_dir: str,
+    pattern: str,
+    decoder,
+    int_cols: tuple[str, ...],
+    schema: str,
+) -> DataFrame:
+    """Shared Arrow-batched byte-decode wrapper for every media key
+    (binaryFile scan → per-payload decoder → feature frame with fname
+    + int32 casts). One copy of the batches→DataFrame plumbing so a
+    fix (empty-batch handling, path parsing) lands everywhere."""
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            feats = [decoder(bytes(b)) for b in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "fname", [p.rsplit("/", 1)[-1] for p in pdf["path"]])
+            for c in int_cols:
+                out[c] = out[c].astype("int32")
+            yield out
+
+    scan = _decode_scan(spark, sf_dir, pattern).select("path", "content")
+    return scan.mapInPandas(decode, schema)
+
+
 def q_media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile scan of real PPM images → Arrow-batched byte-level
     decode → (fname, width, height, per-channel means)."""
-    import pandas as pd
-
     from journal_batch_processer_spark.operators.multimodal import (
         decode_ppm_bytes,
     )
 
-    schema = (
+    return _feature_decode_query(
+        spark,
+        sf_dir,
+        "*.ppm",
+        decode_ppm_bytes,
+        ("width", "height"),
         "fname string, width int, height int, "
-        "mean_r double, mean_g double, mean_b double"
+        "mean_r double, mean_g double, mean_b double",
     )
-
-    def decode(batches):
-        for pdf in batches:
-            feats = [decode_ppm_bytes(bytes(b)) for b in pdf["content"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "fname", [p.rsplit("/", 1)[-1] for p in pdf["path"]])
-            out["width"] = out["width"].astype("int32")
-            out["height"] = out["height"].astype("int32")
-            yield out
-
-    scan = _decode_scan(spark, sf_dir, "*.ppm").select("path", "content")
-    return scan.mapInPandas(decode, schema)
 
 
 SQL_MEDIA_IMAGE_DECODE = f"""
@@ -172,28 +190,19 @@ def q_media_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's full value oracle — the solid-color fixtures make every
     feature doc_id arithmetic even though the payload bytes are a
     genuinely filtered+deflated raster."""
-    import pandas as pd
-
     from journal_batch_processer_spark.operators.multimodal import (
         decode_png_bytes,
     )
 
-    schema = (
+    return _feature_decode_query(
+        spark,
+        sf_dir,
+        "*.png",
+        decode_png_bytes,
+        ("width", "height", "channels"),
         "fname string, width int, height int, channels int, "
-        "mean_r double, mean_g double, mean_b double"
+        "mean_r double, mean_g double, mean_b double",
     )
-
-    def decode(batches):
-        for pdf in batches:
-            feats = [decode_png_bytes(bytes(b)) for b in pdf["content"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "fname", [p.rsplit("/", 1)[-1] for p in pdf["path"]])
-            for c in ("width", "height", "channels"):
-                out[c] = out[c].astype("int32")
-            yield out
-
-    scan = _decode_scan(spark, sf_dir, "*.png").select("path", "content")
-    return scan.mapInPandas(decode, schema)
 
 
 SQL_MEDIA_IMAGE_DECODE_PNG = f"""
@@ -217,28 +226,19 @@ def q_media_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the payload is a genuinely entropy-coded JPEG bitstream —
     the "real multimodal corpora are JPEG" gap, closed without any
     imaging library."""
-    import pandas as pd
-
     from journal_batch_processer_spark.operators.multimodal import (
         decode_jpeg_bytes,
     )
 
-    schema = (
+    return _feature_decode_query(
+        spark,
+        sf_dir,
+        "*.jpg",
+        decode_jpeg_bytes,
+        ("width", "height", "channels"),
         "fname string, width int, height int, channels int, "
-        "mean_r double, mean_g double, mean_b double"
+        "mean_r double, mean_g double, mean_b double",
     )
-
-    def decode(batches):
-        for pdf in batches:
-            feats = [decode_jpeg_bytes(bytes(b)) for b in pdf["content"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "fname", [p.rsplit("/", 1)[-1] for p in pdf["path"]])
-            for c in ("width", "height", "channels"):
-                out[c] = out[c].astype("int32")
-            yield out
-
-    scan = _decode_scan(spark, sf_dir, "*.jpg").select("path", "content")
-    return scan.mapInPandas(decode, schema)
 
 
 SQL_MEDIA_IMAGE_DECODE_JPEG = f"""
@@ -258,28 +258,19 @@ def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fname, container facts, RMS amplitude). RMS of a constant-
     amplitude signal is exactly |amplitude| (IEEE sqrt of an exactly-
     representable square), so the double compares bit-equal."""
-    import pandas as pd
-
     from journal_batch_processer_spark.operators.multimodal import (
         decode_wav_bytes,
     )
 
-    schema = (
+    return _feature_decode_query(
+        spark,
+        sf_dir,
+        "*.wav",
+        decode_wav_bytes,
+        ("n_channels", "sample_rate"),
         "fname string, n_channels int, sample_rate int, "
-        "n_frames long, duration_ms long, rms double"
+        "n_frames long, duration_ms long, rms double",
     )
-
-    def decode(batches):
-        for pdf in batches:
-            feats = [decode_wav_bytes(bytes(b)) for b in pdf["content"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "fname", [p.rsplit("/", 1)[-1] for p in pdf["path"]])
-            out["n_channels"] = out["n_channels"].astype("int32")
-            out["sample_rate"] = out["sample_rate"].astype("int32")
-            yield out
-
-    scan = _decode_scan(spark, sf_dir, "*.wav").select("path", "content")
-    return scan.mapInPandas(decode, schema)
 
 
 SQL_MEDIA_AUDIO_DECODE = f"""

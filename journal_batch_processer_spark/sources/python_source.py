@@ -100,7 +100,7 @@ class _LogSinkCommitMessage(WriterCommitMessage):
 
 class ShardedLogWriter(DataSourceWriter):
     """Per-partition JSONL writer with two-phase commit: tasks write
-    to `<path>/_tmp_<partition>.jsonl` and report via commit message;
+    to `<path>/_tmp_<partition>_<attempt>.jsonl` and report via commit message;
     the DRIVER's commit() renames all temp files into place and writes
     a `_SUCCESS` manifest — a failed/speculative task's temp file is
     never visible to readers (the exactly-once contract every real

@@ -354,9 +354,18 @@ def test_jpeg_ac_coefficient_matches_numpy_idct():
     bw.flush()
     data = head + bytes(bw.buf) + b"\xff\xd9"
 
-    f = decode_jpeg_baseline(data)
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_planes,
+    )
 
-    # independent model: dequantized spectrum -> orthonormal 2-D IDCT
+    w, h, planes = decode_jpeg_planes(data)
+    assert (w, h) == (8, 8)
+
+    # independent model: dequantized spectrum -> orthonormal 2-D IDCT.
+    # NOTE: the quantizer index must be NATURAL order (qt[ZIGZAG[k]]) —
+    # a review pass caught the decoder using qt[k]; a means-only
+    # comparison could not see it (AC basis functions are zero-mean),
+    # which is why this test compares EVERY PIXEL of the Y plane.
     spec = np.zeros((8, 8))
     spec[0, 0] = dcq * STD_LUMA_QT[0]
     nat = ZIGZAG[ack]
@@ -370,12 +379,13 @@ def test_jpeg_ac_coefficient_matches_numpy_idct():
                 np.sqrt(1 / 8 if u == 0 else 2 / 8)
                 * np.cos((2 * x + 1) * u * np.pi / 16)
             )
-    pix = C.T @ spec @ C + 128
-    pix = np.clip(np.round(pix), 0, 255)
-    want_mean = float(pix.mean())
-    # gray: Cb=Cr=128 -> r=g=b=Y, so channel means equal the Y mean
+    pix = np.clip(np.round(C.T @ spec @ C + 128), 0, 255)
+    got = np.array([[planes[0][y][x] for x in range(8)] for y in range(8)])
+    assert np.array_equal(got, pix), (got, pix)
+    # and the feature path agrees with the per-pixel means
+    f = decode_jpeg_baseline(data)
     assert f["mean_r"] == f["mean_g"] == f["mean_b"]
-    assert abs(f["mean_r"] - want_mean) < 1e-9
+    assert abs(f["mean_r"] - float(pix.mean())) < 1e-9
 
 
 def test_jpeg_rejects_unsupported_features_loudly():

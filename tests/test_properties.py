@@ -438,9 +438,11 @@ def test_corpus_mix_matches_python_model(spark, raw_shares):
     shares[ks[0]] += 1_000_000 - sum(shares.values())
     shares = {k: v for k, v in shares.items() if v > 0}
 
-    docs = spark.read.parquet(
-        "/root/testdata/sf0.001/documents.parquet"
-    ).select("doc_id", "lang")
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
     rows = [(r["doc_id"], r["lang"]) for r in docs.collect()]
     counts = {}
     for _, lang in rows:
