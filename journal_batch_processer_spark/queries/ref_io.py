@@ -204,6 +204,21 @@ CASE style
 END
 """
 
+# KNOWN ORACLE-MODEL LIMIT (sf-dependent, adjudicated): this oracle
+# states chron_i for the 2-digit-year style as the GENERATOR's true
+# year (CAST(iv.y4 ...)) — an idealization of the imputation. It holds
+# through sf0.01 (the driver's gate), where every 2-digit row's
+# repaired value equals the truth. At sf0.1 the per-group volume range
+# is wide enough that the LAST style-6 row's next-anchor comes from the
+# following description cluster (natural sort groups by prefix), whose
+# years restart ~1000 lower; the reference's avg-century fallback
+# (BatchUpdate.py:327-413 — faithfully implemented and golden-tested)
+# then legitimately picks a century differing from the generator's.
+# Verified by hand at sf0.1 (row 'v 1000 ... (may 85)': prev anchor
+# 2978, next anchor 1987, avg 2482.5 -> century 28): the ENGINE is
+# correct per reference; the oracle's closed form is what diverges.
+# The year_impute key's own oracle models the real algorithm and stays
+# green at sf0.1.
 SQL_PIPELINE_CHAIN = f"""
 WITH {BASE_CTE}, {EXPECTED_EXTRACT_SQL}
 SELECT
