@@ -105,7 +105,10 @@ def bloom_filtered_join(
     semantics (a left-outer would lose its null-extended rows; an
     anti would return only bloom false-positives).
     """
-    if how not in ("inner", "cross"):
+    if how != "inner":
+        # 'cross' is deliberately NOT accepted: with an equi condition
+        # Spark executes it as inner anyway, so allowing it would only
+        # mislead (ADVICE r05).
         raise ValueError(
             f"bloom_filtered_join supports inner joins only, got {how!r}: "
             "the bloom pre-filter removes probe rows a left/outer/anti "

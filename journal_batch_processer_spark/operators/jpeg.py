@@ -4,11 +4,13 @@ general baseline (SOF0) sequential decoder.
 
 Scope — honest and loud:
 - decode: baseline DCT sequential (SOF0), 8-bit, 1 or 3 components,
-  no chroma subsampling (all sampling factors 1×1 — i.e. 4:4:4 or
-  grayscale), no restart markers, one scan. Anything else raises
+  interleaved scans with integer sampling factors (4:4:4, 4:2:2,
+  4:2:0 — the shapes virtually every camera/encoder emits; chroma is
+  upsampled by sample replication per the T.81 interleave, r06), no
+  restart markers, one scan. Anything else raises
   NotImplementedError/ValueError naming the feature: progressive
-  (SOF2), arithmetic coding, 12-bit, subsampled chroma, DNL. These
-  are the features the fixtures and the oracle-ability contract
+  (SOF2), arithmetic coding, 12-bit, fractional sampling ratios, DNL.
+  These are the features the fixtures and the oracle-ability contract
   exclude on purpose; a production path would swap in PIL behind the
   same Decoder interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -17,7 +19,10 @@ Scope — honest and loud:
   luminance quantizer Q00 = 16, so quantization is lossless and the
   decoded image equals the input bit-for-bit — which is what lets a
   DuckDB oracle state the decoded means in closed form while the
-  payload is a genuinely entropy-coded JPEG bitstream.
+  payload is a genuinely entropy-coded JPEG bitstream. A solid image
+  is also subsampling-invariant, so the same closed form covers the
+  4:2:0 fixture (``subsampling="420"``) and exercises the 2×2-luma
+  MCU interleave + chroma upsample end-to-end.
 
 Tables are the public JPEG spec's (ITU T.81 Annex K): standard
 luminance/chrominance quantization matrices and the typical Huffman
@@ -151,13 +156,21 @@ def _category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
 
-def encode_jpeg_solid_gray(width: int, height: int, v: int) -> bytes:
-    """Minimal baseline JFIF of a solid GRAY image (r=g=b=v), 4:4:4,
-    standard tables. ``v`` must be even and dimensions multiples of 8
-    so DC quantization is exact and the decode round-trips
-    bit-for-bit (module docstring)."""
-    if width % 8 or height % 8:
-        raise ValueError("fixture encoder requires multiple-of-8 dims")
+def encode_jpeg_solid_gray(
+    width: int, height: int, v: int, subsampling: str = "444"
+) -> bytes:
+    """Minimal baseline JFIF of a solid GRAY image (r=g=b=v), standard
+    tables. ``v`` must be even and dimensions multiples of 8 (of 16
+    for ``subsampling="420"``) so DC quantization is exact and the
+    decode round-trips bit-for-bit (module docstring).
+
+    ``subsampling``: "444" (all components 1×1) or "420" (luma 2×2,
+    chroma 1×1 — per-MCU interleave Y Y Y Y Cb Cr)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"fixture encoder: unknown subsampling {subsampling!r}")
+    mcu = 8 if subsampling == "444" else 16
+    if width % mcu or height % mcu:
+        raise ValueError(f"fixture encoder requires multiple-of-{mcu} dims")
     if v % 2 or not 0 <= v <= 255:
         raise ValueError("fixture encoder requires an even gray 0..255")
 
@@ -170,9 +183,10 @@ def encode_jpeg_solid_gray(width: int, height: int, v: int) -> bytes:
     for tid, qt in ((0, STD_LUMA_QT), (1, STD_CHROMA_QT)):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
         out += bytes(qt[ZIGZAG[i]] for i in range(64))
-    # SOF0: 3 components, all 1x1 sampling
+    # SOF0: 3 components
+    luma_samp = 0x11 if subsampling == "444" else 0x22
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
-    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += bytes([1, luma_samp, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
     # DHT: 4 standard tables
     for cls, tid, (bits, vals) in (
         (0, 0, STD_DC_LUMA),
@@ -196,24 +210,26 @@ def encode_jpeg_solid_gray(width: int, height: int, v: int) -> bytes:
     dc_chroma = _huff_codes(*STD_DC_CHROMA)
     ac_chroma = _huff_codes(*STD_AC_CHROMA)
     bw = _BitWriter()
-    n_blocks = (width // 8) * (height // 8)
-    prev = 0
-    for blk in range(n_blocks):
-        diff = dc_y - prev if blk == 0 else 0
-        prev = dc_y
+
+    def put_block(table_dc, table_ac, diff: int) -> None:
         cat = _category(diff)
-        code, length = dc_luma[cat]
+        code, length = table_dc[cat]
         bw.put(code, length)
         if cat:
             amp = diff if diff >= 0 else diff + (1 << cat) - 1
             bw.put(amp, cat)
-        code, length = ac_luma[0x00]  # EOB
+        code, length = table_ac[0x00]  # EOB
         bw.put(code, length)
-        for table_dc, table_ac in ((dc_chroma, ac_chroma),) * 2:
-            code, length = table_dc[0]  # DC diff 0
-            bw.put(code, length)
-            code, length = table_ac[0x00]
-            bw.put(code, length)
+
+    luma_per_mcu = 1 if subsampling == "444" else 4
+    n_mcus = (width // mcu) * (height // mcu)
+    first = True
+    for _ in range(n_mcus):
+        for _ in range(luma_per_mcu):
+            put_block(dc_luma, ac_luma, dc_y if first else 0)
+            first = False
+        put_block(dc_chroma, ac_chroma, 0)  # Cb
+        put_block(dc_chroma, ac_chroma, 0)  # Cr
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -359,11 +375,20 @@ def _decode_jpeg_baseline(data: bytes) -> dict:
             "mean_g": mean,
             "mean_b": mean,
         }
+    # chroma upsample by sample replication: component i's plane is at
+    # (hi/hmax, vi/vmax) resolution of the luma grid
+    hmax = max(hi for _cid, _tq, hi, _vi in comps)
+    vmax = max(vi for _cid, _tq, _hi, vi in comps)
+    (_c0, _t0, h0, v0), (_c1, _t1, h1, v1), (_c2, _t2, h2, v2) = comps
     sr = sg = sb = 0
     for y in range(h):
-        yrow, cbrow, crrow = planes[0][y], planes[1][y], planes[2][y]
+        yrow = planes[0][y * v0 // vmax]
+        cbrow = planes[1][y * v1 // vmax]
+        crrow = planes[2][y * v2 // vmax]
         for x in range(w):
-            yy, cb, cr = yrow[x], cbrow[x] - 128, crrow[x] - 128
+            yy = yrow[x * h0 // hmax]
+            cb = cbrow[x * h1 // hmax] - 128
+            cr = crrow[x * h2 // hmax] - 128
             r = int(round(yy + 1.402 * cr))
             g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
             b = int(round(yy + 1.772 * cb))
@@ -435,11 +460,10 @@ def _decode_jpeg_planes(data: bytes):
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "jpeg: chroma subsampling not supported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"jpeg: invalid sampling factors {hi}x{vi}")
+                comps.append((cid, tq, hi, vi))
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
@@ -461,50 +485,81 @@ def _decode_jpeg_planes(data: bytes):
     w, h, comps = frame
     if len(scan_comps) != len(comps):
         raise NotImplementedError("jpeg: multi-scan files unsupported")
+    # scan components are matched to frame components BY ID (a legal
+    # file may list them in any order; positional pairing would decode
+    # with the wrong Huffman/quant tables — ADVICE r05)
+    frame_by_id = {cid: i for i, (cid, _tq, _hi, _vi) in enumerate(comps)}
+    for cid, _dct, _act in scan_comps:
+        if cid not in frame_by_id:
+            raise ValueError(f"jpeg: scan component id {cid} not in frame")
+
+    # single-component scans are non-interleaved: the MCU is one data
+    # unit, so sampling factors play no dimensional role
+    if len(comps) == 1:
+        comps = [(comps[0][0], comps[0][1], 1, 1)]
+    hmax = max(hi for _cid, _tq, hi, _vi in comps)
+    vmax = max(vi for _cid, _tq, _hi, vi in comps)
+    for _cid, _tq, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"jpeg: fractional sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            )
 
     # locate EOI from the end (entropy data runs up to it)
     end = data.rfind(b"\xff\xd9")
     br = _BitReader(data[entropy_start:end if end != -1 else len(data)])
-    bx, by = (w + 7) // 8, (h + 7) // 8
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component planes at the component's own resolution, padded
+    # to the MCU block grid
     planes = [
-        [[0] * (bx * 8) for _ in range(by * 8)] for _ in comps
+        [[0] * (mcux * hi * 8) for _ in range(mcuy * vi * 8)]
+        for _cid, _tq, hi, vi in comps
     ]
     preds = [0] * len(comps)
-    for mcu_y in range(by):
-        for mcu_x in range(bx):
-            for ci, (_cid, qtid) in enumerate(comps):
-                _, dct, act = scan_comps[ci]
+    for mcu_y in range(mcuy):
+        for mcu_x in range(mcux):
+            # T.81 B.2.3: within an MCU, data units follow SCAN
+            # component order; each component contributes Hi×Vi blocks
+            # in raster order
+            for cid, dct, act in scan_comps:
+                ci = frame_by_id[cid]
+                _cid, qtid, hi, vi = comps[ci]
                 qt = qts[qtid]
-                cat = _read_huff(br, dc_tables[dct])
-                diff = _extend(br.bits(cat), cat) if cat else 0
-                preds[ci] += diff
-                coef = [0] * 64
-                coef[0] = preds[ci] * qt[0]
-                k = 1
-                while k < 64:
-                    rs = _read_huff(br, ac_tables[act])
-                    r, s = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("jpeg: AC index overrun")
-                    # quantizer lookup in NATURAL order: qt was
-                    # de-zigzagged at DQT parse, and k is a zigzag
-                    # scan index — qt[k] would scale every AC
-                    # coefficient by the wrong quantizer (caught by
-                    # per-pixel review test; means alone cannot see
-                    # it because AC basis functions are zero-mean)
-                    coef[ZIGZAG[k]] = _extend(br.bits(s), s) * qt[ZIGZAG[k]]
-                    k += 1
-                block = _idct_block(coef)
-                py, px = mcu_y * 8, mcu_x * 8
                 plane = planes[ci]
-                for yy in range(8):
-                    row = plane[py + yy]
-                    row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
+                for bv in range(vi):
+                    for bh in range(hi):
+                        cat = _read_huff(br, dc_tables[dct])
+                        diff = _extend(br.bits(cat), cat) if cat else 0
+                        preds[ci] += diff
+                        coef = [0] * 64
+                        coef[0] = preds[ci] * qt[0]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff(br, ac_tables[act])
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overrun")
+                            # quantizer lookup in NATURAL order: qt was
+                            # de-zigzagged at DQT parse, and k is a
+                            # zigzag scan index — qt[k] would scale
+                            # every AC coefficient by the wrong
+                            # quantizer (caught by per-pixel review
+                            # test; means alone cannot see it because
+                            # AC basis functions are zero-mean)
+                            coef[ZIGZAG[k]] = _extend(br.bits(s), s) * qt[ZIGZAG[k]]
+                            k += 1
+                        block = _idct_block(coef)
+                        py = (mcu_y * vi + bv) * 8
+                        px = (mcu_x * hi + bh) * 8
+                        for yy in range(8):
+                            row = plane[py + yy]
+                            row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
 
     return w, h, comps, planes

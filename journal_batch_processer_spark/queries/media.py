@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v3-jpeg"
+    fp = _fc.source_fingerprint(src) + ":v4-jpeg420-gif"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -100,11 +100,20 @@ def _materialize_media(sf_dir: str) -> str:
         # solid EVEN-gray baseline JPEG: the DC coefficient divides the
         # standard luminance quantizer exactly, so the decode (Huffman
         # + dequant + IDCT + BT.601) round-trips bit-for-bit and the
-        # decoded means stay doc_id arithmetic (operators/jpeg.py)
-        jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
+        # decoded means stay doc_id arithmetic (operators/jpeg.py).
+        # Every third file is 4:2:0 chroma-subsampled (r06): a solid
+        # image is subsampling-invariant, so the same closed form holds
+        # while the 2×2-luma MCU interleave + chroma upsample run for
+        # the most common real-world JPEG shape.
         jv = 2 * ((7 * i) % 100) + 20
+        if i % 3 == 0:
+            jw, jh = 16 * (1 + i % 2), 16 * (1 + (i // 3) % 2)
+            payload = encode_jpeg_solid_gray(jw, jh, jv, subsampling="420")
+        else:
+            jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
+            payload = encode_jpeg_solid_gray(jw, jh, jv)
         with open(os.path.join(d, f"img_{i:05d}.jpg"), "wb") as f:
-            f.write(encode_jpeg_solid_gray(jw, jh, jv))
+            f.write(payload)
         # constant-amplitude PCM16 mono; n_frames multiple of 8 so
         # duration_ms = n_frames/8 is exact integer arithmetic
         v = (37 * i) % 2000 - 1000
@@ -243,8 +252,10 @@ def q_media_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_IMAGE_DECODE_JPEG = f"""
 SELECT printf('img_%05d.jpg', doc_id) AS fname,
-       CAST(8 * (1 + doc_id % 3) AS INT) AS width,
-       CAST(8 * (1 + (doc_id // 3) % 4) AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 16 * (1 + doc_id % 2)
+                 ELSE 8 * (1 + doc_id % 3) END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 16 * (1 + (doc_id // 3) % 2)
+                 ELSE 8 * (1 + (doc_id // 3) % 4) END AS INT) AS height,
        CAST(3 AS INT) AS channels,
        CAST(2 * ((7 * doc_id) % 100) + 20 AS DOUBLE) AS mean_r,
        CAST(2 * ((7 * doc_id) % 100) + 20 AS DOUBLE) AS mean_g,

@@ -204,23 +204,87 @@ CASE style
 END
 """
 
-# KNOWN ORACLE-MODEL LIMIT (sf-dependent, adjudicated): this oracle
-# states chron_i for the 2-digit-year style as the GENERATOR's true
-# year (CAST(iv.y4 ...)) — an idealization of the imputation. It holds
-# through sf0.01 (the driver's gate), where every 2-digit row's
-# repaired value equals the truth. At sf0.1 the per-group volume range
-# is wide enough that the LAST style-6 row's next-anchor comes from the
-# following description cluster (natural sort groups by prefix), whose
-# years restart ~1000 lower; the reference's avg-century fallback
-# (BatchUpdate.py:327-413 — faithfully implemented and golden-tested)
-# then legitimately picks a century differing from the generator's.
-# Verified by hand at sf0.1 (row 'v 1000 ... (may 85)': prev anchor
-# 2978, next anchor 1987, avg 2482.5 -> century 28): the ENGINE is
-# correct per reference; the oracle's closed form is what diverges.
-# The year_impute key's own oracle models the real algorithm and stays
-# green at sf0.1.
+# chron-imputation model (r06, replaces the adjudicated r05 oracle
+# idealization that stated the GENERATOR's true year): the oracle now
+# models the ALGORITHM — the reference's year repair
+# (BatchUpdate.py:327-413) over the pipeline's natural-sort order
+# within each MMS ID group — exactly as the year_impute key's oracle
+# does (which is green at every scale). Anchors are the original
+# 4-digit leading-digit runs (styles 0-4: y4; style 2's '1990-1991'
+# leads with y4; style 5 '' has none; style 6's 2-digit y2 is the
+# repair target); the window model equals the propagating exact pass
+# on this fixture because styles cycle mod 7, so ≥4 original anchors
+# separate any two style-6 rows within a group — a repaired row is
+# never the nearest anchor.
+_CHRON_MODEL_CTE = f"""
+srt AS (
+    SELECT o_orderkey, g, style,
+           CASE WHEN style = 3 THEN 2 ELSE 0 END AS pre_vol,
+           CASE WHEN style = 5 THEN 0 ELSE vol END AS vol_num,
+           {_DESC_SQL} AS description,
+           CASE WHEN style IN (5, 6) THEN NULL
+                ELSE CAST(y4 AS VARCHAR) END AS anchor,
+           substr(CAST(y4 AS VARCHAR), 3, 2) AS y2
+    FROM iv
+),
+anch AS (
+    SELECT o_orderkey, style, y2,
+           last_value(anchor IGNORE NULLS)
+               OVER (PARTITION BY g ORDER BY pre_vol, vol_num, description
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+           first_value(anchor IGNORE NULLS)
+               OVER (PARTITION BY g ORDER BY pre_vol, vol_num, description
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next
+    FROM srt
+),
+ccalc AS (
+    SELECT o_orderkey, style, y2, prev, next,
+           CAST(y2 AS INT) AS yi,
+           CAST(prev AS INT) AS prev_i, CAST(next AS INT) AS next_i,
+           CAST(substr(prev, 1, 2) || y2 AS INT) AS cand_p,
+           CAST(substr(next, 1, 2) || y2 AS INT) AS cand_n,
+           CAST(substr(prev, 1, 2) AS INT) AS p2,
+           CAST(substr(next, 3, 2) AS INT) AS nd,
+           CAST(substr(prev, 3, 2) AS INT) AS pdg
+    FROM anch
+),
+cfix AS (
+    SELECT o_orderkey,
+        CASE
+            WHEN style <> 6 THEN NULL
+            WHEN prev IS NOT NULL AND next IS NOT NULL THEN
+                CASE
+                    WHEN prev_i <= cand_p AND cand_p <= next_i
+                        THEN substr(prev, 1, 2) || y2
+                    WHEN prev_i <= cand_n AND cand_n <= next_i
+                        THEN substr(next, 1, 2) || y2
+                    ELSE CAST(
+                        CASE
+                            WHEN abs((prev_i + next_i)/2.0 - ((p2-1)*100 + yi))
+                                 <= abs((prev_i + next_i)/2.0 - (p2*100 + yi))
+                             AND abs((prev_i + next_i)/2.0 - ((p2-1)*100 + yi))
+                                 <= abs((prev_i + next_i)/2.0 - ((p2+1)*100 + yi))
+                                THEN p2 - 1
+                            WHEN abs((prev_i + next_i)/2.0 - (p2*100 + yi))
+                                 <= abs((prev_i + next_i)/2.0 - ((p2+1)*100 + yi))
+                                THEN p2
+                            ELSE p2 + 1
+                        END AS VARCHAR) || y2
+                END
+            WHEN next IS NOT NULL THEN
+                CAST(CASE WHEN yi > nd THEN next_i - nd - 100 + yi
+                          ELSE next_i - nd + yi END AS VARCHAR)
+            WHEN prev IS NOT NULL THEN
+                CAST(CASE WHEN pdg > yi THEN prev_i - pdg + 100 + yi
+                          ELSE prev_i - pdg + yi END AS VARCHAR)
+            ELSE y2
+        END AS chron6
+    FROM ccalc
+)
+"""
+
 SQL_PIPELINE_CHAIN = f"""
-WITH {BASE_CTE}, {EXPECTED_EXTRACT_SQL}
+WITH {BASE_CTE}, {EXPECTED_EXTRACT_SQL}, {_CHRON_MODEL_CTE}
 SELECT
     '''' || CAST(9000000000000 + iv.g AS VARCHAR) AS mms_id,
     '''' || CAST(iv.o_orderkey AS VARCHAR) AS barcode,
@@ -229,7 +293,7 @@ SELECT
     'non-circulating' AS item_policy,
     {_DESC_SQL} AS description,
     e.enum_a, e.enum_b,
-    CASE WHEN iv.style = 6 THEN CAST(iv.y4 AS VARCHAR) ELSE e.chron_i END AS chron_i,
+    CASE WHEN iv.style = 6 THEN cf.chron6 ELSE e.chron_i END AS chron_i,
     CASE iv.style
         WHEN 0 THEN {_norm_case('mon1')} || ' '
         WHEN 1 THEN {_norm_case('mon1')}
@@ -241,7 +305,9 @@ SELECT
     END AS chron_j,
     e.pattern,
     '' AS notes
-FROM iv JOIN expected e ON iv.o_orderkey = e.o_orderkey
+FROM iv
+JOIN expected e ON iv.o_orderkey = e.o_orderkey
+JOIN cfix cf ON iv.o_orderkey = cf.o_orderkey
 """
 
 
@@ -277,7 +343,7 @@ def q_pipeline_chain_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PIPELINE_CHAIN_STRICT = f"""
-WITH {BASE_CTE}, {EXPECTED_EXTRACT_SQL}
+WITH {BASE_CTE}, {EXPECTED_EXTRACT_SQL}, {_CHRON_MODEL_CTE}
 SELECT
     '''' || CAST(9000000000000 + iv.g AS VARCHAR) AS mms_id,
     '''' || CAST(iv.o_orderkey AS VARCHAR) AS barcode,
@@ -286,7 +352,7 @@ SELECT
     'non-circulating' AS item_policy,
     {_DESC_SQL} AS description,
     e.enum_a, e.enum_b,
-    CASE WHEN iv.style = 6 THEN CAST(iv.y4 AS VARCHAR) ELSE e.chron_i END AS chron_i,
+    CASE WHEN iv.style = 6 THEN cf.chron6 ELSE e.chron_i END AS chron_i,
     CASE iv.style
         WHEN 0 THEN {_norm_case('mon1', strict=True)} || ' '
         WHEN 1 THEN {_norm_case('mon1', strict=True)}
@@ -298,7 +364,9 @@ SELECT
     END AS chron_j,
     e.pattern,
     '' AS notes
-FROM iv JOIN expected e ON iv.o_orderkey = e.o_orderkey
+FROM iv
+JOIN expected e ON iv.o_orderkey = e.o_orderkey
+JOIN cfix cf ON iv.o_orderkey = cf.o_orderkey
 """
 
 

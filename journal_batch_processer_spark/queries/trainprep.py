@@ -275,7 +275,12 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact), and the divide/multiply/floor chain is the same IEEE
     sequence, so even the rounding boundary cases hash-match. The
     floor(x+0.5) form (round-half-up) is used instead of ROUND
-    because engines disagree on half-even vs half-away ties."""
+    because engines disagree on half-even vs half-away ties.
+
+    Output shape (VERDICT r05 #2): the quantized vector is emitted as
+    a comma-joined STRING (``q_str``), not a raw ``array<bigint>`` —
+    the driver's pandas canonicalizer cannot sort/hash list cells
+    (r05 driver err). Same information, driver-comparable shape."""
     embs = _embs(spark, sf_dir)
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(vd, lambda x: F.abs(x)))
@@ -290,11 +295,14 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "maxabs",
             q.alias("q"),
         )
-        .withColumn(
-            "q_sum",
+        .select(
+            "vec_id",
+            "label",
+            "maxabs",
+            F.array_join(F.col("q"), ",").alias("q_str"),
             F.aggregate(
                 F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x
-            ),
+            ).alias("q_sum"),
         )
     )
 
@@ -311,7 +319,7 @@ sc AS (
     FROM vd
 )
 SELECT vec_id, label, maxabs,
-       list_transform(v, x -> CAST(FLOOR(x / maxabs * 127 + 5e-1) AS BIGINT)) AS q,
+       array_to_string(list_transform(v, x -> CAST(FLOOR(x / maxabs * 127 + 5e-1) AS BIGINT)), ',') AS q_str,
        list_reduce(list_transform(v, x -> CAST(FLOOR(x / maxabs * 127 + 5e-1) AS BIGINT)),
                    (a, b) -> a + b) AS q_sum
 FROM sc

@@ -457,7 +457,14 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rules_over(df, rules):
         aggs = []
         for rule, bad in rules:
-            aggs.append(F.sum(bad.cast("bigint")).alias(f"v_{rule}"))
+            # when(bad, 1).otherwise(0), not sum(bad.cast): a predicate
+            # that is NULL for every row (e.g. all `value` NULL) must
+            # count as 0 violations like the oracle's CASE, not sum to
+            # NULL and blow up the int() below (ADVICE r05)
+            aggs.append(
+                F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0)).cast("bigint"))
+                .alias(f"v_{rule}")
+            )
         row = df.agg(F.count(F.lit(1)).alias("n"), *aggs)
         return row, [r for r, _ in rules]
 

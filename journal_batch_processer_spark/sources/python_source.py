@@ -45,8 +45,9 @@ def register_once(spark, source_cls) -> None:
     try:
         spark.dataSource.register(source_cls)
     except Exception as e:  # noqa: BLE001
-        msg = str(e).lower()
-        if "already" not in msg and "exist" not in msg:
+        # 'exist' alone also matches 'does not exist' — require the
+        # explicit already-registered phrasing (ADVICE r05).
+        if "already" not in str(e).lower():
             raise
 
 LEVELS = ["debug", "info", "warn", "error"]
@@ -136,10 +137,16 @@ class ShardedLogWriter(DataSourceWriter):
     def commit(self, messages):
         import json
         import os
+        import uuid
 
+        # commit-unique job tag in the final names: a second append-mode
+        # write to the same directory must not overwrite the previous
+        # commit's part-00000..N (ADVICE r05) — same scheme as Hadoop
+        # committers' per-job UUID part names
+        job = uuid.uuid4().hex[:12]
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{i:05d}-{job}.jsonl")
             os.replace(m.path, final)
             total += m.n_rows
         # losing attempts' temp files (task retried, message discarded)

@@ -402,14 +402,137 @@ def test_jpeg_rejects_unsupported_features_loudly():
     prog = bytes(base[:i]) + b"\xff\xc2" + bytes(base[i + 2 :])
     with _pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg_baseline(prog)
-    # corrupt sampling factor of component 1 to 2x2 (subsampled)
+    # fractional sampling ratio (3x1 luma over 2x1 chroma) is rejected
     j = i + 11  # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) cid(1) -> samp
-    sub = bytearray(base)
-    sub[j] = 0x22
-    with _pytest.raises(NotImplementedError, match="subsampling"):
-        decode_jpeg_baseline(bytes(sub))
+    frac = bytearray(base)
+    frac[j] = 0x31
+    frac[j + 3] = 0x21
+    with _pytest.raises(NotImplementedError, match="fractional"):
+        decode_jpeg_baseline(bytes(frac))
     # truncated entropy data
     with _pytest.raises(ValueError):
         decode_jpeg_baseline(bytes(base[:-20]))
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg_baseline(b"\x00\x01\x02")
+
+
+def test_jpeg_420_subsampled_roundtrip_and_interleave():
+    """4:2:0 decode (r06): the solid fixture round-trips bit-exactly
+    through the 2×2-luma MCU interleave + chroma upsample, and a
+    hand-built 4:2:0 bitstream with FOUR DISTINCT luma block values in
+    one MCU proves the Y1 Y2 Y3 Y4 raster order inside the MCU (a
+    decoder that swapped block order would place quadrants wrong while
+    keeping the global mean identical)."""
+    import struct as _struct
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        STD_AC_CHROMA,
+        STD_AC_LUMA,
+        STD_DC_CHROMA,
+        STD_DC_LUMA,
+        STD_LUMA_QT,
+        _BitWriter,
+        _category,
+        _huff_codes,
+        decode_jpeg_baseline,
+        decode_jpeg_planes,
+        encode_jpeg_solid_gray,
+    )
+
+    for wdt, hgt, v in ((16, 16, 54), (32, 16, 200), (48, 64, 2)):
+        f = decode_jpeg_baseline(encode_jpeg_solid_gray(wdt, hgt, v, "420"))
+        assert (f["width"], f["height"], f["channels"]) == (wdt, hgt, 3)
+        assert f["mean_r"] == f["mean_g"] == f["mean_b"] == float(v)
+
+    # one 16×16 MCU, four luma quadrants at distinct exact DC levels
+    base = encode_jpeg_solid_gray(16, 16, 128, "420")
+    sos = base.find(b"\xff\xda")
+    seglen = int.from_bytes(base[sos + 2 : sos + 4], "big")
+    head = base[: sos + 2 + seglen]
+    dc_l, ac_l = _huff_codes(*STD_DC_LUMA), _huff_codes(*STD_AC_LUMA)
+    dc_c, ac_c = _huff_codes(*STD_DC_CHROMA), _huff_codes(*STD_AC_CHROMA)
+    # gray levels whose DC (8*(v-128)) divides Q00=16 exactly
+    levels = [96, 128, 160, 192]
+    bw = _BitWriter()
+    prev = 0
+    for v in levels:
+        dcq = (8 * (v - 128)) // STD_LUMA_QT[0]
+        diff = dcq - prev
+        prev = dcq
+        cat = _category(diff)
+        c, ln = dc_l[cat]
+        bw.put(c, ln)
+        if cat:
+            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw.put(amp, cat)
+        c, ln = ac_l[0x00]
+        bw.put(c, ln)
+    for tdc, tac in ((dc_c, ac_c),) * 2:
+        c, ln = tdc[0]
+        bw.put(c, ln)
+        c, ln = tac[0x00]
+        bw.put(c, ln)
+    bw.flush()
+    data = head + bytes(bw.buf) + b"\xff\xd9"
+    w, h, planes = decode_jpeg_planes(data)
+    assert (w, h) == (16, 16)
+    y = planes[0]
+    # raster block order within the MCU: (0,0)=96 (0,8)=128 (8,0)=160 (8,8)=192
+    assert y[0][0] == 96 and y[0][8] == 128
+    assert y[8][0] == 160 and y[8][8] == 192
+    assert len(planes[1]) == 8 and len(planes[1][0]) == 8  # chroma 8×8
+    f = decode_jpeg_baseline(data)
+    assert f["mean_r"] == f["mean_g"] == f["mean_b"] == sum(levels) / 4
+
+
+def test_jpeg_scan_component_order_by_id():
+    """A legal baseline file may list SOS components in any order; the
+    decoder must pair them with frame components BY ID (ADVICE r05).
+    Build a solid-color file whose scan runs Cr, Cb, Y — positional
+    pairing would decode luma with the chroma quantizer/tables and shift
+    every mean."""
+    import struct as _struct
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        STD_AC_CHROMA,
+        STD_AC_LUMA,
+        STD_DC_CHROMA,
+        STD_DC_LUMA,
+        STD_LUMA_QT,
+        _BitWriter,
+        _category,
+        _huff_codes,
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray,
+    )
+
+    v = 76
+    base = encode_jpeg_solid_gray(8, 8, v)
+    sos = base.find(b"\xff\xda")
+    seglen = int.from_bytes(base[sos + 2 : sos + 4], "big")
+    # rewrite the SOS component list as 3,2,1 and re-emit the entropy
+    # data in that scan order (Cr, Cb, Y per MCU)
+    new_sos = b"\xff\xda" + _struct.pack(">HB", 12, 3) + bytes(
+        [3, 0x11, 2, 0x11, 1, 0x00]
+    ) + bytes([0, 63, 0])
+    dc_l, ac_l = _huff_codes(*STD_DC_LUMA), _huff_codes(*STD_AC_LUMA)
+    dc_c, ac_c = _huff_codes(*STD_DC_CHROMA), _huff_codes(*STD_AC_CHROMA)
+    bw = _BitWriter()
+    for tdc, tac in ((dc_c, ac_c),) * 2:  # Cr then Cb: DC 0, EOB
+        c, ln = tdc[0]
+        bw.put(c, ln)
+        c, ln = tac[0x00]
+        bw.put(c, ln)
+    dcq = (8 * (v - 128)) // STD_LUMA_QT[0]
+    cat = _category(dcq)
+    c, ln = dc_l[cat]
+    bw.put(c, ln)
+    if cat:
+        amp = dcq if dcq >= 0 else dcq + (1 << cat) - 1
+        bw.put(amp, cat)
+    c, ln = ac_l[0x00]
+    bw.put(c, ln)
+    bw.flush()
+    data = base[:sos] + new_sos + bytes(bw.buf) + b"\xff\xd9"
+    f = decode_jpeg_baseline(data)
+    assert f["mean_r"] == f["mean_g"] == f["mean_b"] == float(v)

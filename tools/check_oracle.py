@@ -113,6 +113,22 @@ def main() -> int:
             continue
 
         problems = []
+        # The driver's pandas canonicalizer sort_values()-es every
+        # column, so a complex-typed Spark output column (array/map/
+        # struct — unhashable in pandas) ERRORS driver-side even though
+        # this script's own multiset compare handles lists fine
+        # (r05 lesson: embed_quantize). Flag it as a failure here.
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            problems.append(
+                f"spark cols {complex_cols} are complex-typed (driver "
+                f"canonicalizer errs on list cells); emit array_join/"
+                f"to_json instead"
+            )
         # The driver's value hash is Arrow-type-sensitive: a DuckDB
         # HUGEINT (int128 in Arrow) never hash-matches Spark's int64
         # even when every value is equal — Python-level fetchall()
