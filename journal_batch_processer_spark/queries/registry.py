@@ -61,69 +61,19 @@ def _build() -> dict[str, QuerySpec]:
 
     # Verification-priority order: the driver sweeps the registry
     # serially under a budget (~50 entries/round), so emit the
-    # least-trusted queries FIRST. For round 5 (VERDICT r04 next-round
-    # #3): (a) keys NEW or CHANGED this round, then (b) the ~40 keys
-    # whose most recent driver row predates the r03 testdata
-    # regeneration (r01^/r02^ in the VERDICT coverage table) so every
-    # key gets a post-regen driver row; everything green in the r03/r04
-    # driver sweeps goes last.
+    # least-trusted queries FIRST. For round 6 (VERDICT r05 next-round
+    # #1): (a) embed_quantize — output shape changed this round AND its
+    # r05 driver row was an err, so it goes first for its first-ever
+    # green row; (b) the 40 keys whose most recent driver row predates
+    # the r03 testdata regeneration (r01^/r02^ in the VERDICT coverage
+    # table) — they come BEFORE any r6 additions so the post-regen
+    # verification debt is finally discharged; (c) keys changed or new
+    # in r6 (pipeline oracles re-modeled, JPEG decoder gained 4:2:0,
+    # the GIF frames key); everything driver-green in r03-r05 goes
+    # last. 1 + 40 + 4 ≈ 45 fits the ~50-key budget with margin.
     priority = [
-        # new in r05 (third batch) — never swept
-        "corpus_mix",
-        "sample_reservoir",
-        "embed_kmeans",
-        "dedup_semantic",
-        "join_bloom",
-        "stream_stats",
-        "outlier_mad",
-        "compact_plan",
-        "join_interval",
-        "stream_enrich",
-        "tokenizer_train",
-        "tokenizer_encode",
-        "stream_session_native",
-        "schema_evolution",
-        "anonymize_k",
-        "variant_extract",
-        "lateral_join",
-        "python_datasource",
-        "curriculum_order",
-        "python_stream_source",
-        "xml_native",
-        "dq_checks",
-        "kmeans_distributed",
-        "stream_stream_join",
-        "media_image_decode_jpeg",
-        "python_datasink",
-        "observe_metrics",
-        "arrow_map",
-        "pandas_api",
-        # new in r05 (second batch) — never swept
-        "layout_zorder",
-        "sim_search_pq",
-        "stream_upsert",
-        "orc_roundtrip",
-        "partitioned_prune",
-        "upsert_merge",
-        "scd2_dim",
-        "chunk_sliding",
-        "seq_pack",
-        "tfidf_topk",
-        "text_bigrams",
+        # changed in r06 + r05 driver err — first green row needed
         "embed_quantize",
-        "graph_pagerank",
-        "funnel_events",
-        "dedup_chunks",
-        # new in r05 — never swept
-        "media_image_decode_png",
-        "dedup_ngram_capped",
-        "pipeline_chain_strict",
-        "jsonl_scan_gz",
-        "text_entropy",
-        "dedup_url",
-        # changed in r05 — multi-probe LSH, trained IVF centroids
-        "sim_search_ann",
-        "sim_search_ivf",
         # last driver row r01 — reference surface
         "desc_extract",
         "nomatch_count",
@@ -165,7 +115,18 @@ def _build() -> dict[str, QuerySpec]:
         "dedup_exact_hash",
         "dedup_ngram",
         "dedup_ngram_prefix",
-        # last driver row r02 — dedup/sim/text/multimodal EXT
+        # last driver row r01 (keyed rest_push_sink; the r03 green row
+        # ran under the push_partition alias)
+        "rest_push_sink",
+        # changed in r06: chron oracle re-modeled (algorithm, not
+        # generator truth); JPEG decoder gained 4:2:0 + mixed fixtures
+        "pipeline_chain",
+        "pipeline_chain_strict",
+        "media_image_decode_jpeg",
+        # NEW in r06: stdlib GIF container decode, one row per frame
+        "media_frames_decode",
+        # driver-green r02 but pre-regen — re-verified in SWEEP_r05 at
+        # sf0.01 AND sf0.1; next tier after the r01 block
         "dedup_near",
         "dedup_simhash",
         "dedup_embed",
@@ -188,9 +149,7 @@ def _build() -> dict[str, QuerySpec]:
         "csv_scan",
         "xml_serialize",
         "xml_parse",
-        "pipeline_chain",
         "pipeline_update",
-        "rest_push_sink",
         "push_partition",
         "runtime_metric",
     ]

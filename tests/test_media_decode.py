@@ -536,3 +536,110 @@ def test_jpeg_scan_component_order_by_id():
     data = base[:sos] + new_sos + bytes(bw.buf) + b"\xff\xd9"
     f = decode_jpeg_baseline(data)
     assert f["mean_r"] == f["mean_g"] == f["mean_b"] == float(v)
+
+
+# ---------------------------------------------------------------------------
+# GIF container decode (r06)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_property():
+    """Encoder/decoder lockstep across alphabet sizes, dictionary
+    growth, width increases, the 4096-entry reset, and the cScSc case
+    (runs of one index)."""
+    import random
+
+    from journal_batch_processer_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(42)
+    for mcs in (2, 3, 4, 8):
+        for n in (1, 2, 17, 300, 6000):
+            px = [rng.randrange(1 << mcs) for _ in range(n)]
+            assert _lzw_decode(mcs, _lzw_encode(mcs, px), n) == px
+    run = [1] * 5000 + [0] * 7 + [1] * 5000
+    assert _lzw_decode(2, _lzw_encode(2, run), len(run)) == run
+
+
+def test_gif_solid_frames_roundtrip():
+    from journal_batch_processer_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_solid_frames,
+    )
+
+    pal = [(250, 0, 10), (1, 2, 3), (99, 98, 97), (128, 128, 128)]
+    frames = [(0, 3), (3, 11), (1, 0), (2, 7)]
+    g = decode_gif_frames(encode_gif_solid_frames(17, 11, pal, frames))
+    assert (g["width"], g["height"], g["n_frames"]) == (17, 11, 4)
+    for i, (pidx, delay) in enumerate(frames):
+        fr = g["frames"][i]
+        r, gg, b = pal[pidx]
+        assert fr["frame_idx"] == i and fr["delay_cs"] == delay
+        assert (fr["mean_r"], fr["mean_g"], fr["mean_b"]) == (
+            float(r),
+            float(gg),
+            float(b),
+        )
+
+
+def test_gif_disposal_and_transparency():
+    """Disposal 2 restores the frame rect to background; a transparent
+    index leaves the prior canvas visible. Built by hand: a 4x4 GIF,
+    frame 1 paints color 1 with disposal 2; frame 2 is ALL-transparent,
+    so its composite equals the restored background."""
+    import struct
+
+    from journal_batch_processer_spark.operators.gif import (
+        _lzw_encode,
+        decode_gif_frames,
+    )
+
+    pal = [(8, 16, 32), (200, 100, 40)]  # index 0 = background
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 0, 0, 0)  # GCT of 2
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+
+    def frame(pixels, gc_packed, delay):
+        out.extend(b"\x21\xf9" + struct.pack("<BBHB", 4, gc_packed, delay, 0))
+        out.append(0)
+        out.extend(b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0))
+        out.append(2)  # min code size
+        lzw = _lzw_encode(2, pixels)
+        out.append(len(lzw))
+        out.extend(lzw)
+        out.append(0)
+
+    frame([1] * 16, 0x08, 5)  # disposal 2 (bits 2-4 = 010)
+    frame([0] * 16, 0x01, 6)  # transparent flag, transparent idx 0
+    out.append(0x3B)
+    g = decode_gif_frames(bytes(out))
+    assert g["n_frames"] == 2
+    assert g["frames"][0]["mean_r"] == 200.0
+    # frame 2: all pixels transparent over the RESTORED background
+    assert g["frames"][1]["mean_r"] == 8.0
+    assert g["frames"][1]["delay_cs"] == 6
+
+
+def test_gif_rejects_malformed_loudly():
+    import pytest as _pytest
+
+    from journal_batch_processer_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_solid_frames,
+    )
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_gif_frames(b"NOTAGIF")
+    base = bytearray(encode_gif_solid_frames(8, 8, [(1, 2, 3), (4, 5, 6)], [(0, 1)]))
+    # interlace flag on the image descriptor
+    idesc = bytes(base).find(b"\x2c")
+    inter = bytearray(base)
+    inter[idesc + 9] |= 0x40
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif_frames(bytes(inter))
+    # truncated LZW stream
+    with _pytest.raises(ValueError):
+        decode_gif_frames(bytes(base[:-6]))
