@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "sim_search_pq",     # PQ-ADC shortlist + exact re-rank
     "dedup_semantic",    # SemDeDup cell-local near-dup drop
     "join_bloom",        # bloom semi-join reduction before the join
+    # r06: media decode in the timed set (VERDICT r05 #7) so a decoder
+    # regression (e.g. a subsampling change) is visible as a number
+    "media_image_decode_jpeg",  # stdlib JPEG decode incl. 4:2:0 MCUs
 ]
 
 MAX_REPS = 4          # extra reps only bought when a rep saw steal

@@ -150,6 +150,63 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DIRECTED containment pairs: C(a→b) = |S(a) ∩ S(b)| / |S(a)| ≥ t.
+
+    Jaccard misses the doc-in-doc case a training corpus is full of
+    (a short article quoted whole inside a long aggregator page has
+    tiny Jaccard but containment ≈ 1) — containment is the asymmetric
+    measure that catches it; the contained side (doc_a) is the drop
+    candidate. Same one-shuffle shingle equi-join as
+    :func:`ngram_jaccard_pairs` — the candidate generator never goes
+    all-pairs — emitting BOTH directions of each intersecting pair,
+    filtered on the direction's own denominator.
+
+    ``max_shingle_df`` is the stop-shingle skew guard; the PPJoin-style
+    prefix filter does not transfer cheaply (containment has no length
+    filter — a 10-shingle doc can be fully contained in a 10^6-shingle
+    one, which is exactly the pair we want), so the df cap is the
+    scale path here.
+    """
+    sh = (
+        shingle_table(df, id_col, text_col, n)
+        .select("doc", F.xxhash64("shingle").alias("shingle"))
+        .persist()
+    )
+    if max_shingle_df is not None:
+        w_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(
+            F.broadcast(w_ok.filter(F.col("df_") <= max_shingle_df).select("shingle")),
+            "shingle",
+        )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", F.col("inter") / F.col("sz_a"))
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "containment")
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

@@ -207,6 +207,62 @@ def corpus_mix(
     return kept.drop("__thr")
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    salt: str = "temp:",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing at α = 0.5 (the multilingual
+    pretraining recipe — XLM-R/mT5 sample language s with probability
+    ∝ n_s^α to up-weight low-resource strata without the α=0 uniform
+    extreme): output proportions q_s ∝ n_s^α, scarcest stratum kept
+    whole, so the keep rate is (n_min/n_s)^(1-α) = sqrt(n_min/n_s).
+
+    α is FIXED at 1/2 because sqrt is IEEE-correctly-rounded in every
+    engine while pow(x, α) is not — the keep-ppm integers (and so the
+    md5-threshold kept set) stay bit-identical across Spark and the SQL
+    oracle. A general-α variant would need rational-exponent integer
+    arithmetic to keep that property.
+
+    Plan shape: one stratum-cardinality aggregate broadcast back onto
+    the scan; the corpus side is a narrow filter (same shape as
+    :func:`corpus_mix`). Returns kept rows plus ``keep_ppm``.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy(F.lit(0))
+    counts = counts.withColumn("n_min", F.min("cnt").over(w_all))
+    counts = counts.withColumn(
+        "keep_ppm",
+        F.floor(
+            F.lit(1000000.0)
+            * F.sqrt(F.col("n_min").cast("double") / F.col("cnt"))
+        ).cast("bigint"),
+    )
+    counts = counts.select(
+        strata_col,
+        "keep_ppm",
+        F.when(F.col("keep_ppm") >= 1_000_000, F.lit("g"))
+        .otherwise(
+            F.lower(
+                F.lpad(
+                    F.hex(F.expr("(keep_ppm * 16777216) div 1000000")),
+                    6,
+                    "0",
+                )
+            )
+        )
+        .alias("__thr"),
+    )
+    kept = df.join(F.broadcast(counts), strata_col).filter(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 6
+        )
+        < F.col("__thr")
+    )
+    return kept.drop("__thr")
+
+
 def reservoir_per_group(
     df: DataFrame,
     group_col: str,

@@ -101,6 +101,55 @@ WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 6) < th.thr
 
 
 # ---------------------------------------------------------------------------
+# temperature sampling
+# ---------------------------------------------------------------------------
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.5) corpus rebalancing over languages: keep rate
+    per stratum is sqrt(n_min/n_s) — low-resource languages kept whole,
+    high-resource downsampled toward the n_s^α target mix (the XLM-R /
+    mT5 multilingual sampling recipe, r06). sqrt is IEEE-correctly-
+    rounded in both engines, so keep_ppm and the md5-threshold kept set
+    are hash-exact (operators/sampling.temperature_sample)."""
+    from journal_batch_processer_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return temperature_sample(docs, "doc_id", "lang").select(
+        "doc_id", "lang", "keep_ppm"
+    )
+
+
+SQL_SAMPLE_TEMPERATURE = """
+WITH c AS (
+    SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+),
+t AS (
+    SELECT lang, cnt, MIN(cnt) OVER () AS n_min FROM c
+),
+r AS (
+    SELECT lang,
+           CAST(FLOOR(1000000.0 * SQRT(CAST(n_min AS DOUBLE) / cnt))
+                AS BIGINT) AS keep_ppm
+    FROM t
+),
+th AS (
+    SELECT lang, keep_ppm,
+           CASE WHEN keep_ppm >= 1000000 THEN 'g'
+                ELSE lower(lpad(hex((keep_ppm * 16777216) // 1000000),
+                                6, '0'))
+           END AS thr
+    FROM r
+)
+SELECT d.doc_id, d.lang, th.keep_ppm
+FROM documents d JOIN th ON d.lang = th.lang
+WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 6) < th.thr
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-group reservoir
 # ---------------------------------------------------------------------------
 
@@ -261,6 +310,7 @@ SQL_DEDUP_SEMANTIC = _dedup_semantic_oracle_sql  # lazy: trains from fixture
 QUERIES = {
     "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     "sample_reservoir": (q_sample_reservoir, SQL_SAMPLE_RESERVOIR),
+    "sample_temperature": (q_sample_temperature, SQL_SAMPLE_TEMPERATURE),
     "embed_kmeans": (q_embed_kmeans, SQL_EMBED_KMEANS),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
 }

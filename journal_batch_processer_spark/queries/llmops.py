@@ -200,6 +200,60 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.05
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs at t=0.5 (doc-in-doc / quote-inclusion
+    dedup — the asymmetric case Jaccard misses): C(a→b) = inter/|S(a)|,
+    both directions emitted, stop-shingle df ≤ 20 guard (r06)."""
+    from journal_batch_processer_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=20
+    )
+    return out.select(
+        "doc_a", "doc_b", "inter", "sz_a", "sz_b",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+SQL_DEDUP_CONTAINMENT = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS shingles
+    FROM toks
+),
+flat0 AS (
+    SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh
+),
+flat AS (  -- stop-shingle cap df <= 20, mirroring max_shingle_df
+    SELECT doc, shingle FROM flat0
+    WHERE shingle IN (SELECT shingle FROM flat0 GROUP BY shingle
+                      HAVING COUNT(*) <= 20)
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM flat GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM flat a JOIN flat b USING (shingle)
+    WHERE a.doc <> b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       ROUND(inter / sa.sz, 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE inter / sa.sz >= 0.5
+"""
+
+
 def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin-style prefix-filtered exact Jaccard at t=0.5: candidate
     generation joins only each doc's rarest-shingle prefix, with the
@@ -2293,6 +2347,7 @@ QUERIES = {
     "sim_search_pq": (q_sim_search_pq, SQL_SIM_SEARCH_PQ),
     "dedup_exact_hash": (q_dedup_exact_hash, SQL_DEDUP_EXACT_HASH),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_ngram_prefix": (q_dedup_ngram_prefix, SQL_DEDUP_NGRAM_T50),
     "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),

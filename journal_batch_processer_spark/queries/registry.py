@@ -123,8 +123,11 @@ def _build() -> dict[str, QuerySpec]:
         "pipeline_chain",
         "pipeline_chain_strict",
         "media_image_decode_jpeg",
-        # NEW in r06: stdlib GIF container decode, one row per frame
+        # NEW in r06: stdlib GIF container decode, one row per frame;
+        # containment (doc-in-doc) dedup; temperature (α=0.5) sampling
         "media_frames_decode",
+        "dedup_containment",
+        "sample_temperature",
         # driver-green r02 but pre-regen — re-verified in SWEEP_r05 at
         # sf0.01 AND sf0.1; next tier after the r01 block
         "dedup_near",
