@@ -140,8 +140,10 @@ def test_embed_quantize_bounds_and_model(spark):
         maxabs = max(abs(x) for x in v)
         assert r.maxabs == maxabs
         expect_q = [math.floor(x / maxabs * 127 + 0.5) for x in v]
-        assert list(r.q) == expect_q
-        assert all(-127 <= x <= 127 for x in r.q)
+        # the vector is a comma-joined string since r06 (driver shape)
+        got_q = [int(x) for x in r.q_str.split(",")]
+        assert got_q == expect_q
+        assert all(-127 <= x <= 127 for x in got_q)
         assert r.q_sum == sum(expect_q)
 
 
