@@ -222,7 +222,10 @@ srt AS (
            CASE WHEN style = 3 THEN 2 ELSE 0 END AS pre_vol,
            CASE WHEN style = 5 THEN 0 ELSE vol END AS vol_num,
            {_DESC_SQL} AS description,
-           CASE WHEN style IN (5, 6) THEN NULL
+           -- anchors are EXACTLY-4-digit leading runs (the reference's
+           -- rule): a 5-digit year (possible only outside the fixture
+           -- generator's y4 <= 9999 domain) is never an anchor
+           CASE WHEN style IN (5, 6) OR y4 > 9999 THEN NULL
                 ELSE CAST(y4 AS VARCHAR) END AS anchor,
            substr(CAST(y4 AS VARCHAR), 3, 2) AS y2
     FROM iv

@@ -19,6 +19,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
+# Lazy oracle builders (trained IVF centroids / PQ codebooks / k-means
+# literals) read SPARK_GRAFT_ORACLE_SF_DIR to train the SQL side's
+# inlined literals. When sweeping a non-default directory, the two
+# engines MUST train on the same corpus — default it to SF_DIR instead
+# of silently training the oracle on sf0.01 (r06 10×-sweep footgun:
+# every lazy-trained key "failed" with centroid-literal drift).
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
