@@ -66,7 +66,11 @@ BENCH_QUERIES = [
     "media_image_decode_jpeg",  # stdlib JPEG decode incl. 4:2:0 MCUs
 ]
 
-MAX_REPS = 4          # extra reps only bought when a rep saw steal
+# extra reps are bought only while a rep saw steal OR the best is
+# still improving >15% (JIT warm-up); 4 was too few for the heaviest
+# codegen plans in a cold JVM (r06: year_impute read 0.92 at the
+# 4-rep cap but 0.84 on rep 5 — still improving when capped)
+MAX_REPS = 6
 STEAL_RETRY_FRAC = 0.05
 
 
