@@ -2101,6 +2101,60 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF (user-defined TABLE function): the
+    SQL-native row expander — registered once, then LATERAL-joined in
+    plain SQL, the sanctioned shape for "one row in, N rows out"
+    Python logic (chunkers, parsers, API unfolders) that previously
+    needed explode(collect(udf)) contortions. Chunks each document
+    into 40-char windows; every emitted cell (index, length, md5) is
+    recomputed by the DuckDB oracle from substr arithmetic, so the
+    whole UDTF execution path is value-checked. Runs distributed: the
+    lateral join shows as a BatchEvalPythonUDTF operator over the
+    scan, no driver collection."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_len int, chunk_md5 string")
+    class ChunkUDTF:
+        def eval(self, text: str):
+            import hashlib
+
+            if text is None:
+                return
+            for i in range(0, len(text), 40):
+                c = text[i : i + 40]
+                yield i // 40, len(c), hashlib.md5(c.encode()).hexdigest()
+
+    spark.udtf.register("jbp_chunk_udtf", ChunkUDTF)
+    _docs(spark, sf_dir).select("doc_id", "text").createOrReplaceTempView(
+        "jbp_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_len, c.chunk_md5
+        FROM jbp_udtf_docs d, LATERAL jbp_chunk_udtf(d.text) c
+        """
+    )
+
+
+SQL_PYTHON_UDTF = """
+WITH n AS (
+    SELECT doc_id, text, CAST((length(text) + 39) // 40 AS BIGINT) AS nc
+    FROM documents WHERE length(text) > 0
+),
+e AS (
+    SELECT doc_id, text,
+           UNNEST(generate_series(0, nc - 1)) AS chunk_idx
+    FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(length(substr(text, CAST(chunk_idx * 40 + 1 AS INT), 40)) AS INT)
+           AS chunk_len,
+       md5(substr(text, CAST(chunk_idx * 40 + 1 AS INT), 40)) AS chunk_md5
+FROM e
+"""
+
+
 def q_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas API on Spark (pyspark.pandas): the DataFrame dialect
     pandas users write, compiling to the same Catalyst plans — a
@@ -2359,6 +2413,7 @@ QUERIES = {
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
     "observe_metrics": (q_observe_metrics, SQL_OBSERVE_METRICS),
     "arrow_map": (q_arrow_map, SQL_ARROW_MAP),
+    "python_udtf": (q_python_udtf, SQL_PYTHON_UDTF),
     "pandas_api": (q_pandas_api, SQL_PANDAS_API),
     "dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
     "dedup_embed_lsh": (q_dedup_embed_lsh, SQL_DEDUP_EMBED_LSH),

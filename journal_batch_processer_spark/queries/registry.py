@@ -128,6 +128,7 @@ def _build() -> dict[str, QuerySpec]:
         "media_frames_decode",
         "dedup_containment",
         "sample_temperature",
+        "python_udtf",
         # driver-green r02 but pre-regen — re-verified in SWEEP_r05 at
         # sf0.01 AND sf0.1; next tier after the r01 block
         "dedup_near",
