@@ -189,7 +189,28 @@ SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
 # ---------------------------------------------------------------------------
 
 SEMANTIC_TAU = 0.4  # near-dup threshold (matches dedup_embed's sweep)
-_N_CLUSTERS = 16
+_N_CLUSTERS = 16  # floor; k scales with the corpus (see _n_clusters)
+_TARGET_CELL = 500  # expected vectors per cell the pair join budgets for
+
+
+def _n_clusters(sf_dir: str) -> int:
+    """Cluster count scales with corpus size (r06): SemDeDup's pair
+    join costs Σ|cell|², so a FIXED k degrades quadratically as the
+    corpus grows (k=16 at 10×-sf0.1 meant 1250-vector cells → 360s;
+    k=n/500 keeps expected cell size bounded at ~500). Ceiling of
+    sample_cap/8 because centroids train on a 4096-vector sample —
+    past that you train hierarchically (coarse then per-cell), which
+    the 100 TB deployment would do outside the oracle-checked path.
+    At the driver's sf0.01 (500 vectors) this returns the same 16 the
+    key always used. Both engines derive k from the same parquet, so
+    the inlined literals stay bit-identical."""
+    import os as _os
+
+    import duckdb
+
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0]
+    return min(max(_N_CLUSTERS, n // _TARGET_CELL), 4096 // 8)
 
 
 def _centroids(sf_dir: str) -> list[list[float]]:
@@ -200,7 +221,8 @@ def _centroids(sf_dir: str) -> list[list[float]]:
     )
 
     return train_ivf_centroids(
-        _os.path.join(sf_dir, "embeddings.parquet"), n_centroids=_N_CLUSTERS
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        n_centroids=_n_clusters(sf_dir),
     )
 
 

@@ -129,6 +129,11 @@ def _build() -> dict[str, QuerySpec]:
         "dedup_containment",
         "sample_temperature",
         "python_udtf",
+        # changed in r06: cluster count scales with corpus size
+        # (identical output at the driver's sf0.01 where k stays 16 —
+        # re-swept as cheap insurance; fills the ~50 budget exactly)
+        "embed_kmeans",
+        "dedup_semantic",
         # driver-green r02 but pre-regen — re-verified in SWEEP_r05 at
         # sf0.01 AND sf0.1; next tier after the r01 block
         "dedup_near",
