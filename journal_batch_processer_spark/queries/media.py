@@ -314,6 +314,8 @@ def q_media_frames_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "mean_b": fr["mean_b"],
                         }
                     )
+            if not rows:  # empty Arrow batch: nothing to emit
+                continue
             out = pd.DataFrame(rows)
             for c in ("frame_idx", "n_frames", "width", "height", "delay_cs"):
                 out[c] = out[c].astype("int32")
