@@ -648,3 +648,79 @@ def test_gif_rejects_malformed_loudly():
     # truncated LZW stream
     with _pytest.raises(ValueError):
         decode_gif_frames(bytes(base[:-6]))
+
+
+def test_gif_lzw_against_independent_textbook_decoder():
+    """A second LZW decoder written from the GIF89a spec with a
+    DIFFERENT structure (bit-at-a-time reader, byte-string table,
+    explicit next_slot counter) — catches a convention error the
+    encoder and primary decoder could share (width-growth timing,
+    reset boundary, first-code handling)."""
+    import random
+
+    from journal_batch_processer_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    def textbook_decode(mcs, data, expected):
+        bits = []
+        for byte in data:
+            for i in range(8):
+                bits.append((byte >> i) & 1)  # LSB first
+        bp = 0
+
+        def read(width):
+            nonlocal bp
+            v = 0
+            for i in range(width):
+                v |= bits[bp + i] << i
+            bp += width
+            return v
+
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        out = []
+        while True:
+            # (re)initialize
+            table = {i: bytes([i]) for i in range(clear)}
+            next_slot = eoi + 1
+            width = mcs + 1
+            # skip any leading clear codes
+            code = read(width)
+            while code == clear:
+                code = read(width)
+            if code == eoi:
+                return out
+            out.extend(table[code])
+            old = table[code]
+            while True:
+                if len(out) >= expected:
+                    return out[:expected]
+                code = read(width)
+                if code == clear:
+                    break  # back to reinitialize
+                if code == eoi:
+                    return out
+                if code in table:
+                    entry = table[code]
+                elif code == next_slot:
+                    entry = old + old[:1]
+                else:
+                    raise AssertionError("bad code")
+                out.extend(entry)
+                table[next_slot] = old + entry[:1]
+                next_slot += 1
+                if next_slot == (1 << width) and width < 12:
+                    width += 1
+                old = entry
+
+    rng = random.Random(99)
+    for mcs in (2, 4, 8):
+        for n in (1, 7, 400, 9000, 30000):
+            px = [rng.randrange(1 << mcs) for _ in range(n)]
+            enc = _lzw_encode(mcs, px)
+            assert textbook_decode(mcs, enc, n) == px, (mcs, n)
+            assert _lzw_decode(mcs, enc, n) == px, (mcs, n)
+    run = [2] * 6000
+    enc = _lzw_encode(3, run)
+    assert textbook_decode(3, enc, len(run)) == run
