@@ -724,3 +724,74 @@ def test_gif_lzw_against_independent_textbook_decoder():
     run = [2] * 6000
     enc = _lzw_encode(3, run)
     assert textbook_decode(3, enc, len(run)) == run
+
+
+def test_jpeg_422_subsampled_decode():
+    """4:2:2 (2×1 luma): hand-built single-MCU 16×8 file with two
+    distinct luma blocks — proves the horizontal-only interleave and
+    1×2 chroma upsample path the docstring claims."""
+    import struct as _struct
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        STD_AC_CHROMA,
+        STD_AC_LUMA,
+        STD_CHROMA_QT,
+        STD_DC_CHROMA,
+        STD_DC_LUMA,
+        STD_LUMA_QT,
+        ZIGZAG,
+        _BitWriter,
+        _category,
+        _huff_codes,
+        decode_jpeg_baseline,
+        decode_jpeg_planes,
+    )
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    for tid, qt in ((0, STD_LUMA_QT), (1, STD_CHROMA_QT)):
+        out += b"\xff\xdb" + _struct.pack(">H", 67) + bytes([tid])
+        out += bytes(qt[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc0" + _struct.pack(">HBHHB", 17, 8, 8, 16, 3)
+    out += bytes([1, 0x21, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for cls, tid, (bits, vals) in (
+        (0, 0, STD_DC_LUMA),
+        (1, 0, STD_AC_LUMA),
+        (0, 1, STD_DC_CHROMA),
+        (1, 1, STD_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + _struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits[1:17]) + bytes(vals)
+    out += b"\xff\xda" + _struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+
+    dc_l, ac_l = _huff_codes(*STD_DC_LUMA), _huff_codes(*STD_AC_LUMA)
+    dc_c, ac_c = _huff_codes(*STD_DC_CHROMA), _huff_codes(*STD_AC_CHROMA)
+    bw = _BitWriter()
+    prev = 0
+    for v in (64, 192):  # left block 64, right block 192
+        dcq = (8 * (v - 128)) // STD_LUMA_QT[0]
+        diff = dcq - prev
+        prev = dcq
+        cat = _category(diff)
+        c, ln = dc_l[cat]
+        bw.put(c, ln)
+        if cat:
+            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw.put(amp, cat)
+        c, ln = ac_l[0x00]
+        bw.put(c, ln)
+    for tdc, tac in ((dc_c, ac_c),) * 2:
+        c, ln = tdc[0]
+        bw.put(c, ln)
+        c, ln = tac[0x00]
+        bw.put(c, ln)
+    bw.flush()
+    data = bytes(out) + bytes(bw.buf) + b"\xff\xd9"
+
+    w, h, planes = decode_jpeg_planes(data)
+    assert (w, h) == (16, 8)
+    assert planes[0][0][0] == 64 and planes[0][0][8] == 192
+    assert len(planes[1][0]) == 8 and len(planes[1]) == 8  # chroma 8×8
+    f = decode_jpeg_baseline(data)
+    assert f["mean_r"] == f["mean_g"] == f["mean_b"] == 128.0
