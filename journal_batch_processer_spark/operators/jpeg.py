@@ -3,16 +3,17 @@ path): a minimal encoder used to build test/oracle fixtures and a
 general baseline (SOF0) sequential decoder.
 
 Scope — honest and loud:
-- decode: baseline DCT sequential (SOF0), 8-bit, 1 or 3 components,
+- decode: baseline DCT sequential (SOF0) AND progressive (SOF2 —
+  spectral selection + successive approximation with DC and AC
+  refinement per T.81 G.2, r06), 8-bit, 1 or 3 components,
   interleaved scans with integer sampling factors (4:4:4, 4:2:2,
   4:2:0 — the shapes virtually every camera/encoder emits; chroma is
   upsampled by sample replication per the T.81 interleave, r06), no
-  restart markers, one scan. Anything else raises
-  NotImplementedError/ValueError naming the feature: progressive
-  (SOF2), arithmetic coding, 12-bit, fractional sampling ratios, DNL.
-  These are the features the fixtures and the oracle-ability contract
-  exclude on purpose; a production path would swap in PIL behind the
-  same Decoder interface (operators/multimodal.get_decoder).
+  restart markers. Anything else raises NotImplementedError/ValueError
+  naming the feature: arithmetic coding, lossless/extended SOFs,
+  12-bit, fractional sampling ratios, restart intervals, DNL.
+  A production path could still swap in PIL behind the same Decoder
+  interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
   even-valued gray level v, Y = v and Cb = Cr = 128 EXACTLY (BT.601
   with r=g=b), the DC coefficient 8·(v−128) divides the standard
@@ -465,9 +466,12 @@ def _decode_jpeg_planes(data: bytes):
                     raise ValueError(f"jpeg: invalid sampling factors {hi}x{vi}")
                 comps.append((cid, tq, hi, vi))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker == 0xC2:  # SOF2 progressive — separate decode path
+            return _decode_jpeg_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
-                f"jpeg: SOF{marker - 0xC0} (progressive/extended) unsupported"
+                f"jpeg: SOF{marker - 0xC0} (extended/lossless/arithmetic) "
+                "unsupported"
             )
         elif marker == 0xDA:  # SOS
             ns = seg[0]
@@ -563,3 +567,392 @@ def _decode_jpeg_planes(data: bytes):
                             row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
 
     return w, h, comps, planes
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — T.81 G.2 / F.2.2 (r06)
+# ---------------------------------------------------------------------------
+
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """First real marker position at/after ``start`` (skips stuffed
+    0xFF00 and 0xFF fill bytes; restart markers are unsupported)."""
+    i = start
+    while i + 1 < len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        nxt = data[i + 1]
+        if nxt == 0x00:
+            i += 2
+            continue
+        if nxt == 0xFF:
+            i += 1
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            raise NotImplementedError("jpeg: restart markers unsupported")
+        return i
+    raise ValueError("jpeg: entropy data ran past EOF")
+
+
+def _decode_jpeg_progressive(data: bytes):
+    """Progressive JPEG: quantized coefficients accumulate across scans
+    (spectral selection Ss..Se + successive approximation Ah/Al, both
+    DC and AC refinement implemented per the public T.81 spec, G.2);
+    dequantization + IDCT run ONCE at EOI over the accumulated
+    coefficient store. Returns the same (w, h, comps, planes) tuple as
+    the baseline path, so every feature/means consumer is agnostic to
+    the coding process."""
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    coefs = None  # per comp: list[blocks][64] QUANTIZED, natural order
+    geom = None  # (hmax, vmax, mcux, mcuy, per-comp dims)
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                zz = seg[p + 1 : p + 65]
+                qt = [0] * 64
+                for i in range(64):
+                    qt[ZIGZAG[i]] = zz[i]
+                qts[tq] = qt
+                p += 65
+        elif marker == 0xC4:  # DHT — may be redefined between scans
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = [0] + list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = _huff_decoder(
+                    bits, vals
+                )
+                p += 17 + n
+        elif marker == 0xC2:  # SOF2
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"jpeg: invalid sampling factors {hi}x{vi}"
+                    )
+                comps.append((cid, tq, hi, vi))
+            if nc == 1:
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
+            hmax = max(hi for _c, _t, hi, _v in comps)
+            vmax = max(vi for _c, _t, _h, vi in comps)
+            for _c, _t, hi, vi in comps:
+                if hmax % hi or vmax % vi:
+                    raise NotImplementedError(
+                        f"jpeg: fractional sampling ratio {hi}x{vi}"
+                    )
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            dims = []
+            for _c, _t, hi, vi in comps:
+                bw, bh = mcux * hi, mcuy * vi  # padded storage grid
+                cw = (-(-w * hi // hmax) + 7) // 8  # non-interleaved grid
+                ch = (-(-h * vi // vmax) + 7) // 8
+                dims.append((bw, bh, cw, ch))
+            coefs = [
+                [[0] * 64 for _ in range(bw * bh)] for bw, bh, _cw, _ch in dims
+            ]
+            frame = (w, h, comps)
+            geom = (hmax, vmax, mcux, mcuy, dims)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise ValueError("jpeg: mixed/unsupported SOF in progressive file")
+        elif marker == 0xDD:
+            raise NotImplementedError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — decode this scan now
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF2")
+            ns = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            entropy_start = pos + seglen
+            end = _entropy_end(data, entropy_start)
+            br = _BitReader(data[entropy_start:end])
+            _decode_progressive_scan(
+                br, frame, geom, coefs, dc_tables, ac_tables,
+                scan_comps, ss, se, ah, al,
+            )
+            pos = end
+            continue
+        pos += seglen
+
+    if frame is None or coefs is None:
+        raise ValueError("jpeg: missing SOF2/scan data")
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy, dims = geom
+    planes = []
+    for ci, (_cid, qtid, hi, vi) in enumerate(comps):
+        qt = qts[qtid]
+        bw, bh, _cw, _ch = dims[ci]
+        plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+        for bidx, cq in enumerate(coefs[ci]):
+            block = _idct_block([cq[i] * qt[i] for i in range(64)])
+            by, bx = divmod(bidx, bw)
+            py, px = by * 8, bx * 8
+            for yy in range(8):
+                row = plane[py + yy]
+                row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
+        planes.append(plane)
+    return w, h, comps, planes
+
+
+def _decode_progressive_scan(
+    br, frame, geom, coefs, dc_tables, ac_tables, scan_comps, ss, se, ah, al
+):
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy, dims = geom
+    frame_by_id = {cid: i for i, (cid, _t, _h, _v) in enumerate(comps)}
+    for cid, _d, _a in scan_comps:
+        if cid not in frame_by_id:
+            raise ValueError(f"jpeg: scan component id {cid} not in frame")
+    if not (0 <= al <= 13 and (ah == 0 or ah == al + 1)):
+        raise ValueError(f"jpeg: bad successive approximation Ah={ah} Al={al}")
+
+    if ss == 0:  # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        preds = {cid: 0 for cid, _d, _a in scan_comps}
+
+        def dc_block(ci, cid, dct, cq):
+            if ah == 0:  # first pass: diffs of (DC >> Al)
+                cat = _read_huff(br, dc_tables[dct])
+                diff = _extend(br.bits(cat), cat) if cat else 0
+                preds[cid] += diff
+                cq[0] = preds[cid] << al
+            else:  # refinement: one bit per block
+                if br.bit():
+                    cq[0] |= 1 << al
+
+        if len(scan_comps) > 1:  # interleaved MCU order
+            for mcu_y in range(mcuy):
+                for mcu_x in range(mcux):
+                    for cid, dct, _act in scan_comps:
+                        ci = frame_by_id[cid]
+                        _c, _t, hi, vi = comps[ci]
+                        bw = dims[ci][0]
+                        for bv in range(vi):
+                            for bh_ in range(hi):
+                                bidx = (mcu_y * vi + bv) * bw + mcu_x * hi + bh_
+                                dc_block(ci, cid, dct, coefs[ci][bidx])
+        else:  # single component: non-interleaved raster over cw×ch
+            cid, dct, _act = scan_comps[0]
+            ci = frame_by_id[cid]
+            bw, _bh, cw, ch = dims[ci]
+            for by in range(ch):
+                for bx in range(cw):
+                    dc_block(ci, cid, dct, coefs[ci][by * bw + bx])
+        return
+
+    # AC scan: single component, non-interleaved (T.81 G.1.1.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    if not 1 <= ss <= se <= 63:
+        raise ValueError(f"jpeg: bad spectral range {ss}..{se}")
+    cid, _dct, act = scan_comps[0]
+    ci = frame_by_id[cid]
+    bw, _bh, cw, ch = dims[ci]
+    table = ac_tables[act]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    for by in range(ch):
+        for bx in range(cw):
+            cq = coefs[ci][by * bw + bx]
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_huff(br, table)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC index overrun")
+                    cq[ZIGZAG[k]] = _extend(br.bits(s), s) << al
+                    k += 1
+            else:  # refinement pass (libjpeg decode_mcu_AC_refine shape)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_huff(br, table)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r != 15:  # EOBn
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history slots
+                        elif s == 1:
+                            val = p1 if br.bit() else m1
+                        else:
+                            raise ValueError("jpeg: bad refinement size")
+                        while k <= se:
+                            c = cq[ZIGZAG[k]]
+                            if c != 0:
+                                if br.bit() and (c & p1) == 0:
+                                    cq[ZIGZAG[k]] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            cq[ZIGZAG[k]] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = cq[ZIGZAG[k]]
+                        if c != 0 and br.bit() and (c & p1) == 0:
+                            cq[ZIGZAG[k]] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def encode_jpeg_solid_gray_progressive(width: int, height: int, v: int) -> bytes:
+    """Progressive (SOF2) JFIF of a solid GRAY image: five REAL scans —
+    interleaved DC first pass at Al=1, DC refinement delivering the
+    low bit, then one AC first-pass scan per component whose all-zero
+    band is coded as a single EOBn run covering every block (the
+    progressive-specific entropy construct). Same exactness contract
+    as the baseline fixture encoder: even gray v decodes bit-for-bit,
+    so the closed-form oracle is coding-process-agnostic."""
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    if v % 2 or not 0 <= v <= 255:
+        raise ValueError("fixture encoder requires an even gray 0..255")
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, STD_LUMA_QT), (1, STD_CHROMA_QT)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(qt[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    # The Annex K "typical" AC tables are sequential-only: they contain
+    # EOB (0x00) and ZRL (0xF0) but none of the EOBn run symbols
+    # (0x10..0xE0) progressive AC scans use — define a custom AC table
+    # (id 2) holding exactly the 15 EOBn symbols, all at code length 4
+    # (canonical, all-ones code left unused per the spec's advice).
+    eobn_bits = [0, 0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    eobn_vals = [r << 4 for r in range(15)]
+    for cls, tid, (bits, vals) in (
+        (0, 0, STD_DC_LUMA),
+        (1, 0, STD_AC_LUMA),
+        (0, 1, STD_DC_CHROMA),
+        (1, 1, STD_AC_CHROMA),
+        (1, 2, (eobn_bits, eobn_vals)),
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(vals)
+        ) + bytes([(cls << 4) | tid])
+        out += bytes(bits[1:17]) + bytes(vals)
+
+    def sos(comp_specs: list[tuple[int, int]], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        ns = len(comp_specs)
+        body = bytes([ns])
+        for cid, tables in comp_specs:
+            body += bytes([cid, tables])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    dc_q = (8 * (v - 128)) // STD_LUMA_QT[0]
+    dc_luma = _huff_codes(*STD_DC_LUMA)
+    dc_chroma = _huff_codes(*STD_DC_CHROMA)
+    n_blocks = (width // 8) * (height // 8)
+
+    # scan 1: interleaved DC first pass, Al=1 — diffs of (DC >> 1);
+    # T.81 G.1.2.1: the DC point transform is an ARITHMETIC shift
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    hi_dc = dc_q >> 1
+    prev = 0
+    for blk in range(n_blocks):
+        diff = hi_dc - prev if blk == 0 else 0
+        prev = hi_dc
+        cat = _category(diff)
+        c, ln = dc_luma[cat]
+        bw.put(c, ln)
+        if cat:
+            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw.put(amp, cat)
+        for tdc in (dc_chroma, dc_chroma):
+            c, ln = tdc[0]
+            bw.put(c, ln)
+    bw.flush()
+    out += bw.buf
+
+    # scan 2: interleaved DC refinement (Ah=1, Al=0) — raw low bits
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    low = dc_q - (hi_dc << 1)  # the bit the refinement delivers
+    for _ in range(n_blocks):
+        bw.put(low & 1, 1)  # Y
+        bw.put(0, 1)  # Cb
+        bw.put(0, 1)  # Cr
+    bw.flush()
+    out += bw.buf
+
+    # scans 3-5: per-component AC first pass — one EOBn run covers all
+    # blocks of the all-zero band (AC table 2: the EOBn-only table)
+    eobn = _huff_codes(eobn_bits, eobn_vals)
+    for cid in (1, 2, 3):
+        out += sos([(cid, 0x02)], 1, 63, 0, 0)
+        bw = _BitWriter()
+        n = n_blocks
+        r = n.bit_length() - 1  # EOBn: run = (1 << r) + extra
+        extra = n - (1 << r)
+        c, ln = eobn[r << 4]
+        bw.put(c, ln)
+        if r:
+            bw.put(extra, r)
+        bw.flush()
+        out += bw.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -53,13 +53,14 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v5-jpeg420-gif"
+    fp = _fc.source_fingerprint(src) + ":v6-jpeg-prog"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
 
     from journal_batch_processer_spark.operators.jpeg import (
         encode_jpeg_solid_gray,
+        encode_jpeg_solid_gray_progressive,
     )
     from journal_batch_processer_spark.operators.gif import (
         encode_gif_solid_frames,
@@ -100,18 +101,22 @@ def _materialize_media(sf_dir: str) -> str:
                     pw, ph, rows, filter_for_row=lambda y, i=i: (i + y) % 5
                 )
             )
-        # solid EVEN-gray baseline JPEG: the DC coefficient divides the
-        # standard luminance quantizer exactly, so the decode (Huffman
-        # + dequant + IDCT + BT.601) round-trips bit-for-bit and the
-        # decoded means stay doc_id arithmetic (operators/jpeg.py).
-        # Every third file is 4:2:0 chroma-subsampled (r06): a solid
-        # image is subsampling-invariant, so the same closed form holds
-        # while the 2×2-luma MCU interleave + chroma upsample run for
-        # the most common real-world JPEG shape.
+        # solid EVEN-gray JPEG: the DC coefficient divides the standard
+        # luminance quantizer exactly, so the decode (Huffman + dequant
+        # + IDCT + BT.601) round-trips bit-for-bit and the decoded
+        # means stay doc_id arithmetic (operators/jpeg.py). The fixture
+        # mix covers the three real-world coding shapes (r06): every
+        # third file is 4:2:0 chroma-subsampled; doc_id%3==1 files are
+        # PROGRESSIVE (SOF2, five scans: DC Al=1 + DC refinement +
+        # per-component EOBn AC bands) with the SAME dims as the
+        # sequential branch, so the oracle is coding-process-agnostic.
         jv = 2 * ((7 * i) % 100) + 20
         if i % 3 == 0:
             jw, jh = 16 * (1 + i % 2), 16 * (1 + (i // 3) % 2)
             payload = encode_jpeg_solid_gray(jw, jh, jv, subsampling="420")
+        elif i % 3 == 1:
+            jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
+            payload = encode_jpeg_solid_gray_progressive(jw, jh, jv)
         else:
             jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
             payload = encode_jpeg_solid_gray(jw, jh, jv)
@@ -249,7 +254,10 @@ def q_media_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded mean is closed-form doc_id arithmetic for the oracle while
     the payload is a genuinely entropy-coded JPEG bitstream —
     the "real multimodal corpora are JPEG" gap, closed without any
-    imaging library."""
+    imaging library. The fixture mix covers all three real-world
+    coding shapes (r06): sequential 4:4:4, 4:2:0 chroma-subsampled,
+    and progressive SOF2 multi-scan (spectral selection + successive
+    approximation)."""
     from journal_batch_processer_spark.operators.multimodal import (
         decode_jpeg_bytes,
     )

@@ -397,10 +397,16 @@ def test_jpeg_rejects_unsupported_features_loudly():
     )
 
     base = bytearray(encode_jpeg_solid_gray(8, 8, 100))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF9 (extended sequential, arithmetic coding)
     i = bytes(base).find(b"\xff\xc0")
+    arith = bytes(base[:i]) + b"\xff\xc9" + bytes(base[i + 2 :])
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_baseline(arith)
+    # a baseline stream merely RELABELED progressive is malformed (its
+    # single interleaved scan claims Ss=0 Se=63 — an illegal DC band):
+    # the progressive path rejects it rather than mis-decoding
     prog = bytes(base[:i]) + b"\xff\xc2" + bytes(base[i + 2 :])
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    with _pytest.raises(ValueError, match="DC scan"):
         decode_jpeg_baseline(prog)
     # fractional sampling ratio (3x1 luma over 2x1 chroma) is rejected
     j = i + 11  # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) cid(1) -> samp
@@ -795,3 +801,130 @@ def test_jpeg_422_subsampled_decode():
     assert len(planes[1][0]) == 8 and len(planes[1]) == 8  # chroma 8×8
     f = decode_jpeg_baseline(data)
     assert f["mean_r"] == f["mean_g"] == f["mean_b"] == 128.0
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2) — r06
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_solid_equals_baseline():
+    """The 5-scan progressive fixture (DC first at Al=1, DC refinement,
+    per-component EOBn AC scans) decodes to EXACTLY the same planes as
+    the sequential encoding of the same image."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        decode_jpeg_planes,
+        encode_jpeg_solid_gray,
+        encode_jpeg_solid_gray_progressive,
+    )
+
+    for dims, v in (((8, 8), 128), ((16, 24), 54), ((40, 8), 254)):
+        prog = encode_jpeg_solid_gray_progressive(*dims, v)
+        assert b"\xff\xc2" in prog  # really SOF2, five scans
+        assert prog.count(b"\xff\xda") == 5
+        f = decode_jpeg_baseline(prog)
+        assert (f["width"], f["height"]) == dims
+        assert f["mean_r"] == f["mean_g"] == f["mean_b"] == float(v)
+        _, _, p_prog = decode_jpeg_planes(prog)
+        _, _, p_base = decode_jpeg_planes(encode_jpeg_solid_gray(*dims, v))
+        assert p_prog == p_base
+
+
+def test_jpeg_progressive_ac_successive_approximation():
+    """Hand-built grayscale SOF2 with an AC coefficient delivered over
+    TWO passes (first pass at Al=1 carries 3>>1, the Ah=1/Al=0
+    refinement carries the low correction bit) — the successive-
+    approximation path real encoders (libjpeg default) emit — verified
+    PER-PIXEL against an independent numpy IDCT."""
+    import struct as _struct
+
+    import numpy as np
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        STD_AC_LUMA,
+        STD_DC_LUMA,
+        STD_LUMA_QT,
+        ZIGZAG,
+        _BitWriter,
+        _category,
+        _huff_codes,
+        decode_jpeg_baseline,
+        decode_jpeg_planes,
+    )
+
+    dcq, acq, ack = 4, 3, 5  # quantized DC, AC=3 at zigzag index 5
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + bytes([0])
+    out += bytes(STD_LUMA_QT[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc2" + _struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    out += bytes([1, 0x11, 0])
+    for cls, tid, (bits, vals) in (
+        (0, 0, STD_DC_LUMA),
+        (1, 0, STD_AC_LUMA),
+    ):
+        out += b"\xff\xc4" + _struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits[1:17]) + bytes(vals)
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + _struct.pack(">HB", 8, 1) + bytes(
+            [1, 0x00, ss, se, (ah << 4) | al]
+        )
+
+    dc_l = _huff_codes(*STD_DC_LUMA)
+    ac_l = _huff_codes(*STD_AC_LUMA)
+
+    # scan 1: DC first, no approximation
+    out += sos(0, 0, 0, 0)
+    bw = _BitWriter()
+    cat = _category(dcq)
+    c, ln = dc_l[cat]
+    bw.put(c, ln)
+    bw.put(dcq, cat)
+    bw.flush()
+    out += bytes(bw.buf)
+
+    # scan 2: AC first at Al=1 — run of 4 zeros then (3 >> 1) = 1
+    out += sos(1, 63, 0, 1)
+    bw = _BitWriter()
+    c, ln = ac_l[(4 << 4) | 1]
+    bw.put(c, ln)
+    bw.put(1, 1)  # amplitude 1
+    c, ln = ac_l[0x00]  # EOB for the rest of the band
+    bw.put(c, ln)
+    bw.flush()
+    out += bytes(bw.buf)
+
+    # scan 3: AC refinement Ah=1, Al=0 — EOB then the correction bit
+    # for the (now nonzero-history) coefficient: low bit of 3 is 1
+    out += sos(1, 63, 1, 0)
+    bw = _BitWriter()
+    c, ln = ac_l[0x00]
+    bw.put(c, ln)
+    bw.put(1, 1)  # correction bit
+    bw.flush()
+    out += bytes(bw.buf)
+
+    out += b"\xff\xd9"
+    data = bytes(out)
+
+    w, h, planes = decode_jpeg_planes(data)
+    assert (w, h) == (8, 8)
+
+    spec = np.zeros((8, 8))
+    spec[0, 0] = dcq * STD_LUMA_QT[0]
+    nat = ZIGZAG[ack]
+    spec[nat // 8, nat % 8] = acq * STD_LUMA_QT[nat]
+    C = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            C[u, x] = (
+                np.sqrt(1 / 8 if u == 0 else 2 / 8)
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+            )
+    pix = np.clip(np.round(C.T @ spec @ C + 128), 0, 255)
+    got = np.array([[planes[0][y][x] for x in range(8)] for y in range(8)])
+    assert np.array_equal(got, pix), (got, pix)
+    f = decode_jpeg_baseline(data)
+    assert abs(f["mean_r"] - float(pix.mean())) < 1e-9
