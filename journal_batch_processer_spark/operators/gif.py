@@ -10,9 +10,9 @@ extensions (per-frame delay, disposal, transparency), local color
 tables, and frame compositing onto the logical screen.
 
 Scope — honest and loud:
-- decode: GIF87a/89a, interleave-free (interlaced frames raise
-  NotImplementedError), disposal methods 0/1 (leave) and 2 (restore
-  to background); disposal 3 (restore previous) raises. Transparent
+- decode: GIF87a/89a, including INTERLACED frames (the 4-pass row
+  order, r06), disposal methods 0/1 (leave) and 2 (restore to
+  background); disposal 3 (restore previous) raises. Transparent
   pixels leave the underlying canvas untouched.
 - encode (fixtures): full-canvas solid-index frames over a global
   color table, one graphic-control block per frame, REAL LZW
@@ -148,8 +148,8 @@ def decode_gif_frames(data: bytes) -> dict:
     Returns {"width", "height", "n_frames", "frames": [{"frame_idx",
     "delay_cs", "mean_r", "mean_g", "mean_b"}]} — means over the FULL
     canvas after compositing (what a frame-sampling pipeline features).
-    Malformed/truncated payloads raise ValueError; unsupported features
-    (interlace, disposal 3) raise NotImplementedError.
+    Malformed/truncated payloads raise ValueError; the one unsupported
+    feature (disposal 3, restore-previous) raises NotImplementedError.
     """
     try:
         return _decode_gif_frames(data)
@@ -215,8 +215,7 @@ def _decode_gif_frames(data: bytes) -> dict:
         # image descriptor
         left, top, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError("gif: interlaced frames unsupported")
+        interlaced = bool(ipacked & 0x40)
         if left + iw > w or top + ih > h:
             raise ValueError("gif: frame rect outside logical screen")
         lct = None
@@ -240,8 +239,19 @@ def _decode_gif_frames(data: bytes) -> dict:
         idx = _lzw_decode(mcs, bytes(lzw), iw * ih)
         if disposal == 3:
             raise NotImplementedError("gif: disposal 3 (restore previous)")
+        # interlaced frames store rows in the 4-pass order
+        # (0,8,16,… then 4,12,… then 2,6,… then 1,3,5,…) — build the
+        # stored-row → display-row map and read through it (r06)
+        if interlaced:
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            row_of = {stored: disp for stored, disp in enumerate(order)}
         for y in range(ih):
-            row = canvas[top + y]
+            row = canvas[top + (row_of[y] if interlaced else y)]
             base = y * iw
             for x in range(iw):
                 p = idx[base + x]

@@ -645,12 +645,12 @@ def test_gif_rejects_malformed_loudly():
     with _pytest.raises(ValueError, match="signature"):
         decode_gif_frames(b"NOTAGIF")
     base = bytearray(encode_gif_solid_frames(8, 8, [(1, 2, 3), (4, 5, 6)], [(0, 1)]))
-    # interlace flag on the image descriptor
-    idesc = bytes(base).find(b"\x2c")
-    inter = bytearray(base)
-    inter[idesc + 9] |= 0x40
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif_frames(bytes(inter))
+    # disposal 3 (restore previous) on the graphic control block
+    gce = bytes(base).find(b"\x21\xf9")
+    disp3 = bytearray(base)
+    disp3[gce + 3] |= 3 << 2
+    with _pytest.raises(NotImplementedError, match="disposal 3"):
+        decode_gif_frames(bytes(disp3))
     # truncated LZW stream
     with _pytest.raises(ValueError):
         decode_gif_frames(bytes(base[:-6]))
@@ -928,3 +928,65 @@ def test_jpeg_progressive_ac_successive_approximation():
     assert np.array_equal(got, pix), (got, pix)
     f = decode_jpeg_baseline(data)
     assert abs(f["mean_r"] - float(pix.mean())) < 1e-9
+
+
+def test_gif_interlaced_row_order():
+    """Interlaced frames store rows in the 4-pass order; a decoder that
+    ignored the flag would place stored row 4 at display row 4, but the
+    true mapping puts STORED ROW 1 there (8-row image: passes yield
+    display order 0,4,2,6,1,3,5,7). Two overlay frames mask every
+    display row except 4, so the final composite's mean isolates
+    exactly which stored row landed there."""
+    import struct
+
+    from journal_batch_processer_spark.operators.gif import (
+        _lzw_encode,
+        decode_gif_frames,
+    )
+
+    w, h = 4, 8
+    # palette: 8 distinct row colors + the overlay color X (index 8)
+    pal = [(30 * i % 256, (17 * i + 5) % 256, (9 * i + 40) % 256)
+           for i in range(8)] + [(200, 200, 200)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0)  # GCT of 16
+    for i in range(16):
+        r, g, b = pal[i] if i < len(pal) else (0, 0, 0)
+        out += bytes((r, g, b))
+
+    def frame(left, top, fw, fh, pixels, interlaced=False):
+        out.extend(b"\x21\xf9" + struct.pack("<BBHB", 4, 0, 2, 0) + b"\x00")
+        out.extend(
+            b"\x2c"
+            + struct.pack("<HHHHB", left, top, fw, fh,
+                          0x40 if interlaced else 0)
+        )
+        out.append(4)  # min code size for the 16-color table
+        lzw = _lzw_encode(4, pixels)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.append(0)
+
+    # frame 1: interlaced, stored row k is solid color k
+    stored = []
+    for k in range(8):
+        stored.extend([k] * w)
+    frame(0, 0, w, h, stored, interlaced=True)
+    # frames 2+3: overlays covering display rows 0-3 and 5-7 with X
+    frame(0, 0, w, 4, [8] * (w * 4))
+    frame(0, 5, w, 3, [8] * (w * 3))
+
+    out.append(0x3B)
+    g = decode_gif_frames(bytes(out))
+    assert g["n_frames"] == 3
+    # display row 4 = STORED ROW 1 (ignoring interlace would give c4)
+    c1, cx = pal[1], pal[8]
+    final = g["frames"][2]
+    assert final["mean_r"] == (7 * cx[0] + c1[0]) / 8
+    assert final["mean_g"] == (7 * cx[1] + c1[1]) / 8
+    assert final["mean_b"] == (7 * cx[2] + c1[2]) / 8
+    # and the interlaced frame itself has the full-canvas mean of all rows
+    f1 = g["frames"][0]
+    assert f1["mean_r"] == sum(p[0] for p in pal[:8]) / 8
