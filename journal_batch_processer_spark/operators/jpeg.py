@@ -158,7 +158,11 @@ def _category(v: int) -> int:
 
 
 def encode_jpeg_solid_gray(
-    width: int, height: int, v: int, subsampling: str = "444"
+    width: int,
+    height: int,
+    v: int,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal baseline JFIF of a solid GRAY image (r=g=b=v), standard
     tables. ``v`` must be even and dimensions multiples of 8 (of 16
@@ -166,7 +170,11 @@ def encode_jpeg_solid_gray(
     decode round-trips bit-for-bit (module docstring).
 
     ``subsampling``: "444" (all components 1×1) or "420" (luma 2×2,
-    chroma 1×1 — per-MCU interleave Y Y Y Y Cb Cr)."""
+    chroma 1×1 — per-MCU interleave Y Y Y Y Cb Cr).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that-many MCUs (byte-aligned, n cycling 0..7, DC predictors
+    reset — the resync structure camera encoders emit, r06)."""
     if subsampling not in ("444", "420"):
         raise ValueError(f"fixture encoder: unknown subsampling {subsampling!r}")
     mcu = 8 if subsampling == "444" else 16
@@ -199,12 +207,14 @@ def encode_jpeg_solid_gray(
             ">H", 19 + len(vals)
         ) + bytes([(cls << 4) | tid])
         out += bytes(bits[1:17]) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
 
-    # entropy-coded data: Y DC = 8*(v-128)/Q00 on the first block then
-    # diff 0; chroma DC = 0 throughout; AC all zero (EOB)
+    # entropy-coded data: Y DC = 8*(v-128)/Q00 on the first block of
+    # each restart segment then diff 0; chroma DC = 0; AC all zero (EOB)
     dc_y = (8 * (v - 128)) // STD_LUMA_QT[0]  # exact by construction
     dc_luma = _huff_codes(*STD_DC_LUMA)
     ac_luma = _huff_codes(*STD_AC_LUMA)
@@ -224,11 +234,19 @@ def encode_jpeg_solid_gray(
 
     luma_per_mcu = 1 if subsampling == "444" else 4
     n_mcus = (width // mcu) * (height // mcu)
-    first = True
-    for _ in range(n_mcus):
+    prev_dc = 0
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()  # byte-align, 1-padded per spec
+            out += bw.buf
+            out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) & 7
+            bw = _BitWriter()
+            prev_dc = 0  # predictors reset at the restart
         for _ in range(luma_per_mcu):
-            put_block(dc_luma, ac_luma, dc_y if first else 0)
-            first = False
+            put_block(dc_luma, ac_luma, dc_y - prev_dc)
+            prev_dc = dc_y
         put_block(dc_chroma, ac_chroma, 0)  # Cb
         put_block(dc_chroma, ac_chroma, 0)  # Cr
     bw.flush()
@@ -264,7 +282,8 @@ class _BitReader:
                 else:
                     raise ValueError(
                         f"jpeg: unexpected marker 0xFF{marker:02X} mid-scan "
-                        "(restart markers are not supported)"
+                        "(restart marker outside a DRI boundary, or "
+                        "truncated entropy data)"
                     )
             self.acc = b
             self.n = 8
@@ -276,6 +295,19 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def expect_restart(self, m: int) -> None:
+        """Byte-align (discarding pad bits) and consume RST``m``
+        (T.81 F.2.2.5: restart markers sit on byte boundaries inside
+        the entropy stream; DC predictors reset after each)."""
+        self.n = 0  # drop partial-byte pad bits
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + m
+        ):
+            raise ValueError(f"jpeg: expected restart marker RST{m}")
+        self.pos += 2
 
 
 def _huff_decoder(bits: list[int], vals: list[int]):
@@ -416,6 +448,7 @@ def _decode_jpeg_planes(data: bytes):
     frame = None
     scan_comps = None
     entropy_start = None
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -481,8 +514,8 @@ def _decode_jpeg_planes(data: bytes):
                 scan_comps.append((cs, tables >> 4, tables & 0xF))
             entropy_start = pos + seglen
             break
-        elif marker == 0xDD:
-            raise NotImplementedError("jpeg: restart intervals unsupported")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs (r06)
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         pos += seglen
     if frame is None or scan_comps is None:
         raise ValueError("jpeg: missing SOF0/SOS")
@@ -521,8 +554,19 @@ def _decode_jpeg_planes(data: bytes):
         for _cid, _tq, hi, vi in comps
     ]
     preds = [0] * len(comps)
+    mcu_count = 0
+    rst = 0
     for mcu_y in range(mcuy):
         for mcu_x in range(mcux):
+            # DRI: every `restart_interval` MCUs the stream byte-aligns
+            # on an RSTn marker (n cycles 0..7) and DC predictors reset
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                br.expect_restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            mcu_count += 1
             # T.81 B.2.3: within an MCU, data units follow SCAN
             # component order; each component contributes Hi×Vi blocks
             # in raster order

@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v6-jpeg-prog"
+    fp = _fc.source_fingerprint(src) + ":v7-jpeg-rst"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -112,8 +112,14 @@ def _materialize_media(sf_dir: str) -> str:
         # sequential branch, so the oracle is coding-process-agnostic.
         jv = 2 * ((7 * i) % 100) + 20
         if i % 3 == 0:
+            # every second subsampled file also carries DRI/RSTn
+            # restart markers (interval 2 MCUs) — the resync structure
+            # camera encoders emit (r06)
             jw, jh = 16 * (1 + i % 2), 16 * (1 + (i // 3) % 2)
-            payload = encode_jpeg_solid_gray(jw, jh, jv, subsampling="420")
+            payload = encode_jpeg_solid_gray(
+                jw, jh, jv, subsampling="420",
+                restart_interval=2 if i % 6 == 0 else 0,
+            )
         elif i % 3 == 1:
             jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
             payload = encode_jpeg_solid_gray_progressive(jw, jh, jv)

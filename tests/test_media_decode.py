@@ -990,3 +990,40 @@ def test_gif_interlaced_row_order():
     # and the interlaced frame itself has the full-canvas mean of all rows
     f1 = g["frames"][0]
     assert f1["mean_r"] == sum(p[0] for p in pal[:8]) / 8
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn decode (r06): restart markers byte-align the entropy
+    stream every N MCUs and reset DC predictors — verified across
+    interval sizes and subsampling modes against the marker-free
+    encoding of the same image, plus a desync rejection (wrong DRI
+    interval must fail loud, not mis-decode)."""
+    import pytest as _pytest
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        decode_jpeg_planes,
+        encode_jpeg_solid_gray,
+    )
+
+    for sub, dims in (("444", (24, 16)), ("420", (32, 32))):
+        plain = decode_jpeg_planes(
+            encode_jpeg_solid_gray(dims[0], dims[1], 118, sub)
+        )[2]
+        for ri in (1, 2, 3):
+            data = encode_jpeg_solid_gray(
+                dims[0], dims[1], 118, sub, restart_interval=ri
+            )
+            assert b"\xff\xdd" in data
+            f = decode_jpeg_baseline(data)
+            assert f["mean_r"] == f["mean_g"] == f["mean_b"] == 118.0
+            assert decode_jpeg_planes(data)[2] == plain
+    # corrupt the declared interval: markers arrive where the decoder
+    # expects entropy data (or vice versa) -> loud failure
+    data = bytearray(
+        encode_jpeg_solid_gray(24, 16, 118, restart_interval=2)
+    )
+    i = bytes(data).find(b"\xff\xdd")
+    data[i + 5] = 3  # DRI says 3, stream restarts every 2
+    with _pytest.raises(ValueError):
+        decode_jpeg_baseline(bytes(data))
