@@ -63,7 +63,8 @@ BENCH_QUERIES = [
     "join_bloom",        # bloom semi-join reduction before the join
     # r06: media decode in the timed set (VERDICT r05 #7) so a decoder
     # regression (e.g. a subsampling change) is visible as a number
-    "media_image_decode_jpeg",  # stdlib JPEG decode incl. 4:2:0 MCUs
+    "media_image_decode_jpeg",  # stdlib JPEG: 4:4:4/4:2:0/progressive/RSTn
+    "media_frames_decode",      # stdlib GIF container decode, per-frame
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is
