@@ -11,9 +11,9 @@ tables, and frame compositing onto the logical screen.
 
 Scope — honest and loud:
 - decode: GIF87a/89a, including INTERLACED frames (the 4-pass row
-  order, r06), disposal methods 0/1 (leave) and 2 (restore to
-  background); disposal 3 (restore previous) raises. Transparent
-  pixels leave the underlying canvas untouched.
+  order, r06) and ALL disposal methods — 0/1 (leave), 2 (restore to
+  background), 3 (restore previous, via a pre-frame snapshot of the
+  rect). Transparent pixels leave the underlying canvas untouched.
 - encode (fixtures): full-canvas solid-index frames over a global
   color table, one graphic-control block per frame, REAL LZW
   compression (dictionary-building encoder, not clear-code spam), so
@@ -148,8 +148,7 @@ def decode_gif_frames(data: bytes) -> dict:
     Returns {"width", "height", "n_frames", "frames": [{"frame_idx",
     "delay_cs", "mean_r", "mean_g", "mean_b"}]} — means over the FULL
     canvas after compositing (what a frame-sampling pipeline features).
-    Malformed/truncated payloads raise ValueError; the one unsupported
-    feature (disposal 3, restore-previous) raises NotImplementedError.
+    Malformed/truncated payloads raise ValueError.
     """
     try:
         return _decode_gif_frames(data)
@@ -237,8 +236,10 @@ def _decode_gif_frames(data: bytes) -> dict:
         pos += 1
 
         idx = _lzw_decode(mcs, bytes(lzw), iw * ih)
-        if disposal == 3:
-            raise NotImplementedError("gif: disposal 3 (restore previous)")
+        if disposal == 3:  # restore-previous: snapshot the frame rect
+            saved = [
+                canvas[top + y][left : left + iw] for y in range(ih)
+            ]
         # interlaced frames store rows in the 4-pass order
         # (0,8,16,… then 4,12,… then 2,6,… then 1,3,5,…) — build the
         # stored-row → display-row map and read through it (r06)
@@ -280,6 +281,9 @@ def _decode_gif_frames(data: bytes) -> dict:
                 row = canvas[top + y]
                 for x in range(iw):
                     row[left + x] = bg_rgb
+        elif disposal == 3:  # restore the pre-frame canvas content
+            for y in range(ih):
+                canvas[top + y][left : left + iw] = saved[y]
         delay_cs = 0
         disposal = 0
         transparent = None

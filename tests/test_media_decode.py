@@ -645,12 +645,12 @@ def test_gif_rejects_malformed_loudly():
     with _pytest.raises(ValueError, match="signature"):
         decode_gif_frames(b"NOTAGIF")
     base = bytearray(encode_gif_solid_frames(8, 8, [(1, 2, 3), (4, 5, 6)], [(0, 1)]))
-    # disposal 3 (restore previous) on the graphic control block
-    gce = bytes(base).find(b"\x21\xf9")
-    disp3 = bytearray(base)
-    disp3[gce + 3] |= 3 << 2
-    with _pytest.raises(NotImplementedError, match="disposal 3"):
-        decode_gif_frames(bytes(disp3))
+    # an unknown top-level block type is rejected, not skipped silently
+    idesc = bytes(base).find(b"\x2c")
+    junk = bytearray(base)
+    junk[idesc] = 0x7E
+    with _pytest.raises(ValueError, match="unknown block"):
+        decode_gif_frames(bytes(junk))
     # truncated LZW stream
     with _pytest.raises(ValueError):
         decode_gif_frames(bytes(base[:-6]))
@@ -1027,3 +1027,55 @@ def test_jpeg_restart_markers():
     data[i + 5] = 3  # DRI says 3, stream restarts every 2
     with _pytest.raises(ValueError):
         decode_jpeg_baseline(bytes(data))
+
+
+def test_gif_disposal_3_restore_previous():
+    """Disposal 3: the frame's rect reverts to the PRE-frame canvas —
+    a frame-2 overlay with disposal 3 is visible in its own composite
+    but gone from frame 3's, where the frame-1 content shows through
+    (disposal 2 would instead show the background)."""
+    import struct
+
+    from journal_batch_processer_spark.operators.gif import (
+        _lzw_encode,
+        decode_gif_frames,
+    )
+
+    pal = [(8, 16, 32), (200, 100, 40), (50, 60, 70)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)  # GCT of 4
+    for i in range(4):
+        r, g, b = pal[i] if i < len(pal) else (0, 0, 0)
+        out += bytes((r, g, b))
+
+    def frame(pixels, gc_packed):
+        out.extend(b"\x21\xf9" + struct.pack("<BBHB", 4, gc_packed, 2, 0))
+        out.append(0)
+        out.extend(b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0))
+        out.append(2)
+        lzw = _lzw_encode(2, pixels)
+        out.append(len(lzw))
+        out.extend(lzw)
+        out.append(0)
+
+    frame([1] * 16, 0x04)  # frame 1: color 1, disposal 1 (leave)
+    frame([2] * 16, 0x0C)  # frame 2: color 2, disposal 3 (restore prev)
+    frame([0] * 16, 0x05)  # frame 3: ALL-transparent (flag+idx 0? no —
+    # transparent flag with index 0 set below)
+    out.append(0x3B)
+    # rewrite frame 3's GCE: transparent flag on, transparent idx 0
+    # (third \x21\xf9 occurrence)
+    b = bytes(out)
+    i = -1
+    for _ in range(3):
+        i = b.find(b"\x21\xf9", i + 1)
+    out[i + 3] = 0x05  # disposal 1 | transparent flag
+    out[i + 6] = 0  # transparent index 0
+
+    g = decode_gif_frames(bytes(out))
+    assert g["n_frames"] == 3
+    assert g["frames"][0]["mean_r"] == 200.0  # frame 1 visible
+    assert g["frames"][1]["mean_r"] == 50.0   # frame 2 overlay visible
+    # frame 3 is fully transparent: the disposal-3 restore means frame
+    # 1's color shows through (disposal 2 would show background 8.0)
+    assert g["frames"][2]["mean_r"] == 200.0
