@@ -33,9 +33,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pipeline_chain(spark, "/root/testdata/sf0.001")
 
 
+def _scoped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the PREVIOUS key's pinned caches at fn entry.
+
+    Operators pin shared relations (journal_batch_processer_spark.cache);
+    the driver sweeps keys serially and collects each result before
+    calling the next fn, so by the time fn N+1 is entered, fn N's
+    output is materialized and its caches are releasable — without
+    this, a ~170-key sweep pins every dedup shingle table for the
+    whole session (ADVICE r06)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from journal_batch_processer_spark.cache import release_all
+
+        release_all()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: _scoped(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

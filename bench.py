@@ -29,6 +29,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from journal_batch_processer_spark.cache import release_all  # noqa: E402
 from journal_batch_processer_spark.queries import REGISTRY  # noqa: E402
 from journal_batch_processer_spark.session import get_spark  # noqa: E402
 
@@ -182,6 +183,11 @@ def main() -> None:
         timings[name] = round(best, 3)
         steal_at_best[name] = best_steal
         rep_counts[name] = reps
+        # scoped caches (ADVICE r06): released per-QUERY, after the rep
+        # loop — reps of one query share pinned relations exactly as
+        # every prior round's estimator did (cross-round comparability),
+        # but nothing stays pinned into the next query or the session
+        release_all()
         print(
             f"# {name}: {timings[name]}s ({n} rows, {reps} reps, "
             f"steal@best={best_steal})",
@@ -189,6 +195,10 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    fname = f"bench_{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}_sf{sf}.json"
+    # Full-detail artifact (reps, estimator, streams, host steal): every
+    # run keeps its JSON (VERDICT r04 #5: a headline number must always
+    # have a committed artifact behind it).
     result = {
         "metric": "total_wall_sec",
         "value": total,
@@ -209,18 +219,45 @@ def main() -> None:
             "cpus": os.cpu_count(),
         },
     }
-    line = json.dumps(result)
-    # every run keeps its artifact (VERDICT r04 #5: a headline number
-    # must always have a committed JSON behind it)
     runs_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs")
     try:
         os.makedirs(runs_dir, exist_ok=True)
-        fname = f"bench_{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}_sf{sf}.json"
         with open(os.path.join(runs_dir, fname), "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(result) + "\n")
         print(f"# artifact: bench_runs/{fname}", file=sys.stderr)
     except OSError as e:  # pragma: no cover - artifact write best-effort
         print(f"# artifact write failed: {e}", file=sys.stderr)
+    # Stdout gets a COMPACT line: the driver records only the last ~2KB
+    # of stdout and JSON-parses the line it finds there, so the full
+    # artifact (streams + per-query steal) overflows the capture window
+    # (BENCH_r05/r06 recorded "parsed": null for exactly this reason).
+    # Required fields only + steal summary + a pointer to the artifact.
+    line = json.dumps(
+        {
+            "metric": "total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "steal_frac": _interval_frac(run_start, _proc_stat()),
+            "artifact": f"bench_runs/{fname}",
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1800:  # pragma: no cover - tripwire, never expected
+        # keep the line parseable even if the query set grows huge:
+        # drop per-query detail before breaking the driver's parse
+        line = json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": {},
+                "sf": sf,
+                "artifact": f"bench_runs/{fname}",
+            },
+            separators=(",", ":"),
+        )
     if listener is not None:
         try:
             # detach before the Python gateway closes, else the JVM's

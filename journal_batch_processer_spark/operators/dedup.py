@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import pin
+
 # 31-bit Mersenne prime keeps a*h+b < 2^47 — no ANSI long overflow
 _MERSENNE = (1 << 31) - 1
 
@@ -115,10 +117,9 @@ def ngram_jaccard_pairs(
     # volume alone, identical output absent hash collisions (<<1
     # expected below ~10^9 distinct shingles; above that swap in the
     # 16-byte unhex(md5) key).
-    sh = (
+    sh = pin(
         shingle_table(df, id_col, text_col, n)
         .select("doc", F.xxhash64("shingle").alias("shingle"))
-        .persist()
     )
     if max_shingle_df is not None:
         w_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -175,10 +176,9 @@ def ngram_containment_pairs(
     one, which is exactly the pair we want), so the df cap is the
     scale path here.
     """
-    sh = (
+    sh = pin(
         shingle_table(df, id_col, text_col, n)
         .select("doc", F.xxhash64("shingle").alias("shingle"))
-        .persist()
     )
     if max_shingle_df is not None:
         w_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -290,7 +290,7 @@ def ngram_jaccard_pairs_prefix(
         annotated = annotated.filter(F.col("rnk") <= cap).withColumn(
             "sz", F.least(F.col("sz"), F.lit(cap))
         )
-    annotated = annotated.select("doc", "shingle", "rnk", "sz").persist()
+    annotated = pin(annotated.select("doc", "shingle", "rnk", "sz"))
     ranked = annotated.filter(
         # prefix length: sz - ceil(t*sz) + 1
         F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - eps) + 1
@@ -396,7 +396,7 @@ def minhash_candidates(
     never an all-pairs cross join.
     """
     # persist: the band table feeds BOTH sides of the self-join
-    banded = banded_signatures(df, id_col, text_col, n_hashes, bands, n).persist()
+    banded = pin(banded_signatures(df, id_col, text_col, n_hashes, bands, n))
     left = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
     right = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
     return (
@@ -489,10 +489,9 @@ def near_dup_pairs(
     """
     cand = minhash_candidates(df, id_col, text_col, n_hashes, bands, n)
     # hashed join key: same rationale/caveat as ngram_jaccard_pairs
-    sh = (
+    sh = pin(
         shingle_table(df, id_col, text_col, n)
         .select("doc", F.xxhash64("shingle").alias("shingle"))
-        .persist()
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 

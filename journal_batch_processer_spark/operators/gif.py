@@ -74,7 +74,12 @@ def _lzw_decode(mcs: int, data: bytes, expected: int) -> list[int]:
         else:
             raise ValueError(f"gif: LZW code {code} out of range")
         out.extend(entry)
-        if prev is not None:
+        # the table FREEZES at the 4096-entry (12-bit) LZW limit, like
+        # spec decoders (giflib): a deferred-clear stream — legal, some
+        # encoders never re-emit clear — keeps coding with the full
+        # table, and appending past 4096 would grow memory unboundedly
+        # on large/adversarial GIFs (ADVICE r06)
+        if prev is not None and len(table) < 4096:
             table.append(prev + [entry[0]])
             # width grows when the NEXT code would not fit (12-bit max)
             if len(table) == (1 << width) and width < 12:

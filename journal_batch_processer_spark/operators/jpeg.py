@@ -542,9 +542,13 @@ def _decode_jpeg_planes(data: bytes):
                 f"jpeg: fractional sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
             )
 
-    # locate EOI from the end (entropy data runs up to it)
-    end = data.rfind(b"\xff\xd9")
-    br = _BitReader(data[entropy_start:end if end != -1 else len(data)])
+    # Entropy data runs to the FIRST real marker after the scan (EOI in
+    # a single-scan baseline file). Scanning forward — not
+    # rfind(FFD9), which picks the LAST FFD9 and lets trailing garbage
+    # that happens to contain FF D9 extend the slice past the real EOI
+    # into a confusing mid-scan error (ADVICE r06).
+    end = _entropy_end(data, entropy_start, skip_restarts=True)
+    br = _BitReader(data[entropy_start:end])
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     # per-component planes at the component's own resolution, padded
@@ -618,9 +622,11 @@ def _decode_jpeg_planes(data: bytes):
 # ---------------------------------------------------------------------------
 
 
-def _entropy_end(data: bytes, start: int) -> int:
+def _entropy_end(data: bytes, start: int, skip_restarts: bool = False) -> int:
     """First real marker position at/after ``start`` (skips stuffed
-    0xFF00 and 0xFF fill bytes; restart markers are unsupported)."""
+    0xFF00 and 0xFF fill bytes). With ``skip_restarts`` RSTn markers
+    are part of the entropy stream (baseline DRI path) and are skipped;
+    without it they raise (progressive-with-restarts stays gated)."""
     i = start
     while i + 1 < len(data):
         if data[i] != 0xFF:
@@ -634,6 +640,9 @@ def _entropy_end(data: bytes, start: int) -> int:
             i += 1
             continue
         if 0xD0 <= nxt <= 0xD7:
+            if skip_restarts:
+                i += 2
+                continue
             raise NotImplementedError("jpeg: restart markers unsupported")
         return i
     raise ValueError("jpeg: entropy data ran past EOF")

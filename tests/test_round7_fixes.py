@@ -1,0 +1,175 @@
+"""Regression tests for the round-7 ADVICE fixes.
+
+- GIF LZW table freezes at the 4096-entry limit on deferred-clear
+  streams (ADVICE r06 #1: unbounded table growth).
+- ngram dedup operators register their persisted relations in the
+  cache scope so drivers can release them (ADVICE r06 #2).
+- JPEG baseline entropy slicing scans FORWARD to the first real
+  marker instead of rfind-ing the last FFD9, so trailing garbage
+  containing FF D9 cannot extend the slice (ADVICE r06 #3).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def _lzw_raw(mcs: int, codes: list[tuple[int, int]]) -> bytes:
+    """Pack (code, width) pairs LSB-first into GIF LZW bytes."""
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, width in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_table_freezes_at_4096_on_deferred_clear():
+    """A deferred-clear stream (no clear code after the initial one)
+    that runs past the 4096-entry table limit must (a) decode
+    correctly and (b) NOT grow the table past 4096 — giflib freezes
+    the table and keeps decoding with the codes that exist."""
+    from journal_batch_processer_spark.operators.gif import _lzw_decode
+
+    mcs = 8  # 256 roots, clear=256, eoi=257, first dynamic code 258
+    clear, eoi = 256, 257
+
+    # Emit root codes 0,1,0,1,... Each pair appends one table entry, so
+    # after ~3840 emissions the table hits 4096 and must freeze; we then
+    # keep emitting roots (legal under a frozen table) and finish.
+    codes: list[tuple[int, int]] = [(clear, 9)]
+    width = 9
+    table_len = 258
+    n_pix = 0
+    expected: list[int] = []
+    for i in range(6000):
+        codes.append((i & 1, width))
+        expected.append(i & 1)
+        n_pix += 1
+        # decoder appends a table entry after every code EXCEPT the
+        # first one following a clear; width for the NEXT read grows
+        # when the table reaches 2^width (frozen at 4096)
+        if i > 0 and table_len < 4096:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+    codes.append((eoi, width))
+
+    out = _lzw_decode(mcs, _lzw_raw(mcs, codes), n_pix)
+    assert out == expected
+
+
+def test_lzw_still_grows_and_resets_normally():
+    """Sanity: dictionary growth + mid-stream clear still decode (the
+    freeze guard must not break the normal path)."""
+    from journal_batch_processer_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    pixels = ([3, 1, 4, 1, 5, 9, 2, 6] * 200)[:1500]
+    data = _lzw_encode(4, pixels)
+    assert _lzw_decode(4, data, len(pixels)) == pixels
+
+
+# -------------------------------------------------------- cache scope
+
+
+def test_dedup_persists_are_scope_released(spark):
+    from journal_batch_processer_spark import cache
+    from journal_batch_processer_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    cache.release_all()  # clean slate
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    out = ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+    out.count()
+    # the operator pinned its shingle table; the scope releases it
+    assert cache.release_all() >= 1
+    # idempotent and empty afterwards
+    assert cache.release_all() == 0
+
+
+def test_driver_queries_release_previous_pins(spark):
+    """__spark_entry__.queries() wraps fns so each entry releases the
+    PREVIOUS key's pins — the driver sweep must not accumulate ~170
+    keys of pinned shingle tables."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from journal_batch_processer_spark import cache
+
+    cache.release_all()
+    qs = entrymod.queries()
+    qs["dedup_containment"](spark, SF_DIR).count()
+    pinned_after_first = len(cache._PINNED)
+    assert pinned_after_first >= 1
+    # entering ANY next query releases the prior key's pins first
+    qs["row_count"](spark, SF_DIR).count()
+    assert len(cache._PINNED) == 0
+    cache.release_all()
+
+
+# --------------------------------------------------------------- JPEG
+
+
+def test_jpeg_trailing_garbage_with_fake_eoi():
+    """Bytes after the real EOI that contain FF D9 must not affect the
+    decode: rfind(FFD9) picked the LAST one and dragged garbage into
+    the entropy slice; the forward scan stops at the real EOI."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray,
+    )
+
+    clean = encode_jpeg_solid_gray(16, 16, 128)
+    ref = decode_jpeg_baseline(clean)
+    # trailing garbage that itself contains a fake EOI marker
+    padded = clean + b"\x00garbage\xff\xd9more\xff\xd9"
+    got = decode_jpeg_baseline(padded)
+    assert got == ref
+
+
+def test_jpeg_trailing_garbage_with_restarts():
+    """Same with a DRI/RSTn stream: RSTn markers inside entropy data
+    are skipped by the forward scan, the real EOI still bounds it."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray,
+    )
+
+    clean = encode_jpeg_solid_gray(
+        32, 16, 128, subsampling="420", restart_interval=1
+    )
+    ref = decode_jpeg_baseline(clean)
+    padded = clean + b"\xff\xd9\xff\xd9"
+    assert decode_jpeg_baseline(padded) == ref
+
+
+def test_jpeg_truncated_entropy_fails_loud():
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray,
+    )
+
+    clean = encode_jpeg_solid_gray(16, 16, 128)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg_baseline(clean[:-3])  # EOI (and some entropy) gone

@@ -78,6 +78,7 @@ def rows_to_multiset(cols, rows, strict: bool = False):
 def main() -> int:
     import duckdb
 
+    from journal_batch_processer_spark.cache import release_all
     from journal_batch_processer_spark.queries import REGISTRY
     from journal_batch_processer_spark.queries.registry import resolve_oracle
     from journal_batch_processer_spark.session import get_spark
@@ -104,6 +105,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
             continue
+        finally:
+            # scoped caches (ADVICE r06): operators pin shared
+            # relations; the checker is the action driver, so it
+            # releases them once the key's output is materialized
+            release_all()
         if spec.oracle is None:
             print(f"skip  {name}: rows-only ({len(s_rows)} rows, "
                   f"{time.perf_counter()-t0:.1f}s)")
