@@ -207,6 +207,105 @@ def ngram_containment_pairs(
     return out.select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "containment")
 
 
+def ngram_containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Directed containment via an ASYMMETRIC prefix filter (the r06
+    refinement note): containment C(a→b) = inter/|S(a)| ≥ t bounds only
+    the CONTAINED side, so the classic two-sided PPJoin prefix does not
+    apply — but a one-sided one does. If a shares ≥ ceil(t·|S(a)|)
+    shingles with b, at least one of them lies in a's
+    ``|S(a)| - ceil(t·|S(a)|) + 1`` rarest shingles; so the candidate
+    join probes with a's prefix against b's FULL shingle index. The
+    probe side shrinks by ~(1-t) and — because prefixes are rarest-
+    first — stop-shingles drop out of the probe side entirely, which
+    is why this path does not NEED a df cap the way the plain
+    containment join does.
+
+    Two candidate-pruning filters survive the asymmetry:
+    - length: inter ≤ |S(b)| and inter ≥ t·|S(a)| force
+      |S(b)| ≥ t·|S(a)| (a 10-shingle doc CAN be contained in a
+      10^6-shingle one — that passes; the reverse direction is pruned).
+    - positional (probe side only): a match at rank ``rnk_a`` leaves at
+      most ``|S(a)| - rnk_a + 1`` shingles of a to overlap, which must
+      still reach ceil(t·|S(a)|); a true pair's FIRST common shingle
+      always passes.
+
+    Verification computes the exact intersection over per-doc arrays,
+    so the output is IDENTICAL to :func:`ngram_containment_pairs` for
+    the same arguments (equality asserted in tests; same oracle).
+    ``max_shingle_df`` keeps the exact op's pre-filter semantics (it
+    changes the sets, hence the denominators) so the two paths stay
+    comparable — at scale, prefer leaving it None here.
+    """
+    eps = 1e-9
+    t = float(threshold)
+    sh = shingle_table(df, id_col, text_col, n).select(
+        "doc", F.xxhash64("shingle").alias("shingle")
+    )
+    if max_shingle_df is not None:
+        w_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(
+            F.broadcast(w_ok.filter(F.col("df_") <= max_shingle_df).select("shingle")),
+            "shingle",
+        )
+    # df rank (rarest first, hash tiebreak) + set size via windows —
+    # one exchange on shingle, one on doc, same shape as the PPJoin op
+    w_sh = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy("doc")
+    annotated = pin(
+        sh.withColumn("df_", F.count(F.lit(1)).over(w_sh))
+        .withColumn("rnk", F.row_number().over(w_doc.orderBy("df_", "shingle")))
+        .withColumn("sz", F.count(F.lit(1)).over(w_doc))
+        .select("doc", "shingle", "rnk", "sz")
+    )
+    # probe side: contained-candidate prefixes only
+    alpha_a = F.ceil(F.lit(t) * F.col("sz_a") - eps)  # required overlap
+    probe = annotated.filter(
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - eps) + 1
+    ).select(
+        F.col("doc").alias("doc_a"),
+        "shingle",
+        F.col("rnk").alias("rnk_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    # index side: FULL shingle table (containment has no prefix bound
+    # on the container)
+    index = annotated.select(
+        F.col("doc").alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        probe.join(index, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("sz_b") >= alpha_a)  # container must fit the overlap
+        .filter(F.col("sz_a") - F.col("rnk_a") + 1 >= alpha_a)  # positional
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = annotated.groupBy("doc").agg(F.collect_list("shingle").alias("arr"))
+    aa = arrs.select(F.col("doc").alias("doc_a"), F.col("arr").alias("arr_a"))
+    ab = arrs.select(F.col("doc").alias("doc_b"), F.col("arr").alias("arr_b"))
+    return (
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("inter"),
+            F.size("arr_a").alias("sz_a"),
+            F.size("arr_b").alias("sz_b"),
+        )
+        .withColumn("containment", F.col("inter") / F.col("sz_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "containment")
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

@@ -254,6 +254,28 @@ WHERE inter / sa.sz >= 0.5
 """
 
 
+def q_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment via the ASYMMETRIC prefix filter (prefix on
+    the contained side only, full index on the container — the r06
+    refinement): identical output to dedup_containment at the same
+    arguments (same oracle; equality also asserted in tests), but the
+    candidate join probes only each doc's rarest-shingle prefix, so the
+    probe side shrinks by ~(1-t) and stop-shingles drop out of it —
+    the scale path when the df cap is too blunt."""
+    from journal_batch_processer_spark.operators.dedup import (
+        ngram_containment_pairs_prefix,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = ngram_containment_pairs_prefix(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=20
+    )
+    return out.select(
+        "doc_a", "doc_b", "inter", "sz_a", "sz_b",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
 def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin-style prefix-filtered exact Jaccard at t=0.5: candidate
     generation joins only each doc's rarest-shingle prefix, with the
@@ -922,6 +944,74 @@ SQL_SIM_SEARCH_IVF = _ivf_oracle_sql
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# fixed retrieval probes for the BM25 key: literal (query_id, text) —
+# one term intentionally absent from the corpus (zzzunseen) to pin the
+# no-tf-rows behavior
+_BM25_QUERIES = [
+    (0, "join hash"),
+    (1, "vector scan batch"),
+    (2, "customer spark zzzunseen"),
+]
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene +1 idf) of three fixed probe
+    queries against the documents corpus: the retrieval scorer behind
+    quality-targeted corpus selection and decontamination probes.
+    Broadcast semi-join on query terms, single-row corpus scalars by
+    broadcast, per-term fold in term-sorted order for bit-stable float
+    sums (operators/ranking.py docstring)."""
+    from journal_batch_processer_spark.operators.ranking import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), "doc_id", "text", _BM25_QUERIES)
+
+
+SQL_TEXT_BM25 = """
+WITH q(query_id, term) AS (
+    VALUES (0, 'join'), (0, 'hash'),
+           (1, 'vector'), (1, 'scan'), (1, 'batch'),
+           (2, 'customer'), (2, 'spark'), (2, 'zzzunseen')
+),
+toks AS (
+    SELECT doc_id, t AS term
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+          FROM documents)
+    WHERE t <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+    SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks
+    WHERE term IN (SELECT DISTINCT term FROM q)
+    GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df_ FROM tf GROUP BY 1),
+per AS (
+    SELECT q.query_id, tf.doc_id, tf.term,
+           ROUND(ln(((stats.n_docs - df.df_)::DOUBLE + 0.5e0)
+                    / (df.df_::DOUBLE + 0.5e0) + 1e0), 6)
+           * (tf.tf::DOUBLE * (1.2e0 + 1e0)
+              / (tf.tf::DOUBLE
+                 + 1.2e0 * (1e0 - 0.75e0
+                            + 0.75e0 * (dl.dl::DOUBLE / stats.avgdl)))) AS s
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    JOIN q USING (term)
+)
+SELECT query_id, doc_id,
+       -- fold with explicit 0e0 init in term-sorted order: bit-identical
+       -- to Spark's F.aggregate(parts, 0.0, acc + s)
+       ROUND(list_reduce(list_prepend(0e0, list(s ORDER BY term)),
+                         (a, x) -> a + x), 6) AS score
+FROM per
+GROUP BY 1, 2
+"""
 
 
 SQL_TEXT_TOKENS = """
@@ -2402,6 +2492,10 @@ QUERIES = {
     "dedup_exact_hash": (q_dedup_exact_hash, SQL_DEDUP_EXACT_HASH),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "dedup_containment_prefix": (
+        q_dedup_containment_prefix,
+        SQL_DEDUP_CONTAINMENT,
+    ),
     "dedup_ngram_prefix": (q_dedup_ngram_prefix, SQL_DEDUP_NGRAM_T50),
     "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -2422,6 +2516,7 @@ QUERIES = {
     "sim_search_ann": (q_sim_search_ann, SQL_SIM_SEARCH_ANN),
     "sim_search_ivf": (q_sim_search_ivf, SQL_SIM_SEARCH_IVF),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),

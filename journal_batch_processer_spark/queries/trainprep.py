@@ -307,6 +307,44 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed gramian Q^T Q of the int8-quantized embedding matrix
+    (upper triangle, 0-based (i, j, gram)): the "big n, small d"
+    reduction behind PCA/whitening and OPQ rotation training. Each
+    partition reduces its rows to one d×d numpy partial; the shuffle
+    moves partitions × d(d+1)/2 cells, never a data row
+    (operators/linalg.py — the RowMatrix.computeGramian shape on the
+    DataFrame/Arrow stack). Integer arithmetic end-to-end, so the sum
+    is partition-order-independent and bit-matches the oracle."""
+    from journal_batch_processer_spark.operators.linalg import (
+        quantized_gramian,
+    )
+
+    return quantized_gramian(_embs(spark, sf_dir), "embedding")
+
+
+SQL_EMBED_GRAMIAN = """
+WITH qv AS (
+    SELECT list_transform(v, x -> CAST(FLOOR(x / maxabs * 127 + 5e-1)
+                                       AS BIGINT)) AS q
+    FROM (
+        SELECT v, list_max(list_transform(v, x -> ABS(x))) AS maxabs
+        FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)
+    )
+),
+ij AS (
+    SELECT i.range AS i, j.range AS j
+    FROM range(1, 65) i, range(1, 65) j
+    WHERE i.range <= j.range
+)
+SELECT CAST(ij.i - 1 AS INT) AS i, CAST(ij.j - 1 AS INT) AS j,
+       CAST(SUM(qv.q[ij.i] * qv.q[ij.j]) AS BIGINT) AS gram
+FROM qv, ij
+GROUP BY 1, 2
+"""
+
+
 SQL_EMBED_QUANTIZE = """
 WITH vd AS (
     SELECT vec_id, label,
@@ -796,6 +834,7 @@ QUERIES = {
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
     "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
+    "embed_gramian": (q_embed_gramian, SQL_EMBED_GRAMIAN),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "funnel_events": (q_funnel_events, SQL_FUNNEL_EVENTS),
     "dedup_chunks": (q_dedup_chunks, SQL_DEDUP_CHUNKS),

@@ -173,3 +173,54 @@ def test_jpeg_truncated_entropy_fails_loud():
     clean = encode_jpeg_solid_gray(16, 16, 128)
     with pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg_baseline(clean[:-3])  # EOI (and some entropy) gone
+
+
+# ----------------------------------- asymmetric containment prefix
+
+
+def test_containment_prefix_equals_exact(spark):
+    """The asymmetric prefix filter must produce EXACTLY the plain
+    containment join's output (no false negatives at the threshold;
+    verification removes false positives) — including the doc-in-doc
+    case where a tiny doc is contained in a huge one."""
+    from journal_batch_processer_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_containment_pairs_prefix,
+    )
+
+    rows = [
+        # 0 contained in 1 (1 = 0 + lots of extra text)
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta " + " ".join(
+            f"w{i} x{i} y{i}" for i in range(40))),
+        # 2/3 heavy mutual overlap (both directions pass)
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "one two three four five six seven eight nine eleven"),
+        # 4 unrelated
+        (4, "completely different content with nothing shared at all"),
+        # 5 shares a common stop-ish phrase with several docs
+        (5, "alpha beta gamma unrelated trailing content here now"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.4, 0.6, 0.9):
+        exact = {
+            tuple(r)
+            for r in ngram_containment_pairs(
+                docs, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        pref = {
+            tuple(r)
+            for r in ngram_containment_pairs_prefix(
+                docs, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        assert pref == exact, f"t={t}: {pref ^ exact}"
+    # the doc-in-doc direction is present at a high threshold
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_containment_pairs_prefix(
+            docs, "doc_id", "text", n=3, threshold=0.9
+        ).collect()
+    }
+    assert (0, 1) in got and (1, 0) not in got
