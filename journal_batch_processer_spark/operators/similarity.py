@@ -849,6 +849,151 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the FAISS production layout — coarse IVF cells prune the
+    candidate set (a query touches ``n_probe`` cells, i.e. a partition-
+    pruned scan at 100 TB where the corpus is written partitioned by
+    cell), and WITHIN the probed cells the scan reads 16-byte PQ codes,
+    never raw floats; ADC builds a ``refine``-deep shortlist and raw
+    vectors are fetched for the shortlist only (point-lookup join) to
+    re-rank the exact top-k.
+
+    This is the GLOBAL-codebook (non-residual) IVF-PQ variant: codes
+    quantize the unit vector itself, not the residual x - centroid.
+    Residual encoding buys recall at equal code size but couples the
+    codebooks to the coarse quantizer; the non-residual form keeps
+    encode a cell-independent narrow map (re-clustering cells never
+    re-encodes the corpus) and is what the exact re-rank stage makes
+    affordable. Cell assignment is :func:`ivf_topk`'s (cosine against
+    trained centroids, ties on cent_id); encode/ADC are
+    :func:`pq_topk`'s — both value-oracled end-to-end."""
+    spark = corpus.sparkSession
+    m = len(codebooks)
+    dsub = dim // m
+    vec_c = _as_double(F.col(vec_col))
+    cents = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "cent_id long, cvec array<double>",
+    )
+
+    def assign(df: DataFrame, keep_n: int) -> DataFrame:
+        scored = (
+            df.withColumn("__vd", _as_double(F.col(vec_col)))
+            .join(F.broadcast(cents))
+            .withColumn(
+                "__sim",
+                dot_expr("__vd", "cvec", dim)
+                / (norm_expr("__vd", dim) * norm_expr("cvec", dim)),
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__sim").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep_n)
+            .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+        )
+
+    def _unit(df: DataFrame, out: str) -> DataFrame:
+        df = df.withColumn("__nrm", norm_expr("__raw", dim))
+        return df.withColumn(
+            out, F.transform(F.col("__raw"), lambda x: x / F.col("__nrm"))
+        ).drop("__raw", "__nrm")
+
+    # corpus: one cell each, then the pq_topk two-stage encode (named
+    # distance arrays first — the janino-limit split) with cell carried
+    c = assign(corpus, 1).select(
+        F.col(id_col).alias("neighbor_id"), vec_c.alias("__raw"), "cell"
+    )
+    c = _unit(c, "cv")
+    c = c.select(
+        "neighbor_id",
+        "cell",
+        *[
+            _pq_dist_array("cv", book, j, dsub).alias(f"d_{j}")
+            for j, book in enumerate(codebooks)
+        ],
+    )
+    c = c.select(
+        "neighbor_id",
+        "cell",
+        *[
+            (
+                F.array_position(
+                    F.col(f"d_{j}"), F.array_min(F.col(f"d_{j}"))
+                )
+                - 1
+            )
+            .cast("int")
+            .alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
+
+    # queries: n_probe cell rows each, distance tables per row (the
+    # n_probe-fold duplicate table build is a narrow map over ≤
+    # n_probe·|Q| rows — noise next to the code scan it prunes)
+    q = assign(queries, n_probe).select(
+        F.col(id_col).alias("query_id"), vec_c.alias("__raw"), "cell"
+    )
+    q = _unit(q, "qv")
+    for j, book in enumerate(codebooks):
+        q = q.withColumn(f"dt_{j}", _pq_dist_array("qv", book, j, dsub))
+    q = q.drop("qv")
+
+    joined = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    approx = F.element_at(F.col("dt_0"), F.col("code_0") + 1)
+    for j in range(1, m):
+        approx = approx + F.element_at(
+            F.col(f"dt_{j}"), F.col(f"code_{j}") + 1
+        )
+    scored = joined.withColumn("approx_dist", approx)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("arn", F.row_number().over(w))
+        .filter(F.col("arn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+
+    cu = _unit(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_c.alias("__raw")),
+        "cu",
+    )
+    qu = _unit(
+        queries.select(F.col(id_col).alias("query_id"), vec_c.alias("__raw")),
+        "qu",
+    )
+    rescored = (
+        short.join(cu, "neighbor_id")
+        .join(F.broadcast(qu), "query_id")
+        .withColumn("cosine", dot_expr("qu", "cu", dim))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 KMI_SCALE = 1000  # global quantization scale: q_i = floor(x_i*1000 + 0.5)
 
 

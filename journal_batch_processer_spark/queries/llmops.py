@@ -2375,6 +2375,49 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(embs, queries, books, dim=EMB_DIM, k=5, refine=50)
 
 
+def _pq_sql_parts(
+    books: list[list[list[float]]], dsub: int
+) -> tuple[str, str, str, str]:
+    """Shared SQL fragments for the PQ oracles (sim_search_pq and
+    sim_search_ivfpq): per-subspace distance arrays over codebook
+    literals (e-notation — DuckDB parses those directly as correctly-
+    rounded doubles, the DECIMAL-literal ulp trap from NOTES_r05),
+    argmin encode columns, the ADC lookup sum, and the unit-norm sum
+    with the SAME unrolled fold order as Spark's norm_expr (list_sum
+    would sum pairwise — the NOTES_r05 trap)."""
+    m = len(books)
+
+    def _lit(x: float) -> str:
+        r = repr(x)
+        return r if "e" in r or "E" in r else r + "e0"
+
+    def dists_sql(book: list[list[float]], j: int) -> str:
+        terms = []
+        for cent in book:
+            parts = [
+                f"(v[{j * dsub + d + 1}] - {_lit(cent[d])})"
+                f" * (v[{j * dsub + d + 1}] - {_lit(cent[d])})"
+                for d in range(dsub)
+            ]
+            terms.append(" + ".join(parts))
+        return "list_value(" + ", ".join(terms) + ")"
+
+    dl_cols = ", ".join(
+        f"{dists_sql(book, j)} AS dl_{j}" for j, book in enumerate(books)
+    )
+    enc_cols = ", ".join(
+        f"CAST(list_indexof(dl_{j}, list_min(dl_{j})) - 1 AS INTEGER)"
+        f" AS code_{j}"
+        for j in range(m)
+    )
+    approx = " + ".join(f"q.dl_{j}[c.code_{j} + 1]" for j in range(m))
+    nrm_sum = " + ".join(
+        f"embedding[{i}]::DOUBLE * embedding[{i}]::DOUBLE"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return dl_cols, enc_cols, approx, nrm_sum
+
+
 def _pq_oracle_sql(
     m: int = 16, ksub: int = 16, k: int = 5, refine: int = 50
 ) -> str:
@@ -2396,38 +2439,7 @@ def _pq_oracle_sql(
     books = train_pq_codebooks(
         _os.path.join(sf_dir, "embeddings.parquet"), m=m, ksub=ksub
     )
-    dsub = EMB_DIM // m
-
-    def _lit(x: float) -> str:
-        r = repr(x)
-        return r if "e" in r or "E" in r else r + "e0"
-
-    def dists_sql(book: list[list[float]], j: int) -> str:
-        terms = []
-        for cent in book:
-            parts = [
-                f"(v[{j * dsub + d + 1}] - {_lit(cent[d])})"
-                f" * (v[{j * dsub + d + 1}] - {_lit(cent[d])})"
-                for d in range(dsub)
-            ]
-            terms.append(" + ".join(parts))
-        return "list_value(" + ", ".join(terms) + ")"
-
-    enc_cols = ", ".join(
-        f"CAST(list_indexof(dl_{j}, list_min(dl_{j})) - 1 AS INTEGER)"
-        f" AS code_{j}"
-        for j in range(m)
-    )
-    dl_cols = ", ".join(
-        f"{dists_sql(book, j)} AS dl_{j}" for j, book in enumerate(books)
-    )
-    approx = " + ".join(f"q.dl_{j}[c.code_{j} + 1]" for j in range(m))
-    # unit-normalize with the SAME unrolled fold order as Spark's
-    # norm_expr (list_sum would sum pairwise — the NOTES_r05 trap)
-    nrm_sum = " + ".join(
-        f"embedding[{i}]::DOUBLE * embedding[{i}]::DOUBLE"
-        for i in range(1, EMB_DIM + 1)
-    )
+    dl_cols, enc_cols, approx, nrm_sum = _pq_sql_parts(books, EMB_DIM // m)
     return f"""
 WITH v0 AS (
     SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x / nrm) AS v
@@ -2486,9 +2498,152 @@ def _pq_unit_dot() -> str:
 SQL_SIM_SEARCH_PQ = _pq_oracle_sql
 
 
+def q_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS production layout end-to-end: trained coarse
+    centroids prune to n_probe=4 of 16 cells (a partition-pruned scan
+    at 100 TB), the probed cells are scanned as 16-byte PQ codes (ADC),
+    and a 50-deep shortlist is exactly re-ranked from raw vectors
+    fetched by point-lookup join. Global-codebook non-residual variant
+    (operators.similarity.ivfpq_topk docstring); both trainings are
+    deterministic, so centroid AND codebook literals inline into both
+    the Spark plan and the DuckDB oracle — cell pruning, encoding, ADC
+    shortlist, and re-ranked cosines are value-checked end-to-end."""
+    import os as _os
+
+    from journal_batch_processer_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    pq_path = _os.path.join(sf_dir, "embeddings.parquet")
+    cents = train_ivf_centroids(pq_path, n_centroids=16)
+    books = train_pq_codebooks(pq_path, m=16, ksub=16)
+    return ivfpq_topk(
+        embs, queries, cents, books, dim=EMB_DIM, k=5, n_probe=4, refine=50
+    ).select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "cosine",
+    )
+
+
+def _ivfpq_oracle_sql(
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ksub: int = 16,
+    k: int = 5,
+    refine: int = 50,
+) -> str:
+    """LAZY DuckDB oracle for q_sim_search_ivfpq: the IVF oracle's
+    cell assignment composed with the PQ oracle's encode/ADC/refine,
+    restricted to probed cells."""
+    import os as _os
+
+    from journal_batch_processer_spark.operators.similarity import (
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    pq_path = _os.path.join(sf_dir, "embeddings.parquet")
+    cents = train_ivf_centroids(pq_path, n_centroids=n_centroids)
+    books = train_pq_codebooks(pq_path, m=m, ksub=ksub)
+    dl_cols, enc_cols, approx, nrm_sum = _pq_sql_parts(books, EMB_DIM // m)
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}])"
+        for i, c in enumerate(cents)
+    )
+    dot_ec = _DOT_SQL.replace("a.", "e.").replace("b.", "c2.")
+    return f"""
+WITH {_NORM_CTE},
+cents AS (
+    SELECT cent_id, v,
+           sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                        i -> v[i] * v[i]))) AS nrm
+    FROM (
+        SELECT cent_id, v::DOUBLE[] AS v
+        FROM (VALUES {vals}) t(cent_id, v)
+    )
+),
+assigned AS (
+    SELECT vec_id, cent_id, rn FROM (
+        SELECT e.vec_id, c2.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ({dot_ec} / (e.nrm * c2.nrm)) DESC, c2.cent_id
+               ) AS rn
+        FROM e CROSS JOIN cents c2
+    )
+),
+v0 AS (
+    SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x / nrm) AS v
+    FROM (
+        SELECT vec_id, embedding, sqrt({nrm_sum}) AS nrm FROM embeddings
+    )
+),
+dl AS (
+    SELECT vec_id, {dl_cols} FROM v0
+),
+enc AS (
+    SELECT d.vec_id, a.cent_id AS cell, {enc_cols}
+    FROM dl d
+    JOIN (SELECT vec_id, cent_id FROM assigned WHERE rn = 1) a
+      USING (vec_id)
+),
+qd AS (
+    SELECT d.*, a.cent_id AS cell
+    FROM dl d
+    JOIN (SELECT vec_id, cent_id FROM assigned
+          WHERE vec_id < 10 AND rn <= {n_probe}) a
+      USING (vec_id)
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {approx} AS approx_dist
+    FROM qd q JOIN enc c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+),
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY approx_dist ASC, neighbor_id
+               ) AS arn
+        FROM scored
+    ) WHERE arn <= {refine}
+),
+rescored AS (
+    SELECT s.query_id, s.neighbor_id, {_pq_unit_dot()} AS cosine
+    FROM short s
+    JOIN v0 c ON c.vec_id = s.neighbor_id
+    JOIN v0 q ON q.vec_id = s.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS rank
+    FROM rescored
+) WHERE rank <= {k}
+"""
+
+
+# lazy: trains centroids AND codebooks at oracle-request time
+SQL_SIM_SEARCH_IVFPQ = _ivfpq_oracle_sql
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "sim_search_pq": (q_sim_search_pq, SQL_SIM_SEARCH_PQ),
+    "sim_search_ivfpq": (q_sim_search_ivfpq, SQL_SIM_SEARCH_IVFPQ),
     "dedup_exact_hash": (q_dedup_exact_hash, SQL_DEDUP_EXACT_HASH),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),

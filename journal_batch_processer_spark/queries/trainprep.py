@@ -385,6 +385,143 @@ def _pagerank_edges(nodes: DataFrame, n: int) -> DataFrame:
     return e
 
 
+LPA_ITERS = 3
+LPA_BLOCK = 50
+
+
+def _lpa_edges(nodes: DataFrame, n: int) -> DataFrame:
+    """Deterministic BLOCKED link graph: each node links to three
+    targets inside its own ``LPA_BLOCK``-node block (a disjoint union
+    of small expanders), so label propagation has real communities to
+    find — one per block. The last partial block wraps within its own
+    size so no edge points past N-1. Integer arithmetic only."""
+    e = None
+    for a, c in ((3, 1), (7, 11), (1, 1)):
+        bs = F.least(
+            F.lit(LPA_BLOCK),
+            F.lit(n) - (F.col("node") - F.col("node") % LPA_BLOCK),
+        )
+        part = nodes.select(
+            F.col("node").alias("src"),
+            (
+                (F.col("node") - F.col("node") % LPA_BLOCK)
+                + (F.col("node") * a + c) % bs
+            ).alias("dst"),
+        )
+        e = part if e is None else e.unionAll(part)
+    return e.filter(F.col("src") != F.col("dst"))
+
+
+def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation (community detection), 3 synchronous rounds
+    over the deterministic blocked graph: label_{t+1}(v) = the most
+    frequent label among v's undirected neighbors, ties to the
+    SMALLEST label (the deterministic LPA variant — raw LPA's random
+    tie-breaks can't be oracle-checked), isolated nodes keep their
+    own label. Communities feed corpus-level dedup policies (drop all
+    but one representative per mirror-site community) the way
+    dedup_cluster's connected components do, but LPA finds DENSE
+    groups, not merely connected ones, and needs no convergence test.
+
+    Everything is integer (labels are node ids, votes are counts), so
+    per-group aggregation is order-independent and the unrolled
+    3-round DuckDB oracle is hash-exact. Scale shape mirrors
+    graph_pagerank: per round one shuffle join (labels × edges on the
+    neighbor key) + a (v, label) count + an argmax-by-struct-min —
+    co-partitioned round to round; static relations localCheckpoint-ed
+    so the unrolled plan doesn't re-expand the scan every round."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # scalar action: graph size, needed as a literal
+    nodes = docs.select(F.col("doc_id").alias("node")).localCheckpoint()
+    directed = _lpa_edges(nodes, n)
+    # undirected neighborhood: symmetrize + dedup parallel edges
+    edges = (
+        directed.union(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(LPA_ITERS):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.groupBy("src")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "lbl")).alias("b"))
+            .select("src", F.col("b.lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, labels.node == best.src, "left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", "lbl").alias("lbl"),
+            )
+        )
+    return labels.select(
+        F.col("node").alias("node_id"), F.col("lbl").alias("community")
+    )
+
+
+def _labelprop_oracle_sql() -> str:
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents),",
+        "nodes AS (SELECT doc_id AS node FROM documents),",
+        "directed AS (",
+    ]
+    links = []
+    for a, c in ((3, 1), (7, 11), (1, 1)):
+        links.append(
+            f"  SELECT node AS src, (node - node % {LPA_BLOCK})"
+            f" + (node * {a} + {c})"
+            f" % LEAST({LPA_BLOCK}, nn.n - (node - node % {LPA_BLOCK}))"
+            f" AS dst FROM nodes, nn"
+        )
+    parts.append("\n  UNION ALL\n".join(links))
+    parts += [
+        "),",
+        "edges AS (",
+        "  SELECT DISTINCT src, dst FROM (",
+        "    SELECT src, dst FROM directed WHERE src <> dst",
+        "    UNION ALL SELECT dst, src FROM directed WHERE src <> dst",
+        "  )",
+        "),",
+        "l0 AS (SELECT node, node AS lbl FROM nodes),",
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        parts += [
+            f"v{i} AS (",
+            f"  SELECT e.src AS v, l.lbl, COUNT(*) AS c",
+            f"  FROM edges e JOIN l{i - 1} l ON l.node = e.dst",
+            f"  GROUP BY 1, 2",
+            f"),",
+            f"b{i} AS (",
+            f"  SELECT v, lbl FROM (",
+            f"    SELECT v, lbl, ROW_NUMBER() OVER (",
+            f"      PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn FROM v{i}",
+            f"  ) WHERE rn = 1",
+            f"),",
+            f"l{i} AS (",
+            f"  SELECT p.node, COALESCE(b.lbl, p.lbl) AS lbl",
+            f"  FROM l{i - 1} p LEFT JOIN b{i} b ON b.v = p.node",
+            f")" + ("," if i < LPA_ITERS else ""),
+        ]
+    parts.append(
+        f"SELECT node AS node_id, lbl AS community FROM l{LPA_ITERS}"
+    )
+    return "\n".join(parts)
+
+
+SQL_GRAPH_LABELPROP = _labelprop_oracle_sql()
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 5 synchronous iterations over a deterministic
     3-out-regular graph on doc_ids — the canonical iterative-join-agg
@@ -836,6 +973,7 @@ QUERIES = {
     "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
     "embed_gramian": (q_embed_gramian, SQL_EMBED_GRAMIAN),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "graph_labelprop": (q_graph_labelprop, SQL_GRAPH_LABELPROP),
     "funnel_events": (q_funnel_events, SQL_FUNNEL_EVENTS),
     "dedup_chunks": (q_dedup_chunks, SQL_DEDUP_CHUNKS),
 }

@@ -224,3 +224,127 @@ def test_containment_prefix_equals_exact(spark):
         ).collect()
     }
     assert (0, 1) in got and (1, 0) not in got
+
+
+# --------------------------------------------------- new r07 operators
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """IVF-PQ with generous probes + exact re-rank recovers most
+    brute-force neighbors; ranks are contiguous per query."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    embs = spark.read.parquet(path)
+    queries = embs.filter(F.col("vec_id") < 5)
+    cents = train_ivf_centroids(path, n_centroids=8)
+    books = train_pq_codebooks(path, m=16, ksub=16)
+    exact = cosine_topk(embs, queries, k=3).collect()
+    approx = ivfpq_topk(
+        embs, queries, cents, books, dim=64, k=3, n_probe=4, refine=20
+    ).collect()
+    pe = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    pa = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert pe and pa
+    assert len(pe & pa) >= len(pe) // 2
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_labelprop_communities_respect_blocks(spark):
+    """Labels never cross the 50-node blocks of the synthetic graph,
+    and propagation actually merges labels (fewer communities than
+    nodes)."""
+    from journal_batch_processer_spark.queries.trainprep import (
+        q_graph_labelprop,
+    )
+
+    rows = q_graph_labelprop(spark, SF_DIR).collect()
+    assert rows
+    n_nodes = len(rows)
+    comms = {r["community"] for r in rows}
+    assert len(comms) < n_nodes
+    for r in rows:
+        assert r["community"] // 50 == r["node_id"] // 50
+
+
+def test_bm25_model(spark):
+    """BM25 scores match an independent pure-Python recomputation on a
+    tiny corpus."""
+    import math
+
+    from journal_batch_processer_spark.operators.ranking import bm25_scores
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "cats and dogs and cats"),
+        (3, "completely unrelated text here"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    queries = [(0, "cat sat"), (1, "dogs")]
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(docs, "doc_id", "text", queries).collect()
+    }
+
+    # independent model
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+    expected = {}
+    for qid, qtext in queries:
+        terms = set(qtext.lower().split())
+        for d, tk in toks.items():
+            s = 0.0
+            matched = False
+            for term in sorted(terms):
+                tf = tk.count(term)
+                if tf == 0:
+                    continue
+                matched = True
+                df = sum(1 for v in toks.values() if term in v)
+                idf = round(math.log((n - df + 0.5) / (df + 0.5) + 1), 6)
+                s += idf * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl)))
+            if matched:
+                expected[(qid, d)] = round(s, 6)
+    assert got == expected
+
+
+def test_gramian_matches_numpy(spark):
+    """embed_gramian equals the single-machine numpy gramian of the
+    quantized matrix regardless of partitioning."""
+    import numpy as np
+
+    from journal_batch_processer_spark.operators.linalg import (
+        quantized_gramian,
+    )
+
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).repartition(7)  # force multiple partials
+    got = {
+        (r["i"], r["j"]): r["gram"]
+        for r in quantized_gramian(embs, "embedding").collect()
+    }
+    vs = np.stack(
+        [np.array(r["embedding"]) for r in embs.select("embedding").collect()]
+    ).astype(np.float64)
+    q = np.floor(vs / np.abs(vs).max(axis=1, keepdims=True) * 127.0 + 0.5).astype(
+        np.int64
+    )
+    g = q.T @ q
+    iu = np.triu_indices(g.shape[0])
+    expected = {(int(i), int(j)): int(g[i, j]) for i, j in zip(*iu)}
+    assert got == expected
