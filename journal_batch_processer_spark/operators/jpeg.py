@@ -8,10 +8,13 @@ Scope — honest and loud:
   refinement per T.81 G.2, r06), 8-bit, 1 or 3 components,
   interleaved scans with integer sampling factors (4:4:4, 4:2:2,
   4:2:0 — the shapes virtually every camera/encoder emits; chroma is
-  upsampled by sample replication per the T.81 interleave, r06), no
-  restart markers. Anything else raises NotImplementedError/ValueError
-  naming the feature: arithmetic coding, lossless/extended SOFs,
-  12-bit, fractional sampling ratios, restart intervals, DNL.
+  upsampled by sample replication per the T.81 interleave, r06), and
+  restart markers (DRI/RSTn) in BOTH the baseline and progressive
+  paths (per-scan RSTn cycling, predictor resets, EOB runs bounded by
+  restart segments per G.1.2.2, r06/r07). Anything else raises
+  NotImplementedError/ValueError naming the feature: arithmetic
+  coding, lossless/extended SOFs, 12-bit, fractional sampling
+  ratios, DNL.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -663,6 +666,7 @@ def _decode_jpeg_progressive(data: bytes):
     frame = None
     coefs = None  # per comp: list[blocks][64] QUANTIZED, natural order
     geom = None  # (hmax, vmax, mcux, mcuy, per-comp dims)
+    restart_interval = 0  # DRI state; applies to subsequent scans
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -737,8 +741,8 @@ def _decode_jpeg_progressive(data: bytes):
             geom = (hmax, vmax, mcux, mcuy, dims)
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError("jpeg: mixed/unsupported SOF in progressive file")
-        elif marker == 0xDD:
-            raise NotImplementedError("jpeg: restart intervals unsupported")
+        elif marker == 0xDD:  # DRI — applies to the scans that follow
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — decode this scan now
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF2")
@@ -750,11 +754,13 @@ def _decode_jpeg_progressive(data: bytes):
             ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             ah, al = a >> 4, a & 0xF
             entropy_start = pos + seglen
-            end = _entropy_end(data, entropy_start)
+            end = _entropy_end(
+                data, entropy_start, skip_restarts=restart_interval > 0
+            )
             br = _BitReader(data[entropy_start:end])
             _decode_progressive_scan(
                 br, frame, geom, coefs, dc_tables, ac_tables,
-                scan_comps, ss, se, ah, al,
+                scan_comps, ss, se, ah, al, restart_interval,
             )
             pos = end
             continue
@@ -781,7 +787,8 @@ def _decode_jpeg_progressive(data: bytes):
 
 
 def _decode_progressive_scan(
-    br, frame, geom, coefs, dc_tables, ac_tables, scan_comps, ss, se, ah, al
+    br, frame, geom, coefs, dc_tables, ac_tables, scan_comps, ss, se, ah, al,
+    restart_interval=0,
 ):
     w, h, comps = frame
     hmax, vmax, mcux, mcuy, dims = geom
@@ -791,6 +798,25 @@ def _decode_progressive_scan(
             raise ValueError(f"jpeg: scan component id {cid} not in frame")
     if not (0 <= al <= 13 and (ah == 0 or ah == al + 1)):
         raise ValueError(f"jpeg: bad successive approximation Ah={ah} Al={al}")
+
+    # T.81 F.2.2.5 applies per scan: every `restart_interval` restart
+    # units (MCUs when interleaved, data units when non-interleaved)
+    # the stream byte-aligns on RSTn (n cycling 0..7, restarting at 0
+    # each scan), DC predictors reset, and an EOB run MUST NOT cross
+    # the boundary (G.1.2.2) — a run that does marks a malformed
+    # stream and fails loud.
+    rst_state = {"n": 0}
+
+    def at_restart(unit_idx: int) -> bool:
+        return (
+            restart_interval > 0
+            and unit_idx > 0
+            and unit_idx % restart_interval == 0
+        )
+
+    def do_restart() -> None:
+        br.expect_restart(rst_state["n"])
+        rst_state["n"] = (rst_state["n"] + 1) & 7
 
     if ss == 0:  # DC scan (Se must be 0)
         if se != 0:
@@ -808,8 +834,14 @@ def _decode_progressive_scan(
                     cq[0] |= 1 << al
 
         if len(scan_comps) > 1:  # interleaved MCU order
+            mcu_n = 0
             for mcu_y in range(mcuy):
                 for mcu_x in range(mcux):
+                    if at_restart(mcu_n):
+                        do_restart()
+                        for c_ in preds:
+                            preds[c_] = 0
+                    mcu_n += 1
                     for cid, dct, _act in scan_comps:
                         ci = frame_by_id[cid]
                         _c, _t, hi, vi = comps[ci]
@@ -822,8 +854,13 @@ def _decode_progressive_scan(
             cid, dct, _act = scan_comps[0]
             ci = frame_by_id[cid]
             bw, _bh, cw, ch = dims[ci]
+            unit = 0
             for by in range(ch):
                 for bx in range(cw):
+                    if at_restart(unit):
+                        do_restart()
+                        preds[cid] = 0
+                    unit += 1
                     dc_block(ci, cid, dct, coefs[ci][by * bw + bx])
         return
 
@@ -839,8 +876,16 @@ def _decode_progressive_scan(
     eobrun = 0
     p1, m1 = 1 << al, -(1 << al)
 
+    unit = 0
     for by in range(ch):
         for bx in range(cw):
+            if at_restart(unit):
+                if eobrun > 0:
+                    raise ValueError(
+                        "jpeg: EOB run crosses a restart boundary (G.1.2.2)"
+                    )
+                do_restart()
+            unit += 1
             cq = coefs[ci][by * bw + bx]
             if ah == 0:  # first pass for this band
                 if eobrun > 0:
@@ -903,14 +948,21 @@ def _decode_progressive_scan(
                     eobrun -= 1
 
 
-def encode_jpeg_solid_gray_progressive(width: int, height: int, v: int) -> bytes:
+def encode_jpeg_solid_gray_progressive(
+    width: int, height: int, v: int, restart_interval: int = 0
+) -> bytes:
     """Progressive (SOF2) JFIF of a solid GRAY image: five REAL scans —
     interleaved DC first pass at Al=1, DC refinement delivering the
     low bit, then one AC first-pass scan per component whose all-zero
     band is coded as a single EOBn run covering every block (the
     progressive-specific entropy construct). Same exactness contract
     as the baseline fixture encoder: even gray v decodes bit-for-bit,
-    so the closed-form oracle is coding-process-agnostic."""
+    so the closed-form oracle is coding-process-agnostic.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N restart units IN EVERY SCAN (MCUs in the interleaved DC scans,
+    data units in the AC scans), with per-segment DC predictor resets
+    and EOB runs that never cross a boundary (G.1.2.2)."""
     if width % 8 or height % 8:
         raise ValueError("fixture encoder requires multiple-of-8 dims")
     if v % 2 or not 0 <= v <= 255:
@@ -926,6 +978,8 @@ def encode_jpeg_solid_gray_progressive(width: int, height: int, v: int) -> bytes
         out += bytes(qt[ZIGZAG[i]] for i in range(64))
     out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, height, width, 3)
     out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # The Annex K "typical" AC tables are sequential-only: they contain
     # EOB (0x00) and ZRL (0xF0) but none of the EOBn run symbols
     # (0x10..0xE0) progressive AC scans use — define a custom AC table
@@ -959,53 +1013,79 @@ def encode_jpeg_solid_gray_progressive(width: int, height: int, v: int) -> bytes
     dc_chroma = _huff_codes(*STD_DC_CHROMA)
     n_blocks = (width // 8) * (height // 8)
 
+    ri = restart_interval
+
+    def seg_bounds(n: int):
+        """Restart-segment lengths: [n] without DRI, else ri-sized."""
+        if not ri:
+            return [n]
+        return [min(ri, n - s) for s in range(0, n, ri)]
+
     # scan 1: interleaved DC first pass, Al=1 — diffs of (DC >> 1);
-    # T.81 G.1.2.1: the DC point transform is an ARITHMETIC shift
+    # T.81 G.1.2.1: the DC point transform is an ARITHMETIC shift.
+    # Predictors reset at every restart, so each segment's first MCU
+    # re-codes the full hi_dc diff.
     out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
-    bw = _BitWriter()
     hi_dc = dc_q >> 1
-    prev = 0
-    for blk in range(n_blocks):
-        diff = hi_dc - prev if blk == 0 else 0
-        prev = hi_dc
-        cat = _category(diff)
-        c, ln = dc_luma[cat]
-        bw.put(c, ln)
-        if cat:
-            amp = diff if diff >= 0 else diff + (1 << cat) - 1
-            bw.put(amp, cat)
-        for tdc in (dc_chroma, dc_chroma):
-            c, ln = tdc[0]
+    rst = 0
+    for si, seg_n in enumerate(seg_bounds(n_blocks)):
+        if si:
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+        bw = _BitWriter()
+        prev = 0
+        for blk in range(seg_n):
+            diff = hi_dc - prev if blk == 0 else 0
+            prev = hi_dc
+            cat = _category(diff)
+            c, ln = dc_luma[cat]
             bw.put(c, ln)
-    bw.flush()
-    out += bw.buf
+            if cat:
+                amp = diff if diff >= 0 else diff + (1 << cat) - 1
+                bw.put(amp, cat)
+            for tdc in (dc_chroma, dc_chroma):
+                c, ln = tdc[0]
+                bw.put(c, ln)
+        bw.flush()
+        out += bw.buf
 
     # scan 2: interleaved DC refinement (Ah=1, Al=0) — raw low bits
     out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 1, 0)
-    bw = _BitWriter()
     low = dc_q - (hi_dc << 1)  # the bit the refinement delivers
-    for _ in range(n_blocks):
-        bw.put(low & 1, 1)  # Y
-        bw.put(0, 1)  # Cb
-        bw.put(0, 1)  # Cr
-    bw.flush()
-    out += bw.buf
+    rst = 0
+    for si, seg_n in enumerate(seg_bounds(n_blocks)):
+        if si:
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+        bw = _BitWriter()
+        for _ in range(seg_n):
+            bw.put(low & 1, 1)  # Y
+            bw.put(0, 1)  # Cb
+            bw.put(0, 1)  # Cr
+        bw.flush()
+        out += bw.buf
 
-    # scans 3-5: per-component AC first pass — one EOBn run covers all
-    # blocks of the all-zero band (AC table 2: the EOBn-only table)
+    # scans 3-5: per-component AC first pass — one EOBn run per restart
+    # SEGMENT (an EOB run must not cross a boundary, G.1.2.2); without
+    # DRI that is a single run covering every block (AC table 2: the
+    # EOBn-only table)
     eobn = _huff_codes(eobn_bits, eobn_vals)
     for cid in (1, 2, 3):
         out += sos([(cid, 0x02)], 1, 63, 0, 0)
-        bw = _BitWriter()
-        n = n_blocks
-        r = n.bit_length() - 1  # EOBn: run = (1 << r) + extra
-        extra = n - (1 << r)
-        c, ln = eobn[r << 4]
-        bw.put(c, ln)
-        if r:
-            bw.put(extra, r)
-        bw.flush()
-        out += bw.buf
+        rst = 0
+        for si, seg_n in enumerate(seg_bounds(n_blocks)):
+            if si:
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+            bw = _BitWriter()
+            r = seg_n.bit_length() - 1  # EOBn: run = (1 << r) + extra
+            extra = seg_n - (1 << r)
+            c, ln = eobn[r << 4]
+            bw.put(c, ln)
+            if r:
+                bw.put(extra, r)
+            bw.flush()
+            out += bw.buf
 
     out += b"\xff\xd9"
     return bytes(out)

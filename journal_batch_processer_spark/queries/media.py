@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v7-jpeg-rst"
+    fp = _fc.source_fingerprint(src) + ":v8-prog-rst"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -121,8 +121,14 @@ def _materialize_media(sf_dir: str) -> str:
                 restart_interval=2 if i % 6 == 0 else 0,
             )
         elif i % 3 == 1:
+            # every third progressive file carries DRI/RSTn restarts in
+            # EVERY scan (per-scan RSTn cycling + predictor resets +
+            # segment-bounded EOB runs — r07); dims and values are
+            # unchanged, so the oracle stays coding-process-agnostic
             jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
-            payload = encode_jpeg_solid_gray_progressive(jw, jh, jv)
+            payload = encode_jpeg_solid_gray_progressive(
+                jw, jh, jv, restart_interval=2 if i % 9 == 1 else 0
+            )
         else:
             jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
             payload = encode_jpeg_solid_gray(jw, jh, jv)

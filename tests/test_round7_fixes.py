@@ -348,3 +348,182 @@ def test_gramian_matches_numpy(spark):
     iu = np.triu_indices(g.shape[0])
     expected = {(int(i), int(j)): int(g[i, j]) for i, j in zip(*iu)}
     assert got == expected
+
+
+# ------------------------------------- progressive JPEG with restarts
+
+
+def _prog_gray_header(w, h):
+    """SOI + DQT + SOF2 (1 component) + DC/AC luma DHTs."""
+    import struct as _struct
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        STD_AC_LUMA,
+        STD_DC_LUMA,
+        STD_LUMA_QT,
+        ZIGZAG,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + bytes([0])
+    out += bytes(STD_LUMA_QT[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc2" + _struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    for cls, tid, (bits, vals) in (
+        (0, 0, STD_DC_LUMA),
+        (1, 0, STD_AC_LUMA),
+    ):
+        out += b"\xff\xc4" + _struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits[1:17]) + bytes(vals)
+    return out
+
+
+def _sos1(ss, se, ah, al, tables=0x00):
+    import struct as _struct
+
+    return b"\xff\xda" + _struct.pack(">HB", 8, 1) + bytes(
+        [1, tables, ss, se, (ah << 4) | al]
+    )
+
+
+def test_progressive_restart_resets_dc_predictor():
+    """Hand-built 3-block progressive DC scan with DRI=1: every
+    segment codes the SAME diff from a freshly-reset predictor, so a
+    correct decoder produces a UNIFORM plane. A decoder that ignores
+    the reset accumulates 1x, 2x, 3x the DC — the mean test would
+    pass only on block one."""
+    import struct as _struct
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        STD_DC_LUMA,
+        _BitWriter,
+        _category,
+        _huff_codes,
+        decode_jpeg_planes,
+    )
+
+    dcq = 4
+    out = _prog_gray_header(24, 8)
+    out += b"\xff\xdd" + _struct.pack(">HH", 4, 1)  # DRI = 1
+    out += _sos1(0, 0, 0, 0)
+    dc_l = _huff_codes(*STD_DC_LUMA)
+    for blk in range(3):
+        if blk:
+            out += bytes([0xFF, 0xD0 + (blk - 1)])
+        bw = _BitWriter()
+        cat = _category(dcq)
+        c, ln = dc_l[cat]
+        bw.put(c, ln)
+        bw.put(dcq, cat)
+        bw.flush()
+        out += bytes(bw.buf)
+    out += b"\xff\xd9"
+
+    w, h, planes = decode_jpeg_planes(bytes(out))
+    assert (w, h) == (24, 8)
+    vals = {px for row in planes[0] for px in row}
+    # uniform: DC-only block decodes to 128 + dcq*Q00/8 = 136 everywhere
+    assert vals == {136}, vals
+
+
+def test_progressive_eob_run_crossing_restart_fails_loud():
+    """An EOBn run spanning a restart boundary violates G.1.2.2 —
+    the decoder must reject it, not silently absorb it."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        STD_DC_LUMA,
+        _BitWriter,
+        _category,
+        _huff_codes,
+        decode_jpeg_planes,
+    )
+
+    out = _prog_gray_header(24, 8)
+    out += b"\xff\xdd" + _struct.pack(">HH", 4, 1)  # DRI = 1
+
+    # DC scan (valid, with restarts)
+    out += _sos1(0, 0, 0, 0)
+    dc_l = _huff_codes(*STD_DC_LUMA)
+    for blk in range(3):
+        if blk:
+            out += bytes([0xFF, 0xD0 + (blk - 1)])
+        bw = _BitWriter()
+        cat = _category(2)
+        c, ln = dc_l[cat]
+        bw.put(c, ln)
+        bw.put(2, cat)
+        bw.flush()
+        out += bytes(bw.buf)
+
+    # custom AC table id 1 holding the 15 EOBn symbols (the standard
+    # AC tables are sequential-only and lack them)
+    eobn_bits = [0, 0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    eobn_vals = [r << 4 for r in range(15)]
+    out += b"\xff\xc4" + _struct.pack(">H", 19 + len(eobn_vals))
+    out += bytes([(1 << 4) | 1]) + bytes(eobn_bits[1:17]) + bytes(eobn_vals)
+
+    # AC scan: EOB2 run covering 2 blocks — crosses the DRI=1 boundary
+    out += _sos1(1, 63, 0, 0, tables=0x01)
+    eobn = _huff_codes(eobn_bits, eobn_vals)
+    bw = _BitWriter()
+    c, ln = eobn[1 << 4]  # EOBn with r=1: run = 2 + extra
+    bw.put(c, ln)
+    bw.put(0, 1)  # extra bits: run length exactly 2
+    bw.flush()
+    out += bytes(bw.buf)
+    out += b"\xff\xd9"
+
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg_planes(bytes(out))
+
+
+def test_progressive_restart_desync_fails_loud():
+    """DRI=2 declared but a restart marker arrives after 1 MCU — the
+    decoder hits it mid-entropy and must fail, not resync silently."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        STD_DC_LUMA,
+        _BitWriter,
+        _category,
+        _huff_codes,
+        decode_jpeg_planes,
+    )
+
+    out = _prog_gray_header(24, 8)
+    out += b"\xff\xdd" + _struct.pack(">HH", 4, 2)  # DRI = 2
+    out += _sos1(0, 0, 0, 0)
+    dc_l = _huff_codes(*STD_DC_LUMA)
+    for blk in range(3):
+        if blk:  # markers every block, but DRI says every 2
+            out += bytes([0xFF, 0xD0 + (blk - 1)])
+        bw = _BitWriter()
+        cat = _category(4)
+        c, ln = dc_l[cat]
+        bw.put(c, ln)
+        bw.put(4, cat)
+        bw.flush()
+        out += bytes(bw.buf)
+    out += b"\xff\xd9"
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_planes(bytes(out))
+
+
+def test_progressive_fixture_encoder_restarts_roundtrip():
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray_progressive,
+    )
+
+    ref = decode_jpeg_baseline(encode_jpeg_solid_gray_progressive(32, 24, 90))
+    for ri in (1, 3, 7):
+        got = decode_jpeg_baseline(
+            encode_jpeg_solid_gray_progressive(32, 24, 90, restart_interval=ri)
+        )
+        assert got == ref
