@@ -11,10 +11,12 @@ Scope — honest and loud:
   upsampled by sample replication per the T.81 interleave, r06), and
   restart markers (DRI/RSTn) in BOTH the baseline and progressive
   paths (per-scan RSTn cycling, predictor resets, EOB runs bounded by
-  restart segments per G.1.2.2, r06/r07). Anything else raises
-  NotImplementedError/ValueError naming the feature: arithmetic
-  coding, lossless/extended SOFs, 12-bit, fractional sampling
-  ratios, DNL.
+  restart segments per G.1.2.2, r06/r07). Sequential decode also
+  handles 12-BIT precision (SOF1 extended sequential: 16-bit Pq=1
+  quantizers, 2048 level shift, 0..4095 clamp — the DICOM/film-scan
+  shape, r07). Anything else raises NotImplementedError/ValueError
+  naming the feature: arithmetic coding, lossless/differential SOFs,
+  12-bit progressive, fractional sampling ratios, DNL.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -258,6 +260,77 @@ def encode_jpeg_solid_gray(
     return bytes(out)
 
 
+def encode_jpeg_solid_gray12(width: int, height: int, v: int) -> bytes:
+    """Extended sequential (SOF1) 12-bit JFIF of a solid GRAY image
+    (r=g=b=v in the 0..4095 sample range): the precision used by
+    medical/scientific capture (DICOM) and film scans. Same exactness
+    contract as the 8-bit encoder — even ``v`` makes the level-shifted
+    DC 8·(v−2048) divide Q00 = 16 exactly, chroma sits at the 12-bit
+    midpoint 2048 (DC 0), so the decode round-trips bit-for-bit and
+    the mean features stay closed-form. Quantizers are emitted as
+    16-bit DQT entries (Pq=1) — the table form 12-bit streams use.
+    Standard DC tables cover the diff categories (|diff| ≤ 1023 →
+    category ≤ 10 ≤ 11)."""
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    if v % 2 or not 0 <= v <= 4095:
+        raise ValueError("fixture encoder requires an even gray 0..4095")
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT with Pq=1 (16-bit entries), zigzag order
+    for tid, qt in ((0, STD_LUMA_QT), (1, STD_CHROMA_QT)):
+        out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([(1 << 4) | tid])
+        for i in range(64):
+            out += struct.pack(">H", qt[ZIGZAG[i]])
+    # SOF1 (extended sequential, Huffman), precision 12
+    out += b"\xff\xc1" + struct.pack(">HBHHB", 17, 12, height, width, 3)
+    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for cls, tid, (bits, vals) in (
+        (0, 0, STD_DC_LUMA),
+        (1, 0, STD_AC_LUMA),
+        (0, 1, STD_DC_CHROMA),
+        (1, 1, STD_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(vals)
+        ) + bytes([(cls << 4) | tid])
+        out += bytes(bits[1:17]) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+
+    dc_y = (8 * (v - 2048)) // STD_LUMA_QT[0]  # exact by construction
+    dc_luma = _huff_codes(*STD_DC_LUMA)
+    ac_luma = _huff_codes(*STD_AC_LUMA)
+    dc_chroma = _huff_codes(*STD_DC_CHROMA)
+    ac_chroma = _huff_codes(*STD_AC_CHROMA)
+    bw = _BitWriter()
+
+    def put_block(table_dc, table_ac, diff: int) -> None:
+        cat = _category(diff)
+        code, length = table_dc[cat]
+        bw.put(code, length)
+        if cat:
+            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw.put(amp, cat)
+        code, length = table_ac[0x00]  # EOB
+        bw.put(code, length)
+
+    prev_dc = 0
+    for _ in range((width // 8) * (height // 8)):
+        put_block(dc_luma, ac_luma, dc_y - prev_dc)
+        prev_dc = dc_y
+        put_block(dc_chroma, ac_chroma, 0)  # Cb
+        put_block(dc_chroma, ac_chroma, 0)  # Cr
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -349,10 +422,10 @@ _IDCT_COS = [
 _IDCT_C = [1 / math.sqrt(2)] + [1.0] * 7
 
 
-def _idct_block(coef: list[int]) -> list[int]:
+def _idct_block(coef: list[int], half: int = 128, maxval: int = 255) -> list[int]:
     """Reference 2-D IDCT (T.81 A.3.3), separable rows/cols, then
-    level shift + clamp. O(8·8·8) per dimension — fine for fixtures;
-    a production decoder uses AAN."""
+    level shift (2^(P-1)) + clamp to the sample range. O(8·8·8) per
+    dimension — fine for fixtures; a production decoder uses AAN."""
     tmp = [0.0] * 64
     for y in range(8):
         for x in range(8):
@@ -366,8 +439,8 @@ def _idct_block(coef: list[int]) -> list[int]:
             s = 0.0
             for v in range(8):
                 s += _IDCT_C[v] * tmp[v * 8 + x] * _IDCT_COS[y][v]
-            val = int(round(s / 2)) + 128
-            out[y * 8 + x] = 0 if val < 0 else 255 if val > 255 else val
+            val = int(round(s / 2)) + half
+            out[y * 8 + x] = 0 if val < 0 else maxval if val > maxval else val
     return out
 
 
@@ -391,14 +464,15 @@ def decode_jpeg_planes(data: bytes):
     detect coefficient-scaling bugs (AC basis functions are
     zero-mean)."""
     try:
-        w, h, _comps, planes = _decode_jpeg_planes(data)
+        w, h, _comps, planes, _prec = _decode_jpeg_planes(data)
     except (IndexError, struct.error) as e:
         raise ValueError(f"jpeg: truncated or malformed payload ({e})") from e
     return w, h, planes
 
 
 def _decode_jpeg_baseline(data: bytes) -> dict:
-    w, h, comps, planes = _decode_jpeg_planes(data)
+    w, h, comps, planes, prec = _decode_jpeg_planes(data)
+    half, maxval = 1 << (prec - 1), (1 << prec) - 1
     n = w * h
     if len(comps) == 1:
         tot = sum(sum(planes[0][y][x] for x in range(w)) for y in range(h))
@@ -423,14 +497,14 @@ def _decode_jpeg_baseline(data: bytes) -> dict:
         crrow = planes[2][y * v2 // vmax]
         for x in range(w):
             yy = yrow[x * h0 // hmax]
-            cb = cbrow[x * h1 // hmax] - 128
-            cr = crrow[x * h2 // hmax] - 128
+            cb = cbrow[x * h1 // hmax] - half
+            cr = crrow[x * h2 // hmax] - half
             r = int(round(yy + 1.402 * cr))
             g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
             b = int(round(yy + 1.772 * cb))
-            sr += 0 if r < 0 else 255 if r > 255 else r
-            sg += 0 if g < 0 else 255 if g > 255 else g
-            sb += 0 if b < 0 else 255 if b > 255 else b
+            sr += 0 if r < 0 else maxval if r > maxval else r
+            sg += 0 if g < 0 else maxval if g > maxval else g
+            sb += 0 if b < 0 else maxval if b > maxval else b
     return {
         "width": w,
         "height": h,
@@ -467,18 +541,24 @@ def _decode_jpeg_planes(data: bytes):
             continue  # parameterless
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit entries; Pq=1: 16-bit)
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quant tables")
-                zz = seg[p + 1 : p + 65]
                 qt = [0] * 64
-                for i in range(64):
-                    qt[ZIGZAG[i]] = zz[i]
+                if pq == 0:
+                    zz = seg[p + 1 : p + 65]
+                    for i in range(64):
+                        qt[ZIGZAG[i]] = zz[i]
+                    p += 65
+                elif pq == 1:
+                    zz = seg[p + 1 : p + 129]
+                    for i in range(64):
+                        qt[ZIGZAG[i]] = (zz[2 * i] << 8) | zz[2 * i + 1]
+                    p += 129
+                else:
+                    raise ValueError(f"jpeg: bad DQT precision {pq}")
                 qts[tq] = qt
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -490,10 +570,14 @@ def _decode_jpeg_planes(data: bytes):
                     bits, vals
                 )
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise NotImplementedError("jpeg: only 8-bit precision")
+            if marker == 0xC0 and prec != 8:
+                raise ValueError("jpeg: baseline SOF0 must be 8-bit")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"jpeg: {prec}-bit precision unsupported"
+                )
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -501,13 +585,13 @@ def _decode_jpeg_planes(data: bytes):
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"jpeg: invalid sampling factors {hi}x{vi}")
                 comps.append((cid, tq, hi, vi))
-            frame = (w, h, comps)
+            frame = (w, h, comps, prec)
         elif marker == 0xC2:  # SOF2 progressive — separate decode path
             return _decode_jpeg_progressive(data)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
-                f"jpeg: SOF{marker - 0xC0} (extended/lossless/arithmetic) "
-                "unsupported"
+                f"jpeg: SOF{marker - 0xC0} (lossless/differential/"
+                "arithmetic) unsupported"
             )
         elif marker == 0xDA:  # SOS
             ns = seg[0]
@@ -522,7 +606,7 @@ def _decode_jpeg_planes(data: bytes):
         pos += seglen
     if frame is None or scan_comps is None:
         raise ValueError("jpeg: missing SOF0/SOS")
-    w, h, comps = frame
+    w, h, comps, prec = frame
     if len(scan_comps) != len(comps):
         raise NotImplementedError("jpeg: multi-scan files unsupported")
     # scan components are matched to frame components BY ID (a legal
@@ -533,6 +617,9 @@ def _decode_jpeg_planes(data: bytes):
         if cid not in frame_by_id:
             raise ValueError(f"jpeg: scan component id {cid} not in frame")
 
+    # sample range follows the frame precision: 8-bit → shift 128,
+    # clamp 255; 12-bit (SOF1) → shift 2048, clamp 4095 (T.81 A.3.1)
+    half, maxval = 1 << (prec - 1), (1 << prec) - 1
     # single-component scans are non-interleaved: the MCU is one data
     # unit, so sampling factors play no dimensional role
     if len(comps) == 1:
@@ -610,14 +697,14 @@ def _decode_jpeg_planes(data: bytes):
                             # AC basis functions are zero-mean)
                             coef[ZIGZAG[k]] = _extend(br.bits(s), s) * qt[ZIGZAG[k]]
                             k += 1
-                        block = _idct_block(coef)
+                        block = _idct_block(coef, half, maxval)
                         py = (mcu_y * vi + bv) * 8
                         px = (mcu_x * hi + bh) * 8
                         for yy in range(8):
                             row = plane[py + yy]
                             row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
 
-    return w, h, comps, planes
+    return w, h, comps, planes, prec
 
 
 # ---------------------------------------------------------------------------
@@ -783,7 +870,7 @@ def _decode_jpeg_progressive(data: bytes):
                 row = plane[py + yy]
                 row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
         planes.append(plane)
-    return w, h, comps, planes
+    return w, h, comps, planes, 8
 
 
 def _decode_progressive_scan(

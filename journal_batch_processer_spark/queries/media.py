@@ -53,13 +53,14 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v8-prog-rst"
+    fp = _fc.source_fingerprint(src) + ":v9-12bit"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
 
     from journal_batch_processer_spark.operators.jpeg import (
         encode_jpeg_solid_gray,
+        encode_jpeg_solid_gray12,
         encode_jpeg_solid_gray_progressive,
     )
     from journal_batch_processer_spark.operators.gif import (
@@ -129,6 +130,14 @@ def _materialize_media(sf_dir: str) -> str:
             payload = encode_jpeg_solid_gray_progressive(
                 jw, jh, jv, restart_interval=2 if i % 9 == 1 else 0
             )
+        elif i % 9 == 2:
+            # every third sequential 4:4:4 file is 12-BIT extended
+            # sequential (SOF1, Pq=1 quantizers, 2048 level shift —
+            # the DICOM/film-scan precision, r07): gray = 16·jv in the
+            # 0..4095 range, so the decoded means are 16× the 8-bit
+            # branch's closed form
+            jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
+            payload = encode_jpeg_solid_gray12(jw, jh, 16 * jv)
         else:
             jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
             payload = encode_jpeg_solid_gray(jw, jh, jv)
@@ -292,9 +301,13 @@ SELECT printf('img_%05d.jpg', doc_id) AS fname,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 16 * (1 + (doc_id // 3) % 2)
                  ELSE 8 * (1 + (doc_id // 3) % 4) END AS INT) AS height,
        CAST(3 AS INT) AS channels,
-       CAST(2 * ((7 * doc_id) % 100) + 20 AS DOUBLE) AS mean_r,
-       CAST(2 * ((7 * doc_id) % 100) + 20 AS DOUBLE) AS mean_g,
-       CAST(2 * ((7 * doc_id) % 100) + 20 AS DOUBLE) AS mean_b
+       -- 12-bit fixtures (doc_id%9=2) carry gray 16·v in 0..4095
+       CAST((CASE WHEN doc_id % 9 = 2 THEN 16 ELSE 1 END)
+            * (2 * ((7 * doc_id) % 100) + 20) AS DOUBLE) AS mean_r,
+       CAST((CASE WHEN doc_id % 9 = 2 THEN 16 ELSE 1 END)
+            * (2 * ((7 * doc_id) % 100) + 20) AS DOUBLE) AS mean_g,
+       CAST((CASE WHEN doc_id % 9 = 2 THEN 16 ELSE 1 END)
+            * (2 * ((7 * doc_id) % 100) + 20) AS DOUBLE) AS mean_b
 FROM documents WHERE doc_id < {_N_MEDIA}
 """
 

@@ -527,3 +527,51 @@ def test_progressive_fixture_encoder_restarts_roundtrip():
             encode_jpeg_solid_gray_progressive(32, 24, 90, restart_interval=ri)
         )
         assert got == ref
+
+
+# --------------------------------------------------------- 12-bit JPEG
+
+
+def test_jpeg_12bit_roundtrip_and_range():
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray12,
+    )
+
+    for v in (0, 2, 2048, 4094):
+        got = decode_jpeg_baseline(encode_jpeg_solid_gray12(16, 8, v))
+        assert got == {
+            "width": 16, "height": 8, "channels": 3,
+            "mean_r": float(v), "mean_g": float(v), "mean_b": float(v),
+        }, (v, got)
+
+
+def test_jpeg_12bit_planes_level_shift():
+    """Per-pixel: a solid 12-bit gray decodes to exactly v in the Y
+    plane (2048 level shift + 0..4095 clamp) and 2048 in both chroma
+    planes."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_planes,
+        encode_jpeg_solid_gray12,
+    )
+
+    w, h, planes = decode_jpeg_planes(encode_jpeg_solid_gray12(8, 8, 3000))
+    assert {px for row in planes[0] for px in row} == {3000}
+    assert {px for row in planes[1] for px in row} == {2048}
+    assert {px for row in planes[2] for px in row} == {2048}
+
+
+def test_jpeg_baseline_sof0_rejects_12bit():
+    """SOF0 is 8-bit by definition; a 12-bit SOF0 is malformed."""
+    import pytest as _pytest
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray12,
+    )
+
+    data = bytearray(encode_jpeg_solid_gray12(8, 8, 100))
+    i = data.find(b"\xff\xc1")
+    data[i + 1] = 0xC0  # rewrite SOF1 -> SOF0, precision still 12
+    with _pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg_baseline(bytes(data))
