@@ -14,9 +14,14 @@ Scope — honest and loud:
   restart segments per G.1.2.2, r06/r07). Sequential decode also
   handles 12-BIT precision (SOF1 extended sequential: 16-bit Pq=1
   quantizers, 2048 level shift, 0..4095 clamp — the DICOM/film-scan
-  shape, r07). Anything else raises NotImplementedError/ValueError
-  naming the feature: arithmetic coding, lossless/differential SOFs,
-  12-bit progressive, fractional sampling ratios, DNL.
+  shape, r07) and ARITHMETIC entropy coding (SOF9 extended
+  sequential: the T.81 Annex D QM coder with the Table D.3 adaptive
+  state machine and the F.2.4 DC/AC decision trees — cross-validated
+  coefficient-exact against the system libjpeg in both directions,
+  operators/jpeg_arith.py, r07). Anything else raises
+  NotImplementedError/ValueError naming the feature:
+  lossless/differential SOFs, progressive-arithmetic (SOF10), 12-bit
+  progressive, fractional sampling ratios, DNL.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -257,6 +262,64 @@ def encode_jpeg_solid_gray(
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_solid_gray_arith(width: int, height: int, v: int) -> bytes:
+    """Arithmetic-coded (SOF9) JFIF of a solid GRAY image: the same
+    exactness contract as the baseline fixture encoder, with the
+    entropy layer swapped for the QM coder (operators/jpeg_arith.py) —
+    DAC conditioning at the T.81 defaults (DC L=0 U=1, AC Kx=5).
+    Cross-validated: the system libjpeg decodes these files to the
+    same solid value (tests/test_jpeg_crossval.py)."""
+    from journal_batch_processer_spark.operators.jpeg_arith import (
+        AC_STAT_SLOTS,
+        DC_STAT_SLOTS,
+        ArithEncoder,
+        Stats,
+        encode_ac_coefs,
+        encode_dc_diff,
+    )
+
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    if v % 2 or not 0 <= v <= 255:
+        raise ValueError("fixture encoder requires an even gray 0..255")
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, STD_LUMA_QT), (1, STD_CHROMA_QT)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(qt[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc9" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    # DAC: default conditioning for DC/AC tables 0 and 1
+    out += b"\xff\xcc" + struct.pack(">H", 10)
+    out += bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5])
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+
+    dc_y = (8 * (v - 128)) // STD_LUMA_QT[0]
+    enc = ArithEncoder()
+    dc_stats = {0: Stats(DC_STAT_SLOTS), 1: Stats(DC_STAT_SLOTS)}
+    ac_stats = {0: Stats(AC_STAT_SLOTS), 1: Stats(AC_STAT_SLOTS)}
+    dc_ctx = [0, 0, 0]
+    last_dc = [0, 0, 0]
+    zz_zero = [0] * 64
+    for blk in range((width // 8) * (height // 8)):
+        for ci, (dct, act) in enumerate(((0, 0), (1, 1), (1, 1))):
+            target = dc_y if ci == 0 else 0
+            diff = target - last_dc[ci]
+            dc_ctx[ci] = encode_dc_diff(
+                enc, dc_stats[dct], dc_ctx[ci], 0, 1, diff
+            )
+            last_dc[ci] = target
+            encode_ac_coefs(enc, ac_stats[act], 5, zz_zero)
+    out += enc.flush()
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -526,6 +589,11 @@ def _decode_jpeg_planes(data: bytes):
     scan_comps = None
     entropy_start = None
     restart_interval = 0
+    arith = False
+    # arithmetic conditioning (T.81 defaults when no DAC): DC (L,U),
+    # AC Kx, per table id
+    arith_dc_cond: dict[int, tuple[int, int]] = {}
+    arith_ac_cond: dict[int, int] = {}
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -570,7 +638,8 @@ def _decode_jpeg_planes(data: bytes):
                     bits, vals
                 )
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        elif marker in (0xC0, 0xC1, 0xC9):
+            # SOF0 baseline / SOF1 extended seq. / SOF9 arithmetic seq.
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if marker == 0xC0 and prec != 8:
                 raise ValueError("jpeg: baseline SOF0 must be 8-bit")
@@ -586,13 +655,24 @@ def _decode_jpeg_planes(data: bytes):
                     raise ValueError(f"jpeg: invalid sampling factors {hi}x{vi}")
                 comps.append((cid, tq, hi, vi))
             frame = (w, h, comps, prec)
+            arith = marker == 0xC9
         elif marker == 0xC2:  # SOF2 progressive — separate decode path
             return _decode_jpeg_progressive(data)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA):
             raise NotImplementedError(
                 f"jpeg: SOF{marker - 0xC0} (lossless/differential/"
-                "arithmetic) unsupported"
+                "progressive-arithmetic) unsupported"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                if tc == 0:
+                    arith_dc_cond[tb] = (cs & 0xF, cs >> 4)  # (L, U)
+                else:
+                    arith_ac_cond[tb] = cs  # Kx
+                p += 2
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan_comps = []
@@ -632,13 +712,6 @@ def _decode_jpeg_planes(data: bytes):
                 f"jpeg: fractional sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
             )
 
-    # Entropy data runs to the FIRST real marker after the scan (EOI in
-    # a single-scan baseline file). Scanning forward — not
-    # rfind(FFD9), which picks the LAST FFD9 and lets trailing garbage
-    # that happens to contain FF D9 extend the slice past the real EOI
-    # into a confusing mid-scan error (ADVICE r06).
-    end = _entropy_end(data, entropy_start, skip_restarts=True)
-    br = _BitReader(data[entropy_start:end])
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     # per-component planes at the component's own resolution, padded
@@ -647,6 +720,21 @@ def _decode_jpeg_planes(data: bytes):
         [[0] * (mcux * hi * 8) for _ in range(mcuy * vi * 8)]
         for _cid, _tq, hi, vi in comps
     ]
+    if arith:
+        _decode_arith_scan(
+            data, entropy_start, comps, scan_comps, frame_by_id, qts,
+            planes, mcux, mcuy, restart_interval,
+            arith_dc_cond, arith_ac_cond, half, maxval,
+        )
+        return w, h, comps, planes, prec
+
+    # Entropy data runs to the FIRST real marker after the scan (EOI in
+    # a single-scan baseline file). Scanning forward — not
+    # rfind(FFD9), which picks the LAST FFD9 and lets trailing garbage
+    # that happens to contain FF D9 extend the slice past the real EOI
+    # into a confusing mid-scan error (ADVICE r06).
+    end = _entropy_end(data, entropy_start, skip_restarts=True)
+    br = _BitReader(data[entropy_start:end])
     preds = [0] * len(comps)
     mcu_count = 0
     rst = 0
@@ -705,6 +793,86 @@ def _decode_jpeg_planes(data: bytes):
                             row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
 
     return w, h, comps, planes, prec
+
+
+def _decode_arith_scan(
+    data, entropy_start, comps, scan_comps, frame_by_id, qts, planes,
+    mcux, mcuy, restart_interval, dc_cond, ac_cond, half, maxval,
+):
+    """Arithmetic-coded sequential scan (SOF9): same MCU interleave as
+    the Huffman path, entropy decisions via the QM coder with the
+    F.2.4 DC/AC decision trees (operators/jpeg_arith.py). Restart
+    markers re-initialize the coder AND all statistics (F.2.2.5)."""
+    from journal_batch_processer_spark.operators.jpeg_arith import (
+        FIXED_BIN,
+        ArithDecoder,
+        DC_STAT_SLOTS,
+        AC_STAT_SLOTS,
+        Stats,
+        decode_ac_coefs,
+        decode_dc_diff,
+    )
+
+    def fresh_state():
+        dc_stats = {dct: Stats(DC_STAT_SLOTS) for _c, dct, _a in scan_comps}
+        ac_stats = {act: Stats(AC_STAT_SLOTS) for _c, _d, act in scan_comps}
+        return dc_stats, ac_stats
+
+    fixed = Stats(1)
+    fixed.idx[0] = FIXED_BIN
+    dec = ArithDecoder(data, entropy_start)
+    dc_stats, ac_stats = fresh_state()
+    dc_ctx = [0] * len(comps)
+    last_dc = [0] * len(comps)
+    mcu_count = 0
+    rst = 0
+    for mcu_y in range(mcuy):
+        for mcu_x in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                # the coder must have stopped at the expected RSTn
+                if dec.marker_pos is None:
+                    # force it to notice the marker (well-formed
+                    # streams already consumed all data for the
+                    # segment; a desync shows up as a wrong marker)
+                    pass
+                mp = dec.marker_pos
+                if mp is None or data[mp + 1] != 0xD0 + rst:
+                    raise ValueError(
+                        f"jpeg: expected restart marker RST{rst}"
+                    )
+                dec = ArithDecoder(data, mp + 2)
+                dc_stats, ac_stats = fresh_state()
+                dc_ctx = [0] * len(comps)
+                last_dc = [0] * len(comps)
+                rst = (rst + 1) & 7
+            mcu_count += 1
+            for cid, dct, act in scan_comps:
+                ci = frame_by_id[cid]
+                _cid, qtid, hi, vi = comps[ci]
+                qt = qts[qtid]
+                plane = planes[ci]
+                ll, uu = dc_cond.get(dct, (0, 1))
+                kx = ac_cond.get(act, 5)
+                bw = mcux * hi
+                for bv in range(vi):
+                    for bh in range(hi):
+                        diff, dc_ctx[ci] = decode_dc_diff(
+                            dec, dc_stats[dct], dc_ctx[ci], ll, uu
+                        )
+                        last_dc[ci] += diff
+                        coef = [0] * 64
+                        coef[0] = last_dc[ci] * qt[0]
+                        decode_ac_coefs(
+                            dec, ac_stats[act], fixed, kx, coef, ZIGZAG, qt
+                        )
+                        block = _idct_block(coef, half, maxval)
+                        py = (mcu_y * vi + bv) * 8
+                        px = (mcu_x * hi + bh) * 8
+                        for yy in range(8):
+                            row = plane[py + yy]
+                            row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
 
 
 # ---------------------------------------------------------------------------

@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v9-12bit"
+    fp = _fc.source_fingerprint(src) + ":v10-arith"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -61,6 +61,7 @@ def _materialize_media(sf_dir: str) -> str:
     from journal_batch_processer_spark.operators.jpeg import (
         encode_jpeg_solid_gray,
         encode_jpeg_solid_gray12,
+        encode_jpeg_solid_gray_arith,
         encode_jpeg_solid_gray_progressive,
     )
     from journal_batch_processer_spark.operators.gif import (
@@ -138,6 +139,12 @@ def _materialize_media(sf_dir: str) -> str:
             # branch's closed form
             jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
             payload = encode_jpeg_solid_gray12(jw, jh, 16 * jv)
+        elif i % 9 == 5:
+            # ... and another third is ARITHMETIC-coded (SOF9 + DAC,
+            # QM coder — r07, cross-validated against libjpeg): same
+            # dims and gray as the Huffman branch, oracle unchanged
+            jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
+            payload = encode_jpeg_solid_gray_arith(jw, jh, jv)
         else:
             jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
             payload = encode_jpeg_solid_gray(jw, jh, jv)

@@ -397,9 +397,10 @@ def test_jpeg_rejects_unsupported_features_loudly():
     )
 
     base = bytearray(encode_jpeg_solid_gray(8, 8, 100))
-    # flip SOF0 -> SOF9 (extended sequential, arithmetic coding)
+    # flip SOF0 -> SOF10 (progressive-arithmetic — still gated; plain
+    # SOF9 sequential-arithmetic is SUPPORTED since r07)
     i = bytes(base).find(b"\xff\xc0")
-    arith = bytes(base[:i]) + b"\xff\xc9" + bytes(base[i + 2 :])
+    arith = bytes(base[:i]) + b"\xff\xca" + bytes(base[i + 2 :])
     with _pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_baseline(arith)
     # a baseline stream merely RELABELED progressive is malformed (its
