@@ -61,106 +61,72 @@ def _build() -> dict[str, QuerySpec]:
 
     # Verification-priority order: the driver sweeps the registry
     # serially under a budget (~50 entries/round), so emit the
-    # least-trusted queries FIRST. For round 6 (VERDICT r05 next-round
-    # #1): (a) embed_quantize — output shape changed this round AND its
-    # r05 driver row was an err, so it goes first for its first-ever
-    # green row; (b) the 40 keys whose most recent driver row predates
-    # the r03 testdata regeneration (r01^/r02^ in the VERDICT coverage
-    # table) — they come BEFORE any r6 additions so the post-regen
-    # verification debt is finally discharged; (c) keys changed or new
-    # in r6 (pipeline oracles re-modeled, JPEG decoder gained 4:2:0,
-    # the GIF frames key); everything driver-green in r03-r05 goes
-    # last. 1 + 40 + 4 ≈ 45 fits the ~50-key budget with margin.
+    # least-trusted queries FIRST. Round 7: the 40-key pre-regen debt
+    # was fully discharged in r06 (CORRECTNESS_r06 = 50/50 green), so
+    # the head is (a) the six NEW r07 keys, (b) keys whose behavior or
+    # fixtures CHANGED in r07 (the JPEG media mix gained 12-bit +
+    # arithmetic + progressive-restart files; every dedup operator now
+    # routes persists through the cache scope — plans unchanged,
+    # re-swept as insurance), then (c) a rotation of the keys with the
+    # OLDEST driver rows (r03 tier first, then the r04 tier) so rows
+    # keep cycling fresh across rounds.
     priority = [
-        # changed in r06 + r05 driver err — first green row needed
-        "embed_quantize",
-        # last driver row r01 — reference surface
-        "desc_extract",
-        "nomatch_count",
-        "row_count",
-        "project_columns",
-        "numeric_guard",
-        "strip_guard_quote",
-        "ensure_columns",
-        "dependent_columns",
-        "fill_blank_default",
-        "overwrite_constant",
-        "code_lookup",
-        "code_validate",
-        "dim_join_broadcast",
-        "enrich_fetch",
-        "rest_fetch_source",
-        "field_merge",
-        "error_route",
-        "flag_missing_barcode",
-        "flag_i_barcode",
-        "notes_append",
-        "month_normalize",
-        "natural_sort",
-        "year_impute",
-        "year_impute_window",
-        # last driver row r01 — relational families
-        "group_agg",
-        "agg_rollup",
-        "agg_cube",
-        "distinct_count",
-        "join_semi",
-        "join_anti",
-        "join_range",
-        "join_colocated",
-        "agg_salted",
-        "agg_grouping_sets",
-        "scalar_functions",
-        "dedup_exact",
-        "dedup_exact_hash",
+        # NEW in r07
+        "dedup_containment_prefix",  # asymmetric prefix containment
+        "text_bm25",                 # Okapi BM25 retrieval scoring
+        "embed_gramian",             # distributed int8 gramian
+        "graph_labelprop",           # deterministic LPA communities
+        "sim_search_ivfpq",          # IVF cells + PQ-ADC + re-rank
+        # fixtures changed in r07 (12-bit SOF1 + arithmetic SOF9 +
+        # progressive-with-restart JPEGs in the media mix)
+        "media_image_decode_jpeg",
+        "media_frames_decode",  # GIF LZW table freeze (ADVICE r06)
+        # cache-scope change touched every dedup/persist path
         "dedup_ngram",
         "dedup_ngram_prefix",
-        # last driver row r01 (keyed rest_push_sink; the r03 green row
-        # ran under the push_partition alias)
-        "rest_push_sink",
-        # changed in r06: chron oracle re-modeled (algorithm, not
-        # generator truth); JPEG decoder gained 4:2:0 + mixed fixtures
-        "pipeline_chain",
-        "pipeline_chain_strict",
-        "media_image_decode_jpeg",
-        # NEW in r06: stdlib GIF container decode, one row per frame;
-        # containment (doc-in-doc) dedup; temperature (α=0.5) sampling
-        "media_frames_decode",
+        "dedup_ngram_capped",
         "dedup_containment",
-        "sample_temperature",
-        "python_udtf",
-        # changed in r06: cluster count scales with corpus size
-        # (identical output at the driver's sf0.01 where k stays 16 —
-        # re-swept as cheap insurance; fills the ~50 budget exactly)
-        "embed_kmeans",
-        "dedup_semantic",
-        # driver-green r02 but pre-regen — re-verified in SWEEP_r05 at
-        # sf0.01 AND sf0.1; next tier after the r01 block
+        "dedup_minhash",
         "dedup_near",
-        "dedup_simhash",
-        "dedup_embed",
-        "dedup_cluster",
-        "sim_search",
-        "text_tokens",
-        "text_quality",
-        "text_langid",
-        "text_fingerprint",
-        "text_analysis",
-        "text_tokens_bpe",
-        "text_pii_scrub",
-        "quality_filter",
-        "hash_split",
-        "sample_stable",
-        "multimodal_cols",
-        "multimodal_resize",
-        "multimodal_frames",
-        # last driver row r03
+        "dedup_incremental",
+        # oldest driver rows (r03 tier) — rotation
         "csv_scan",
+        "csv_sink",
         "xml_serialize",
         "xml_parse",
         "pipeline_update",
         "push_partition",
+        "pipeline_chain",
+        "pipeline_chain_strict",
         "runtime_metric",
+        # r04 tier rotation (window + streaming + scalar families)
+        "window_rank",
+        "window_lead_lag",
+        "window_running",
+        "window_range_frame",
+        "window_ntile",
+        "window_tumble",
+        "window_slide",
+        "agg_pivot",
+        "agg_unpivot",
+        "approx_distinct",
+        "approx_quantile",
+        "agg_salted_skewed",
+        "join_asof",
+        "join_full",
+        "join_skew_hot",
+        "stream_tumble",
+        "stream_slide",
+        "stream_join",
+        "stream_dedup",
+        "stream_dedup_watermarked",
+        "stream_session",
+        "dedup_editdist",
+        "text_repetition",
+        "corpus_pipeline",
+        "decontaminate",
+        "sample_stratified",
+        # r05/r06 tiers follow in registry order after this list
     ]
     ordered = {name: registry[name] for name in priority if name in registry}
     ordered.update({n: s for n, s in registry.items() if n not in ordered})

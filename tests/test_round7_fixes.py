@@ -575,3 +575,39 @@ def test_jpeg_baseline_sof0_rejects_12bit():
     data[i + 1] = 0xC0  # rewrite SOF1 -> SOF0, precision still 12
     with _pytest.raises(ValueError, match="SOF0"):
         decode_jpeg_baseline(bytes(data))
+
+
+# ------------------------------------------- plan shapes for r07 keys
+
+
+def test_r07_new_keys_plan_shapes(spark):
+    """Scale-critical plan pins for the round-7 keys: no cartesian
+    products anywhere; BM25's term join broadcasts; the gramian's
+    shuffle moves only d(d+1)/2-cell partials (one exchange)."""
+    from journal_batch_processer_spark.plans import plan_stats
+    from journal_batch_processer_spark.queries.llmops import (
+        q_dedup_containment_prefix,
+        q_text_bm25,
+    )
+    from journal_batch_processer_spark.queries.trainprep import (
+        q_embed_gramian,
+        q_graph_labelprop,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    bm25 = plan_stats(q_text_bm25(spark, sf))
+    assert bm25.cartesian == 0, bm25.plan
+    # query terms, df, scalars: all broadcast onto the token stream
+    assert bm25.broadcast_hash_joins >= 2, bm25.plan
+
+    gram = plan_stats(q_embed_gramian(spark, sf))
+    assert gram.cartesian == 0 and gram.nested_loop_joins == 0, gram.plan
+    # partial gramians -> ONE exchange on (i, j) + AQE read
+    assert gram.shuffles <= 2, gram.plan
+
+    cont = plan_stats(q_dedup_containment_prefix(spark, sf))
+    assert cont.cartesian == 0, cont.plan
+
+    lpa = plan_stats(q_graph_labelprop(spark, sf))
+    assert lpa.cartesian == 0, lpa.plan
