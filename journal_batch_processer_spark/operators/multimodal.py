@@ -157,87 +157,25 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png_bytes(data: bytes) -> dict:
-    """REAL compressed-image decode: PNG parsed from raw bytes with the
-    STDLIB ONLY (zlib inflate + per-row filter reversal) — closes the
-    r04 verdict's "no code path exercises a compressed format" gap
-    without the absent imaging libs. Supports the common web shape:
-    8-bit RGB/RGBA/grayscale, non-interlaced; CRCs are verified and
-    every malformed structure fails loudly (a decode stage must route
-    corrupt payloads to an error side, never fabricate features).
-
-    Filter reversal implements all five PNG filter types (None, Sub,
-    Up, Average, Paeth). Up is vectorized with numpy; Sub/Average/
-    Paeth are inherently sequential per scanline (each byte depends on
-    the reconstructed left neighbor), so they run as a per-row byte
-    loop — correct first; at production scale this body swaps for
-    PIL/libpng behind the same Decoder interface while the Spark plan
-    (binaryFile scan → Arrow mapInPandas) is unchanged.
-
-    Reference: BatchUpdate.py has no media surface (EXT per SURVEY §2i).
-    """
-    import struct
-    import zlib
-
+def _png_unfilter(raw, offset, height, stride, bpp):
+    """Reverse PNG scanline filters over one raster (the whole image,
+    or ONE Adam7 pass — each pass filters against its own rows only).
+    Returns (rows ndarray [height, stride], bytes consumed)."""
     import numpy as np
 
-    sig = b"\x89PNG\r\n\x1a\n"
-    if not data.startswith(sig):
-        raise ValueError("not a PNG payload (bad signature)")
-    pos = len(sig)
-    ihdr = None
-    idat = bytearray()
-    seen_iend = False
-    while pos < len(data):
-        if pos + 8 > len(data):
-            raise ValueError("truncated PNG chunk header")
-        (length,) = struct.unpack(">I", data[pos:pos + 4])
-        ctype = data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        if len(body) < length:
-            raise ValueError(f"truncated PNG chunk {ctype!r}")
-        (crc,) = struct.unpack(
-            ">I", data[pos + 8 + length:pos + 12 + length]
-        )
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            seen_iend = True
-            break
-        pos += 12 + length
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    if not seen_iend:
-        raise ValueError("PNG missing IEND")
-    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
-    if bit_depth != 8:
-        raise ValueError(f"only 8-bit PNG supported, bit_depth={bit_depth}")
-    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {color_type}")
-    if comp != 0 or filt != 0:
-        raise ValueError("non-standard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
-
-    raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    need = height * (stride + 1)
+    if len(raw) - offset < need:
         raise ValueError(
-            f"PNG raster size mismatch: got {len(raw)}, "
-            f"expected {h * (stride + 1)}"
+            f"PNG raster size mismatch: have {len(raw) - offset}, "
+            f"need {need}"
         )
-    bpp = channels
-    out = np.empty((h, stride), dtype=np.uint8)
+    out = np.empty((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
+    for y in range(height):
+        ftype = raw[offset + y * (stride + 1)]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride,
+            offset=offset + y * (stride + 1) + 1,
         )
         if ftype == 0:  # None
             rec = line.copy()
@@ -261,15 +199,194 @@ def decode_png_bytes(data: bytes) -> dict:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = rec
         prior = rec
-    px = out.reshape(h, w, channels).astype(np.float64)
-    if channels == 1:
+    return out, need
+
+
+def _png_unpack_bits(row_bytes, width, bit_depth):
+    """Unpack a sub-byte-depth scanline (1/2/4 bpp, MSB first) into
+    one value per pixel."""
+    vals = []
+    per_byte = 8 // bit_depth
+    mask = (1 << bit_depth) - 1
+    for b in row_bytes:
+        for k in range(per_byte - 1, -1, -1):
+            vals.append((int(b) >> (k * bit_depth)) & mask)
+            if len(vals) == width:
+                return vals
+    if len(vals) < width:
+        raise ValueError("PNG scanline too short for width")
+    return vals
+
+
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def decode_png_bytes(data: bytes) -> dict:
+    """REAL compressed-image decode: PNG parsed from raw bytes with the
+    STDLIB ONLY (zlib inflate + per-row filter reversal) — closes the
+    r04 verdict's "no code path exercises a compressed format" gap
+    without the absent imaging libs. Supports the common web shapes:
+    8-bit RGB/RGBA/grayscale, PALETTE images (color type 3, PLTE
+    lookup, bit depths 1/2/4/8 — the icon/sprite/chart shape), sub-byte
+    grayscale, and ADAM7 INTERLACING (each pass unfiltered against its
+    own rows, then de-interleaved — r07; cross-validated against
+    libpng-written interlaced files in tests/test_png_crossval.py).
+    CRCs are verified and every malformed structure fails loudly (a
+    decode stage must route corrupt payloads to an error side, never
+    fabricate features). Remaining gated: 16-bit depth, tRNS on
+    palette images.
+
+    Filter reversal implements all five PNG filter types (None, Sub,
+    Up, Average, Paeth). Up is vectorized with numpy; Sub/Average/
+    Paeth are inherently sequential per scanline (each byte depends on
+    the reconstructed left neighbor), so they run as a per-row byte
+    loop — correct first; at production scale this body swaps for
+    PIL/libpng behind the same Decoder interface while the Spark plan
+    (binaryFile scan → Arrow mapInPandas) is unchanged.
+
+    Reference: BatchUpdate.py has no media surface (EXT per SURVEY §2i).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if not data.startswith(sig):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(sig)
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    seen_iend = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length:pos + 12 + length]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = [
+                (body[i], body[i + 1], body[i + 2])
+                for i in range(0, length, 3)
+            ]
+        elif ctype == b"tRNS":
+            raise ValueError("PNG tRNS transparency not supported")
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not seen_iend:
+        raise ValueError("PNG missing IEND")
+    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("non-standard PNG compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    channels_by_type = {0: 1, 2: 3, 3: 1, 6: 4}
+    channels = channels_by_type.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if color_type in (2, 6) and bit_depth != 8:
+        raise ValueError(
+            f"only 8-bit RGB/RGBA PNG supported, bit_depth={bit_depth}"
+        )
+    if color_type in (0, 3) and bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+
+    raw = zlib.decompress(bytes(idat))
+
+    def row_stride(width):
+        return -(-width * channels * bit_depth // 8)
+
+    bpp = max(1, channels * bit_depth // 8)
+
+    def rows_to_pixels(rows, width):
+        """[n, stride] filtered-byte rows → [n, width] pixel values
+        (per-channel interleaved for 8-bit multi-channel)."""
+        if bit_depth == 8:
+            return rows[:, : width * channels]
+        out = np.empty((rows.shape[0], width), dtype=np.uint8)
+        for i in range(rows.shape[0]):
+            out[i] = _png_unpack_bits(rows[i].tolist(), width, bit_depth)
+        return out
+
+    if interlace == 0:
+        rows, used = _png_unfilter(raw, 0, h, row_stride(w), bpp)
+        if used != len(raw):
+            raise ValueError("PNG raster size mismatch: trailing data")
+        img = rows_to_pixels(rows, w)
+        if bit_depth == 8 and channels > 1:
+            img = img.reshape(h, w, channels)
+    else:
+        # Adam7: 7 sub-rasters, each filtered independently
+        n_vals = w if bit_depth < 8 or channels == 1 else w * channels
+        img = np.zeros(
+            (h, w, channels) if (bit_depth == 8 and channels > 1) else (h, w),
+            dtype=np.uint8,
+        )
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, used = _png_unfilter(raw, off, ph, row_stride(pw), bpp)
+            off += used
+            pix = rows_to_pixels(rows, pw)
+            if bit_depth == 8 and channels > 1:
+                pix = pix.reshape(ph, pw, channels)
+                img[y0::dy, x0::dx, :] = pix
+            else:
+                img[y0::dy, x0::dx] = pix
+        if off != len(raw):
+            raise ValueError("PNG raster size mismatch: trailing data")
+
+    if color_type == 3:
+        pal = np.array(plte, dtype=np.uint8)
+        if int(img.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        px = pal[img].astype(np.float64)  # [h, w, 3]
+        channels_out = 3
+    elif bit_depth < 8:  # sub-byte grayscale: scale to 0..255
+        scale = 255 // ((1 << bit_depth) - 1)
+        px = (img.astype(np.float64)) * scale
+        channels_out = 1
+    elif channels == 1:
+        px = img.astype(np.float64)
+        channels_out = 1
+    else:
+        px = img.astype(np.float64)
+        channels_out = channels
+    if channels_out == 1:
         means = [float(px.mean())] * 3
     else:
         means = [float(px[:, :, c].mean()) for c in range(3)]
     return {
         "width": int(w),
         "height": int(h),
-        "channels": int(channels),
+        "channels": int(channels_out),
         "mean_r": means[0],
         "mean_g": means[1],
         "mean_b": means[2],
@@ -281,12 +398,21 @@ def encode_png_bytes(
     h: int,
     rgb_rows: "list[list[tuple[int, int, int]]]",
     filter_for_row=None,
+    palette: bool = False,
+    interlace: bool = False,
 ) -> bytes:
     """Minimal PNG ENCODER (stdlib only) — the fixture/test generator
     for decode_png_bytes. ``filter_for_row(y) -> 0..4`` chooses the
     filter byte per scanline, so fixtures can force every filter-
     reversal path over known pixel data (a solid image encoded with
-    Sub/Up/Average/Paeth must still decode to the solid color)."""
+    Sub/Up/Average/Paeth must still decode to the solid color).
+
+    ``palette`` emits a color type 3 image (PLTE built from the
+    distinct colors, ≤256); ``interlace`` emits Adam7 (each pass an
+    independently filtered sub-raster, r07). Both are also covered by
+    libpng-written files in tests/test_png_crossval.py — this encoder
+    exists so the MEDIA FIXTURES can carry the shapes in environments
+    without the C toolchain."""
     import struct
     import zlib
 
@@ -298,50 +424,105 @@ def encode_png_bytes(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    bpp = 3
-    stride = w * bpp
-    raster = bytearray()
-    prior = bytes(stride)
-    for y in range(h):
-        raw = bytes(v for px in rgb_rows[y] for v in px)
-        f = filter_for_row(y) if filter_for_row else 0
-        if f == 0:
-            enc = raw
-        elif f == 1:
-            enc = bytes(
-                (raw[x] - (raw[x - bpp] if x >= bpp else 0)) & 0xFF
-                for x in range(stride)
-            )
-        elif f == 2:
-            enc = bytes((raw[x] - prior[x]) & 0xFF for x in range(stride))
-        elif f == 3:
-            enc = bytes(
-                (raw[x] - (((raw[x - bpp] if x >= bpp else 0) + prior[x]) >> 1))
-                & 0xFF
-                for x in range(stride)
-            )
-        elif f == 4:
-            enc = bytes(
-                (
-                    raw[x]
-                    - _png_paeth(
-                        raw[x - bpp] if x >= bpp else 0,
-                        prior[x],
-                        prior[x - bpp] if x >= bpp else 0,
-                    )
+    plte = b""
+    if palette:
+        colors = []
+        index = {}
+        for row in rgb_rows:
+            for px in row:
+                if px not in index:
+                    index[px] = len(colors)
+                    colors.append(px)
+        if len(colors) > 256:
+            raise ValueError("palette encoder: more than 256 colors")
+        plte = b"".join(bytes(c) for c in colors)
+        byte_rows = [bytes(index[px] for px in row) for row in rgb_rows]
+        bpp = 1
+        color_type = 3
+    else:
+        byte_rows = [
+            bytes(v for px in row for v in px) for row in rgb_rows
+        ]
+        bpp = 3
+        color_type = 2
+
+    def filt(rows, ys):
+        """Filter the scanlines at indices ``ys`` as one raster (prior
+        resets at the raster start — each Adam7 pass filters against
+        its own rows only)."""
+        out = bytearray()
+        prior = bytes(len(rows[ys[0]])) if ys else b""
+        for y in ys:
+            raw = rows[y]
+            stride = len(raw)
+            f = filter_for_row(y) if filter_for_row else 0
+            if f == 0:
+                enc = raw
+            elif f == 1:
+                enc = bytes(
+                    (raw[x] - (raw[x - bpp] if x >= bpp else 0)) & 0xFF
+                    for x in range(stride)
                 )
-                & 0xFF
-                for x in range(stride)
-            )
-        else:
-            raise ValueError(f"bad filter {f}")
-        raster.append(f)
-        raster.extend(enc)
-        prior = raw
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            elif f == 2:
+                enc = bytes(
+                    (raw[x] - prior[x]) & 0xFF for x in range(stride)
+                )
+            elif f == 3:
+                enc = bytes(
+                    (
+                        raw[x]
+                        - (
+                            ((raw[x - bpp] if x >= bpp else 0) + prior[x])
+                            >> 1
+                        )
+                    )
+                    & 0xFF
+                    for x in range(stride)
+                )
+            elif f == 4:
+                enc = bytes(
+                    (
+                        raw[x]
+                        - _png_paeth(
+                            raw[x - bpp] if x >= bpp else 0,
+                            prior[x],
+                            prior[x - bpp] if x >= bpp else 0,
+                        )
+                    )
+                    & 0xFF
+                    for x in range(stride)
+                )
+            else:
+                raise ValueError(f"bad filter {f}")
+            out.append(f)
+            out.extend(enc)
+            prior = raw
+        return out
+
+    raster = bytearray()
+    if not interlace:
+        raster = filt(byte_rows, list(range(h)))
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pass_rows = [
+                bytes(
+                    b
+                    for x in range(x0, w, dx)
+                    for b in byte_rows[y][x * bpp : x * bpp + bpp]
+                )
+                for y in range(y0, h, dy)
+            ]
+            raster.extend(filt(pass_rows, list(range(ph))))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette:
+        out += chunk(b"PLTE", plte)
     return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
+        out
         + chunk(b"IDAT", zlib.compress(bytes(raster), 6))
         + chunk(b"IEND", b"")
     )

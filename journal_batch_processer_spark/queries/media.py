@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v10-arith"
+    fp = _fc.source_fingerprint(src) + ":v11-png-pal-adam7"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -98,9 +98,16 @@ def _materialize_media(sf_dir: str) -> str:
         pr, pg, pb = (11 * i) % 256, (17 * i) % 256, (23 * i) % 256
         rows = [[(pr, pg, pb)] * pw for _ in range(ph)]
         with open(os.path.join(d, f"img_{i:05d}.png"), "wb") as f:
+            # the PNG mix also rotates through PALETTE (color type 3)
+            # and ADAM7 interlace (r07) — solid colors keep every
+            # oracle mean unchanged while the decoder must run the
+            # PLTE lookup / 7-pass de-interleave paths on real files
             f.write(
                 encode_png_bytes(
-                    pw, ph, rows, filter_for_row=lambda y, i=i: (i + y) % 5
+                    pw, ph, rows,
+                    filter_for_row=lambda y, i=i: (i + y) % 5,
+                    palette=i % 4 == 1,
+                    interlace=i % 4 >= 2,
                 )
             )
         # solid EVEN-gray JPEG: the DC coefficient divides the standard
