@@ -16,12 +16,18 @@ Scope — honest and loud:
   quantizers, 2048 level shift, 0..4095 clamp — the DICOM/film-scan
   shape, r07) and ARITHMETIC entropy coding (SOF9 extended
   sequential: the T.81 Annex D QM coder with the Table D.3 adaptive
-  state machine and the F.2.4 DC/AC decision trees — cross-validated
-  coefficient-exact against the system libjpeg in both directions,
-  operators/jpeg_arith.py, r07). Anything else raises
-  NotImplementedError/ValueError naming the feature:
-  lossless/differential SOFs, progressive-arithmetic (SOF10), 12-bit
-  progressive, fractional sampling ratios, DNL.
+  state machine and the F.2.4 DC/AC decision trees, r07) and
+  PROGRESSIVE-arithmetic (SOF10: the G.2 arithmetic variants — DC
+  first/refine, banded AC first, the AC refinement correction-bit
+  algorithm — with restart support, r07). The QM layer is
+  cross-validated coefficient-exact against the system libjpeg in
+  both directions (operators/jpeg_arith.py,
+  tests/test_jpeg_crossval.py). Every DCT-based T.81 coding mode is
+  therefore covered: SOF0/1/2/9/10, 8- and 12-bit sequential, all
+  with DRI/RSTn. Anything else raises NotImplementedError/ValueError
+  naming the feature: lossless/differential SOFs (a different
+  algorithm family), 12-bit progressive, fractional sampling ratios,
+  DNL.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -656,12 +662,12 @@ def _decode_jpeg_planes(data: bytes):
                 comps.append((cid, tq, hi, vi))
             frame = (w, h, comps, prec)
             arith = marker == 0xC9
-        elif marker == 0xC2:  # SOF2 progressive — separate decode path
+        elif marker in (0xC2, 0xCA):  # SOF2/SOF10 progressive
             return _decode_jpeg_progressive(data)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError(
-                f"jpeg: SOF{marker - 0xC0} (lossless/differential/"
-                "progressive-arithmetic) unsupported"
+                f"jpeg: SOF{marker - 0xC0} (lossless/differential) "
+                "unsupported"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
             p = 0
@@ -922,6 +928,9 @@ def _decode_jpeg_progressive(data: bytes):
     coefs = None  # per comp: list[blocks][64] QUANTIZED, natural order
     geom = None  # (hmax, vmax, mcux, mcuy, per-comp dims)
     restart_interval = 0  # DRI state; applies to subsequent scans
+    arith = False  # SOF10: QM-coded scans (T.81 G.2 arithmetic)
+    arith_dc_cond: dict[int, tuple[int, int]] = {}
+    arith_ac_cond: dict[int, int] = {}
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -959,7 +968,8 @@ def _decode_jpeg_progressive(data: bytes):
                     bits, vals
                 )
                 p += 17 + n
-        elif marker == 0xC2:  # SOF2
+        elif marker in (0xC2, 0xCA):  # SOF2 Huffman / SOF10 arithmetic
+            arith = marker == 0xCA
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
@@ -994,10 +1004,20 @@ def _decode_jpeg_progressive(data: bytes):
             ]
             frame = (w, h, comps)
             geom = (hmax, vmax, mcux, mcuy, dims)
-        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9):
             raise ValueError("jpeg: mixed/unsupported SOF in progressive file")
         elif marker == 0xDD:  # DRI — applies to the scans that follow
             restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xCC:  # DAC — arithmetic conditioning per scan
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                if tc == 0:
+                    arith_dc_cond[tb] = (cs & 0xF, cs >> 4)  # (L, U)
+                else:
+                    arith_ac_cond[tb] = cs  # Kx
+                p += 2
         elif marker == 0xDA:  # SOS — decode this scan now
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF2")
@@ -1012,11 +1032,18 @@ def _decode_jpeg_progressive(data: bytes):
             end = _entropy_end(
                 data, entropy_start, skip_restarts=restart_interval > 0
             )
-            br = _BitReader(data[entropy_start:end])
-            _decode_progressive_scan(
-                br, frame, geom, coefs, dc_tables, ac_tables,
-                scan_comps, ss, se, ah, al, restart_interval,
-            )
+            if arith:
+                _decode_progressive_scan_arith(
+                    data, entropy_start, frame, geom, coefs,
+                    scan_comps, ss, se, ah, al, restart_interval,
+                    arith_dc_cond, arith_ac_cond,
+                )
+            else:
+                br = _BitReader(data[entropy_start:end])
+                _decode_progressive_scan(
+                    br, frame, geom, coefs, dc_tables, ac_tables,
+                    scan_comps, ss, se, ah, al, restart_interval,
+                )
             pos = end
             continue
         pos += seglen
@@ -1039,6 +1066,135 @@ def _decode_jpeg_progressive(data: bytes):
                 row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
         planes.append(plane)
     return w, h, comps, planes, 8
+
+
+def _decode_progressive_scan_arith(
+    data, entropy_start, frame, geom, coefs, scan_comps, ss, se, ah, al,
+    restart_interval, dc_cond, ac_cond,
+):
+    """One SOF10 scan (T.81 G.2 arithmetic progressive): the same scan
+    geometry as the Huffman progressive path with QM-coded decisions —
+    DC first/refine, AC first with band bounds, the AC refinement
+    correction-bit algorithm (operators/jpeg_arith.py). Statistics,
+    predictors, and the coder reset at scan start and at every restart
+    marker (F.2.2.5)."""
+    from journal_batch_processer_spark.operators.jpeg_arith import (
+        AC_STAT_SLOTS,
+        DC_STAT_SLOTS,
+        FIXED_BIN,
+        ArithDecoder,
+        Stats,
+        decode_ac_first,
+        decode_ac_refine,
+        decode_dc_diff,
+        decode_dc_refine,
+    )
+
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy, dims = geom
+    frame_by_id = {cid: i for i, (cid, _t, _h, _v) in enumerate(comps)}
+    for cid, _d, _a in scan_comps:
+        if cid not in frame_by_id:
+            raise ValueError(f"jpeg: scan component id {cid} not in frame")
+    if not (0 <= al <= 13 and (ah == 0 or ah == al + 1)):
+        raise ValueError(f"jpeg: bad successive approximation Ah={ah} Al={al}")
+
+    fixed = Stats(1)
+    fixed.idx[0] = FIXED_BIN
+
+    def fresh():
+        dec = ArithDecoder(data, entropy_start if rst_state["n"] == 0 and
+                           rst_state["pos"] is None else rst_state["pos"])
+        dc_stats = {dct: Stats(DC_STAT_SLOTS) for _c, dct, _a in scan_comps}
+        ac_stats = {act: Stats(AC_STAT_SLOTS) for _c, _d, act in scan_comps}
+        return dec, dc_stats, ac_stats
+
+    rst_state = {"n": 0, "pos": None}
+    dec, dc_stats, ac_stats = fresh()
+    dc_ctx = {cid: 0 for cid, _d, _a in scan_comps}
+    last_dc = {cid: 0 for cid, _d, _a in scan_comps}
+
+    def maybe_restart(unit_idx: int) -> None:
+        nonlocal dec, dc_stats, ac_stats
+        if not (restart_interval and unit_idx
+                and unit_idx % restart_interval == 0):
+            return
+        mp = dec.marker_pos
+        if mp is None or data[mp + 1] != 0xD0 + rst_state["n"]:
+            raise ValueError(
+                f"jpeg: expected restart marker RST{rst_state['n']}"
+            )
+        rst_state["pos"] = mp + 2
+        rst_state["n"] = (rst_state["n"] + 1) & 7
+        dec, dc_stats, ac_stats = fresh()
+        for cid in dc_ctx:
+            dc_ctx[cid] = 0
+            last_dc[cid] = 0
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+
+        def dc_block(cid, dct, cq):
+            if ah == 0:  # first pass
+                ll, uu = dc_cond.get(dct, (0, 1))
+                diff, dc_ctx[cid] = decode_dc_diff(
+                    dec, dc_stats[dct], dc_ctx[cid], ll, uu
+                )
+                last_dc[cid] += diff
+                cq[0] = last_dc[cid] << al
+            else:  # refinement: one fixed-bin bit per block
+                decode_dc_refine(dec, fixed, cq, al)
+
+        if len(scan_comps) > 1:  # interleaved MCU order
+            mcu_n = 0
+            for mcu_y in range(mcuy):
+                for mcu_x in range(mcux):
+                    maybe_restart(mcu_n)
+                    mcu_n += 1
+                    for cid, dct, _act in scan_comps:
+                        ci = frame_by_id[cid]
+                        _c, _t, hi, vi = comps[ci]
+                        bw = dims[ci][0]
+                        for bv in range(vi):
+                            for bh_ in range(hi):
+                                bidx = (mcu_y * vi + bv) * bw + mcu_x * hi + bh_
+                                dc_block(cid, dct, coefs[ci][bidx])
+        else:
+            cid, dct, _act = scan_comps[0]
+            ci = frame_by_id[cid]
+            bw, _bh, cw, ch = dims[ci]
+            unit = 0
+            for by in range(ch):
+                for bx in range(cw):
+                    maybe_restart(unit)
+                    unit += 1
+                    dc_block(cid, dct, coefs[ci][by * bw + bx])
+        return
+
+    # AC scan: single component, non-interleaved
+    if len(scan_comps) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    if not 1 <= ss <= se <= 63:
+        raise ValueError(f"jpeg: bad spectral range {ss}..{se}")
+    cid, _dct, act = scan_comps[0]
+    ci = frame_by_id[cid]
+    bw, _bh, cw, ch = dims[ci]
+    kx = ac_cond.get(act, 5)
+    unit = 0
+    for by in range(ch):
+        for bx in range(cw):
+            maybe_restart(unit)
+            unit += 1
+            cq = coefs[ci][by * bw + bx]
+            if ah == 0:
+                decode_ac_first(
+                    dec, ac_stats[act], fixed, kx, cq, ZIGZAG, ss, se, al
+                )
+            else:
+                decode_ac_refine(
+                    dec, ac_stats[act], fixed, cq, ZIGZAG, ss, se, al
+                )
 
 
 def _decode_progressive_scan(

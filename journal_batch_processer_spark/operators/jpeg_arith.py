@@ -449,3 +449,92 @@ def encode_ac_coefs(enc, stats: Stats, kx: int, zz: list[int]):
         k += 1
     if ke < 63:
         enc.encode(stats, 3 * (k - 1), 1)  # EOB
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF10) decision trees — T.81 G.2 arithmetic variants
+# ---------------------------------------------------------------------------
+
+
+def decode_ac_first(dec, stats: Stats, fixed: Stats, kx: int, coefq,
+                    zigzag, ss: int, se: int, al: int) -> None:
+    """First AC pass of a band (G.2: spectral selection + point
+    transform): same decision tree as the sequential AC decode, band-
+    bounded, storing (v << Al) QUANTIZED into ``coefq`` (natural
+    order) — dequantization happens once at EOI."""
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):  # EOB
+            break
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("jpeg: arithmetic AC index overrun")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(stats, st)
+        if m != 0:
+            if dec.decode(stats, st):
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "jpeg: arithmetic AC magnitude overflow"
+                        )
+                    st += 1
+        v = m
+        st += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(stats, st):
+                v |= m
+        v += 1
+        if sign:
+            v = -v
+        coefq[zigzag[k]] = v << al
+        k += 1
+
+
+def decode_dc_refine(dec, fixed: Stats, coefq, al: int) -> None:
+    """DC refinement pass: ONE fixed-bin decision per block — the next
+    two's-complement bit of the DC value (G.2.2)."""
+    if dec.decode(fixed, 0):
+        coefq[0] |= 1 << al
+
+
+def decode_ac_refine(dec, stats: Stats, fixed: Stats, coefq, zigzag,
+                     ss: int, se: int, al: int) -> None:
+    """AC refinement pass (G.2.3, the jdarith decode_mcu_AC_refine
+    shape): correction bits for previously-nonzero coefficients,
+    newly-nonzero insertions via the fixed sign bin, EOB flag decided
+    only beyond the previous stage's end-of-block index."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    kex = se
+    while kex > 0 and coefq[zigzag[kex]] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(stats, st):  # EOB
+                break
+        while True:
+            nat = zigzag[k]
+            c = coefq[nat]
+            if c != 0:  # history: correction bit
+                if dec.decode(stats, st + 2):
+                    coefq[nat] = c + (m1 if c < 0 else p1)
+                break
+            if dec.decode(stats, st + 1):  # newly nonzero
+                coefq[nat] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("jpeg: arithmetic AC refine overrun")
+        k += 1

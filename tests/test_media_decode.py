@@ -397,12 +397,12 @@ def test_jpeg_rejects_unsupported_features_loudly():
     )
 
     base = bytearray(encode_jpeg_solid_gray(8, 8, 100))
-    # flip SOF0 -> SOF10 (progressive-arithmetic — still gated; plain
-    # SOF9 sequential-arithmetic is SUPPORTED since r07)
+    # flip SOF0 -> SOF3 (lossless — a different algorithm family,
+    # gated; every DCT mode SOF0/1/2/9/10 is SUPPORTED as of r07)
     i = bytes(base).find(b"\xff\xc0")
-    arith = bytes(base[:i]) + b"\xff\xca" + bytes(base[i + 2 :])
-    with _pytest.raises(NotImplementedError, match="arithmetic"):
-        decode_jpeg_baseline(arith)
+    lossless = bytes(base[:i]) + b"\xff\xc3" + bytes(base[i + 2 :])
+    with _pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg_baseline(lossless)
     # a baseline stream merely RELABELED progressive is malformed (its
     # single interleaved scan claims Ss=0 Se=63 — an illegal DC band):
     # the progressive path rejects it rather than mis-decoding

@@ -110,6 +110,7 @@ static int do_encode(int w, int h, int gray, int arith, const char *path) {
 /* Deterministic LCG noise image: exercises every entropy path with a
  * non-trivial coefficient distribution. */
 static int do_encode_noise(int w, int h, unsigned seed, int arith,
+                           int progressive, int restart,
                            const char *path) {
   FILE *f = fopen(path, "wb");
   if (!f) { fprintf(stderr, "open failed\n"); return 2; }
@@ -139,6 +140,9 @@ static int do_encode_noise(int w, int h, unsigned seed, int arith,
 #else
   if (arith) { fprintf(stderr, "no arith support\n"); return 4; }
 #endif
+  if (progressive)
+    jpeg_simple_progression(&cinfo);
+  cinfo.restart_interval = restart;
   jpeg_start_compress(&cinfo, TRUE);
   JSAMPLE *row = malloc((size_t)w * 3);
   JSAMPROW rp[1] = {row};
@@ -212,7 +216,10 @@ int main(int argc, char **argv) {
                      atoi(argv[5]), argv[6]);
   if (argc >= 7 && !strcmp(argv[1], "encode_noise"))
     return do_encode_noise(atoi(argv[2]), atoi(argv[3]),
-                           (unsigned)atoi(argv[4]), atoi(argv[5]), argv[6]);
+                           (unsigned)atoi(argv[4]), atoi(argv[5]),
+                           argc >= 8 ? atoi(argv[6]) : 0,
+                           argc >= 9 ? atoi(argv[7]) : 0,
+                           argv[argc - 1]);
   fprintf(stderr,
           "usage: jpegcheck decode|coef <in.jpg>\n"
           "       jpegcheck encode <w> <h> <gray> <arith> <out.jpg>\n"
