@@ -81,6 +81,118 @@ SELECT COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key FROM linei
 
 
 # ---------------------------------------------------------------------------
+# Avro edge (pure-Python DataSource — sources/avro.py)
+# ---------------------------------------------------------------------------
+
+_AVRO_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ensure_avro(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize an orders subset as a TWO-PART deflate Avro
+    container dir once per sf_dir (fingerprint-keyed like the CSV
+    fixture). ``o_priority`` is written through a genuinely-null union
+    branch for every 7th order so the scan exercises both union
+    paths."""
+    import duckdb
+
+    from journal_batch_processer_spark.fixture_cache import source_fingerprint
+    from journal_batch_processer_spark.sources.avro import write_container
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = (sf_dir, source_fingerprint(src))
+    if key in _AVRO_CACHE and os.path.exists(_AVRO_CACHE[key]):
+        return _AVRO_CACHE[key]
+    out_dir = tempfile.mkdtemp(prefix="jbp_avro_")
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, "
+        f"CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE t.o_orderpriority END AS o_priority "
+        f"FROM read_parquet('{src}') t ORDER BY o_orderkey"
+    ).fetchall()
+    schema = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_custkey", "type": "long"},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_priority", "type": ["null", "string"]},
+        ],
+    }
+    names = [f["name"] for f in schema["fields"]]
+    half = len(rows) // 2
+    for pi, chunk in enumerate((rows[:half], rows[half:])):
+        write_container(
+            os.path.join(out_dir, f"part-{pi}.avro"),
+            schema,
+            (dict(zip(names, r)) for r in chunk),
+            codec="deflate",
+        )
+    _AVRO_CACHE[key] = out_dir
+    return out_dir
+
+
+def _register_avro(spark: SparkSession) -> None:
+    from journal_batch_processer_spark.sources.avro import make_avro_source
+    from journal_batch_processer_spark.sources.python_source import (
+        register_once,
+    )
+
+    register_once(spark, make_avro_source())
+
+
+def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container scan through the pure-Python ``avro_py``
+    DataSource (the spark-avro connector jar is absent from this
+    distribution — NOTES r05/r06; Spark 4's Python DataSource API
+    turns the blocker into a feature). Schema inferred from the
+    container metadata; one input partition per file; deflate codec;
+    nullable-union column exercised. The codec itself is
+    cross-validated against the JAVA Avro reference implementation in
+    tests/test_avro.py (both directions)."""
+    _register_avro(spark)
+    path = _ensure_avro(spark, sf_dir)
+    return spark.read.format("avro_py").load(path)
+
+
+SQL_AVRO_SCAN = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE t.o_orderpriority END AS o_priority
+FROM orders t
+"""
+
+
+def q_avro_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path round-trip: aggregate per status, write through the
+    ``avro_py`` DataSourceWriter (one container per Spark partition
+    under the commit protocol), read back through the scan path."""
+    import shutil
+
+    _register_avro(spark)
+    path = _ensure_avro(spark, sf_dir)
+    agg = (
+        spark.read.format("avro_py")
+        .load(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_custkey").alias("sum_cust"),
+        )
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), "jbp_avro_sink")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    agg.write.format("avro_py").mode("append").option("path", out_dir).save()
+    return spark.read.format("avro_py").load(out_dir)
+
+
+SQL_AVRO_SINK = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # XML edge
 # ---------------------------------------------------------------------------
 
@@ -572,6 +684,8 @@ FROM events GROUP BY 1
 QUERIES = {
     "csv_scan": (q_csv_scan, SQL_CSV_SCAN),
     "csv_sink": (q_csv_sink, SQL_CSV_SINK),
+    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
+    "avro_sink": (q_avro_sink, SQL_AVRO_SINK),
     "xml_serialize": (q_xml_serialize, SQL_XML_SERIALIZE),
     "xml_parse": (q_xml_parse, SQL_XML_PARSE),
     "pipeline_chain": (q_pipeline_chain, SQL_PIPELINE_CHAIN),

@@ -77,6 +77,8 @@ def _build() -> dict[str, QuerySpec]:
         "embed_gramian",             # distributed int8 gramian
         "graph_labelprop",           # deterministic LPA communities
         "sim_search_ivfpq",          # IVF cells + PQ-ADC + re-rank
+        "avro_scan",                 # pure-Python Avro DataSource
+        "avro_sink",
         # fixtures changed in r07 (12-bit SOF1 + arithmetic SOF9 +
         # progressive-with-restart JPEGs in the media mix)
         "media_image_decode_jpeg",
