@@ -75,6 +75,7 @@ def _build() -> dict[str, QuerySpec]:
         "dedup_containment_prefix",  # asymmetric prefix containment
         "text_bm25",                 # Okapi BM25 retrieval scoring
         "embed_gramian",             # distributed int8 gramian
+        "embed_pca_power",           # integer power iteration
         "graph_labelprop",           # deterministic LPA communities
         "sim_search_ivfpq",          # IVF cells + PQ-ADC + re-rank
         "avro_scan",                 # pure-Python Avro DataSource

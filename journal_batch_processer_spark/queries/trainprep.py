@@ -345,6 +345,109 @@ GROUP BY 1, 2
 """
 
 
+PCA_ITERS = 12
+PCA_SCALE = 1 << 20  # target magnitude of the iterate after rescale
+
+
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the int8-quantized gramian by POWER
+    ITERATION — the top principal direction of the embedding space
+    (the whitening/OPQ primitive embed_gramian feeds). Six unrolled
+    rounds, each one matvec expressed as join+aggregate over the
+    symmetrized (i, j, gram) relation — the shape that scales to huge
+    sparse matrices (graph_pagerank's shape), here over d(d+1)/2
+    cells.
+
+    Everything is INTEGER: the iterate rescales each round by
+    ``w div max(1, max|w| div 2^20)`` (keeps magnitudes near 2^20
+    without float normalization), so every engine computes the
+    bit-identical vector — a float power iteration could never be
+    value-oracled. The per-round max|w| stays IN-plan (a one-row
+    aggregate broadcast), zero driver collects; the gramian relation
+    is localCheckpoint-ed once so six rounds don't re-expand the
+    mapInPandas stage."""
+    from journal_batch_processer_spark.operators.linalg import (
+        quantized_gramian,
+    )
+
+    gram = quantized_gramian(_embs(spark, sf_dir), "embedding")
+    gfull = (
+        gram.select("i", "j", "gram")
+        .union(
+            gram.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "gram"
+            )
+        )
+        .localCheckpoint()
+    )
+    dims = gfull.select(F.col("i").alias("vi")).distinct()
+    v = dims.select("vi", F.lit(PCA_SCALE).cast("long").alias("val"))
+    for it in range(PCA_ITERS):
+        # truncate the iterate's lineage every few rounds (the vector
+        # is d rows — a localCheckpoint is free — while the unrolled
+        # join tree would otherwise double per round)
+        if it and it % 4 == 0:
+            v = v.localCheckpoint()
+        w = (
+            gfull.join(v, gfull.j == v.vi)
+            .groupBy("i")
+            .agg(F.sum(F.col("gram") * F.col("val")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("vi"),
+                # both engines TRUNCATE integer division toward zero
+                # (Spark `div`, DuckDB `//`: -7//2 = -3 in both), so
+                # the rescale is bit-identical including negative w
+                F.expr(
+                    f"w div greatest(1L, mx div {PCA_SCALE}L)"
+                ).alias("val"),
+            )
+        )
+    return v.select(F.col("vi").alias("dim"), F.col("val").alias("v"))
+
+
+def _pca_power_oracle_sql() -> str:
+    # MATERIALIZED CTEs: vN references wN twice and gfull recurs per
+    # round — default inlining would expand the parquet scan 2^R times
+    # (observed as "Too many open files" at R=12)
+    parts = [
+        "WITH gram AS MATERIALIZED (",
+        SQL_EMBED_GRAMIAN.strip(),
+        "),",
+        "gfull AS MATERIALIZED (",
+        "  SELECT i, j, gram FROM gram",
+        "  UNION ALL",
+        "  SELECT j AS i, i AS j, gram FROM gram WHERE i <> j",
+        "),",
+        f"v0 AS (SELECT DISTINCT i AS vi, CAST({PCA_SCALE} AS BIGINT)"
+        f" AS val FROM gfull),",
+    ]
+    for r in range(1, PCA_ITERS + 1):
+        parts += [
+            f"w{r} AS MATERIALIZED (",
+            f"  SELECT g.i, CAST(SUM(g.gram * v.val) AS BIGINT) AS w",
+            f"  FROM gfull g JOIN v{r - 1} v ON g.j = v.vi GROUP BY g.i",
+            f"),",
+            f"m{r} AS (SELECT MAX(ABS(w)) AS mx FROM w{r}),",
+            f"v{r} AS (",
+            f"  SELECT w{r}.i AS vi,",
+            f"         CAST(w // GREATEST(1, mx // {PCA_SCALE}) AS BIGINT)"
+            f" AS val",
+            f"  FROM w{r}, m{r}",
+            f")" + ("," if r < PCA_ITERS else ""),
+        ]
+    parts.append(
+        f"SELECT vi AS dim, val AS v FROM v{PCA_ITERS}"
+    )
+    return "\n".join(parts)
+
+
+SQL_EMBED_PCA_POWER = _pca_power_oracle_sql()
+
+
 SQL_EMBED_QUANTIZE = """
 WITH vd AS (
     SELECT vec_id, label,
@@ -972,6 +1075,7 @@ QUERIES = {
     "text_bigrams": (q_text_bigrams, SQL_TEXT_BIGRAMS),
     "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
     "embed_gramian": (q_embed_gramian, SQL_EMBED_GRAMIAN),
+    "embed_pca_power": (q_embed_pca_power, SQL_EMBED_PCA_POWER),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_labelprop": (q_graph_labelprop, SQL_GRAPH_LABELPROP),
     "funnel_events": (q_funnel_events, SQL_FUNNEL_EVENTS),

@@ -611,3 +611,47 @@ def test_r07_new_keys_plan_shapes(spark):
 
     lpa = plan_stats(q_graph_labelprop(spark, sf))
     assert lpa.cartesian == 0, lpa.plan
+
+
+def test_pca_power_matches_independent_model_and_improves(spark):
+    """The integer power iterate must equal an INDEPENDENT numpy
+    model of the same algorithm exactly (the bit-portability claim),
+    and its alignment with numpy's true dominant eigenvector must
+    improve monotonically-in-aggregate over the start vector (the
+    convergence claim — the synthetic corpus is near-isotropic,
+    λ2/λ1 ≈ 0.94, so full convergence takes more rounds than the
+    plan runs; the rate, not the destination, is what this corpus
+    can witness)."""
+    import numpy as np
+
+    from journal_batch_processer_spark.queries.trainprep import (
+        PCA_ITERS,
+        PCA_SCALE,
+        q_embed_pca_power,
+    )
+
+    rows = q_embed_pca_power(spark, SF_DIR).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r["dim"]] = r["v"]
+    vs = np.stack([
+        np.array(r["embedding"])
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("embedding").collect()
+    ]).astype(np.float64)
+    q = np.floor(vs / np.abs(vs).max(axis=1, keepdims=True) * 127.0 + 0.5)
+    G = (q.T @ q).astype(np.int64)
+
+    vm = np.full(64, PCA_SCALE, dtype=np.int64)
+    for _ in range(PCA_ITERS):
+        w = G @ vm
+        d = max(1, int(np.abs(w).max()) // PCA_SCALE)
+        vm = np.fix(w / d).astype(np.int64)
+    assert np.array_equal(v, vm), "engine iterate != independent model"
+
+    top = np.linalg.eigh(G)[1][:, -1]
+
+    def cos(x):
+        return abs(x @ top) / (np.linalg.norm(x) * np.linalg.norm(top))
+
+    assert cos(v) > 2 * cos(np.full(64, 1.0)), (cos(v), cos(np.ones(64)))
