@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v11-png-pal-adam7"
+    fp = _fc.source_fingerprint(src) + ":v12-avi"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -64,6 +64,9 @@ def _materialize_media(sf_dir: str) -> str:
         encode_jpeg_solid_gray_arith,
         encode_jpeg_solid_gray_progressive,
     )
+    from journal_batch_processer_spark.operators.avi import (
+        encode_avi_mjpeg,
+    )
     from journal_batch_processer_spark.operators.gif import (
         encode_gif_solid_frames,
     )
@@ -73,7 +76,7 @@ def _materialize_media(sf_dir: str) -> str:
 
     os.makedirs(d, exist_ok=True)
     for old in os.listdir(d):
-        if old.endswith((".ppm", ".wav", ".png", ".jpg", ".gif")):
+        if old.endswith((".ppm", ".wav", ".png", ".jpg", ".gif", ".avi")):
             os.unlink(os.path.join(d, old))
     doc_ids = [
         r[0]
@@ -169,6 +172,25 @@ def _materialize_media(sf_dir: str) -> str:
         gw, gh = 8 + i % 9, 5 + i % 6
         with open(os.path.join(d, f"anim_{i:05d}.gif"), "wb") as f:
             f.write(encode_gif_solid_frames(gw, gh, pal, gfr))
+        # MJPEG-in-AVI video (r07): a REAL RIFF container whose frames
+        # are our own solid-gray JPEGs — the frame coding mode CYCLES
+        # through sequential / progressive / arithmetic so the video
+        # path exercises every JPEG decode mode; per-frame means stay
+        # (doc_id, frame) arithmetic
+        vw, vh = 8 * (1 + i % 2), 8
+        n_vframes = 2 + i % 3
+        vframes = []
+        for fr in range(n_vframes):
+            gv = 2 * ((5 * i + 9 * fr) % 100) + 20
+            enc = (encode_jpeg_solid_gray, encode_jpeg_solid_gray_progressive,
+                   encode_jpeg_solid_gray_arith)[(i + fr) % 3]
+            vframes.append(enc(vw, vh, gv))
+        with open(os.path.join(d, f"vid_{i:05d}.avi"), "wb") as f:
+            f.write(
+                encode_avi_mjpeg(
+                    vw, vh, vframes, us_per_frame=1000 * (20 + i % 30)
+                )
+            )
         # constant-amplitude PCM16 mono; n_frames multiple of 8 so
         # duration_ms = n_frames/8 is exact integer arithmetic
         v = (37 * i) % 2000 - 1000
@@ -395,6 +417,76 @@ FROM fr
 """
 
 
+def q_media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of real MJPEG-in-AVI videos → PURE STDLIB
+    container decode (operators/avi.py: RIFF chunk walk, avih/strh
+    headers, '00dc' frame chunks) with EVERY frame's JPEG entropy-
+    decoded by operators/jpeg.py — the video-corpus frame-sampling
+    shape with the container AND the codec actually parsed. The
+    fixture frames cycle sequential/progressive/arithmetic coding, so
+    one key exercises all three JPEG modes inside a real container;
+    per-frame means stay (doc_id, frame) arithmetic for the oracle."""
+    import pandas as pd
+
+    from journal_batch_processer_spark.operators.avi import (
+        decode_avi_mjpeg,
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf["path"], pdf["content"]):
+                fname = path.rsplit("/", 1)[-1]
+                v = decode_avi_mjpeg(bytes(payload))
+                for fr in v["frames"]:
+                    rows.append(
+                        {
+                            "fname": fname,
+                            "frame_idx": fr["frame_idx"],
+                            "n_frames": v["n_frames"],
+                            "width": v["width"],
+                            "height": v["height"],
+                            "us_per_frame": v["us_per_frame"],
+                            "mean_gray": fr["mean_r"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "fname", "frame_idx", "n_frames", "width", "height",
+                    "us_per_frame", "mean_gray",
+                ],
+            )
+
+    scan = _decode_scan(spark, sf_dir, "*.avi")
+    return (
+        scan.select("path", "content")
+        .mapInPandas(
+            decode,
+            "fname string, frame_idx int, n_frames int, width int, "
+            "height int, us_per_frame long, mean_gray double",
+        )
+        .withColumn("frame_idx", F.col("frame_idx").cast("int"))
+    )
+
+
+SQL_MEDIA_VIDEO_DECODE = f"""
+WITH fr AS (
+    SELECT doc_id,
+           UNNEST(generate_series(0, CAST(1 + doc_id % 3 AS BIGINT))) AS f
+    FROM documents WHERE doc_id < {_N_MEDIA}
+)
+SELECT printf('vid_%05d.avi', doc_id) AS fname,
+       CAST(f AS INT) AS frame_idx,
+       CAST(2 + doc_id % 3 AS INT) AS n_frames,
+       CAST(8 * (1 + doc_id % 2) AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(1000 * (20 + doc_id % 30) AS BIGINT) AS us_per_frame,
+       CAST(2 * ((5 * doc_id + 9 * f) % 100) + 20 AS DOUBLE) AS mean_gray
+FROM fr
+"""
+
+
 def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile scan of real WAV files → stdlib PCM decode →
     (fname, container facts, RMS amplitude). RMS of a constant-
@@ -437,5 +529,6 @@ QUERIES = {
         SQL_MEDIA_IMAGE_DECODE_JPEG,
     ),
     "media_frames_decode": (q_media_frames_decode, SQL_MEDIA_FRAMES_DECODE),
+    "media_video_decode": (q_media_video_decode, SQL_MEDIA_VIDEO_DECODE),
     "media_audio_decode": (q_media_audio_decode, SQL_MEDIA_AUDIO_DECODE),
 }

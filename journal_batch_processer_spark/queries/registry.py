@@ -80,6 +80,7 @@ def _build() -> dict[str, QuerySpec]:
         "sim_search_ivfpq",          # IVF cells + PQ-ADC + re-rank
         "avro_scan",                 # pure-Python Avro DataSource
         "avro_sink",
+        "media_video_decode",       # MJPEG-in-AVI container decode
         # fixtures changed in r07 (12-bit SOF1 + arithmetic SOF9 +
         # progressive-with-restart JPEGs in the media mix)
         "media_image_decode_jpeg",

@@ -655,3 +655,63 @@ def test_pca_power_matches_independent_model_and_improves(spark):
         return abs(x @ top) / (np.linalg.norm(x) * np.linalg.norm(top))
 
     assert cos(v) > 2 * cos(np.full(64, 1.0)), (cos(v), cos(np.ones(64)))
+
+
+# --------------------------------------------------- MJPEG-in-AVI
+
+
+def test_avi_mjpeg_roundtrip_mixed_codecs():
+    """The container roundtrips with frames using ALL THREE JPEG
+    coding modes, odd-length payloads included (word alignment)."""
+    from journal_batch_processer_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from journal_batch_processer_spark.operators.jpeg import (
+        encode_jpeg_solid_gray,
+        encode_jpeg_solid_gray_arith,
+        encode_jpeg_solid_gray_progressive,
+    )
+
+    frames = [
+        encode_jpeg_solid_gray(16, 8, 20),
+        encode_jpeg_solid_gray_progressive(16, 8, 60),
+        encode_jpeg_solid_gray_arith(16, 8, 110),
+    ]
+    avi = encode_avi_mjpeg(16, 8, frames, us_per_frame=50000)
+    d = decode_avi_mjpeg(avi)
+    assert (d["width"], d["height"], d["n_frames"]) == (16, 8, 3)
+    assert d["us_per_frame"] == 50000
+    assert [f["mean_r"] for f in d["frames"]] == [20.0, 60.0, 110.0]
+
+
+def test_avi_rejects_malformed():
+    import pytest as _pytest
+
+    from journal_batch_processer_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from journal_batch_processer_spark.operators.jpeg import (
+        encode_jpeg_solid_gray,
+    )
+
+    avi = bytearray(
+        encode_avi_mjpeg(8, 8, [encode_jpeg_solid_gray(8, 8, 100)])
+    )
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"XIFF" + bytes(avi[4:]))
+    with _pytest.raises(ValueError, match="AVI"):
+        decode_avi_mjpeg(bytes(avi[:8]) + b"WAVE" + bytes(avi[12:]))
+    # non-MJPG codec fourcc in strh fails loud
+    i = bytes(avi).find(b"vids") + 4
+    bad = bytearray(avi)
+    bad[i : i + 4] = b"H264"
+    with _pytest.raises(ValueError, match="codec"):
+        decode_avi_mjpeg(bytes(bad))
+    # frame-count mismatch (header says 2, movi has 1)
+    j = bytes(avi).find(b"avih") + 8 + 16
+    bad2 = bytearray(avi)
+    bad2[j : j + 4] = (2).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="mismatch"):
+        decode_avi_mjpeg(bytes(bad2))
