@@ -232,13 +232,16 @@ def decode_png_bytes(data: bytes) -> dict:
     without the absent imaging libs. Supports the common web shapes:
     8-bit RGB/RGBA/grayscale, PALETTE images (color type 3, PLTE
     lookup, bit depths 1/2/4/8 — the icon/sprite/chart shape), sub-byte
-    grayscale, and ADAM7 INTERLACING (each pass unfiltered against its
-    own rows, then de-interleaved — r07; cross-validated against
-    libpng-written interlaced files in tests/test_png_crossval.py).
-    CRCs are verified and every malformed structure fails loudly (a
-    decode stage must route corrupt payloads to an error side, never
-    fabricate features). Remaining gated: 16-bit depth, tRNS on
-    palette images.
+    grayscale, 16-BIT depth (big-endian sample pairs, native-range
+    means), GRAY+ALPHA (color type 4), tRNS transparency (validated,
+    then ignored for means exactly like the alpha channel), and ADAM7
+    INTERLACING (each pass unfiltered against its own rows, then
+    de-interleaved) — all r07, all cross-validated against
+    libpng-written files in tests/test_png_crossval.py. CRCs are
+    verified and every malformed structure fails loudly (a decode
+    stage must route corrupt payloads to an error side, never
+    fabricate features). The PNG decoder has NO gated features left
+    for the baseline spec surface.
 
     Filter reversal implements all five PNG filter types (None, Sub,
     Up, Average, Paeth). Up is vectorized with numpy; Sub/Average/
@@ -262,6 +265,7 @@ def decode_png_bytes(data: bytes) -> dict:
     ihdr = None
     idat = bytearray()
     plte = None
+    trns = None
     seen_iend = False
     while pos < len(data):
         if pos + 8 > len(data):
@@ -288,7 +292,7 @@ def decode_png_bytes(data: bytes) -> dict:
                 for i in range(0, length, 3)
             ]
         elif ctype == b"tRNS":
-            raise ValueError("PNG tRNS transparency not supported")
+            trns = body
         elif ctype == b"IEND":
             seen_iend = True
             break
@@ -302,18 +306,36 @@ def decode_png_bytes(data: bytes) -> dict:
         raise ValueError("non-standard PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    channels_by_type = {0: 1, 2: 3, 3: 1, 6: 4}
+    channels_by_type = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
     channels = channels_by_type.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
-    if color_type in (2, 6) and bit_depth != 8:
+    if color_type in (2, 4, 6) and bit_depth not in (8, 16):
         raise ValueError(
-            f"only 8-bit RGB/RGBA PNG supported, bit_depth={bit_depth}"
+            f"unsupported PNG bit depth {bit_depth} for color type "
+            f"{color_type}"
         )
-    if color_type in (0, 3) and bit_depth not in (1, 2, 4, 8):
+    if color_type == 0 and bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    if color_type == 3 and bit_depth not in (1, 2, 4, 8):
         raise ValueError(f"unsupported PNG bit depth {bit_depth}")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
+    # tRNS is validated and then IGNORED for the mean features — the
+    # same treatment the alpha CHANNEL gets on color types 4/6 (means
+    # average the color samples; no background compositing).
+    if trns is not None:
+        if color_type == 3:
+            if plte is None or len(trns) > len(plte):
+                raise ValueError("PNG tRNS longer than palette")
+        elif color_type == 0:
+            if len(trns) != 2:
+                raise ValueError("PNG tRNS length for grayscale must be 2")
+        elif color_type == 2:
+            if len(trns) != 6:
+                raise ValueError("PNG tRNS length for RGB must be 6")
+        else:
+            raise ValueError("PNG tRNS illegal with an alpha channel")
 
     raw = zlib.decompress(bytes(idat))
 
@@ -323,11 +345,16 @@ def decode_png_bytes(data: bytes) -> dict:
     bpp = max(1, channels * bit_depth // 8)
 
     def rows_to_pixels(rows, width):
-        """[n, stride] filtered-byte rows → [n, width] pixel values
-        (per-channel interleaved for 8-bit multi-channel)."""
+        """[n, stride] filtered-byte rows → pixel value array:
+        [n, width*channels] uint16 for 8/16-bit, [n, width] for
+        sub-byte."""
+        if bit_depth == 16:
+            # big-endian byte pairs per sample
+            b = rows[:, : width * channels * 2].astype(np.uint16)
+            return (b[:, 0::2] << 8) | b[:, 1::2]
         if bit_depth == 8:
-            return rows[:, : width * channels]
-        out = np.empty((rows.shape[0], width), dtype=np.uint8)
+            return rows[:, : width * channels].astype(np.uint16)
+        out = np.empty((rows.shape[0], width), dtype=np.uint16)
         for i in range(rows.shape[0]):
             out[i] = _png_unpack_bits(rows[i].tolist(), width, bit_depth)
         return out
@@ -337,14 +364,13 @@ def decode_png_bytes(data: bytes) -> dict:
         if used != len(raw):
             raise ValueError("PNG raster size mismatch: trailing data")
         img = rows_to_pixels(rows, w)
-        if bit_depth == 8 and channels > 1:
+        if channels > 1:
             img = img.reshape(h, w, channels)
     else:
         # Adam7: 7 sub-rasters, each filtered independently
-        n_vals = w if bit_depth < 8 or channels == 1 else w * channels
         img = np.zeros(
-            (h, w, channels) if (bit_depth == 8 and channels > 1) else (h, w),
-            dtype=np.uint8,
+            (h, w, channels) if channels > 1 else (h, w),
+            dtype=np.uint16,
         )
         off = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -355,7 +381,7 @@ def decode_png_bytes(data: bytes) -> dict:
             rows, used = _png_unfilter(raw, off, ph, row_stride(pw), bpp)
             off += used
             pix = rows_to_pixels(rows, pw)
-            if bit_depth == 8 and channels > 1:
+            if channels > 1:
                 pix = pix.reshape(ph, pw, channels)
                 img[y0::dy, x0::dx, :] = pix
             else:
@@ -364,17 +390,18 @@ def decode_png_bytes(data: bytes) -> dict:
             raise ValueError("PNG raster size mismatch: trailing data")
 
     if color_type == 3:
-        pal = np.array(plte, dtype=np.uint8)
+        pal = np.array(plte, dtype=np.uint16)
         if int(img.max(initial=0)) >= len(pal):
             raise ValueError("PNG palette index out of range")
         px = pal[img].astype(np.float64)  # [h, w, 3]
         channels_out = 3
-    elif bit_depth < 8:  # sub-byte grayscale: scale to 0..255
+    elif color_type == 0 and bit_depth < 8:
+        # sub-byte grayscale: scale to 0..255
         scale = 255 // ((1 << bit_depth) - 1)
-        px = (img.astype(np.float64)) * scale
+        px = img.astype(np.float64) * scale
         channels_out = 1
-    elif channels == 1:
-        px = img.astype(np.float64)
+    elif channels <= 2:  # gray / gray+alpha: feature = the gray sample
+        px = (img[:, :, 0] if channels == 2 else img).astype(np.float64)
         channels_out = 1
     else:
         px = img.astype(np.float64)

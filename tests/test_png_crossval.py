@@ -52,23 +52,28 @@ def _need():
     return b
 
 
-def _lib_decode(b, path):
+def _lib_decode(b, path, mode="decode"):
     import numpy as np
 
-    out = subprocess.run([b, "decode", path], capture_output=True, text=True)
+    out = subprocess.run([b, mode, path], capture_output=True, text=True)
     assert out.returncode == 0, out.stderr
     lines = out.stdout.splitlines()
-    w, h, nc = map(int, lines[0].split())
+    hdr = list(map(int, lines[0].split()))
+    w, h = hdr[0], hdr[1]
     rows = [list(map(int, ln.split())) for ln in lines[1:]]
     return w, h, np.array(rows, dtype=np.float64).reshape(h, w, 3)
 
 
-@pytest.mark.parametrize("typ", ["rgb", "rgba", "gray", "pal", "pal4"])
+@pytest.mark.parametrize(
+    "typ",
+    ["rgb", "rgba", "gray", "pal", "pal4", "gray16", "rgb16", "ga"],
+)
 @pytest.mark.parametrize("interlace", [0, 1])
 def test_decoder_matches_libpng(tmp_path, typ, interlace):
     """libpng writes an LCG-pattern file (adaptive filters, optional
-    Adam7); our decoder's means must equal libpng's own RGB-expanded
-    read of the same file exactly."""
+    Adam7, 8/16-bit, gray+alpha); our decoder's means must equal
+    libpng's own RGB-expanded read of the same file exactly — 16-bit
+    compared in the NATIVE range via the decode16 mode."""
     b = _need()
     from journal_batch_processer_spark.operators.multimodal import (
         decode_png_bytes,
@@ -78,7 +83,8 @@ def test_decoder_matches_libpng(tmp_path, typ, interlace):
     subprocess.run(
         [b, "encode", "13", "9", "77", typ, str(interlace), p], check=True
     )
-    w, h, px = _lib_decode(b, p)
+    mode = "decode16" if typ.endswith("16") else "decode"
+    w, h, px = _lib_decode(b, p, mode)
     got = decode_png_bytes(open(p, "rb").read())
     assert (got["width"], got["height"]) == (w, h)
     want = [px[:, :, c].mean() for c in range(3)]
@@ -184,17 +190,52 @@ def test_palette_index_out_of_range_fails_loud():
         decode_png_bytes(_build_png(1, 1, 8, 3, 0, raster, plte))
 
 
-def test_trns_fails_loud():
+def test_trns_accepted_and_validated():
+    """tRNS is parsed and validated (r07) — it no longer rejects the
+    file; transparency is ignored for the mean features exactly like
+    the alpha CHANNEL on color types 4/6. Invalid tRNS (longer than
+    the palette, or present alongside an alpha channel) still fails
+    loud."""
     import pytest as _pytest
 
     from journal_batch_processer_spark.operators.multimodal import (
         decode_png_bytes,
     )
 
-    plte = [(1, 2, 3)]
+    plte = [(10, 20, 30)]
     png = _build_png(1, 1, 8, 3, 0, bytes([0, 0]), plte)
-    # splice a tRNS chunk before IDAT
     idat_at = png.find(b"IDAT") - 4
-    png2 = png[:idat_at] + _chunk(b"tRNS", b"\x80") + png[idat_at:]
+    ok = png[:idat_at] + _chunk(b"tRNS", b"\x80") + png[idat_at:]
+    got = decode_png_bytes(ok)
+    assert (got["mean_r"], got["mean_g"], got["mean_b"]) == (10, 20, 30)
+    # tRNS longer than the palette is malformed
+    bad = png[:idat_at] + _chunk(b"tRNS", b"\x80\x80") + png[idat_at:]
     with _pytest.raises(ValueError, match="tRNS"):
-        decode_png_bytes(png2)
+        decode_png_bytes(bad)
+
+
+def test_16bit_png_handbuilt():
+    """2x1 16-bit grayscale: big-endian sample pairs, native-range
+    means (0..65535)."""
+    from journal_batch_processer_spark.operators.multimodal import (
+        decode_png_bytes,
+    )
+
+    # samples 0x1234 and 0x8000, filter None
+    raster = bytes([0, 0x12, 0x34, 0x80, 0x00])
+    got = decode_png_bytes(_build_png(2, 1, 16, 0, 0, raster))
+    assert got["channels"] == 1
+    assert got["mean_r"] == (0x1234 + 0x8000) / 2
+
+
+def test_gray_alpha_png_handbuilt():
+    """1x2 8-bit gray+alpha (color type 4): feature is the gray
+    sample, alpha ignored."""
+    from journal_batch_processer_spark.operators.multimodal import (
+        decode_png_bytes,
+    )
+
+    raster = bytes([0, 100, 255]) + bytes([0, 200, 0])
+    got = decode_png_bytes(_build_png(1, 2, 8, 4, 0, raster))
+    assert got["channels"] == 1
+    assert got["mean_r"] == 150.0
