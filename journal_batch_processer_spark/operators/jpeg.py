@@ -24,10 +24,11 @@ Scope — honest and loud:
   both directions (operators/jpeg_arith.py,
   tests/test_jpeg_crossval.py). Every DCT-based T.81 coding mode is
   therefore covered: SOF0/1/2/9/10, 8- and 12-bit sequential, all
-  with DRI/RSTn. Anything else raises NotImplementedError/ValueError
-  naming the feature: lossless/differential SOFs (a different
-  algorithm family), 12-bit progressive, fractional sampling ratios,
-  DNL.
+  with DRI/RSTn; sequential frames may declare HEIGHT 0 and define it
+  via a DNL segment after the first scan (B.2.5, r07). Anything else
+  raises NotImplementedError/ValueError naming the feature:
+  lossless/differential SOFs (a different algorithm family), 12-bit
+  progressive, fractional sampling ratios, DNL-with-arithmetic.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -703,6 +704,24 @@ def _decode_jpeg_planes(data: bytes):
         if cid not in frame_by_id:
             raise ValueError(f"jpeg: scan component id {cid} not in frame")
 
+    # DNL (T.81 B.2.5): a frame may declare HEIGHT 0 and define the
+    # real number of lines in a DNL segment after the first scan —
+    # the streaming-encoder shape where the line count isn't known at
+    # header time. Resolve it before geometry is computed.
+    if h == 0:
+        if arith:
+            raise NotImplementedError(
+                "jpeg: DNL with arithmetic coding unsupported"
+            )
+        dnl_at = _entropy_end(data, entropy_start, skip_restarts=True)
+        if data[dnl_at : dnl_at + 2] != b"\xff\xdc":
+            raise ValueError(
+                "jpeg: frame height 0 but no DNL marker after the scan"
+            )
+        (nl,) = struct.unpack(">H", data[dnl_at + 4 : dnl_at + 6])
+        if nl == 0:
+            raise ValueError("jpeg: DNL declares zero lines")
+        h = nl
     # sample range follows the frame precision: 8-bit → shift 128,
     # clamp 255; 12-bit (SOF1) → shift 2048, clamp 4095 (T.81 A.3.1)
     half, maxval = 1 << (prec - 1), (1 << prec) - 1

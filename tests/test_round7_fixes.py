@@ -715,3 +715,28 @@ def test_avi_rejects_malformed():
     bad2[j : j + 4] = (2).to_bytes(4, "little")
     with _pytest.raises(ValueError, match="mismatch"):
         decode_avi_mjpeg(bytes(bad2))
+
+
+def test_jpeg_dnl_height_from_marker():
+    """A frame with HEIGHT 0 takes its line count from the DNL segment
+    after the first scan (T.81 B.2.5 — the streaming-encoder shape);
+    height 0 without a DNL fails loud."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray,
+    )
+
+    base = encode_jpeg_solid_gray(16, 24, 128)
+    ref = decode_jpeg_baseline(base)
+    i = base.find(b"\xff\xc0")
+    mod = bytearray(base)
+    mod[i + 5 : i + 7] = b"\x00\x00"  # SOF height := 0
+    dnl = b"\xff\xdc" + _struct.pack(">HH", 4, 24)
+    with_dnl = bytes(mod[:-2]) + dnl + b"\xff\xd9"
+    assert decode_jpeg_baseline(with_dnl) == ref
+    with _pytest.raises(ValueError, match="DNL"):
+        decode_jpeg_baseline(bytes(mod))
