@@ -25,10 +25,14 @@ Scope — honest and loud:
   tests/test_jpeg_crossval.py). Every DCT-based T.81 coding mode is
   therefore covered: SOF0/1/2/9/10, 8- and 12-bit sequential, all
   with DRI/RSTn; sequential frames may declare HEIGHT 0 and define it
-  via a DNL segment after the first scan (B.2.5, r07). Anything else
-  raises NotImplementedError/ValueError naming the feature:
-  lossless/differential SOFs (a different algorithm family), 12-bit
-  progressive, fractional sampling ratios, DNL-with-arithmetic.
+  via a DNL segment after the first scan (B.2.5, r07). LOSSLESS
+  (SOF3, Annex H) decodes in its grayscale scope — 2..16-bit, all
+  seven predictors, point transform, restarts, bit-exact roundtrips
+  (operators/jpeg_lossless.py, r07). Anything else raises
+  NotImplementedError/ValueError naming the feature: differential
+  SOFs, multi-component lossless, lossless-arithmetic (SOF11),
+  12-bit progressive, fractional sampling ratios,
+  DNL-with-arithmetic.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -665,10 +669,15 @@ def _decode_jpeg_planes(data: bytes):
             arith = marker == 0xC9
         elif marker in (0xC2, 0xCA):  # SOF2/SOF10 progressive
             return _decode_jpeg_progressive(data)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
+        elif marker == 0xC3:  # SOF3 lossless — separate decode path
+            from journal_batch_processer_spark.operators.jpeg_lossless import (
+                decode_jpeg_lossless,
+            )
+
+            return decode_jpeg_lossless(data)
+        elif marker in (0xC5, 0xC6, 0xC7):
             raise NotImplementedError(
-                f"jpeg: SOF{marker - 0xC0} (lossless/differential) "
-                "unsupported"
+                f"jpeg: SOF{marker - 0xC0} (differential) unsupported"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
             p = 0

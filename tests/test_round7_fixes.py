@@ -740,3 +740,72 @@ def test_jpeg_dnl_height_from_marker():
     assert decode_jpeg_baseline(with_dnl) == ref
     with _pytest.raises(ValueError, match="DNL"):
         decode_jpeg_baseline(bytes(mod))
+
+
+# --------------------------------------------------- lossless JPEG
+
+
+def test_jpeg_lossless_roundtrips_all_predictors():
+    """SOF3 is LOSSLESS: random images round-trip bit-exactly through
+    every predictor x precision x restart combination."""
+    import random
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_planes,
+    )
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless_gray,
+    )
+
+    rng = random.Random(3)
+    for prec in (8, 12, 16):
+        for pred in range(1, 8):
+            for ri in (0, 3):
+                w, h = rng.randint(1, 13), rng.randint(1, 9)
+                img = [
+                    [rng.randrange(1 << prec) for _ in range(w)]
+                    for _ in range(h)
+                ]
+                data = encode_jpeg_lossless_gray(
+                    img, precision=prec, predictor=pred, restart_interval=ri
+                )
+                W, H, planes = decode_jpeg_planes(data)
+                assert (W, H) == (w, h) and planes[0] == img, (prec, pred, ri)
+
+
+def test_jpeg_lossless_ssss16_edge():
+    """diff = 32768 uses category 16 with NO appended bits
+    (H.1.2.2.1): prec 16, first sample 0 against the 32768 default."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_planes,
+    )
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless_gray,
+    )
+
+    img = [[0, 32768, 0], [65535, 1, 32769]]
+    data = encode_jpeg_lossless_gray(img, precision=16, predictor=1)
+    _w, _h, planes = decode_jpeg_planes(data)
+    assert planes[0] == img
+
+
+def test_jpeg_lossless_rejects_out_of_scope():
+    import pytest as _pytest
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_planes,
+    )
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless_gray,
+    )
+
+    data = bytearray(encode_jpeg_lossless_gray([[1, 2], [3, 4]]))
+    # component count 1 -> 3 in SOF3 (multi-component gated)
+    i = bytes(data).find(b"\xff\xc3")
+    bad = bytearray(data)
+    bad[i + 9] = 3
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_jpeg_planes(bytes(bad))
+    # truncated entropy
+    with _pytest.raises(ValueError):
+        decode_jpeg_planes(bytes(data[:-4]))
