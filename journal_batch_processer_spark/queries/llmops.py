@@ -1141,7 +1141,15 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure over exact-Jaccard pairs (>= 0.2): iterative
     min-label connected components; every doc gets a cluster and the
     min-id representative flag. The iterative loop has a FULL oracle —
-    DuckDB's recursive CTE computes the same fixpoint."""
+    DuckDB's recursive CTE computes the same fixpoint.
+
+    Generator note (r07, measured): at threshold 0.2 the PPJoin prefix
+    keeps ~80% of each doc's shingles (len = sz - ceil(t·sz) + 1), so
+    the prefix-filtered generator pays its two ranking windows for
+    almost no candidate reduction and measures SLOWER here (4.0s vs
+    3.0s at sf0.1) — the df-capped naive join stays the right choice
+    at low thresholds; the prefix path wins at t ≳ 0.5 (dedup_ngram
+    _prefix: 0.69s vs 2.1s in the same bench)."""
     from journal_batch_processer_spark.operators.graph import cluster_assignments
 
     docs = _docs(spark, sf_dir)
