@@ -596,8 +596,11 @@ def decode_image_bytes(data: bytes) -> dict:
 
 def decode_wav_bytes(data: bytes) -> dict:
     """REAL audio decode: RIFF/WAV PCM via the stdlib ``wave`` module
-    (no external audio library). Returns container facts plus the RMS
-    amplitude of the actual 16-bit samples."""
+    (no external audio library). PCM widths 8 (unsigned, midpoint
+    128), 16, 24 (signed little-endian), and 32, any channel count
+    (RMS is taken over all interleaved samples — channel-agnostic,
+    like the image means). Returns container facts plus the RMS
+    amplitude of the actual samples."""
     import io
     import math
     import wave
@@ -610,9 +613,23 @@ def decode_wav_bytes(data: bytes) -> dict:
         n_frames = wf.getnframes()
         width = wf.getsampwidth()
         raw = wf.readframes(n_frames)
-    if width != 2:
-        raise ValueError(f"only PCM16 supported, sampwidth={width}")
-    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if width == 1:  # PCM8 is UNSIGNED with midpoint 128 (RIFF spec)
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif width == 3:  # signed 24-bit LE: widen to int32 via byte view
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        samples = v.astype(np.float64)
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
     rms = math.sqrt(float((samples * samples).mean())) if samples.size else 0.0
     return {
         "n_channels": n_channels,

@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v12-avi"
+    fp = _fc.source_fingerprint(src) + ":v13-wav-widths"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -191,15 +191,36 @@ def _materialize_media(sf_dir: str) -> str:
                     vw, vh, vframes, us_per_frame=1000 * (20 + i % 30)
                 )
             )
-        # constant-amplitude PCM16 mono; n_frames multiple of 8 so
-        # duration_ms = n_frames/8 is exact integer arithmetic
+        # constant-amplitude PCM; n_frames multiple of 8 so duration_ms
+        # = n_frames/8 is exact integer arithmetic. The WAV mix rotates
+        # (r07): mono PCM16 / STEREO PCM16 (constant on both channels —
+        # RMS unchanged) / mono PCM8 (unsigned, midpoint 128) / mono
+        # PCM24 — the common capture widths
         v = (37 * i) % 2000 - 1000
         n_frames = 8 * (50 + i % 25)
         with wave.open(os.path.join(d, f"snd_{i:05d}.wav"), "wb") as wf:
-            wf.setnchannels(1)
-            wf.setsampwidth(2)
             wf.setframerate(8000)
-            wf.writeframes(struct.pack("<h", v) * n_frames)
+            if i % 3 == 1:  # stereo PCM16
+                wf.setnchannels(2)
+                wf.setsampwidth(2)
+                wf.writeframes(struct.pack("<hh", v, v) * n_frames)
+            elif i % 3 == 2 and i % 12 == 5:  # mono PCM24: 256x scale
+                wf.setnchannels(1)
+                wf.setsampwidth(3)
+                s24 = (v * 256) & 0xFFFFFF
+                wf.writeframes(
+                    bytes((s24 & 0xFF, (s24 >> 8) & 0xFF, s24 >> 16))
+                    * n_frames
+                )
+            elif i % 3 == 2:  # mono PCM8, amplitude in ±100 around 128
+                wf.setnchannels(1)
+                wf.setsampwidth(1)
+                v8 = (37 * i) % 200 - 100
+                wf.writeframes(bytes([128 + v8]) * n_frames)
+            else:  # mono PCM16 (the original shape)
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.writeframes(struct.pack("<h", v) * n_frames)
     _fc.mark_fresh(d, fp)
     return d
 
@@ -509,11 +530,22 @@ def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_AUDIO_DECODE = f"""
 SELECT printf('snd_%05d.wav', doc_id) AS fname,
-       CAST(1 AS INT) AS n_channels,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS INT)
+           AS n_channels,
        CAST(8000 AS INT) AS sample_rate,
        CAST(8 * (50 + doc_id % 25) AS BIGINT) AS n_frames,
        CAST((8 * (50 + doc_id % 25)) // 8 AS BIGINT) AS duration_ms,
-       CAST(abs((37 * doc_id) % 2000 - 1000) AS DOUBLE) AS rms
+       -- constant-amplitude RMS is |amplitude| in every width/channel
+       -- variant: stereo duplicates the sample (same RMS), PCM8 sits
+       -- at +-100 around the 128 midpoint, PCM24 is the 16-bit
+       -- amplitude scaled by 256
+       CAST(CASE
+            WHEN doc_id % 3 = 2 AND doc_id % 12 = 5
+                THEN abs((37 * doc_id) % 2000 - 1000) * 256
+            WHEN doc_id % 3 = 2
+                THEN abs((37 * doc_id) % 200 - 100)
+            ELSE abs((37 * doc_id) % 2000 - 1000)
+            END AS DOUBLE) AS rms
 FROM documents WHERE doc_id < {_N_MEDIA}
 """
 
