@@ -85,6 +85,8 @@ def _build() -> dict[str, QuerySpec]:
         # progressive-with-restart JPEGs in the media mix)
         "media_image_decode_jpeg",
         "media_frames_decode",  # GIF LZW table freeze (ADVICE r06)
+        "media_image_decode_png",  # palette/Adam7 fixture mix (r07)
+        "media_audio_decode",      # PCM8/24/stereo fixture mix (r07)
         # cache-scope change touched every dedup/persist path
         "dedup_ngram",
         "dedup_ngram_prefix",
