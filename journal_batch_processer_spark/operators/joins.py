@@ -59,6 +59,86 @@ def asof_join(
     return merged.filter(F.col("__side") == 1).drop("__side", "__ts")
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    carry_col: str,
+    suffix: str = "_nearest",
+) -> DataFrame:
+    """NEAREST-in-time as-of (the sensor-fusion match): for each left
+    row, the right row minimizing |right.ts − left.ts| within the key
+    group; ties resolve to the EARLIER right row, then to the smaller
+    carried id — a total order, so the result is deterministic and
+    value-oracle-able.
+
+    Same union-window shape as :func:`asof_join` (one shuffle on the
+    key, no join): the backward candidate is the latest right row at
+    or before the left ts, the forward candidate the earliest at or
+    after; the nearer of the two wins. Each pass carries (ts, id) so
+    the tie-breaks are explicit rather than accidents of sort
+    stability.
+    """
+    l_tag = (
+        left.withColumn("__side", F.lit(1))
+        .withColumn("__ts", F.col(left_ts))
+        .withColumn("__cand", F.lit(None).cast("struct<ts:timestamp,id:long>"))
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            F.col(carry_col).cast("long").alias("id"),
+        ).alias("__cand"),
+    )
+    for c in l_tag.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
+    merged = l_tag.unionByName(r_tag.select(l_tag.columns))
+
+    # backward: latest right at/behind; among equal-ts rights the
+    # SMALLEST id must win, and last() takes the final row, so order
+    # ids DESCENDING within the (ts, side) group
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__cand.id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: earliest right at/after; first() takes the first row,
+    # so ids ASCENDING — and left rows must sort BEFORE equal-ts
+    # rights here (side desc) so an equal-ts right is visible to
+    # first() as well (|dt| = 0 also reaches the backward pass; either
+    # way the same row wins)
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__side").desc(), F.col("__cand.id"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    merged = merged.withColumn(
+        "__prev", F.last("__cand", ignorenulls=True).over(w_back)
+    ).withColumn("__next", F.first("__cand", ignorenulls=True).over(w_fwd))
+    # microsecond distances: cast-to-long would TRUNCATE to seconds
+    # and mis-resolve sub-second ties
+    d_prev = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__prev.ts"))
+    d_next = F.unix_micros(F.col("__next.ts")) - F.unix_micros(F.col("__ts"))
+    pick = (
+        F.when(F.col("__prev").isNull(), F.col("__next.id"))
+        .when(F.col("__next").isNull(), F.col("__prev.id"))
+        # equal distance → the EARLIER (backward) candidate
+        .when(d_prev <= d_next, F.col("__prev.id"))
+        .otherwise(F.col("__next.id"))
+    )
+    return (
+        merged.filter(F.col("__side") == 1)
+        .withColumn(carry_col + suffix, pick)
+        .drop("__side", "__ts", "__cand", "__prev", "__next")
+    )
+
+
 def range_join_buckets(
     facts: DataFrame,
     buckets: DataFrame,

@@ -612,6 +612,47 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click matched to the user's NEAREST purchase in time —
+    before OR after (the sensor-fusion alignment the backward as-of
+    can't express); |Δt| ties resolve to the earlier purchase, then
+    the smaller event id. One shuffle on the key via the union-window
+    shape (operators/joins.py:asof_join_nearest); the oracle is an
+    INDEPENDENT brute-force LATERAL nearest-row search."""
+    from journal_batch_processer_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    events = _events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join_nearest(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        carry_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("event_id_nearest").alias("nearest_purchase_id"),
+    )
+
+
+SQL_JOIN_ASOF_NEAREST = """
+SELECT c.event_id, c.user_id, m.event_id AS nearest_purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+    SELECT p.event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    WHERE p.user_id = c.user_id
+    ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), p.ts, p.event_id
+    LIMIT 1
+) m ON TRUE
+"""
+
+
 # ---------------------------------------------------------------------------
 # window family
 # ---------------------------------------------------------------------------
@@ -1267,6 +1308,7 @@ QUERIES = {
     "join_anti": (q_join_anti, SQL_JOIN_ANTI),
     "join_range": (q_join_range, SQL_JOIN_RANGE),
     "join_asof": (q_join_asof, SQL_JOIN_ASOF),
+    "join_asof_nearest": (q_join_asof_nearest, SQL_JOIN_ASOF_NEAREST),
     "join_colocated": (q_join_colocated, SQL_JOIN_COLOCATED),
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
     "agg_salted_skewed": (q_agg_salted_skewed, SQL_AGG_SALTED_SKEWED),

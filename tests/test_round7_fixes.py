@@ -809,3 +809,43 @@ def test_jpeg_lossless_rejects_out_of_scope():
     # truncated entropy
     with _pytest.raises(ValueError):
         decode_jpeg_planes(bytes(data[:-4]))
+
+
+def test_asof_nearest_model(spark):
+    """Nearest-in-time as-of vs a brute-force model, tie cases
+    included (equal distance -> earlier right row; duplicate right
+    timestamps -> smaller id)."""
+    from datetime import datetime
+
+    from journal_batch_processer_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s // 1000000, s % 1000000)
+
+    left = [(1, 100, t(5_000_000)), (1, 101, t(500)), (2, 102, t(10)),
+            (3, 103, t(7))]
+    right = [(1, 900, t(4_000_000)), (1, 901, t(6_000_000)),  # tie ±1s
+             (1, 902, t(400)), (2, 903, t(10)), (2, 904, t(10)),  # dup ts
+             (2, 905, t(900))]
+    ldf = spark.createDataFrame(left, ["user_id", "event_id", "ts"])
+    rdf = spark.createDataFrame(
+        [(u, ts, e) for (u, e, ts) in right], ["user_id", "ts", "event_id"])
+    out = {
+        r["event_id"]: r["event_id_nearest"]
+        for r in asof_join_nearest(
+            ldf, rdf, key="user_id", left_ts="ts", right_ts="ts",
+            carry_col="event_id",
+        ).collect()
+    }
+    # brute force
+    expect = {}
+    for u, e, ts in left:
+        cands = [(abs((ts - rts).total_seconds()), rts, rid)
+                 for (ru, rid, rts) in right if ru == u]
+        expect[e] = min(cands)[2] if cands else None
+    assert out == expect, (out, expect)
+    assert out[100] == 900  # equal 1s distance -> EARLIER purchase
+    assert out[102] == 903  # duplicate right ts -> smaller id
+    assert out[103] is None  # no purchases for user 3
