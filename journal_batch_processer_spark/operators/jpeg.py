@@ -26,13 +26,15 @@ Scope — honest and loud:
   therefore covered: SOF0/1/2/9/10, 8- and 12-bit sequential, all
   with DRI/RSTn; sequential frames may declare HEIGHT 0 and define it
   via a DNL segment after the first scan (B.2.5, r07). LOSSLESS
-  (SOF3, Annex H) decodes in its grayscale scope — 2..16-bit, all
-  seven predictors, point transform, restarts, bit-exact roundtrips
+  (SOF3, Annex H) decodes 1..4 interleaved 1×1 components — 2..16-bit,
+  all seven predictors, point transform, restarts, bit-exact
+  roundtrips; multi-component lossless reports PER-COMPONENT means
+  (no color transform is defined for it)
   (operators/jpeg_lossless.py, r07). Anything else raises
   NotImplementedError/ValueError naming the feature: differential
-  SOFs, multi-component lossless, lossless-arithmetic (SOF11),
-  12-bit progressive, fractional sampling ratios,
-  DNL-with-arithmetic.
+  SOFs, non-interleaved lossless scans, non-1×1 lossless sampling,
+  lossless-arithmetic (SOF11), 12-bit progressive, fractional
+  sampling ratios, DNL-with-arithmetic.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -544,10 +546,48 @@ def decode_jpeg_planes(data: bytes):
     return w, h, planes
 
 
+def _frame_sof(data: bytes) -> int | None:
+    """The stream's SOFn marker byte (first frame header), or None."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        m = data[pos + 1]
+        pos += 2
+        if m in (0xD9, 0xDA):
+            return None
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return m
+        if pos + 2 > len(data):
+            return None
+        pos += struct.unpack(">H", data[pos : pos + 2])[0]
+    return None
+
+
 def _decode_jpeg_baseline(data: bytes) -> dict:
     w, h, comps, planes, prec = _decode_jpeg_planes(data)
     half, maxval = 1 << (prec - 1), (1 << prec) - 1
     n = w * h
+    if len(comps) > 1 and _frame_sof(data) == 0xC3:
+        # LOSSLESS multi-component carries NO defined color transform
+        # (T.81 Annex H says nothing about YCbCr): report the first
+        # three components' means directly, never BT.601
+        means = [
+            sum(sum(row) for row in planes[min(c, len(planes) - 1)]) / n
+            for c in range(3)
+        ]
+        return {
+            "width": w,
+            "height": h,
+            "channels": len(comps),
+            "mean_r": means[0],
+            "mean_g": means[1],
+            "mean_b": means[2],
+        }
     if len(comps) == 1:
         tot = sum(sum(planes[0][y][x] for x in range(w)) for y in range(h))
         mean = tot / n

@@ -3,9 +3,13 @@
 The last named JPEG family: Huffman-coded DPCM over raw samples (no
 DCT, no quantization — decode reproduces the input EXACTLY), the
 format DICOM archives and film scanners emit. Supported scope, honest
-and loud: ONE component (the dominant medical shape), precision
-2..16 bits, all seven predictors (H.1.2.1), point transform (Al),
-restart markers; multi-component lossless raises NotImplementedError.
+and loud: 1..4 components at 1×1 sampling (interleaved MCU = one
+sample per component, per-component predictor state and Huffman
+table), precision 2..16 bits, all seven predictors (H.1.2.1), point
+transform (Al), restart markers; non-1×1 sampling raises
+NotImplementedError. Multi-component lossless carries NO defined
+color transform — the feature layer reports per-component means
+directly (operators/jpeg.py:_decode_jpeg_baseline).
 
 Because the codec is lossless, validation is stronger than for the
 DCT modes even without a third-party reference (the system
@@ -105,66 +109,79 @@ def decode_jpeg_lossless(data: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if not 2 <= prec <= 16:
                 raise ValueError(f"jpeg: lossless precision {prec}")
-            if nc != 1:
-                raise NotImplementedError(
-                    "jpeg: multi-component lossless unsupported"
-                )
-            cid, samp, _tq = seg[6:9]
-            if samp != 0x11:
-                raise NotImplementedError(
-                    "jpeg: lossless sampling factors must be 1x1"
-                )
-            frame = (w, h, [(cid, 0, 1, 1)], prec)
+            if not 1 <= nc <= 4:
+                raise ValueError(f"jpeg: lossless component count {nc}")
+            comps = []
+            for ci in range(nc):
+                cid, samp, _tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: lossless sampling factors must be 1x1"
+                    )
+                comps.append((cid, 0, 1, 1))
+            frame = (w, h, comps, prec)
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError(
-                    "jpeg: multi-component lossless scan unsupported"
-                )
-            _cid, tables = seg[1], seg[2]
-            ss, _se, a = seg[3], seg[4], seg[5]
-            scan = (tables >> 4, ss, a & 0xF)  # (dc table, predictor, Pt)
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4) for i in range(ns)
+            ]  # (component id, dc table id)
+            ss, _se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            scan = (scan_comps, ss, a & 0xF)  # (comps, predictor, Pt)
             entropy_start = pos + seglen
             break
         pos += seglen
     if frame is None or scan is None:
         raise ValueError("jpeg: missing SOF3/SOS")
     w, h, comps, prec = frame
-    dct, pred_sel, pt = scan
+    scan_comps, pred_sel, pt = scan
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "jpeg: lossless multi-scan (non-interleaved) unsupported"
+        )
+    frame_by_id = {cid: i for i, (cid, _t, _h, _v) in enumerate(comps)}
+    order = []
+    for cid, dct in scan_comps:
+        if cid not in frame_by_id:
+            raise ValueError(f"jpeg: scan component id {cid} not in frame")
+        order.append((frame_by_id[cid], dc_tables[dct]))
     if not 1 <= pred_sel <= 7:
         raise ValueError(f"jpeg: bad lossless predictor {pred_sel}")
     default = 1 << (prec - 1 - pt) if prec - 1 - pt >= 0 else 0
     end = _entropy_end(data, entropy_start, skip_restarts=True)
     br = _BitReader(data[entropy_start:end])
-    table = dc_tables[dct]
 
-    plane = [[0] * w for _ in range(h)]
-    prev_row = None
+    planes = [[[0] * w for _ in range(h)] for _ in comps]
     count = 0
     rst = 0
     fresh = True
     for y in range(h):
-        row = plane[y]
         for x in range(w):
+            # an MCU is one sample of EVERY component (1×1 factors);
+            # restart units count MCUs and reset all predictor state
             if restart_interval and count and count % restart_interval == 0:
                 br.expect_restart(rst)
                 rst = (rst + 1) & 7
                 fresh = True
             count += 1
-            s = _read_huff(br, table)
-            if s == 16:  # no appended bits (H.1.2.2.1)
-                diff = 32768
-            elif s:
-                diff = _extend(br.bits(s), s)
-            else:
-                diff = 0
-            pred = _predict(pred_sel, row, prev_row, x, y, default, fresh)
+            for ci, table in order:
+                s = _read_huff(br, table)
+                if s == 16:  # no appended bits (H.1.2.2.1)
+                    diff = 32768
+                elif s:
+                    diff = _extend(br.bits(s), s)
+                else:
+                    diff = 0
+                plane = planes[ci]
+                row = plane[y]
+                prev_row = plane[y - 1] if y > 0 else None
+                pred = _predict(
+                    pred_sel, row, prev_row, x, y, default, fresh
+                )
+                row[x] = (pred + diff) & 0xFFFF
             fresh = False
-            row[x] = (pred + diff) & 0xFFFF
-        prev_row = row
-    return w, h, comps, [plane], prec
+    return w, h, comps, planes, prec
 
 
 # standard-shaped DHT covering categories 0..16 (flat 5-bit canonical)
@@ -173,39 +190,43 @@ _LL_BITS[5] = 17
 _LL_VALS = list(range(17))
 
 
-def encode_jpeg_lossless_gray(
-    samples: list[list[int]],
+def encode_jpeg_lossless(
+    planes: "list[list[list[int]]]",
     precision: int = 8,
     predictor: int = 1,
     pt: int = 0,
     restart_interval: int = 0,
 ) -> bytes:
-    """SOF3 encoder over an ARBITRARY grayscale sample grid (lossless
-    means random-image fixtures round-trip bit-exactly — no solid-
-    image restriction needed)."""
-    h = len(samples)
-    w = len(samples[0])
+    """SOF3 encoder over 1..4 ARBITRARY sample grids (lossless means
+    random-image fixtures round-trip bit-exactly — no solid-image
+    restriction needed). Interleaved scan, one sample per component
+    per MCU, shared DC table."""
+    nc = len(planes)
+    if not 1 <= nc <= 4:
+        raise ValueError(f"bad component count {nc}")
+    h = len(planes[0])
+    w = len(planes[0][0])
     if not 1 <= predictor <= 7:
         raise ValueError(f"bad predictor {predictor}")
     out = bytearray(b"\xff\xd8")
-    out += b"\xff\xc3" + struct.pack(">HBHHB", 11, precision, h, w, 1)
-    out += bytes([1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
     out += b"\xff\xc4" + struct.pack(">H", 19 + len(_LL_VALS)) + bytes([0x00])
     out += bytes(_LL_BITS[1:17]) + bytes(_LL_VALS)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
-        [1, 0x00, predictor, 0, pt]
-    )
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([predictor, 0, pt])
     codes = _huff_codes(_LL_BITS, _LL_VALS)
     default = 1 << (precision - 1 - pt) if precision - 1 - pt >= 0 else 0
     bw = _BitWriter()
     count = 0
     rst = 0
     fresh = True
-    prev_row = None
     for y in range(h):
-        row = samples[y]
         for x in range(w):
             if restart_interval and count and count % restart_interval == 0:
                 bw.flush()
@@ -215,22 +236,40 @@ def encode_jpeg_lossless_gray(
                 bw = _BitWriter()
                 fresh = True
             count += 1
-            pred = _predict(predictor, row, prev_row, x, y, default, fresh)
+            for plane in planes:
+                row = plane[y]
+                prev_row = plane[y - 1] if y > 0 else None
+                pred = _predict(
+                    predictor, row, prev_row, x, y, default, fresh
+                )
+                dd = (row[x] - pred) & 0xFFFF
+                if dd >= 32768 and dd != 32768:
+                    dd -= 65536  # mod-2^16 diff in [-32767, 32768]
+                if dd == 32768:
+                    s = 16
+                else:
+                    s = dd.bit_length() if dd >= 0 else (-dd).bit_length()
+                c, ln = codes[s]
+                bw.put(c, ln)
+                if 0 < s < 16:
+                    amp = dd if dd >= 0 else dd + (1 << s) - 1
+                    bw.put(amp, s)
             fresh = False
-            dd = (row[x] - pred) & 0xFFFF
-            if dd >= 32768 and dd != 32768:
-                dd -= 65536  # represent mod-2^16 diff in [-32767, 32768]
-            if dd == 32768:
-                s = 16
-            else:
-                s = dd.bit_length() if dd >= 0 else (-dd).bit_length()
-            c, ln = codes[s]
-            bw.put(c, ln)
-            if 0 < s < 16:
-                amp = dd if dd >= 0 else dd + (1 << s) - 1
-                bw.put(amp, s)
-        prev_row = row
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_lossless_gray(
+    samples: list[list[int]],
+    precision: int = 8,
+    predictor: int = 1,
+    pt: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Single-component convenience wrapper."""
+    return encode_jpeg_lossless(
+        [samples], precision=precision, predictor=predictor, pt=pt,
+        restart_interval=restart_interval,
+    )

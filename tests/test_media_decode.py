@@ -397,12 +397,17 @@ def test_jpeg_rejects_unsupported_features_loudly():
     )
 
     base = bytearray(encode_jpeg_solid_gray(8, 8, 100))
-    # flip SOF0 -> SOF3 (lossless — a different algorithm family,
-    # gated; every DCT mode SOF0/1/2/9/10 is SUPPORTED as of r07)
+    # flip SOF0 -> SOF5 (differential — gated; SOF0/1/2/3/9/10 are all
+    # SUPPORTED as of r07, and a DCT stream merely relabeled SOF3
+    # fails loud in the lossless parser instead: Ss=0 is an invalid
+    # predictor)
     i = bytes(base).find(b"\xff\xc0")
-    lossless = bytes(base[:i]) + b"\xff\xc3" + bytes(base[i + 2 :])
-    with _pytest.raises(NotImplementedError, match="lossless"):
-        decode_jpeg_baseline(lossless)
+    diff_sof = bytes(base[:i]) + b"\xff\xc5" + bytes(base[i + 2 :])
+    with _pytest.raises(NotImplementedError, match="differential"):
+        decode_jpeg_baseline(diff_sof)
+    relabeled = bytes(base[:i]) + b"\xff\xc3" + bytes(base[i + 2 :])
+    with _pytest.raises(ValueError, match="predictor"):
+        decode_jpeg_baseline(relabeled)
     # a baseline stream merely RELABELED progressive is malformed (its
     # single interleaved scan claims Ss=0 Se=63 — an illegal DC band):
     # the progressive path rejects it rather than mis-decoding

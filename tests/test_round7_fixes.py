@@ -849,3 +849,39 @@ def test_asof_nearest_model(spark):
     assert out[100] == 900  # equal 1s distance -> EARLIER purchase
     assert out[102] == 903  # duplicate right ts -> smaller id
     assert out[103] is None  # no purchases for user 3
+
+
+def test_jpeg_lossless_multicomponent_roundtrips():
+    """1..4-component interleaved lossless: random planes round-trip
+    bit-exactly; 3-component feature means are PER-PLANE (lossless
+    carries no color transform — never BT.601)."""
+    import random
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        decode_jpeg_planes,
+    )
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    rng = random.Random(11)
+    for nc in (1, 2, 3, 4):
+        for pred in (1, 4, 7):
+            for ri in (0, 2):
+                w, h = rng.randint(1, 11), rng.randint(1, 7)
+                planes = [
+                    [[rng.randrange(256) for _ in range(w)]
+                     for _ in range(h)]
+                    for _ in range(nc)
+                ]
+                data = encode_jpeg_lossless(
+                    planes, predictor=pred, restart_interval=ri
+                )
+                W, H, got = decode_jpeg_planes(data)
+                assert (W, H) == (w, h) and got == planes, (nc, pred, ri)
+
+    rgb = [[[10] * 4] * 2, [[200] * 4] * 2, [[55] * 4] * 2]
+    f = decode_jpeg_baseline(encode_jpeg_lossless(rgb))
+    assert (f["mean_r"], f["mean_g"], f["mean_b"]) == (10.0, 200.0, 55.0)
+    assert f["channels"] == 3
