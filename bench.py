@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     # regression (e.g. a subsampling change) is visible as a number
     "media_image_decode_jpeg",  # stdlib JPEG: 4:4:4/4:2:0/progressive/RSTn
     "media_frames_decode",      # stdlib GIF container decode, per-frame
+    # r07 late: AVI container decode joins the tripwire set (frames
+    # cycle sequential/progressive/arithmetic JPEG coding)
+    "media_video_decode",
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is
