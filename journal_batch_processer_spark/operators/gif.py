@@ -339,3 +339,43 @@ def encode_gif_solid_frames(
         out.append(0)
     out += b"\x3b"
     return bytes(out)
+
+
+def encode_gif_frames_indexed(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    frames: "list[tuple[list[int], int]]",
+) -> bytes:
+    """Animated GIF89a over ARBITRARY per-pixel index rasters:
+    ``frames`` is a list of (indices row-major, delay_cs). The general
+    form of :func:`encode_gif_solid_frames` — LZW dictionary growth is
+    driven by real pixel structure, which is what the Java ImageIO
+    cross-validation reads back (tests/test_gif_crossval.py)."""
+    if not palette or len(palette) > 256:
+        raise ValueError("fixture encoder: palette must have 1..256 entries")
+    bits = max(2, (len(palette) - 1).bit_length())
+    gct_n = 1 << bits
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    for i in range(gct_n):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    for indices, delay in frames:
+        if len(indices) != width * height:
+            raise ValueError("fixture encoder: raster size mismatch")
+        if any(not 0 <= v < len(palette) for v in indices):
+            raise ValueError("fixture encoder: index outside palette")
+        out += b"\x21\xf9" + struct.pack("<BBHB", 4, 0x04, delay, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        mcs = bits
+        out.append(mcs)
+        lzw = _lzw_encode(mcs, list(indices))
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
