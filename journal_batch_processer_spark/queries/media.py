@@ -564,3 +564,143 @@ QUERIES = {
     "media_video_decode": (q_media_video_decode, SQL_MEDIA_VIDEO_DECODE),
     "media_audio_decode": (q_media_audio_decode, SQL_MEDIA_AUDIO_DECODE),
 }
+
+
+def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE multimodal composition: every media asset of every
+    modality — PPM, PNG (palette/Adam7 mix), JPEG (all six coding
+    processes), animated GIF, MJPEG-AVI video, WAV (all PCM widths) —
+    decoded by the pure-stdlib codecs, NORMALIZED to one manifest row
+    per asset (modality, dimensions, unit count, duration, a scalar
+    signal statistic), and joined back to the documents table for its
+    lang/source labels. This is the table a multimodal training
+    pipeline actually feeds the packer: per-document asset inventory
+    with decode-verified facts, not filesystem metadata.
+
+    Every branch reuses an already-oracled decode query, so the
+    manifest oracle is the same closed forms composed by UNION ALL —
+    one key value-checks the entire modality surface plus the join."""
+    did = F.regexp_extract("fname", r"_(\d+)\.", 1).cast("long").alias("doc_id")
+    sig3 = F.round(
+        (F.col("mean_r") + F.col("mean_g") + F.col("mean_b")) / 3.0, 6
+    )
+
+    def still(df, modality):
+        return df.select(
+            did,
+            F.lit(modality).alias("modality"),
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.lit(1).cast("long").alias("n_units"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            sig3.alias("signal"),
+        )
+
+    ppm = still(q_media_image_decode(spark, sf_dir), "image/ppm")
+    png = still(q_media_image_decode_png(spark, sf_dir), "image/png")
+    jpg = still(q_media_image_decode_jpeg(spark, sf_dir), "image/jpeg")
+
+    gif = (
+        q_media_frames_decode(spark, sf_dir)
+        .groupBy("fname")
+        .agg(
+            F.max("width").alias("width"),
+            F.max("height").alias("height"),
+            F.max("n_frames").cast("long").alias("n_units"),
+            (F.sum("delay_cs") * 10).cast("long").alias("duration_ms"),
+            F.round(
+                F.avg((F.col("mean_r") + F.col("mean_g") + F.col("mean_b")) / 3.0),
+                6,
+            ).alias("signal"),
+        )
+        .select(
+            did, F.lit("video/gif").alias("modality"), "width", "height",
+            "n_units", "duration_ms", "signal",
+        )
+    )
+    avi = (
+        q_media_video_decode(spark, sf_dir)
+        .groupBy("fname")
+        .agg(
+            F.max("width").alias("width"),
+            F.max("height").alias("height"),
+            F.max("n_frames").cast("long").alias("n_units"),
+            F.expr("max(n_frames) * max(us_per_frame) div 1000")
+            .cast("long")
+            .alias("duration_ms"),
+            F.round(F.avg("mean_gray"), 6).alias("signal"),
+        )
+        .select(
+            did, F.lit("video/avi").alias("modality"), "width", "height",
+            "n_units", "duration_ms", "signal",
+        )
+    )
+    wav = q_media_audio_decode(spark, sf_dir).select(
+        did,
+        F.lit("audio/wav").alias("modality"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("n_frames").cast("long").alias("n_units"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.round("rms", 6).alias("signal"),
+    )
+
+    manifest = ppm.unionByName(png).unionByName(jpg).unionByName(gif) \
+        .unionByName(avi).unionByName(wav)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    return manifest.join(docs, "doc_id")
+
+
+SQL_MULTIMODAL_MANIFEST = f"""
+WITH ppm AS ({SQL_MEDIA_IMAGE_DECODE}),
+png AS ({SQL_MEDIA_IMAGE_DECODE_PNG}),
+jpg AS ({SQL_MEDIA_IMAGE_DECODE_JPEG}),
+giff AS ({SQL_MEDIA_FRAMES_DECODE}),
+avif AS ({SQL_MEDIA_VIDEO_DECODE}),
+wav AS ({SQL_MEDIA_AUDIO_DECODE}),
+manifest AS (
+    SELECT CAST(regexp_extract(fname, '_(\\d+)\\.', 1) AS BIGINT) AS doc_id,
+           'image/ppm' AS modality, width, height,
+           CAST(1 AS BIGINT) AS n_units, CAST(NULL AS BIGINT) AS duration_ms,
+           ROUND((mean_r + mean_g + mean_b) / 3.0, 6) AS signal
+    FROM ppm
+    UNION ALL
+    SELECT CAST(regexp_extract(fname, '_(\\d+)\\.', 1) AS BIGINT),
+           'image/png', width, height, 1, NULL,
+           ROUND((mean_r + mean_g + mean_b) / 3.0, 6)
+    FROM png
+    UNION ALL
+    SELECT CAST(regexp_extract(fname, '_(\\d+)\\.', 1) AS BIGINT),
+           'image/jpeg', width, height, 1, NULL,
+           ROUND((mean_r + mean_g + mean_b) / 3.0, 6)
+    FROM jpg
+    UNION ALL
+    SELECT CAST(regexp_extract(fname, '_(\\d+)\\.', 1) AS BIGINT),
+           'video/gif', MAX(width), MAX(height),
+           CAST(MAX(n_frames) AS BIGINT),
+           CAST(SUM(delay_cs) * 10 AS BIGINT),
+           ROUND(AVG((mean_r + mean_g + mean_b) / 3.0), 6)
+    FROM giff GROUP BY fname
+    UNION ALL
+    SELECT CAST(regexp_extract(fname, '_(\\d+)\\.', 1) AS BIGINT),
+           'video/avi', MAX(width), MAX(height),
+           CAST(MAX(n_frames) AS BIGINT),
+           CAST(MAX(n_frames) * MAX(us_per_frame) // 1000 AS BIGINT),
+           ROUND(AVG(mean_gray), 6)
+    FROM avif GROUP BY fname
+    UNION ALL
+    SELECT CAST(regexp_extract(fname, '_(\\d+)\\.', 1) AS BIGINT),
+           'audio/wav', NULL, NULL, CAST(n_frames AS BIGINT),
+           CAST(duration_ms AS BIGINT), ROUND(rms, 6)
+    FROM wav
+)
+SELECT m.doc_id, m.modality, m.width, m.height, m.n_units, m.duration_ms,
+       m.signal, d.lang, d.source
+FROM manifest m JOIN documents d ON d.doc_id = m.doc_id
+"""
+
+
+# defined below the QUERIES literal — registered here
+QUERIES["multimodal_manifest"] = (q_multimodal_manifest, SQL_MULTIMODAL_MANIFEST)
