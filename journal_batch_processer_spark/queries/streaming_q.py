@@ -589,6 +589,58 @@ FROM r GROUP BY 1
 SQL_PYTHON_STREAM_SOURCE = _pyss_oracle_sql
 
 
+def q_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING SINK via the Python DataSource API's
+    DataSourceStreamWriter — the final leg of the connector story
+    (batch read/write and the streaming source are covered by
+    python_datasource / python_datasink / python_stream_source). The
+    deterministic tick source drains through
+    ``writeStream.format("avro_py")``: tasks write uuid-named Avro
+    containers, each epoch's commit() records them in a
+    _commits/<batchId> manifest, and the avro_py BATCH reader lists
+    only manifest-committed parts — so an aborted or replayed epoch
+    can never leak rows into the read-back (the same exactly-once
+    read contract as the parquet sink's _spark_metadata log). The
+    read-back aggregate is value-oracled by regenerating the stream
+    content in SQL."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.sources.avro import make_avro_source
+    from journal_batch_processer_spark.sources.python_source import (
+        TICK_BATCHES,
+        TickStreamSource,
+        register_once,
+    )
+
+    register_once(spark, TickStreamSource)
+    register_once(spark, make_avro_source())
+    root = _tf.mkdtemp(prefix="jbp_avsink_")
+    ckpt, outdir = f"{root}/ckpt", f"{root}/out"
+    for run in range(TICK_BATCHES):
+        stream = spark.readStream.format("jbp_ticks").load()
+        q = (
+            stream.writeStream.format("avro_py")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q, f"jbp_avsink_run{run}")
+    out = spark.read.format("avro_py").load(outdir)
+    return out.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.sum("i").alias("i_checksum"),
+    )
+
+
+# identical stream content, identical aggregate → the same oracle
+SQL_PYTHON_STREAM_SINK = _pyss_oracle_sql
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM inner join (the attribution join: each view
     matched to the clicks that follow it within 2 hours) — distinct
@@ -658,6 +710,7 @@ QUERIES = {
     "stream_upsert": (q_stream_upsert, SQL_STREAM_UPSERT),
     "stream_stream_join": (q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     "python_stream_source": (q_python_stream_source, SQL_PYTHON_STREAM_SOURCE),
+    "python_stream_sink": (q_python_stream_sink, SQL_PYTHON_STREAM_SINK),
     "stream_stats": (q_stream_stats, SQL_STREAM_STATS),
     "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
     "stream_session_native": (q_stream_session_native, SQL_STREAM_SESSION_NATIVE),

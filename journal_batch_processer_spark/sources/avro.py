@@ -361,6 +361,19 @@ def avro_schema_to_ddl(schema: dict) -> str:
 
 def _avro_paths(path: str) -> list[str]:
     if os.path.isdir(path):
+        commits = os.path.join(path, "_commits")
+        if os.path.isdir(commits):
+            # streaming-sink output: only COMMITTED parts are visible
+            # (the per-batch manifests written at epoch commit — the
+            # same exactly-once read contract as the parquet sink's
+            # _spark_metadata log)
+            names: list[str] = []
+            for mf in sorted(os.listdir(commits)):
+                with open(os.path.join(commits, mf)) as f:
+                    names.extend(
+                        ln.strip() for ln in f if ln.strip()
+                    )
+            return [os.path.join(path, n) for n in sorted(names)]
         return sorted(
             os.path.join(path, n)
             for n in os.listdir(path)
@@ -378,6 +391,7 @@ def make_avro_source():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamWriter,
         DataSourceWriter,
         InputPartition,
         WriterCommitMessage,
@@ -457,6 +471,36 @@ def make_avro_source():
                 if m is not None and os.path.exists(m.path):
                     os.unlink(m.path)
 
+    class AvroStreamWriter(DataSourceStreamWriter):
+        """Per-micro-batch Avro containers under the two-phase commit:
+        tasks write uuid-named parts, the epoch commit records them in
+        _commits/<batchId> — and the batch reader lists ONLY committed
+        parts, so a replayed/aborted epoch never leaks rows into a
+        read (exactly-once end to end with the source's replayable
+        offsets)."""
+
+        def __init__(self, options, ddl_schema):
+            self._batch = AvroWriter(options, ddl_schema)
+            self.path = self._batch.path
+
+        def write(self, iterator):
+            return self._batch.write(iterator)
+
+        def commit(self, messages, batchId):
+            d = os.path.join(self.path, "_commits")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".{batchId}.tmp")
+            with open(tmp, "w") as f:
+                for m in messages:
+                    if m is not None:
+                        f.write(os.path.basename(m.path) + "\n")
+            os.replace(tmp, os.path.join(d, str(batchId)))
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.unlink(m.path)
+
     class AvroPySource(DataSource):
         """``avro_py``: Object Container File batch read/write."""
 
@@ -478,5 +522,8 @@ def make_avro_source():
 
         def writer(self, schema, overwrite):
             return AvroWriter(self.options, schema)
+
+        def streamWriter(self, schema, overwrite):
+            return AvroStreamWriter(self.options, schema)
 
     return AvroPySource
