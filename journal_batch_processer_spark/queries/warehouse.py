@@ -436,6 +436,56 @@ WHERE s.group_n >= {ANON_K}
 """
 
 
+ANON_L = 5  # minimum distinct sensitive values per published group
+
+
+def q_anonymize_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY on top of k-anonymity (the stricter privacy gate):
+    a group can satisfy k-anonymity yet still leak — if every member
+    shares the same SENSITIVE attribute value, knowing someone is in
+    the group reveals it (the homogeneity attack). Each
+    quasi-identifier group (lang, 50-char length band) must therefore
+    also contain ≥ l = 5 DISTINCT sensitive values (``source`` plays
+    the sensitive attribute here); groups failing either bound are
+    suppressed — and the l bound BINDS on the fixtures beyond the k
+    bound (two k-surviving groups carry only 4 distinct sources: 12
+    more rows drop at sf0.01). Output keeps both audit columns
+    (group size, distinct sensitive count).
+
+    Plan shape: the same single aggregate over the quasi-identifier
+    broadcast back onto the scan as anonymize_k — countDistinct adds a
+    partial-distinct inside the aggregate, still no corpus shuffle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    docs = docs.withColumn("len_band", F.expr("n_chars div 50"))
+    sizes = docs.groupBy("lang", "len_band").agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.countDistinct("source").alias("n_sensitive"),
+    )
+    return (
+        docs.join(F.broadcast(sizes), ["lang", "len_band"])
+        .filter(
+            (F.col("group_n") >= ANON_K) & (F.col("n_sensitive") >= ANON_L)
+        )
+        .select("doc_id", "lang", "len_band", "group_n", "n_sensitive")
+    )
+
+
+SQL_ANONYMIZE_L = f"""
+WITH b AS (
+    SELECT doc_id, lang, source, n_chars // 50 AS len_band FROM documents
+),
+s AS (
+    SELECT lang, len_band, COUNT(*) AS group_n,
+           COUNT(DISTINCT source) AS n_sensitive
+    FROM b GROUP BY 1, 2
+)
+SELECT b.doc_id, b.lang, CAST(b.len_band AS BIGINT) AS len_band,
+       s.group_n, s.n_sensitive
+FROM b JOIN s USING (lang, len_band)
+WHERE s.group_n >= {ANON_K} AND s.n_sensitive >= {ANON_L}
+"""
+
+
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint battery (the dbt-test /
     Great-Expectations shape every warehouse runs before publishing):
@@ -578,6 +628,7 @@ QUERIES = {
     "compact_plan": (q_compact_plan, _compact_plan_sql),
     "schema_evolution": (q_schema_evolution, SQL_SCHEMA_EVOLUTION),
     "anonymize_k": (q_anonymize_k, SQL_ANONYMIZE_K),
+    "anonymize_l": (q_anonymize_l, SQL_ANONYMIZE_L),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "xml_native": (q_xml_native, SQL_XML_NATIVE),
     "partitioned_prune": (q_partitioned_prune, SQL_PARTITIONED_PRUNE),
