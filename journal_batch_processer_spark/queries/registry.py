@@ -85,6 +85,7 @@ def _build() -> dict[str, QuerySpec]:
         "multimodal_manifest",      # capstone all-modality manifest
         "python_stream_sink",       # DataSourceStreamWriter (avro_py)
         "anonymize_l",              # l-diversity privacy gate (r07)
+        "retention_cohorts",        # cohort retention matrix (r07)
         # fixtures changed in r07 (12-bit SOF1 + arithmetic SOF9 +
         # progressive-with-restart JPEGs in the media mix)
         "media_image_decode_jpeg",

@@ -640,6 +640,70 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    are cohorted by FIRST-activity week (anchored to 2024-01-01 so
+    week ids are stable integers), and each (cohort, week-offset)
+    cell counts the cohort's users still active that week, plus a
+    parts-per-million retention rate in INTEGER arithmetic (n·1e6
+    div cohort size — no float division to disagree on).
+
+    Plan shape: one distinct over (user, week) — the corpus-sized
+    shuffle — then user-keyed min + two small aggregates; the cohort
+    size rejoins by broadcast. No self-join over events (the naive
+    cohort query joins events to itself per offset — quadratic in
+    activity; this is linear)."""
+    ev = _events(spark, sf_dir)
+    act = ev.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), date'2024-01-01') div 7").alias("week"),
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = act.join(first, "user_id").withColumn(
+        "week_offset", F.col("week") - F.col("cohort_week")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    ret = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_week")
+        .withColumn(
+            "retention_ppm", F.expr("n_active * 1000000 div cohort_n")
+        )
+        .select(
+            "cohort_week", "week_offset", "n_active", "cohort_n",
+            "retention_ppm",
+        )
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH act AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+    FROM events
+),
+first AS (
+    SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY 1
+),
+sizes AS (
+    SELECT cohort_week, COUNT(*) AS cohort_n FROM first GROUP BY 1
+),
+ret AS (
+    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_n,
+       r.n_active * 1000000 // s.cohort_n AS retention_ppm
+FROM ret r JOIN sizes s USING (cohort_week)
+"""
+
+
 SQL_JOIN_ASOF_NEAREST = """
 SELECT c.event_id, c.user_id, m.event_id AS nearest_purchase_id
 FROM (SELECT * FROM events WHERE event_type = 'click') c
@@ -1309,6 +1373,7 @@ QUERIES = {
     "join_range": (q_join_range, SQL_JOIN_RANGE),
     "join_asof": (q_join_asof, SQL_JOIN_ASOF),
     "join_asof_nearest": (q_join_asof_nearest, SQL_JOIN_ASOF_NEAREST),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "join_colocated": (q_join_colocated, SQL_JOIN_COLOCATED),
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
     "agg_salted_skewed": (q_agg_salted_skewed, SQL_AGG_SALTED_SKEWED),
