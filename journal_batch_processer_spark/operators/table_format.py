@@ -1,0 +1,499 @@
+"""Pure-Python snapshot table format: a manifest commit log over parquet.
+
+The one warehouse capability the repo's separate pieces (upsert_merge,
+schema_evolution, compact_plan) didn't yet offer as a UNIFIED table
+abstraction: a directory of parquet data files plus an append-only
+commit log of JSON manifests, giving
+
+- **snapshot isolation** — readers resolve ONE manifest and see exactly
+  the files that commit listed, never a half-written mix;
+- **time travel** — ``read(version=N)`` / ``read(as_of_us=T)`` replay
+  any committed state (the Delta/Iceberg ``VERSION AS OF`` shape);
+- **optimistic concurrency** — a commit is an exclusive hard-link of a
+  fully-written temp manifest to ``v{N}.json``; two writers racing for
+  the same version: exactly one wins, the loser gets
+  :class:`CommitConflictError` (appends auto-rebase and retry; MERGE /
+  compaction must re-run against the new snapshot, like Delta's
+  ConcurrentAppendException);
+- **copy-on-write MERGE** — file-level min/max key stats prune the
+  rewrite set: only data files whose key range can contain a batch key
+  are rewritten, every other file is carried into the new manifest
+  untouched (at 100 TB the nightly merge rewrites the few overlapping
+  files, not the table);
+- **schema evolution on read** — additive column evolution is
+  metadata-only: each manifest records the table schema AND each file's
+  column set, so the reader null-fills old files from the manifest
+  alone, never touching parquet footers of unrelated files;
+- **data skipping** — ``read_pruned`` drops files by their min/max
+  stats before Spark ever lists them (the scan-side twin of the COW
+  pruning);
+- **compaction** — small files are binned (whole-file, running-byte-sum
+  cut, the compact_plan shape) and rewritten target-sized under the
+  SAME snapshot contract: content identical, file count lower.
+
+Scale notes. Every decision here is metadata-over-data: manifests are
+O(files) JSON (at 100 TB ~millions of entries — the next step is
+Iceberg-style manifest LISTS, sharding the file list itself; the commit
+protocol is unchanged). The exclusive-link commit is the local-FS stand-
+in for an object store's conditional PUT (S3 If-None-Match) or a commit
+lock service. Stats come from parquet FOOTERS at write time (pyarrow),
+so planning never scans data. The reference materializes every stage
+boundary as a flat prefixed CSV with no versioning or atomicity
+(BatchUpdate.py:174, :422, :565 — `_writeTo('f_'/'s_'/'suc_', ...)`);
+this module is that boundary done as a real table: columnar, versioned,
+atomic, prunable.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STATS_TYPES = (int, float, str)
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first; rebase and retry."""
+
+
+def _fsync_write(path: str, payload: str) -> None:
+    with open(path, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+
+
+def _file_entry(root: str, rel_path: str) -> dict:
+    """Manifest entry for one parquet file: rows/bytes/columns plus
+    per-column min/max, all read from the parquet FOOTER (pyarrow) —
+    stats collection is metadata-only, no data scan."""
+    import pyarrow.parquet as pq
+
+    abspath = os.path.join(root, rel_path)
+    meta = pq.ParquetFile(abspath).metadata
+    cols = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if not isinstance(lo, _STATS_TYPES) or not isinstance(hi, _STATS_TYPES):
+                continue  # timestamps/binary: not JSON-portable, skip
+            name = cols[ci]
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {
+        "path": rel_path,
+        "rows": meta.num_rows,
+        "bytes": os.path.getsize(abspath),
+        "columns": cols,
+        "stats": {c: [mins[c], maxs[c]] for c in mins if c in maxs},
+    }
+
+
+class SnapshotTable:
+    """Handle on a snapshot-table directory (see module docstring)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._manifest_dir = os.path.join(root, "_manifest")
+        self._data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------------
+    # manifest log
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: list[tuple[str, str]],
+        committed_at_us: int | None = None,
+    ) -> "SnapshotTable":
+        """Initialise an empty table: version 1, no files."""
+        t = cls(root)
+        os.makedirs(t._manifest_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        t._try_commit(
+            {
+                "format_version": 1,
+                "version": 1,
+                "parent": None,
+                "operation": "create",
+                "committed_at_us": t._now_us(committed_at_us),
+                "schema": [{"name": n, "type": ty} for n, ty in schema],
+                "files": [],
+            }
+        )
+        return t
+
+    @staticmethod
+    def _now_us(override: int | None) -> int:
+        return int(time.time() * 1e6) if override is None else int(override)
+
+    def versions(self) -> list[int]:
+        paths = glob.glob(os.path.join(self._manifest_dir, "v*.json"))
+        return sorted(int(os.path.basename(p)[1:-5]) for p in paths)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        return vs[-1]
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        with open(os.path.join(self._manifest_dir, f"v{v:05d}.json")) as fh:
+            return json.load(fh)
+
+    def version_as_of(self, ts_us: int) -> int:
+        """Greatest committed version with committed_at_us <= ts_us."""
+        best = None
+        for v in self.versions():
+            if self.manifest(v)["committed_at_us"] <= ts_us:
+                best = v
+        if best is None:
+            raise LookupError(f"no snapshot at or before t={ts_us}us")
+        return best
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self.versions():
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": m["operation"],
+                    "committed_at_us": m["committed_at_us"],
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(f["rows"] for f in m["files"]),
+                }
+            )
+        return out
+
+    def _try_commit(self, man: dict) -> int:
+        """Atomically publish ``man`` as v{N}. The temp manifest is
+        fully written + fsynced first, then hard-linked to its final
+        name — `link(2)` fails with EEXIST if any other writer got
+        there, which IS the conflict detection (no lock files, no
+        read-check-write race)."""
+        target = os.path.join(self._manifest_dir, f"v{man['version']:05d}.json")
+        tmp = os.path.join(
+            self._manifest_dir, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        _fsync_write(tmp, json.dumps(man, indent=1, sort_keys=True))
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version {man['version']} already committed under {self.root}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return man["version"]
+
+    # ------------------------------------------------------------------
+    # write paths
+    # ------------------------------------------------------------------
+    def _stage_files(self, df: DataFrame, version_hint: int) -> list[dict]:
+        """Write ``df`` to uniquely-named data files and return their
+        manifest entries. Files become VISIBLE only when a manifest
+        referencing them commits — an abandoned stage is garbage, never
+        a torn table (the snapshot-isolation half of the contract)."""
+        token = uuid.uuid4().hex[:8]
+        staging = os.path.join(self.root, f"_staging-{token}")
+        df.write.mode("overwrite").parquet(staging)
+        entries = []
+        parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+        for i, p in enumerate(parts):
+            rel = f"data/v{version_hint:05d}-{i:04d}-{token}.parquet"
+            os.rename(p, os.path.join(self.root, rel))
+            entries.append(_file_entry(self.root, rel))
+        shutil.rmtree(staging, ignore_errors=True)
+        return [e for e in entries if e["rows"] > 0]
+
+    def append(
+        self,
+        df: DataFrame,
+        committed_at_us: int | None = None,
+        new_columns: list[tuple[str, str]] | None = None,
+        _max_retries: int = 10,
+    ) -> int:
+        """Append ``df`` as a new snapshot. Additive schema evolution:
+        ``new_columns`` extends the table schema (metadata-only — old
+        files are never touched; the reader null-fills them). Appends
+        never conflict LOGICALLY, so a lost commit race auto-rebases on
+        the new latest and retries (data files are already staged and
+        are commit-target agnostic)."""
+        base_v = self.latest_version()
+        man = self.manifest(base_v)
+        schema = list(man["schema"])
+        known = {c["name"] for c in schema}
+        for n, ty in new_columns or []:
+            if n not in known:
+                schema.append({"name": n, "type": ty})
+                known.add(n)
+        bad = set(df.columns) - known
+        if bad:
+            raise ValueError(f"append columns not in table schema: {sorted(bad)}")
+        new_files = self._stage_files(df, base_v + 1)
+        for _ in range(_max_retries):
+            try:
+                return self._try_commit(
+                    {
+                        "format_version": 1,
+                        "version": man["version"] + 1,
+                        "parent": man["version"],
+                        "operation": "append",
+                        "committed_at_us": self._now_us(committed_at_us),
+                        "schema": schema,
+                        "files": man["files"] + new_files,
+                    }
+                )
+            except CommitConflictError:
+                man = self.manifest(self.latest_version())
+                merged = list(man["schema"])
+                have = {c["name"] for c in merged}
+                merged += [c for c in schema if c["name"] not in have]
+                schema = merged
+        raise CommitConflictError(f"append lost {_max_retries} commit races")
+
+    def merge(
+        self,
+        batch_df: DataFrame,
+        key: str,
+        committed_at_us: int | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Copy-on-write MERGE (upsert): matched keys take the batch
+        row wholesale, unmatched batch rows insert, untouched base rows
+        survive — but only files whose [min,max] key range can contain
+        a batch key are rewritten; all others carry into the new
+        manifest by reference.
+
+        The pruning join is batch ⋈ broadcast(file-ranges): the range
+        table is O(files) and tiny, the batch streams past it once
+        (BroadcastNestedLoopJoin on purpose — the broadcast side is the
+        file METADATA, never data). Rewrites are repartitionByRange on
+        the key so the new files keep disjoint key ranges and stay
+        prunable for the NEXT merge. Conflicts are not retried: a merge
+        is only valid against the snapshot it planned on, so the caller
+        re-runs (Delta's ConcurrentAppend semantics)."""
+        spark = batch_df.sparkSession
+        base_v = self.latest_version() if expected_version is None else expected_version
+        man = self.manifest(base_v)
+        cols = [c["name"] for c in man["schema"]]
+        if set(batch_df.columns) != set(cols):
+            raise ValueError(
+                f"merge batch schema {sorted(batch_df.columns)} != table {sorted(cols)}"
+            )
+        files = man["files"]
+        forced: list[int] = []  # no usable key stats → conservatively rewrite
+        ranges: list[tuple[int, object, object]] = []
+        for i, f in enumerate(files):
+            st = (f.get("stats") or {}).get(key)
+            if st is None:
+                forced.append(i)
+            else:
+                ranges.append((i, st[0], st[1]))
+        touched: set[int] = set(forced)
+        if ranges:
+            rng = spark.createDataFrame(
+                [(i, lo, hi) for i, lo, hi in ranges], "fid int, lo long, hi long"
+            )
+            hits = (
+                batch_df.select(F.col(key).alias("_k"))
+                .join(
+                    F.broadcast(rng),
+                    (F.col("_k") >= F.col("lo")) & (F.col("_k") <= F.col("hi")),
+                )
+                .select("fid")
+                .distinct()
+                .collect()
+            )
+            touched |= {r.fid for r in hits}
+        rewrite_idx = sorted(touched)
+        carried = [f for i, f in enumerate(files) if i not in touched]
+        batch = batch_df.select(cols)
+        if rewrite_idx:
+            base = self._read_file_group(
+                spark, man, [files[i] for i in rewrite_idx]
+            ).select(cols)
+            merged = base.join(batch.select(key), key, "left_anti").unionByName(batch)
+        else:
+            merged = batch
+        merged = merged.repartitionByRange(max(1, len(rewrite_idx) or 1), key)
+        new_files = self._stage_files(merged, base_v + 1)
+        return self._try_commit(
+            {
+                "format_version": 1,
+                "version": base_v + 1,
+                "parent": base_v,
+                "operation": "merge",
+                "committed_at_us": self._now_us(committed_at_us),
+                "schema": man["schema"],
+                "files": carried + new_files,
+            }
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_bytes: int,
+        committed_at_us: int | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Small-file compaction under the snapshot contract: same
+        rows, fewer files. Files are binned per column-group (never mix
+        schema generations in one output file) by the whole-file
+        running-byte-sum cut (`start div target` — the compact_plan /
+        seq_pack shape); bins with ≥2 files rewrite to one file each,
+        singletons carry by reference. Content equality v(N)==v(N+1) is
+        the operator's contract and is what the oracle checks."""
+        base_v = self.latest_version() if expected_version is None else expected_version
+        man = self.manifest(base_v)
+        groups: dict[tuple[str, ...], list[dict]] = {}
+        for f in man["files"]:
+            groups.setdefault(tuple(f["columns"]), []).append(f)
+        carried: list[dict] = []
+        new_files: list[dict] = []
+        for _, fs in sorted(groups.items()):
+            fs = sorted(fs, key=lambda f: f["path"])
+            bins: dict[int, list[dict]] = {}
+            start = 0
+            for f in fs:
+                bins.setdefault(start // target_bytes, []).append(f)
+                start += f["bytes"]
+            for _, binfs in sorted(bins.items()):
+                if len(binfs) < 2:
+                    carried.extend(binfs)
+                    continue
+                df = self._read_file_group(spark, man, binfs, null_fill=False)
+                new_files.extend(
+                    self._stage_files(df.coalesce(1), base_v + 1)
+                )
+        return self._try_commit(
+            {
+                "format_version": 1,
+                "version": base_v + 1,
+                "parent": base_v,
+                "operation": "compact",
+                "committed_at_us": self._now_us(committed_at_us),
+                "schema": man["schema"],
+                "files": carried + new_files,
+            }
+        )
+
+    # ------------------------------------------------------------------
+    # read paths
+    # ------------------------------------------------------------------
+    def _resolve(self, version: int | None, as_of_us: int | None) -> int:
+        if version is not None and as_of_us is not None:
+            raise ValueError("pass version OR as_of_us, not both")
+        if as_of_us is not None:
+            return self.version_as_of(as_of_us)
+        return self.latest_version() if version is None else version
+
+    def _ddl(self, man: dict, names: set[str] | None = None) -> str:
+        return ", ".join(
+            f"`{c['name']}` {c['type']}"
+            for c in man["schema"]
+            if names is None or c["name"] in names
+        )
+
+    def _read_file_group(
+        self,
+        spark: SparkSession,
+        man: dict,
+        files: list[dict],
+        null_fill: bool = True,
+    ) -> DataFrame:
+        """Read a list of manifest file entries as ONE DataFrame in the
+        manifest's logical schema. Files are grouped by their recorded
+        column set and each group gets an EXPLICIT schema — no footer
+        merging (mergeSchema reads every footer; the manifest already
+        knows), old groups null-filled from metadata alone."""
+        cols = [c["name"] for c in man["schema"]]
+        types = {c["name"]: c["type"] for c in man["schema"]}
+        by_cols: dict[tuple[str, ...], list[str]] = {}
+        for f in files:
+            by_cols.setdefault(tuple(f["columns"]), []).append(
+                os.path.join(self.root, f["path"])
+            )
+        parts = []
+        for colset, paths in sorted(by_cols.items()):
+            present = set(colset)
+            df = spark.read.schema(self._ddl(man, present)).parquet(*paths)
+            if null_fill:
+                for n in cols:
+                    if n not in present:
+                        df = df.withColumn(n, F.lit(None).cast(types[n]))
+                df = df.select(cols)
+            parts.append(df)
+        if not parts:
+            return spark.createDataFrame([], self._ddl(man))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_us: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read: latest, ``VERSION AS OF`` or ``TIMESTAMP AS
+        OF`` — exactly the files that manifest committed."""
+        man = self.manifest(self._resolve(version, as_of_us))
+        return self._read_file_group(spark, man, man["files"])
+
+    def pruned_files(
+        self, key: str, lo, hi, version: int | None = None
+    ) -> tuple[list[dict], list[dict]]:
+        """Split a snapshot's files into (kept, skipped) by min/max
+        stats vs [lo, hi]. Files without stats for ``key`` are kept
+        (stats are an optimization, never a correctness gate)."""
+        man = self.manifest(self._resolve(version, None))
+        kept, skipped = [], []
+        for f in man["files"]:
+            st = (f.get("stats") or {}).get(key)
+            if st is not None and (st[1] < lo or st[0] > hi):
+                skipped.append(f)
+            else:
+                kept.append(f)
+        return kept, skipped
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        key: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping read: drop files whose [min,max] for ``key``
+        cannot intersect [lo, hi] BEFORE Spark lists them, then apply
+        the row-level filter (stats prune files, the filter prunes
+        rows; parquet row-group pushdown still applies inside kept
+        files). At 100 TB this is the difference between listing a
+        table and listing a partition's worth of it."""
+        v = self._resolve(version, None)
+        man = self.manifest(v)
+        kept, _ = self.pruned_files(key, lo, hi, version=v)
+        df = self._read_file_group(spark, man, kept)
+        return df.filter((F.col(key) >= lo) & (F.col(key) <= hi))
+
+
+def table_fixture_root(tag: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"jbp_snaptable_{tag}")

@@ -1,0 +1,296 @@
+"""Snapshot-table (lakehouse) registry keys: time travel, COW merge,
+schema evolution, compaction, and stats-based data skipping — the
+operators/table_format.py commit log exercised end-to-end and value-
+oracled against DuckDB replaying the same logical states from the
+source ``events`` parquet.
+
+Fixture: ONE deterministic table built per sf-dir under /tmp, six
+commits —
+
+  v1 create              (empty, 4-col schema)
+  v2 append even events  (repartitionByRange(8) on event_id →
+                          disjoint-range files, so stats prune)
+  v3 append odd events   (table now = all of events)
+  v4 COW MERGE           (updates: value*2 for event_id∈[100,299];
+                          inserts: event_id+10M for event_id%1000==0 —
+                          key-local on purpose: only range-overlapping
+                          files rewrite, the rest carry by reference)
+  v5 append gen-2 rows   (event_id+20M for event_id%1000==1, NEW
+                          column `priority` = user_id%5 → additive
+                          schema evolution; old files never touched)
+  v6 compact             (64 KB bins; content == v5 by contract)
+
+Commit timestamps are pinned to version*1_000_000 µs so TIMESTAMP AS
+OF resolution is deterministic and testable.
+
+Every oracle replays the corresponding state in pure SQL over
+``events`` — the table directory never feeds the oracle, so a wrong
+manifest, a torn commit, a mis-carried file, or a broken null-fill all
+hash-fail. The reference's analog is its stage-boundary CSV
+materialization (BatchUpdate.py:174/:422/:565), which has no
+versioning, atomicity, or pruning — this module is that capability
+rebuilt as a table format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.operators.table_format import (
+    SnapshotTable,
+    table_fixture_root,
+)
+from journal_batch_processer_spark.session import load_events
+
+# bump whenever the fixture-building logic changes: stale /tmp tables
+# from an older code revision must rebuild, not poison the oracle
+FIXTURE_REV = 2
+COMPACT_TARGET = 64 * 1024
+
+# key-local update range: inside the key domain at EVERY sf (sf0.001's
+# event_id tops out at 999), so the COW merge always both rewrites
+# range-overlapping files AND carries the rest by reference
+MERGE_LO, MERGE_HI = 100, 299
+PRUNE_LO, PRUNE_HI = 150, 249  # overlaps the updated range's middle
+
+
+def _base_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_events(spark, sf_dir).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+
+
+def _merge_batch(ev: DataFrame) -> DataFrame:
+    updates = ev.filter(F.col("event_id").between(MERGE_LO, MERGE_HI)).select(
+        "event_id", "user_id", (F.col("value") * 2).alias("value"), "event_type"
+    )
+    inserts = ev.filter(F.col("event_id") % 1000 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "user_id",
+        "value",
+        "event_type",
+    )
+    return updates.unionByName(inserts)
+
+
+def _gen2(ev: DataFrame) -> DataFrame:
+    return ev.filter(F.col("event_id") % 1000 == 1).select(
+        (F.col("event_id") + 20_000_000).alias("event_id"),
+        "user_id",
+        "value",
+        "event_type",
+        (F.col("user_id") % 5).alias("priority"),
+    )
+
+
+def materialize_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the six-commit fixture table for ``sf_dir``.
+    Idempotent across processes: a marker records the fixture revision
+    and expected head version; anything else rebuilds from scratch."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(tag)
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "head": 6, "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 6:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _base_events(spark, sf_dir)
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema, committed_at_us=1_000_000)
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(8, "event_id"),
+        committed_at_us=2_000_000,
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 1).repartitionByRange(8, "event_id"),
+        committed_at_us=3_000_000,
+    )
+    t.merge(_merge_batch(ev), "event_id", committed_at_us=4_000_000)
+    t.append(
+        _gen2(ev),
+        committed_at_us=5_000_000,
+        new_columns=[("priority", "bigint")],
+    )
+    t.compact(spark, COMPACT_TARGET, committed_at_us=6_000_000)
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def _with_priority(df: DataFrame) -> DataFrame:
+    if "priority" not in df.columns:
+        df = df.withColumn("priority", F.lit(None).cast("bigint"))
+    return df
+
+
+def q_table_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: every committed snapshot v1..v6 summarized (row
+    count, integer id/value checksums, distinct types, evolved-column
+    cardinality). Odd versions resolve by VERSION, even versions by
+    TIMESTAMP AS OF — both resolvers are on the oracle hook. v1 proves
+    the empty-snapshot read; v6 must equal v5 (compaction contract)."""
+    root = materialize_table(spark, sf_dir)
+    t = SnapshotTable(root)
+    parts = []
+    for v in t.versions():
+        df = (
+            t.read(spark, version=v)
+            if v % 2 == 1
+            else t.read(spark, as_of_us=v * 1_000_000)
+        )
+        agg = _with_priority(df).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum(F.floor(F.col("value") * 1000)).alias("val_milli_sum"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.count("priority").alias("n_priority"),
+        )
+        parts.append(agg.select(F.lit(v).alias("version"), "*"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _agg_sql(state: str, version: int) -> str:
+    return f"""
+SELECT {version} AS version, COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+           AS val_milli_sum,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(priority) AS n_priority
+FROM {state}
+"""
+
+
+_STATE_CTES = f"""
+WITH ev AS (
+    SELECT event_id, user_id, value, event_type FROM events
+),
+batch AS (
+    SELECT event_id, user_id, value * 2 AS value, event_type
+    FROM ev WHERE event_id BETWEEN {MERGE_LO} AND {MERGE_HI}
+    UNION ALL
+    SELECT event_id + 10000000, user_id, value, event_type
+    FROM ev WHERE event_id % 1000 = 0
+),
+s4 AS MATERIALIZED (
+    SELECT event_id, user_id, value, event_type FROM ev
+    WHERE event_id NOT BETWEEN {MERGE_LO} AND {MERGE_HI}
+    UNION ALL
+    SELECT * FROM batch
+),
+s5 AS MATERIALIZED (
+    SELECT event_id, user_id, value, event_type,
+           CAST(NULL AS BIGINT) AS priority
+    FROM s4
+    UNION ALL
+    SELECT event_id + 20000000, user_id, value, event_type, user_id % 5
+    FROM ev WHERE event_id % 1000 = 1
+)
+"""
+
+SQL_TABLE_SNAPSHOT_READ = (
+    _STATE_CTES
+    + f""",
+s1 AS (SELECT * FROM s5 WHERE FALSE),
+s2 AS (SELECT *, CAST(NULL AS BIGINT) AS priority FROM ev
+       WHERE event_id % 2 = 0),
+s3 AS (SELECT *, CAST(NULL AS BIGINT) AS priority FROM ev)
+{_agg_sql('s1', 1)}
+UNION ALL {_agg_sql('s2', 2)}
+UNION ALL {_agg_sql('s3', 3)}
+UNION ALL {_agg_sql('(SELECT *, CAST(NULL AS BIGINT) AS priority FROM s4) x4', 4)}
+UNION ALL {_agg_sql('s5', 5)}
+UNION ALL {_agg_sql('s5', 6)}
+"""
+)
+
+
+def q_table_merge_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COW MERGE result read back at its own version (v4),
+    row-level: updates doubled in place, inserts present, everything
+    else untouched — including the rows in files the merge never
+    rewrote (a mis-carried manifest entry duplicates or drops whole
+    files; row-level compare catches both)."""
+    root = materialize_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark, version=4)
+
+
+SQL_TABLE_MERGE_COMMIT = (
+    _STATE_CTES
+    + """
+SELECT event_id, user_id, value, event_type FROM s4
+"""
+)
+
+
+def q_table_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest pre-compact snapshot (v5), row-level: additive schema
+    evolution on read — the pre-evolution files (never rewritten) must
+    come back null-filled for `priority`, the gen-2 files with their
+    values, all in one DataFrame from manifest metadata alone."""
+    root = materialize_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark, version=5)
+
+
+SQL_TABLE_EVOLUTION_READ = (
+    _STATE_CTES
+    + """
+SELECT event_id, user_id, value, event_type, priority FROM s5
+"""
+)
+
+
+def q_table_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compacted snapshot (v6) — same oracle text as v5: content
+    identity through the rewrite IS compaction's contract, now read
+    through the binned files instead of the originals."""
+    root = materialize_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark, version=6)
+
+
+def q_table_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping at the head snapshot: event_id ∈
+    [150, 249] sits inside the COW-updated range, so the kept files
+    include rewritten ones; files whose [min,max] cannot intersect are dropped before
+    the scan (a unit test pins that the skip is non-trivial), and the
+    rows that survive must be exactly the filtered oracle state."""
+    root = materialize_table(spark, sf_dir)
+    return SnapshotTable(root).read_pruned(spark, "event_id", PRUNE_LO, PRUNE_HI)
+
+
+SQL_TABLE_PRUNE_READ = (
+    _STATE_CTES
+    + """
+SELECT event_id, user_id, value, event_type, priority FROM s5
+WHERE event_id BETWEEN {lo} AND {hi}
+""".format(lo=PRUNE_LO, hi=PRUNE_HI)
+)
+
+
+# compaction's contract is content identity, so v6 shares v5's oracle
+SQL_TABLE_COMPACT_READ = SQL_TABLE_EVOLUTION_READ
+
+QUERIES = {
+    "table_snapshot_read": (q_table_snapshot_read, SQL_TABLE_SNAPSHOT_READ),
+    "table_merge_commit": (q_table_merge_commit, SQL_TABLE_MERGE_COMMIT),
+    "table_evolution_read": (q_table_evolution_read, SQL_TABLE_EVOLUTION_READ),
+    "table_compact_read": (q_table_compact_read, SQL_TABLE_COMPACT_READ),
+    "table_prune_read": (q_table_prune_read, SQL_TABLE_PRUNE_READ),
+}

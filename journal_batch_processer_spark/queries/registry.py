@@ -31,6 +31,7 @@ def resolve_oracle(spec: QuerySpec) -> str | None:
 def _build() -> dict[str, QuerySpec]:
     from journal_batch_processer_spark.queries import (
         curation,
+        lakehouse,
         llmops,
         media,
         ref_io,
@@ -52,6 +53,7 @@ def _build() -> dict[str, QuerySpec]:
         trainprep,
         warehouse,
         curation,
+        lakehouse,
     ):
         for name, (fn, sql) in module.QUERIES.items():
             registry[name] = QuerySpec(fn=fn, oracle=sql)
@@ -61,83 +63,69 @@ def _build() -> dict[str, QuerySpec]:
 
     # Verification-priority order: the driver sweeps the registry
     # serially under a budget (~50 entries/round), so emit the
-    # least-trusted queries FIRST. Round 7: the 40-key pre-regen debt
-    # was fully discharged in r06 (CORRECTNESS_r06 = 50/50 green), so
-    # the head is (a) the six NEW r07 keys, (b) keys whose behavior or
-    # fixtures CHANGED in r07 (the JPEG media mix gained 12-bit +
-    # arithmetic + progressive-restart files; every dedup operator now
-    # routes persists through the cache scope — plans unchanged,
-    # re-swept as insurance), then (c) a rotation of the keys with the
-    # OLDEST driver rows (r03 tier first, then the r04 tier) so rows
-    # keep cycling fresh across rounds.
+    # least-trusted queries FIRST. Round 8: (a) the NEW r08 lakehouse
+    # keys, then (b) the 49 keys whose freshest driver row is still
+    # r03/r04 tier (computed from the union of CORRECTNESS_r01–r07) —
+    # together they fill the ~50-key budget exactly, discharging the
+    # stale tier in one round (VERDICT r07 item 2).
     priority = [
-        # NEW in r07
-        "dedup_containment_prefix",  # asymmetric prefix containment
-        "text_bm25",                 # Okapi BM25 retrieval scoring
-        "embed_gramian",             # distributed int8 gramian
-        "embed_pca_power",           # integer power iteration
-        "graph_labelprop",           # deterministic LPA communities
-        "sim_search_ivfpq",          # IVF cells + PQ-ADC + re-rank
-        "avro_scan",                 # pure-Python Avro DataSource
-        "avro_sink",
-        "media_video_decode",       # MJPEG-in-AVI container decode
-        "join_asof_nearest",        # nearest-in-time as-of (r07)
-        "multimodal_manifest",      # capstone all-modality manifest
-        "python_stream_sink",       # DataSourceStreamWriter (avro_py)
-        "anonymize_l",              # l-diversity privacy gate (r07)
-        "retention_cohorts",        # cohort retention matrix (r07)
-        # fixtures changed in r07 (12-bit SOF1 + arithmetic SOF9 +
-        # progressive-with-restart JPEGs in the media mix)
-        "media_image_decode_jpeg",
-        "media_frames_decode",  # GIF LZW table freeze (ADVICE r06)
-        "media_image_decode_png",  # palette/Adam7 fixture mix (r07)
-        "media_audio_decode",      # PCM8/24/stereo fixture mix (r07)
-        # cache-scope change touched every dedup/persist path
-        "dedup_ngram",
-        "dedup_ngram_prefix",
-        "dedup_ngram_capped",
-        "dedup_containment",
-        "dedup_minhash",
-        "dedup_near",
-        "dedup_incremental",
-        # oldest driver rows (r03 tier) — rotation
-        "csv_scan",
-        "csv_sink",
-        "xml_serialize",
-        "xml_parse",
-        "pipeline_update",
-        "push_partition",
-        "pipeline_chain",
-        "pipeline_chain_strict",
-        "runtime_metric",
-        # r04 tier rotation (window + streaming + scalar families)
-        "window_rank",
-        "window_lead_lag",
-        "window_running",
-        "window_range_frame",
-        "window_ntile",
-        "window_tumble",
-        "window_slide",
-        "agg_pivot",
-        "agg_unpivot",
-        "approx_distinct",
-        "approx_quantile",
-        "agg_salted_skewed",
-        "join_asof",
-        "join_full",
-        "join_skew_hot",
-        "stream_tumble",
-        "stream_slide",
-        "stream_join",
+        # NEW in r08 — snapshot table format (operators/table_format.py)
+        "table_snapshot_read",   # time travel v1..v6, both resolvers
+        "table_merge_commit",    # copy-on-write MERGE, carried files
+        "table_evolution_read",  # additive schema evolution on read
+        "table_compact_read",    # compaction snapshot contract
+        "table_prune_read",      # min/max stats data skipping
+        # stalest driver rows (freshest row <= r04), alphabetical
+        "array_functions",
+        "binary_ingest",
+        "cogroup_conversion",
+        "corpus_pipeline",
+        "corpus_quantiles",
+        "corpus_stats",
+        "decontaminate",
+        "dedup_cluster",
+        "dedup_editdist",
+        "dedup_embed",
+        "dedup_embed_lsh",
+        "dedup_simhash",
+        "hash_split",
+        "json_extract",
+        "json_roundtrip",
+        "jsonl_scan",
+        "map_functions",
+        "media_image_decode",
+        "multimodal_cols",
+        "multimodal_frames",
+        "multimodal_resize",
+        "outlier_zscore",
+        "pandas_udf_stats",
+        "quality_filter",
+        "sample_stable",
+        "sample_stratified",
+        "set_ops",
+        "sim_search",
+        "sim_search_ann",
+        "sim_search_ivf",
         "stream_dedup",
         "stream_dedup_watermarked",
+        "stream_join",
         "stream_session",
-        "dedup_editdist",
+        "stream_slide",
+        "string_agg",
+        "text_analysis",
+        "text_fingerprint",
+        "text_langid",
+        "text_pii_scrub",
+        "text_quality",
         "text_repetition",
-        "corpus_pipeline",
-        "decontaminate",
-        "sample_stratified",
-        # r05/r06 tiers follow in registry order after this list
+        "text_tokens",
+        "text_tokens_bpe",
+        "time_gap_fill",
+        "udtf_paragraphs",
+        "window_session",
+        "window_session_ids",
+        "window_session_native",
+        # r05+ tiers follow in registry order after this list
     ]
     ordered = {name: registry[name] for name in priority if name in registry}
     ordered.update({n: s for n, s in registry.items() if n not in ordered})

@@ -1,0 +1,149 @@
+"""Contract tests for operators/table_format.py: commit atomicity and
+conflict detection, copy-on-write file carrying, stats pruning,
+compaction identity, time-travel resolution, schema evolution.
+
+(The DuckDB oracle sweep — queries/lakehouse.py keys — is the value
+gate; these pin the table-format mechanics the oracle can't see:
+WHICH files rewrote, WHAT a losing writer observes.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from journal_batch_processer_spark.operators.table_format import (
+    CommitConflictError,
+    SnapshotTable,
+)
+from journal_batch_processer_spark.queries import lakehouse
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def fixture_table(spark):
+    root = lakehouse.materialize_table(spark, SF_DIR)
+    return SnapshotTable(root)
+
+
+def _mk(spark, tmp_path, name="t"):
+    t = SnapshotTable.create(
+        str(tmp_path / name),
+        [("k", "bigint"), ("v", "bigint")],
+        committed_at_us=1_000_000,
+    )
+    return t
+
+
+def _df(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartitionByRange(2, "k")
+    )
+
+
+def test_commit_conflict_exactly_one_winner(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    man = t.manifest(1)
+    win = dict(man, version=2, parent=1, operation="append")
+    lose = dict(man, version=2, parent=1, operation="merge")
+    assert t._try_commit(win) == 2
+    with pytest.raises(CommitConflictError):
+        t._try_commit(lose)
+    # the losing commit leaves no temp debris and the winner's
+    # manifest is intact
+    assert [p for p in os.listdir(t._manifest_dir) if p.startswith(".tmp")] == []
+    assert t.manifest(2)["operation"] == "append"
+
+
+def test_append_rebases_after_lost_race(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    # a second handle that planned against v1 must still land: appends
+    # rebase onto the new latest instead of failing
+    t2 = SnapshotTable(t.root)
+    v = t2.append(_df(spark, 100, 200), committed_at_us=3_000_000)
+    assert v == 3
+    assert t2.read(spark).count() == 200
+
+
+def test_merge_conflict_not_retried(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    base = t.latest_version()
+    t.append(_df(spark, 100, 200), committed_at_us=3_000_000)  # concurrent
+    with pytest.raises(CommitConflictError):
+        t.merge(_df(spark, 0, 10), "k", expected_version=base)
+
+
+def test_merge_carries_untouched_files(fixture_table):
+    """The v4 COW merge is key-local ([1000,1999] + inserts): some v3
+    files MUST survive by reference and some MUST be rewritten —
+    all-carried means the merge wrote nothing, none-carried means the
+    pruning never pruned."""
+    before = {f["path"] for f in fixture_table.manifest(3)["files"]}
+    after = {f["path"] for f in fixture_table.manifest(4)["files"]}
+    carried = before & after
+    rewritten = before - after
+    assert carried, "merge carried no files — COW pruning inert"
+    assert rewritten, "merge rewrote no files"
+    # inserts land beyond every base range, so at least one NEW file
+    assert after - before
+
+
+def test_prune_skips_files_and_matches_full_scan(spark, fixture_table):
+    kept, skipped = fixture_table.pruned_files("event_id", 1500, 2499)
+    assert skipped, "stats pruning skipped nothing — check file ranges"
+    pruned = fixture_table.read_pruned(spark, "event_id", 1500, 2499)
+    from pyspark.sql import functions as F
+
+    full = fixture_table.read(spark).filter(F.col("event_id").between(1500, 2499))
+    assert sorted(pruned.collect()) == sorted(full.collect())
+
+
+def test_compact_reduces_files_same_rows(spark, fixture_table):
+    n5 = len(fixture_table.manifest(5)["files"])
+    n6 = len(fixture_table.manifest(6)["files"])
+    assert n6 < n5
+    r5 = fixture_table.read(spark, version=5)
+    r6 = fixture_table.read(spark, version=6)
+    assert sorted(r5.collect()) == sorted(r6.collect())
+
+
+def test_time_travel_resolution(fixture_table):
+    # version_as_of: greatest committed_at_us <= ts (commits pinned at
+    # version * 1s)
+    assert fixture_table.version_as_of(1_000_000) == 1
+    assert fixture_table.version_as_of(3_500_000) == 3
+    assert fixture_table.version_as_of(99_000_000) == 6
+    with pytest.raises(LookupError):
+        fixture_table.version_as_of(999_999)
+
+
+def test_schema_evolution_null_fills_old_files(spark, fixture_table):
+    from pyspark.sql import functions as F
+
+    df = fixture_table.read(spark, version=5)
+    assert "priority" in df.columns
+    old = df.filter(F.col("event_id") < 20_000_000)
+    new = df.filter(F.col("event_id") >= 20_000_000)
+    assert old.filter(F.col("priority").isNotNull()).count() == 0
+    assert new.filter(F.col("priority").isNull()).count() == 0
+    # v4 (pre-evolution) read doesn't know the column at all
+    assert "priority" not in fixture_table.read(spark, version=4).columns
+
+
+def test_abandoned_staging_is_invisible(spark, tmp_path):
+    """Files staged but never committed must not appear to readers —
+    snapshot isolation comes from the manifest, not directory
+    listings."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    # stage data files directly without committing a manifest
+    t._stage_files(_df(spark, 50, 90), version_hint=99)
+    assert t.read(spark).count() == 50
+    assert t.latest_version() == 2
