@@ -69,6 +69,18 @@ BENCH_QUERIES = [
     # r07 late: AVI container decode joins the tripwire set (frames
     # cycle sequential/progressive/arithmetic JPEG coding)
     "media_video_decode",
+    # r08: the iterative multi-round drivers join the timed set
+    # (VERDICT r07 #4) — a loop-count or convergence regression in a
+    # driver-side round loop is invisible to every single-action query
+    "tokenizer_train",     # 8 sequential BPE best-merge rounds
+    "graph_labelprop",     # 3 unrolled LPA vote rounds
+    "embed_pca_power",     # 12 unrolled integer matvec join+aggs
+    "kmeans_distributed",  # Lloyd assign/update rounds over embeddings
+    # r08: snapshot-table read path (manifest resolve → per-colset
+    # grouped scans → union, x6 versions); the fixture builds once and
+    # memoizes, so steady-state reps time the READ side — the tripwire
+    # this guards is plan/manifest-resolution regressions, not commits
+    "table_snapshot_read",
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is

@@ -313,6 +313,7 @@ def ngram_jaccard_pairs_prefix(
     n: int = 3,
     threshold: float = 0.1,
     max_shingles_per_doc: int | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (PPJoin-family): for
     Jaccard ≥ t, two sets of sizes |A|,|B| must share a shingle inside
@@ -368,6 +369,17 @@ def ngram_jaccard_pairs_prefix(
         # and verify arrays still move 8-byte longs
         sel.append(F.col("shingle").alias("shingle_str"))
     sh = shingle_table(df, id_col, text_col, n).select(*sel)
+    if max_shingle_df is not None:
+        # stop-shingle pre-filter with the SAME semantics as the naive
+        # generator's cap (drop shingles in > N docs BEFORE sizes are
+        # taken, so denominators match and the two paths stay
+        # output-identical for identical arguments — what lets
+        # ngram_jaccard_pairs_auto switch freely)
+        w_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(
+            F.broadcast(w_ok.filter(F.col("df_") <= max_shingle_df).select("shingle")),
+            "shingle",
+        )
 
     # Document frequency, rarest-first rank, and set size as WINDOW
     # counts, not aggregate+join rounds: one exchange on shingle, one
@@ -450,6 +462,62 @@ def ngram_jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+# Measured generator crossover (SURVEY 11e, sf0.1): the prefix
+# generator pays two ranking windows (df rank + per-doc rank) to
+# shrink the candidate join to each doc's rarest (1-t)·sz prefix. At
+# t=0.2 (~80% prefix survival) it measured 4.0s vs the df-capped
+# naive join's 3.0s — windows bought almost nothing; at t=0.5 it
+# measured 0.69s vs 2.1s. The win condition is candidate-volume
+# reduction ≈ (1-t)^2 outweighing the fixed window cost, which those
+# two measurements bracket at t ≈ 0.35. The constant is the encoded
+# crossover, not a tunable.
+PREFIX_CROSSOVER_THRESHOLD = 0.35
+
+
+def select_jaccard_generator(
+    threshold: float,
+    max_shingles_per_doc: int | None = None,
+) -> str:
+    """Route a threshold-Jaccard pair job to the generator that
+    measures faster: ``"prefix"`` (PPJoin-style) above the measured
+    crossover or whenever the mega-doc cap is requested (only the
+    prefix path implements it), else ``"naive"`` (df-capped shingle
+    self-join). Pure function so the routing itself is unit-testable."""
+    if max_shingles_per_doc is not None:
+        return "prefix"
+    return "prefix" if threshold >= PREFIX_CROSSOVER_THRESHOLD else "naive"
+
+
+def ngram_jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_df: int | None = None,
+    max_shingles_per_doc: int | None = None,
+) -> DataFrame:
+    """Exact threshold-Jaccard pairs with the generator CHOSEN FOR the
+    caller (VERDICT r07 #5): same output either way — both paths drop
+    stop-shingles with identical pre-filter semantics and verify
+    exactly — so callers state the semantics (threshold + caps) and
+    get the measured fast path without knowing the tradeoff."""
+    kind = select_jaccard_generator(threshold, max_shingles_per_doc)
+    if kind == "prefix":
+        return ngram_jaccard_pairs_prefix(
+            df,
+            id_col,
+            text_col,
+            n=n,
+            threshold=threshold,
+            max_shingles_per_doc=max_shingles_per_doc,
+            max_shingle_df=max_shingle_df,
+        )
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold, max_shingle_df=max_shingle_df
     )
 
 

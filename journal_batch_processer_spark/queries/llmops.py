@@ -19,7 +19,7 @@ from journal_batch_processer_spark.operators.dedup import (
     dedup_exact,
     minhash_candidates,
     near_dup_pairs,
-    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_auto,
     ngram_jaccard_pairs_prefix,
     simhash_fingerprint,
 )
@@ -155,7 +155,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew guard that keeps the candidate join near-linear as the corpus
     grows (no-op at sf0.01 where max df is 7 — oracle-identical)."""
     docs = _docs(spark, sf_dir)
-    out = ngram_jaccard_pairs(
+    out = ngram_jaccard_pairs_auto(
         docs, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=20
     )
     return out.select(
@@ -1153,7 +1153,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from journal_batch_processer_spark.operators.graph import cluster_assignments
 
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs_auto(
         docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=20
     )
     return cluster_assignments(docs, "doc_id", pairs)
