@@ -24,8 +24,10 @@ Scope — honest and loud:
   both directions (operators/jpeg_arith.py,
   tests/test_jpeg_crossval.py). Every DCT-based T.81 coding mode is
   therefore covered: SOF0/1/2/9/10, 8- and 12-bit sequential, all
-  with DRI/RSTn; sequential frames may declare HEIGHT 0 and define it
-  via a DNL segment after the first scan (B.2.5, r07). LOSSLESS
+  with DRI/RSTn; 12-bit PROGRESSIVE (Pq=1 quantizers + SOF2/SOF10
+  precision 12, r08) included. Sequential frames — Huffman OR
+  arithmetic (r08) — may declare HEIGHT 0 and define it via a DNL
+  segment after the first scan (B.2.5, r07). LOSSLESS
   (SOF3, Annex H) decodes 1..4 interleaved 1×1 components — 2..16-bit,
   all seven predictors, point transform, restarts, bit-exact
   roundtrips; multi-component lossless reports PER-COMPONENT means
@@ -33,8 +35,7 @@ Scope — honest and loud:
   (operators/jpeg_lossless.py, r07). Anything else raises
   NotImplementedError/ValueError naming the feature: differential
   SOFs, non-interleaved lossless scans, non-1×1 lossless sampling,
-  lossless-arithmetic (SOF11), 12-bit progressive, fractional
-  sampling ratios, DNL-with-arithmetic.
+  lossless-arithmetic (SOF11), fractional sampling ratios.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -758,10 +759,9 @@ def _decode_jpeg_planes(data: bytes):
     # the streaming-encoder shape where the line count isn't known at
     # header time. Resolve it before geometry is computed.
     if h == 0:
-        if arith:
-            raise NotImplementedError(
-                "jpeg: DNL with arithmetic coding unsupported"
-            )
+        # works for arithmetic scans too: the QM coder byte-stuffs 0x00
+        # after 0xFF exactly like the Huffman coder (T.81 B.1.1.5), so
+        # the forward marker scan finds FF DC the same way
         dnl_at = _entropy_end(data, entropy_start, skip_restarts=True)
         if data[dnl_at : dnl_at + 2] != b"\xff\xdc":
             raise ValueError(
@@ -997,6 +997,7 @@ def _decode_jpeg_progressive(data: bytes):
     geom = None  # (hmax, vmax, mcux, mcuy, per-comp dims)
     restart_interval = 0  # DRI state; applies to subsequent scans
     arith = False  # SOF10: QM-coded scans (T.81 G.2 arithmetic)
+    frame_prec = 8  # sample precision from SOF2/SOF10 (8 or 12)
     arith_dc_cond: dict[int, tuple[int, int]] = {}
     arith_ac_cond: dict[int, int] = {}
 
@@ -1017,14 +1018,24 @@ def _decode_jpeg_progressive(data: bytes):
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quant tables")
-                zz = seg[p + 1 : p + 65]
+                if pq not in (0, 1):
+                    raise ValueError(f"jpeg: bad DQT precision {pq}")
+                # Pq=1: 16-bit entries — the table form 12-bit
+                # progressive streams use (B.2.4.1)
+                if pq:
+                    zz = [
+                        struct.unpack(
+                            ">H", seg[p + 1 + 2 * i : p + 3 + 2 * i]
+                        )[0]
+                        for i in range(64)
+                    ]
+                else:
+                    zz = seg[p + 1 : p + 65]
                 qt = [0] * 64
                 for i in range(64):
                     qt[ZIGZAG[i]] = zz[i]
                 qts[tq] = qt
-                p += 65
+                p += 65 + 64 * pq
         elif marker == 0xC4:  # DHT — may be redefined between scans
             p = 0
             while p < len(seg):
@@ -1039,8 +1050,11 @@ def _decode_jpeg_progressive(data: bytes):
         elif marker in (0xC2, 0xCA):  # SOF2 Huffman / SOF10 arithmetic
             arith = marker == 0xCA
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise NotImplementedError("jpeg: only 8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"jpeg: {prec}-bit precision unsupported"
+                )
+            frame_prec = prec
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -1120,20 +1134,25 @@ def _decode_jpeg_progressive(data: bytes):
         raise ValueError("jpeg: missing SOF2/scan data")
     w, h, comps = frame
     hmax, vmax, mcux, mcuy, dims = geom
+    # level shift / clamp follow the frame precision (T.81 A.3.1):
+    # 8-bit → +128 clamp 255, 12-bit → +2048 clamp 4095
+    half, maxval = 1 << (frame_prec - 1), (1 << frame_prec) - 1
     planes = []
     for ci, (_cid, qtid, hi, vi) in enumerate(comps):
         qt = qts[qtid]
         bw, bh, _cw, _ch = dims[ci]
         plane = [[0] * (bw * 8) for _ in range(bh * 8)]
         for bidx, cq in enumerate(coefs[ci]):
-            block = _idct_block([cq[i] * qt[i] for i in range(64)])
+            block = _idct_block(
+                [cq[i] * qt[i] for i in range(64)], half, maxval
+            )
             by, bx = divmod(bidx, bw)
             py, px = by * 8, bx * 8
             for yy in range(8):
                 row = plane[py + yy]
                 row[px : px + 8] = block[yy * 8 : yy * 8 + 8]
         planes.append(plane)
-    return w, h, comps, planes, 8
+    return w, h, comps, planes, frame_prec
 
 
 def _decode_progressive_scan_arith(
@@ -1428,7 +1447,8 @@ def _decode_progressive_scan(
 
 
 def encode_jpeg_solid_gray_progressive(
-    width: int, height: int, v: int, restart_interval: int = 0
+    width: int, height: int, v: int, restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Progressive (SOF2) JFIF of a solid GRAY image: five REAL scans —
     interleaved DC first pass at Al=1, DC refinement delivering the
@@ -1441,21 +1461,41 @@ def encode_jpeg_solid_gray_progressive(
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     N restart units IN EVERY SCAN (MCUs in the interleaved DC scans,
     data units in the AC scans), with per-segment DC predictor resets
-    and EOB runs that never cross a boundary (G.1.2.2)."""
+    and EOB runs that never cross a boundary (G.1.2.2).
+
+    ``precision`` 12 emits the extended-precision progressive form
+    (r08): 16-bit DQT entries (Pq=1), SOF2 precision byte 12, samples
+    in 0..4095 with midpoint 2048 — the DC diff of the Al=1 first pass
+    stays ≤ category 10, so the Annex K "typical" DC tables still
+    cover it."""
     if width % 8 or height % 8:
         raise ValueError("fixture encoder requires multiple-of-8 dims")
-    if v % 2 or not 0 <= v <= 255:
-        raise ValueError("fixture encoder requires an even gray 0..255")
+    if precision not in (8, 12):
+        raise ValueError("fixture encoder supports precision 8 or 12")
+    mid, vmaxval = 1 << (precision - 1), (1 << precision) - 1
+    if v % 2 or not 0 <= v <= vmaxval:
+        raise ValueError(f"fixture encoder requires an even gray 0..{vmaxval}")
 
     out = bytearray()
     out += b"\xff\xd8"
     out += b"\xff\xe0" + struct.pack(
         ">H", 16
     ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tid, qt in ((0, STD_LUMA_QT), (1, STD_CHROMA_QT)):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
-        out += bytes(qt[ZIGZAG[i]] for i in range(64))
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    if precision == 12:
+        # Pq=1: 16-bit table entries, the canonical 12-bit stream form
+        for tid, qt in ((0, STD_LUMA_QT), (1, STD_CHROMA_QT)):
+            out += b"\xff\xdb" + struct.pack(">H", 131) + bytes(
+                [(1 << 4) | tid]
+            )
+            for i in range(64):
+                out += struct.pack(">H", qt[ZIGZAG[i]])
+    else:
+        for tid, qt in ((0, STD_LUMA_QT), (1, STD_CHROMA_QT)):
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+            out += bytes(qt[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 17, precision, height, width, 3
+    )
     out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
@@ -1487,7 +1527,7 @@ def encode_jpeg_solid_gray_progressive(
         body += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
-    dc_q = (8 * (v - 128)) // STD_LUMA_QT[0]
+    dc_q = (8 * (v - mid)) // STD_LUMA_QT[0]  # exact for even v
     dc_luma = _huff_codes(*STD_DC_LUMA)
     dc_chroma = _huff_codes(*STD_DC_CHROMA)
     n_blocks = (width // 8) * (height // 8)

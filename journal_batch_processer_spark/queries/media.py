@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v13-wav-widths"
+    fp = _fc.source_fingerprint(src) + ":v14-12bit-progressive"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -136,10 +136,15 @@ def _materialize_media(sf_dir: str) -> str:
             # every third progressive file carries DRI/RSTn restarts in
             # EVERY scan (per-scan RSTn cycling + predictor resets +
             # segment-bounded EOB runs — r07); dims and values are
-            # unchanged, so the oracle stays coding-process-agnostic
+            # unchanged, so the oracle stays coding-process-agnostic.
+            # The i%9==4 slot is 12-BIT progressive (r08: Pq=1
+            # quantizers + SOF2 precision 12, gray 16·jv) — the last
+            # precision×process cell the decoder gated
             jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
             payload = encode_jpeg_solid_gray_progressive(
-                jw, jh, jv, restart_interval=2 if i % 9 == 1 else 0
+                jw, jh, 16 * jv if i % 9 == 4 else jv,
+                restart_interval=2 if i % 9 == 1 else 0,
+                precision=12 if i % 9 == 4 else 8,
             )
         elif i % 9 == 2:
             # every third sequential 4:4:4 file is 12-BIT extended
@@ -358,12 +363,13 @@ SELECT printf('img_%05d.jpg', doc_id) AS fname,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 16 * (1 + (doc_id // 3) % 2)
                  ELSE 8 * (1 + (doc_id // 3) % 4) END AS INT) AS height,
        CAST(3 AS INT) AS channels,
-       -- 12-bit fixtures (doc_id%9=2) carry gray 16·v in 0..4095
-       CAST((CASE WHEN doc_id % 9 = 2 THEN 16 ELSE 1 END)
+       -- 12-bit fixtures (doc_id%9 = 2 sequential SOF1, = 4
+       -- progressive SOF2 r08) carry gray 16·v in 0..4095
+       CAST((CASE WHEN doc_id % 9 IN (2, 4) THEN 16 ELSE 1 END)
             * (2 * ((7 * doc_id) % 100) + 20) AS DOUBLE) AS mean_r,
-       CAST((CASE WHEN doc_id % 9 = 2 THEN 16 ELSE 1 END)
+       CAST((CASE WHEN doc_id % 9 IN (2, 4) THEN 16 ELSE 1 END)
             * (2 * ((7 * doc_id) % 100) + 20) AS DOUBLE) AS mean_g,
-       CAST((CASE WHEN doc_id % 9 = 2 THEN 16 ELSE 1 END)
+       CAST((CASE WHEN doc_id % 9 IN (2, 4) THEN 16 ELSE 1 END)
             * (2 * ((7 * doc_id) % 100) + 20) AS DOUBLE) AS mean_b
 FROM documents WHERE doc_id < {_N_MEDIA}
 """

@@ -60,3 +60,67 @@ def test_auto_output_identical_across_crossover(spark):
         assert naive == prefix, f"t={t}: paths diverge"
         assert auto == naive, f"t={t}: auto diverges"
         assert naive, f"t={t}: fixture produced no pairs (vacuous test)"
+
+
+# ------------------------------------------------ JPEG gates removed (r08)
+
+
+def test_jpeg_12bit_progressive_roundtrip():
+    """SOF2 at precision 12 (Pq=1 quantizers, 2048 level shift): the
+    last precision×process cell that was gated. Solid even gray
+    decodes bit-for-bit, with and without per-scan restarts."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray_progressive,
+    )
+
+    for v in (0, 2048, 3000, 4094):
+        d = decode_jpeg_baseline(
+            encode_jpeg_solid_gray_progressive(16, 24, v, precision=12)
+        )
+        assert (d["width"], d["height"], d["channels"]) == (16, 24, 3)
+        assert d["mean_r"] == d["mean_g"] == d["mean_b"] == v
+    d = decode_jpeg_baseline(
+        encode_jpeg_solid_gray_progressive(
+            32, 16, 3000, restart_interval=3, precision=12
+        )
+    )
+    assert d["mean_r"] == 3000
+
+
+def test_jpeg_dnl_with_arithmetic():
+    """DNL height resolution now works for arithmetic scans too: the
+    QM coder byte-stuffs 0x00 after 0xFF exactly like the Huffman
+    coder, so the forward marker scan finds FF DC identically."""
+    import struct as _struct
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray_arith,
+    )
+
+    base = encode_jpeg_solid_gray_arith(16, 24, 128)
+    ref = decode_jpeg_baseline(base)
+    i = base.find(b"\xff\xc9")
+    mod = bytearray(base)
+    mod[i + 5 : i + 7] = b"\x00\x00"  # SOF9 height := 0
+    dnl = b"\xff\xdc" + _struct.pack(">HH", 4, 24)
+    assert decode_jpeg_baseline(bytes(mod[:-2]) + dnl + b"\xff\xd9") == ref
+
+
+def test_jpeg_progressive_rejects_other_precisions():
+    from pytest import raises
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        encode_jpeg_solid_gray_progressive,
+    )
+
+    data = bytearray(encode_jpeg_solid_gray_progressive(8, 8, 100))
+    i = data.find(b"\xff\xc2")
+    data[i + 4] = 10  # precision byte := 10
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+    )
+
+    with raises(NotImplementedError, match="10-bit"):
+        decode_jpeg_baseline(bytes(data))
