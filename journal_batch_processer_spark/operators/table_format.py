@@ -394,6 +394,162 @@ class SnapshotTable:
             }
         )
 
+    def delete_range(
+        self,
+        spark: SparkSession,
+        key: str,
+        lo,
+        hi,
+        committed_at_us: int | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Copy-on-write range DELETE (rows with key ∈ [lo, hi] leave
+        the table): the three-way file split every lakehouse DELETE
+        plans —
+
+        - files ENTIRELY inside the range are DROPPED from the new
+          manifest: a metadata-only delete, zero IO (the file stays on
+          disk for time travel until vacuum);
+        - files that only OVERLAP the range are rewritten with the
+          complement filter;
+        - files outside carry by reference; files without key stats
+          rewrite conservatively.
+
+        At 100 TB a retention or GDPR delete on a range-clustered key
+        touches only the boundary files. The split counts are recorded
+        in the manifest (``delete`` entry) for audit."""
+        base_v = self.latest_version() if expected_version is None else expected_version
+        man = self.manifest(base_v)
+        dropped, rewrite, carried = [], [], []
+        for f in man["files"]:
+            st = (f.get("stats") or {}).get(key)
+            if st is None:
+                rewrite.append(f)
+            elif lo <= st[0] and st[1] <= hi:
+                dropped.append(f)
+            elif st[1] < lo or st[0] > hi:
+                carried.append(f)
+            else:
+                rewrite.append(f)
+        new_files: list[dict] = []
+        if rewrite:
+            kept_rows = self._read_file_group(spark, man, rewrite).filter(
+                (F.col(key) < lo) | (F.col(key) > hi)
+            )
+            new_files = self._stage_files(
+                kept_rows.repartitionByRange(max(1, len(rewrite)), key),
+                base_v + 1,
+            )
+        return self._try_commit(
+            {
+                "format_version": 1,
+                "version": base_v + 1,
+                "parent": base_v,
+                "operation": "delete",
+                "committed_at_us": self._now_us(committed_at_us),
+                "schema": man["schema"],
+                "files": carried + new_files,
+                "delete": {
+                    "key": key,
+                    "lo": lo,
+                    "hi": hi,
+                    "dropped_files": len(dropped),
+                    "rewritten_files": len(rewrite),
+                    "carried_files": len(carried),
+                },
+            }
+        )
+
+    def vacuum(self, retain_last: int = 2) -> dict:
+        """Physically remove data files referenced ONLY by snapshots
+        older than the ``retain_last`` newest, and the expired
+        manifests themselves — the retention pass that reclaims what
+        copy-on-write leaves behind. Time travel into vacuumed
+        versions fails loud (manifest gone); the retained snapshots
+        are untouched. Returns {files_removed, manifests_removed,
+        bytes_reclaimed}."""
+        if retain_last < 1:
+            raise ValueError("vacuum must retain at least the head snapshot")
+        versions = self.versions()
+        keep_v = set(versions[-retain_last:])
+        live = set()
+        for v in keep_v:
+            live |= {f["path"] for f in self.manifest(v)["files"]}
+        removed = reclaimed = 0
+        for v in versions:
+            if v in keep_v:
+                continue
+            for f in self.manifest(v)["files"]:
+                p = f["path"]
+                if p in live:
+                    continue
+                live.add(p)  # only count/remove once
+                try:
+                    reclaimed += os.path.getsize(os.path.join(self.root, p))
+                    os.unlink(os.path.join(self.root, p))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        n_manifests = 0
+        for v in versions:
+            if v not in keep_v:
+                os.unlink(os.path.join(self._manifest_dir, f"v{v:05d}.json"))
+                n_manifests += 1
+        return {
+            "files_removed": removed,
+            "manifests_removed": n_manifests,
+            "bytes_reclaimed": reclaimed,
+        }
+
+    # ------------------------------------------------------------------
+    # streaming ingest
+    # ------------------------------------------------------------------
+    def last_stream_batch_id(self) -> int:
+        """Highest micro-batch id committed into this table (-1 if
+        none) — the transaction-version scan that makes streaming
+        ingest exactly-once across restarts."""
+        best = -1
+        for v in self.versions():
+            b = self.manifest(v).get("stream_batch_id")
+            if b is not None:
+                best = max(best, b)
+        return best
+
+    def append_stream_batch(self, df: DataFrame, batch_id: int) -> int | None:
+        """foreachBatch sink body: append one micro-batch EXACTLY ONCE.
+        The manifest records the batch id; a replayed batch (crash
+        between sink success and checkpoint commit — Structured
+        Streaming's at-least-once window) sees its id already in the
+        log and skips, upgrading the pipeline to exactly-once — the
+        Delta `txn`/`foreachBatch` idempotent-sink pattern. Returns the
+        committed version, or None when skipped/empty."""
+        if batch_id <= self.last_stream_batch_id():
+            return None
+        base_v = self.latest_version()
+        man = self.manifest(base_v)
+        new_files = self._stage_files(df, base_v + 1)
+        if not new_files:
+            return None
+        for _ in range(10):
+            try:
+                return self._try_commit(
+                    {
+                        "format_version": 1,
+                        "version": man["version"] + 1,
+                        "parent": man["version"],
+                        "operation": "stream_append",
+                        "committed_at_us": self._now_us(None),
+                        "schema": man["schema"],
+                        "files": man["files"] + new_files,
+                        "stream_batch_id": batch_id,
+                    }
+                )
+            except CommitConflictError:
+                man = self.manifest(self.latest_version())
+                if self.last_stream_batch_id() >= batch_id:
+                    return None  # a concurrent replay won the race
+        raise CommitConflictError("stream append lost 10 commit races")
+
     # ------------------------------------------------------------------
     # read paths
     # ------------------------------------------------------------------

@@ -287,10 +287,117 @@ WHERE event_id BETWEEN {lo} AND {hi}
 # compaction's contract is content identity, so v6 shares v5's oracle
 SQL_TABLE_COMPACT_READ = SQL_TABLE_EVOLUTION_READ
 
+
+def _materialize_delete_table(spark: SparkSession, sf_dir: str) -> str:
+    """Second fixture chain (delete/vacuum): create → append all
+    events (range-clustered, 8 files) → range DELETE of
+    [max_id div 4, max_id div 2] → vacuum(retain_last=2). The delete
+    bounds derive from the key domain, so the three-way file split
+    (dropped whole / rewritten boundary / carried) binds at EVERY sf,
+    and the oracle recomputes the same bounds as scalar subqueries."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"del_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "delete", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 3:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _base_events(spark, sf_dir)
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema, committed_at_us=1_000_000)
+    t.append(ev.repartitionByRange(8, "event_id"), committed_at_us=2_000_000)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    t.delete_range(
+        spark, "event_id", max_id // 4, max_id // 2, committed_at_us=3_000_000
+    )
+    # reclaim the files the delete dropped/rewrote (they are referenced
+    # only by v2); v2's manifest goes with them — the retention pass
+    t.vacuum(retain_last=2)
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def q_table_delete_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level state after the copy-on-write range DELETE and the
+    vacuum: rows with event_id ∈ [max div 4, max div 2] are gone,
+    everything else — including rows in files the delete never
+    touched — survives byte-identical. Reading AFTER vacuum proves
+    retention reclaimed only dead files (a vacuum bug that removed a
+    live file would hash-fail here, not just in a unit test)."""
+    root = _materialize_delete_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark)
+
+
+SQL_TABLE_DELETE_COMMIT = """
+SELECT event_id, user_id, value, event_type FROM events
+WHERE event_id NOT BETWEEN (SELECT MAX(event_id) // 4 FROM events)
+                       AND (SELECT MAX(event_id) // 2 FROM events)
+"""
+
+
+def q_stream_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest INTO the snapshot table:
+    ``foreachBatch`` commits each micro-batch through
+    append_stream_batch, whose manifest-recorded batch id makes the
+    sink idempotent — a replayed batch skips, so the pipeline is
+    exactly-once end-to-end (the Delta txn/foreachBatch pattern; the
+    replay path itself is pinned by a unit test). Drained availableNow,
+    the table must hold exactly the source events."""
+    import tempfile as _tf
+
+    from journal_batch_processer_spark.queries.streaming_q import (
+        _events_stream_dir,
+    )
+    from journal_batch_processer_spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    root = _tf.mkdtemp(prefix="jbp_snapstream_")
+    ckpt = _tf.mkdtemp(prefix="jbp_snapstream_ckpt_")
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema)
+    stream = read_events_stream(spark, _events_stream_dir(sf_dir)).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+
+    def sink(batch_df, batch_id):
+        t.append_stream_batch(batch_df, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return t.read(spark)
+
+
+SQL_STREAM_TABLE_APPEND = """
+SELECT event_id, user_id, value, event_type FROM events
+"""
+
 QUERIES = {
     "table_snapshot_read": (q_table_snapshot_read, SQL_TABLE_SNAPSHOT_READ),
     "table_merge_commit": (q_table_merge_commit, SQL_TABLE_MERGE_COMMIT),
     "table_evolution_read": (q_table_evolution_read, SQL_TABLE_EVOLUTION_READ),
     "table_compact_read": (q_table_compact_read, SQL_TABLE_COMPACT_READ),
     "table_prune_read": (q_table_prune_read, SQL_TABLE_PRUNE_READ),
+    "table_delete_commit": (q_table_delete_commit, SQL_TABLE_DELETE_COMMIT),
+    "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
 }

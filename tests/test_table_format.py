@@ -81,7 +81,7 @@ def test_merge_conflict_not_retried(spark, tmp_path):
 
 
 def test_merge_carries_untouched_files(fixture_table):
-    """The v4 COW merge is key-local ([1000,1999] + inserts): some v3
+    """The v4 COW merge is key-local ([MERGE_LO,MERGE_HI] + inserts): some v3
     files MUST survive by reference and some MUST be rewritten —
     all-carried means the merge wrote nothing, none-carried means the
     pruning never pruned."""
@@ -147,3 +147,57 @@ def test_abandoned_staging_is_invisible(spark, tmp_path):
     t._stage_files(_df(spark, 50, 90), version_hint=99)
     assert t.read(spark).count() == 50
     assert t.latest_version() == 2
+
+
+def test_delete_range_three_way_split(spark, tmp_path):
+    """Range DELETE must exercise all three planner outcomes on a
+    range-clustered table: whole files dropped metadata-only, boundary
+    files rewritten, outside files carried."""
+    t = _mk(spark, tmp_path)
+    df = _df(spark, 0, 800).repartitionByRange(8, "k")
+    t.append(df, committed_at_us=2_000_000)
+    t.delete_range(spark, "k", 150, 450, committed_at_us=3_000_000)
+    man = t.manifest(3)
+    d = man["delete"]
+    assert d["dropped_files"] >= 1, d
+    assert d["rewritten_files"] >= 1, d
+    assert d["carried_files"] >= 1, d
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == [k for k in range(800) if not 150 <= k <= 450]
+    # dropped files still on disk (time travel) until vacuum
+    assert t.read(spark, version=2).count() == 800
+
+
+def test_vacuum_reclaims_dead_files_only(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 800).repartitionByRange(8, "k"),
+             committed_at_us=2_000_000)
+    t.delete_range(spark, "k", 150, 450, committed_at_us=3_000_000)
+    import os as _os
+
+    n_before = len(_os.listdir(t._data_dir))
+    head = sorted(t.read(spark).collect())
+    stats = t.vacuum(retain_last=1)
+    assert stats["files_removed"] >= 1
+    assert stats["manifests_removed"] == 2  # v1 + v2 expired
+    assert len(_os.listdir(t._data_dir)) == n_before - stats["files_removed"]
+    # head snapshot unharmed; expired version unreadable, loudly
+    assert sorted(t.read(spark).collect()) == head
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark, version=2)
+
+
+def test_stream_batch_append_exactly_once(spark, tmp_path):
+    """A replayed micro-batch (same batch id) must be a no-op: the
+    manifest-recorded txn id, not the checkpoint, is what upgrades
+    foreachBatch from at-least-once to exactly-once."""
+    t = _mk(spark, tmp_path)
+    b0, b1 = _df(spark, 0, 50), _df(spark, 50, 80)
+    assert t.append_stream_batch(b0, 0) == 2
+    assert t.append_stream_batch(b1, 1) == 3
+    assert t.append_stream_batch(b1, 1) is None  # replay → skip
+    assert t.append_stream_batch(b0, 0) is None  # older replay → skip
+    assert t.read(spark).count() == 80
+    assert t.last_stream_batch_id() == 1
