@@ -75,6 +75,8 @@ def _build() -> dict[str, QuerySpec]:
         "table_evolution_read",  # additive schema evolution on read
         "table_compact_read",    # compaction snapshot contract
         "table_prune_read",      # min/max stats data skipping
+        "table_delete_commit",   # COW range delete + vacuum retention
+        "stream_table_append",   # exactly-once streaming table ingest
         # stalest driver rows (freshest row <= r04), alphabetical
         "array_functions",
         "binary_ingest",
