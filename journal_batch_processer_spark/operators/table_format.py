@@ -460,6 +460,37 @@ class SnapshotTable:
             }
         )
 
+    def restore(
+        self,
+        version: int,
+        committed_at_us: int | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """RESTORE: make ``version``'s state the new head — as a NEW
+        commit referencing that snapshot's files, so history is
+        preserved and the restore itself is time-travelable /
+        revertible (the Delta RESTORE semantics; never a rollback that
+        rewrites the log). Fails loud if the target was vacuumed."""
+        src = self.manifest(version)  # raises if vacuumed away
+        base_v = self.latest_version() if expected_version is None else expected_version
+        for f in src["files"]:
+            if not os.path.exists(os.path.join(self.root, f["path"])):
+                raise FileNotFoundError(
+                    f"restore target v{version} references vacuumed file {f['path']}"
+                )
+        return self._try_commit(
+            {
+                "format_version": 1,
+                "version": base_v + 1,
+                "parent": base_v,
+                "operation": "restore",
+                "restored_from": version,
+                "committed_at_us": self._now_us(committed_at_us),
+                "schema": src["schema"],
+                "files": src["files"],
+            }
+        )
+
     def vacuum(self, retain_last: int = 2) -> dict:
         """Physically remove data files referenced ONLY by snapshots
         older than the ``retain_last`` newest, and the expired

@@ -392,6 +392,97 @@ SQL_STREAM_TABLE_APPEND = """
 SELECT event_id, user_id, value, event_type FROM events
 """
 
+def q_table_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read between two committed snapshots (the
+    Delta CDF shape a downstream incremental consumer needs): the v3→v4
+    COW merge's effect recovered as row-level changes — each update
+    surfaces as a delete+insert pair, each insert as an insert. Derived
+    from the two snapshot reads with multiset difference (exceptAll),
+    so carried files cancel out exactly; at scale the same computation
+    reads ONLY the files whose manifest entries differ between the two
+    versions (rewritten + new), never the carried ones — the manifest
+    diff is the pruning."""
+    root = materialize_table(spark, sf_dir)
+    t = SnapshotTable(root)
+    cols = ["event_id", "user_id", "value", "event_type"]
+    old = t.read(spark, version=3).select(cols)
+    new = t.read(spark, version=4).select(cols)
+    return (
+        new.exceptAll(old).withColumn("_change", F.lit("insert"))
+        .unionByName(old.exceptAll(new).withColumn("_change", F.lit("delete")))
+    )
+
+
+SQL_TABLE_CDC_READ = (
+    _STATE_CTES
+    + """
+SELECT *, 'insert' AS _change FROM (
+    SELECT event_id, user_id, value, event_type FROM s4
+    EXCEPT ALL
+    SELECT event_id, user_id, value, event_type FROM ev
+)
+UNION ALL
+SELECT *, 'delete' AS _change FROM (
+    SELECT event_id, user_id, value, event_type FROM ev
+    EXCEPT ALL
+    SELECT event_id, user_id, value, event_type FROM s4
+)
+"""
+)
+
+
+def _materialize_restore_table(spark: SparkSession, sf_dir: str) -> str:
+    """Third fixture chain (restore): create → append evens → append
+    odds → RESTORE(2). Head state must equal the evens-only snapshot
+    while all four manifests remain readable."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"rest_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "restore", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 4:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _base_events(spark, sf_dir)
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema, committed_at_us=1_000_000)
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(4, "event_id"),
+        committed_at_us=2_000_000,
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 1).repartitionByRange(4, "event_id"),
+        committed_at_us=3_000_000,
+    )
+    t.restore(2, committed_at_us=4_000_000)
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def q_table_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head read after RESTORE(2): the bad append (odd events) is
+    backed out by a NEW commit referencing v2's files — history stays
+    intact (v3 still readable; pinned in unit tests) and the head is
+    byte-identical to the restored snapshot."""
+    root = _materialize_restore_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark)
+
+
+SQL_TABLE_RESTORE_READ = """
+SELECT event_id, user_id, value, event_type FROM events
+WHERE event_id % 2 = 0
+"""
+
+
 QUERIES = {
     "table_snapshot_read": (q_table_snapshot_read, SQL_TABLE_SNAPSHOT_READ),
     "table_merge_commit": (q_table_merge_commit, SQL_TABLE_MERGE_COMMIT),
@@ -400,4 +491,6 @@ QUERIES = {
     "table_prune_read": (q_table_prune_read, SQL_TABLE_PRUNE_READ),
     "table_delete_commit": (q_table_delete_commit, SQL_TABLE_DELETE_COMMIT),
     "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
+    "table_cdc_read": (q_table_cdc_read, SQL_TABLE_CDC_READ),
+    "table_restore_read": (q_table_restore_read, SQL_TABLE_RESTORE_READ),
 }

@@ -77,6 +77,8 @@ def _build() -> dict[str, QuerySpec]:
         "table_prune_read",      # min/max stats data skipping
         "table_delete_commit",   # COW range delete + vacuum retention
         "stream_table_append",   # exactly-once streaming table ingest
+        "table_cdc_read",        # change-data-feed between snapshots
+        "table_restore_read",    # RESTORE as a new history-keeping commit
         # stalest driver rows (freshest row <= r04), alphabetical
         "array_functions",
         "binary_ingest",

@@ -201,3 +201,31 @@ def test_stream_batch_append_exactly_once(spark, tmp_path):
     assert t.append_stream_batch(b0, 0) is None  # older replay → skip
     assert t.read(spark).count() == 80
     assert t.last_stream_batch_id() == 1
+
+
+def test_restore_preserves_history_and_reverts_head(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 60), committed_at_us=2_000_000)
+    t.append(_df(spark, 60, 100), committed_at_us=3_000_000)
+    v = t.restore(2, committed_at_us=4_000_000)
+    assert v == 4
+    assert t.manifest(4)["operation"] == "restore"
+    assert t.manifest(4)["restored_from"] == 2
+    # head == v2 state; the backed-out commit is STILL time-travelable
+    assert t.read(spark).count() == 60
+    assert t.read(spark, version=3).count() == 100
+    # restore references, never copies: no new data files were written
+    assert {f["path"] for f in t.manifest(4)["files"]} == {
+        f["path"] for f in t.manifest(2)["files"]
+    }
+
+
+def test_restore_of_vacuumed_version_fails_loud(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 60), committed_at_us=2_000_000)
+    t.delete_range(spark, "k", 0, 59, committed_at_us=3_000_000)
+    t.vacuum(retain_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.restore(2)
