@@ -491,6 +491,54 @@ class SnapshotTable:
             }
         )
 
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        x_sql: str,
+        y_sql: str,
+        n_files: int = 8,
+        bits: int = 8,
+        committed_at_us: int | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """OPTIMIZE ZORDER BY as a table-maintenance commit: rewrite
+        the head snapshot laid out by the Morton interleave of two
+        dimension expressions (operators/layout), so per-file min/max
+        stats become tight in BOTH dimensions and two-predicate scans
+        prune — the content is identical by contract (same snapshot
+        semantics as compaction). The Z key is transient: computed,
+        range-partitioned + sorted on, and dropped before the write —
+        the layout lives in the file boundaries, not in a column."""
+        from journal_batch_processer_spark.operators.layout import (
+            zorder_terms_sql,
+        )
+
+        base_v = self.latest_version() if expected_version is None else expected_version
+        man = self.manifest(base_v)
+        df = self._read_file_group(spark, man, man["files"])
+        z = F.expr(
+            zorder_terms_sql(f"({x_sql})", f"({y_sql})", bits).format(div="div")
+        )
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        new_files = self._stage_files(clustered, base_v + 1)
+        return self._try_commit(
+            {
+                "format_version": 1,
+                "version": base_v + 1,
+                "parent": base_v,
+                "operation": "cluster",
+                "committed_at_us": self._now_us(committed_at_us),
+                "schema": man["schema"],
+                "files": new_files,
+                "cluster": {"x": x_sql, "y": y_sql, "bits": bits},
+            }
+        )
+
     def vacuum(self, retain_last: int = 2) -> dict:
         """Physically remove data files referenced ONLY by snapshots
         older than the ``retain_last`` newest, and the expired

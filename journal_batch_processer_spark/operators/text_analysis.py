@@ -332,6 +332,19 @@ def bpe_train(
     precedent) because round r+1's plan needs it as a literal.
     localCheckpoint after each round keeps the 8-round lineage flat.
 
+    Documented cost (VERDICT r07): the rounds are SEQUENTIAL jobs —
+    wall time is n_merges × (job latency + vocab aggregate), latency-
+    bound rather than data-bound once the vocab table is cached
+    (~2.1 s for 8 rounds at sf0.1; bench-tracked as tokenizer_train).
+    True BPE is inherently serial (round r+1's pair counts depend on
+    round r's merge), so batching rounds would change WHICH merges are
+    learned — any "top-k merges per round" variant is a different
+    algorithm (SentencePiece-style approximations do this consciously).
+    We keep exact BPE; if n_merges grows past ~100 at scale, the known
+    production answer is incremental pair-count maintenance (update
+    only counts adjacent to the merged pair), which shrinks each round
+    constant but not the round count.
+
     Exactness: pair application is leftmost-greedy non-overlapping —
     exactly the semantics of string `replace` over the
     separator-joined symbol string (replace consumes matches left to

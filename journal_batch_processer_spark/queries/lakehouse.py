@@ -483,6 +483,64 @@ WHERE event_id % 2 = 0
 """
 
 
+def _materialize_zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fourth fixture chain (OPTIMIZE ZORDER): create → append events
+    range-clustered on event_id (so user_id min/max per file spans the
+    whole domain — user_id predicates prune NOTHING) → optimize_zorder
+    on both dimensions NORMALIZED to 0..255 (`col * 256 div (max+1)` —
+    the rank-byte normalization real OPTIMIZE ZORDER does; interleaving
+    raw values of unequal magnitude would let the wider dimension own
+    every high bit and degenerate to a one-dimensional sort). After
+    clustering, per-file user_id ranges are tight and user_id pruning
+    skips files (pinned by a unit test); content is identical by
+    contract."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"z_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "zorder", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 3:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _base_events(spark, sf_dir)
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema, committed_at_us=1_000_000)
+    t.append(ev.repartitionByRange(8, "event_id"), committed_at_us=2_000_000)
+    max_u, max_e = ev.agg(F.max("user_id"), F.max("event_id")).collect()[0]
+    t.optimize_zorder(
+        spark,
+        f"user_id * 256 div {max_u + 1}",
+        f"event_id * 256 div {max_e + 1}",
+        committed_at_us=3_000_000,
+    )
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def q_table_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head read after OPTIMIZE ZORDER: content identity is the
+    contract (any row lost/duplicated/mangled by the clustering
+    rewrite hash-fails); the layout IMPROVEMENT — user_id pruning goes
+    from zero skips to real skips — is pinned by a unit test, since
+    file boundaries are invisible to a value oracle."""
+    root = _materialize_zorder_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark)
+
+
+SQL_TABLE_ZORDER_READ = """
+SELECT event_id, user_id, value, event_type FROM events
+"""
+
+
 QUERIES = {
     "table_snapshot_read": (q_table_snapshot_read, SQL_TABLE_SNAPSHOT_READ),
     "table_merge_commit": (q_table_merge_commit, SQL_TABLE_MERGE_COMMIT),
@@ -493,4 +551,5 @@ QUERIES = {
     "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
     "table_cdc_read": (q_table_cdc_read, SQL_TABLE_CDC_READ),
     "table_restore_read": (q_table_restore_read, SQL_TABLE_RESTORE_READ),
+    "table_zorder_read": (q_table_zorder_read, SQL_TABLE_ZORDER_READ),
 }

@@ -79,6 +79,7 @@ def _build() -> dict[str, QuerySpec]:
         "stream_table_append",   # exactly-once streaming table ingest
         "table_cdc_read",        # change-data-feed between snapshots
         "table_restore_read",    # RESTORE as a new history-keeping commit
+        "table_zorder_read",     # OPTIMIZE ZORDER maintenance commit
         # stalest driver rows (freshest row <= r04), alphabetical
         "array_functions",
         "binary_ingest",

@@ -229,3 +229,30 @@ def test_restore_of_vacuumed_version_fails_loud(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         t.restore(2)
+
+
+def test_zorder_optimize_improves_two_dim_pruning(spark):
+    """Before OPTIMIZE ZORDER the event_id-clustered layout prunes
+    nothing on user_id; after, per-file user_id ranges are tight and
+    the same predicate skips files — while the row multiset is
+    unchanged (the content half is the DuckDB oracle's job)."""
+    from journal_batch_processer_spark.queries.lakehouse import (
+        _materialize_zorder_table,
+    )
+
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(_materialize_zorder_table(spark, SF_DIR))
+    max_u = t.read(spark).agg(F.max("user_id")).collect()[0][0]
+    lo, hi = 0, max_u // 4  # bottom quarter of the user domain
+    _, skipped_before = t.pruned_files("user_id", lo, hi, version=2)
+    _, skipped_after = t.pruned_files("user_id", lo, hi, version=3)
+    assert not skipped_before, "event_id layout should NOT prune on user_id"
+    assert skipped_after, "zorder layout must prune on user_id"
+    # the clustered layout still prunes on the other dimension too
+    max_e = t.read(spark).agg(F.max("event_id")).collect()[0][0]
+    _, skipped_eid = t.pruned_files("event_id", 0, max_e // 8, version=3)
+    assert skipped_eid, "zorder layout must still prune on event_id"
+    r2 = t.read(spark, version=2)
+    r3 = t.read(spark, version=3)
+    assert sorted(r2.collect()) == sorted(r3.collect())
