@@ -192,6 +192,66 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def ngram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the perplexity
+    proxy quality filters use (CCNet/RedPajama train a KenLM and drop
+    low-likelihood docs). Here the model IS the corpus: for every
+    bigram (w1, w2) the conditional probability p(w2|w1) =
+    c(w1,w2)/c(w1·) is expressed as an INTEGER in parts-per-million
+    (``(1_000_000 * c2) div c1`` — floor division of exact counts), so
+    the per-doc sum is a bigint and the only float op is one final
+    IEEE division, bit-identical across engines. High mean → the doc's
+    transitions are typical of the corpus; low mean → rare/gibberish
+    transitions. Reference analog: the description-keyword extraction
+    is the only text scoring in BatchUpdate.py (:648); this is its
+    corpus-statistical generalization.
+
+    Scale shape: bigram generation is a per-row expression (no
+    self-join); model training is two key-partial groupBys over the
+    (bounded-by-data) distinct-bigram set; scoring is one equi-join of
+    doc-bigrams against the model on the bigram key. Stop-bigram skew
+    on that join is AQE-split; nothing collects to the driver."""
+    t = _tokens(F.col(text_col))
+    n = F.size(t)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bi = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("bg"))
+    c2 = doc_bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    w1 = F.element_at(F.split(F.col("bg"), " "), 1)
+    c1 = c2.groupBy(w1.alias("w1")).agg(F.sum("c2").alias("c1"))
+    model = (
+        c2.withColumn("w1", w1)
+        .join(c1, "w1")
+        .select("bg", F.expr("(1000000 * c2) div c1").alias("p_ppm"))
+    )
+    scored = (
+        doc_bi.join(model, "bg")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_ppm").alias("sum_ppm"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(scored, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_ppm", F.lit(0)).cast("long").alias("sum_ppm"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("sum_ppm").cast("double") / F.col("n_bigrams"),
+            ).alias("mean_cond_ppm"),
+        )
+    )
+
+
 def quality_gate(
     df: DataFrame,
     id_col: str,

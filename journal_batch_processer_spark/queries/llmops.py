@@ -1601,6 +1601,48 @@ FROM per p LEFT JOIN logt l ON p.n_tokens = l.k
 SQL_TEXT_ENTROPY = _text_entropy_oracle_sql
 
 
+def q_text_ngramlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring of every document against the corpus-trained
+    model (see operators.text_analysis.ngram_lm_score): per-doc bigram
+    count, integer sum of per-bigram conditional probabilities in ppm,
+    and their mean (the perplexity-proxy quality signal)."""
+    from journal_batch_processer_spark.operators.text_analysis import (
+        ngram_lm_score,
+    )
+
+    return ngram_lm_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_TEXT_NGRAMLM = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bi AS (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM d
+),
+c2 AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+c1 AS (
+    SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+    FROM c2 GROUP BY 1
+),
+model AS (
+    SELECT c2.bg, (1000000 * c2.c2) // c1.c1 AS p_ppm
+    FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+),
+per AS (
+    SELECT bi.doc_id, COUNT(*) AS n_bigrams, SUM(m.p_ppm) AS sum_ppm
+    FROM bi JOIN model m USING (bg) GROUP BY bi.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.sum_ppm, 0) AS BIGINT) AS sum_ppm,
+       CASE WHEN p.n_bigrams > 0
+            THEN CAST(p.sum_ppm AS DOUBLE) / p.n_bigrams END AS mean_cond_ppm
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup (web-corpus staple): the same page
     arrives under 4 synthesized variants per doc (scheme change,
@@ -2699,6 +2741,7 @@ QUERIES = {
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
     "jsonl_scan_gz": (q_jsonl_scan_gz, SQL_JSONL_SCAN_GZ),
     "text_entropy": (q_text_entropy, SQL_TEXT_ENTROPY),
+    "text_ngramlm": (q_text_ngramlm, SQL_TEXT_NGRAMLM),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "binary_ingest": (q_binary_ingest, _binary_ingest_sql),
     "cogroup_conversion": (q_cogroup_conversion, SQL_COGROUP_CONVERSION),

@@ -124,3 +124,27 @@ def test_jpeg_progressive_rejects_other_precisions():
 
     with raises(NotImplementedError, match="10-bit"):
         decode_jpeg_baseline(bytes(data))
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Bigram-LM ppm scoring on a 3-doc corpus computed by hand:
+    c2 = {"a b": 2, "b a": 1, "a c": 1}, c1 = {a: 3, b: 1} →
+    p_ppm(a b) = 2_000_000 div 3 = 666_666, p_ppm(b a) = 1_000_000,
+    p_ppm(a c) = 333_333. Single-token docs score (0, 0, NULL)."""
+    from journal_batch_processer_spark.operators.text_analysis import (
+        ngram_lm_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in ngram_lm_score(df, "doc_id", "text").collect()}
+    assert len(rows) == 3
+    assert (rows[1].n_bigrams, rows[1].sum_ppm) == (3, 666_666 + 1_000_000 + 333_333)
+    assert rows[1].mean_cond_ppm == 1_999_999 / 3
+    assert (rows[2].n_bigrams, rows[2].sum_ppm, rows[2].mean_cond_ppm) == (
+        1, 666_666, 666_666.0,
+    )
+    assert (rows[3].n_bigrams, rows[3].sum_ppm, rows[3].mean_cond_ppm) == (
+        0, 0, None,
+    )
