@@ -541,6 +541,97 @@ SELECT event_id, user_id, value, event_type FROM events
 """
 
 
+def q_table_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table as a streaming SOURCE (sources/
+    table_stream.py): offsets are versions, one task per added file,
+    Arrow batches out, ``commit_version`` provenance per row. The
+    restart protocol is exercised for real — the fixture table is
+    built FRESH each call and drains in two availableNow runs sharing
+    one checkpoint: run 1 consumes the two appends (v2 evens, v3
+    odds); then a COW MERGE commits (v4 — a change commit, skipped
+    under skipChangeCommits, its rewrites must NOT re-emit) and a
+    third append (v5); run 2 consumes exactly v5. The union, row-level
+    with per-commit attribution, is the oracle surface: a re-emitted
+    carried file, a missed append, or a wrong version stamp all
+    hash-fail."""
+    import tempfile as _tf
+
+    from journal_batch_processer_spark.queries.streaming_q import _await_drain
+    from journal_batch_processer_spark.sources.python_source import (
+        register_once,
+    )
+    from journal_batch_processer_spark.sources.table_stream import (
+        TableStreamSource,
+    )
+
+    register_once(spark, TableStreamSource)
+    root = _tf.mkdtemp(prefix="jbp_tstream_")
+    ckpt, outdir = os.path.join(root, "_ckpt"), os.path.join(root, "_out")
+    ev = _base_events(spark, sf_dir)
+    t = SnapshotTable.create(
+        root,
+        [
+            ("event_id", "bigint"),
+            ("user_id", "bigint"),
+            ("value", "double"),
+            ("event_type", "string"),
+        ],
+        committed_at_us=1_000_000,
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(4, "event_id"),
+        committed_at_us=2_000_000,
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 1).repartitionByRange(4, "event_id"),
+        committed_at_us=3_000_000,
+    )
+
+    def drain(run: int) -> None:
+        stream = (
+            spark.readStream.format("jbp_table_stream")
+            .option("path", root)
+            .option("skipChangeCommits", "true")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q, f"jbp_table_stream_run{run}")
+
+    drain(1)
+    t.merge(_merge_batch(ev), "event_id", committed_at_us=4_000_000)
+    t.append(
+        ev.filter(F.col("event_id") % 1000 == 1).select(
+            (F.col("event_id") + 20_000_000).alias("event_id"),
+            "user_id",
+            "value",
+            "event_type",
+        ),
+        committed_at_us=5_000_000,
+    )
+    drain(2)
+    return spark.read.parquet(outdir).select(
+        "event_id", "user_id", "value", "event_type", "commit_version"
+    )
+
+
+SQL_TABLE_STREAM_READ = """
+WITH ev AS (SELECT event_id, user_id, value, event_type FROM events)
+SELECT *, CAST(2 AS BIGINT) AS commit_version FROM ev WHERE event_id % 2 = 0
+UNION ALL
+SELECT *, CAST(3 AS BIGINT) FROM ev WHERE event_id % 2 = 1
+UNION ALL
+SELECT event_id + 20000000, user_id, value, event_type, CAST(5 AS BIGINT)
+FROM ev WHERE event_id % 1000 = 1
+"""
+
+
 QUERIES = {
     "table_snapshot_read": (q_table_snapshot_read, SQL_TABLE_SNAPSHOT_READ),
     "table_merge_commit": (q_table_merge_commit, SQL_TABLE_MERGE_COMMIT),
@@ -552,4 +643,5 @@ QUERIES = {
     "table_cdc_read": (q_table_cdc_read, SQL_TABLE_CDC_READ),
     "table_restore_read": (q_table_restore_read, SQL_TABLE_RESTORE_READ),
     "table_zorder_read": (q_table_zorder_read, SQL_TABLE_ZORDER_READ),
+    "table_stream_read": (q_table_stream_read, SQL_TABLE_STREAM_READ),
 }

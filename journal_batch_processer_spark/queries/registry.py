@@ -80,6 +80,7 @@ def _build() -> dict[str, QuerySpec]:
         "table_cdc_read",        # change-data-feed between snapshots
         "table_restore_read",    # RESTORE as a new history-keeping commit
         "table_zorder_read",     # OPTIMIZE ZORDER maintenance commit
+        "table_stream_read",     # the table as a streaming source
         "text_ngramlm",          # NEW r08: corpus bigram-LM scoring
         # stalest driver rows (freshest row <= r04), alphabetical
         "array_functions",

@@ -256,3 +256,70 @@ def test_zorder_optimize_improves_two_dim_pruning(spark):
     r2 = t.read(spark, version=2)
     r3 = t.read(spark, version=3)
     assert sorted(r2.collect()) == sorted(r3.collect())
+
+
+def _drain_stream(spark, root, ckpt, outdir, skip="true"):
+    from journal_batch_processer_spark.queries.streaming_q import _await_drain
+    from journal_batch_processer_spark.sources.python_source import register_once
+    from journal_batch_processer_spark.sources.table_stream import (
+        TableStreamSource,
+    )
+
+    register_once(spark, TableStreamSource)
+    q = (
+        spark.readStream.format("jbp_table_stream")
+        .option("path", root)
+        .option("skipChangeCommits", skip)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drain(q, "tstream_test")
+
+
+def test_table_stream_change_commit_fails_loud(spark, tmp_path):
+    """Default (no skipChangeCommits): a merge commit in the offset
+    range aborts planning — re-emitting rewritten files would
+    double-count (the Delta 'data update detected' contract)."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    batch = _df(spark, 10, 20)
+    t.merge(batch, "k", committed_at_us=3_000_000)
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _drain_stream(
+            spark,
+            t.root,
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "out"),
+            skip="false",
+        )
+
+
+def test_table_stream_null_fills_pre_evolution_files(spark, tmp_path):
+    """A file written BEFORE an additive schema evolution streams out
+    null-filled in the evolved schema (from partition metadata — the
+    executor never probes other files' footers), and commit_version
+    attributes each row to the commit that added it."""
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    t.append(
+        _df(spark, 100, 150).withColumn("w", F.col("k") + 1),
+        committed_at_us=3_000_000,
+        new_columns=[("w", "bigint")],
+    )
+    outdir = str(tmp_path / "out")
+    _drain_stream(spark, t.root, str(tmp_path / "ckpt"), outdir)
+    rows = spark.read.parquet(outdir).collect()
+    assert len(rows) == 100
+    by_commit = {}
+    for r in rows:
+        by_commit.setdefault(r.commit_version, []).append(r)
+    assert sorted(by_commit) == [2, 3]
+    assert all(r.w is None for r in by_commit[2])
+    assert all(r.w == r.k + 1 for r in by_commit[3])
