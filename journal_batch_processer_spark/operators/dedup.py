@@ -709,3 +709,73 @@ def simhash_fingerprint(
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return votes.select("doc", fp.cast("long").alias("simhash"))
+
+
+def duplicated_substring_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 15
+) -> DataFrame:
+    """Exact repeated-substring spans — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    signal, re-expressed for a cluster: their single-node suffix array
+    finds every substring of >= 50 tokens that occurs twice anywhere
+    in the corpus; the distributed equivalent hashes EVERY k-token
+    rolling window (not every chunk boundary — that's dedup_chunks),
+    keeps windows whose hash occurs >= 2 times corpus-wide, and merges
+    each doc's surviving offsets into maximal spans (gaps-and-islands
+    on the running span end). Any duplicated run of >= k tokens is
+    covered by duplicated windows at every offset inside it, so the
+    merged islands are exactly the maximal duplicated regions, length
+    >= k.
+
+    Scale shape: window emission is a per-row expression (~16 bytes of
+    md5 per token position — the reason for hashing instead of
+    shuffling the window text itself); the df>=2 filter is one
+    partial-aggregated groupBy on the hash; span merge is a window
+    function partitioned BY DOC. Nothing is pairwise and nothing
+    collects: the suffix array's O(corpus) sequential scan becomes
+    two shuffles. Output: (doc, span_start, span_len, n_dup_windows)
+    per maximal span, 0-based token offsets.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    wins = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("o", "h"),
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    dup = wins.join(dup_h, "h").select("doc", "o")
+    w = Window.partitionBy("doc").orderBy("o")
+    prev_end = F.max(F.col("o") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "brk", (F.col("o") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    )
+    isl = flagged.withColumn("island", F.sum("brk").over(w))
+    return (
+        isl.groupBy("doc", "island")
+        .agg(
+            F.min("o").alias("span_start"),
+            (F.max("o") + k - F.min("o")).alias("span_len"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "span_start",
+            "span_len",
+            "n_dup_windows",
+        )
+    )

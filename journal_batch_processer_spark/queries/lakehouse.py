@@ -431,6 +431,72 @@ SELECT *, 'delete' AS _change FROM (
 )
 
 
+def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (the Delta Live
+    Tables / dynamic-tables shape): a per-event_type aggregate
+    maintained ACROSS the v3→v4 COW merge by applying the change feed
+    to the v3 aggregate — never recomputing from the v4 snapshot. Each
+    CDC row carries a sign (+1 insert, -1 delete); the delta aggregate
+    groups signed counts/sums and outer-merges into the base, dropping
+    groups whose count reaches zero. All sums are integer millis, so
+    the result is hash-identical to the direct v4 aggregate the oracle
+    computes — any double-applied, missed, or mis-signed change row
+    shifts a checksum.
+
+    Scale: the base aggregate is a materialized view-sized table (one
+    row per group), the delta touches only changed rows (CDC prunes to
+    rewritten files via the manifest diff), and the merge is a
+    broadcast-sized outer join — incremental cost is O(changes), not
+    O(table), which is the entire point at 100 TB."""
+    root = materialize_table(spark, sf_dir)
+    t = SnapshotTable(root)
+    cols = ["event_id", "user_id", "value", "event_type"]
+    milli = F.sum(F.floor(F.col("value") * 1000))
+
+    base = (
+        t.read(spark, version=3)
+        .select(cols)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            milli.alias("val_milli_sum"),
+        )
+    )
+    old = t.read(spark, version=3).select(cols)
+    new = t.read(spark, version=4).select(cols)
+    cdc = new.exceptAll(old).withColumn("sign", F.lit(1)).unionByName(
+        old.exceptAll(new).withColumn("sign", F.lit(-1))
+    )
+    delta = cdc.groupBy("event_type").agg(
+        F.sum("sign").alias("d_rows"),
+        F.sum(F.col("sign") * F.floor(F.col("value") * 1000)).alias("d_milli"),
+    )
+    return (
+        base.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_rows", F.lit(0)))
+            .alias("n_rows"),
+            (
+                F.coalesce("val_milli_sum", F.lit(0))
+                + F.coalesce("d_milli", F.lit(0))
+            ).alias("val_milli_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+SQL_MATVIEW_INCREMENTAL = (
+    _STATE_CTES
+    + """
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+           AS val_milli_sum
+FROM s4 GROUP BY event_type
+"""
+)
+
+
 def _materialize_restore_table(spark: SparkSession, sf_dir: str) -> str:
     """Third fixture chain (restore): create → append evens → append
     odds → RESTORE(2). Head state must equal the evens-only snapshot
@@ -644,4 +710,5 @@ QUERIES = {
     "table_restore_read": (q_table_restore_read, SQL_TABLE_RESTORE_READ),
     "table_zorder_read": (q_table_zorder_read, SQL_TABLE_ZORDER_READ),
     "table_stream_read": (q_table_stream_read, SQL_TABLE_STREAM_READ),
+    "matview_incremental": (q_matview_incremental, SQL_MATVIEW_INCREMENTAL),
 }

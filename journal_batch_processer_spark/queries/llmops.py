@@ -1643,6 +1643,55 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (Lee et al. 2022 suffix-array
+    dedup, distributed as rolling k-token window hashes + per-doc
+    span merge — see operators.dedup.duplicated_substring_spans):
+    every maximal >= 15-token region whose content occurs at least
+    twice anywhere in the corpus, per doc with 0-based offsets."""
+    from journal_batch_processer_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    return duplicated_substring_spans(_docs(spark, sf_dir), "doc_id", "text", k=15)
+
+
+SQL_DEDUP_SUBSTRING = """
+WITH d AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+wins AS (
+    SELECT doc_id, UNNEST(range(0, len(t) - 14)) AS o, t
+    FROM d WHERE len(t) >= 15
+),
+hashed AS (
+    SELECT doc_id, o, md5(array_to_string(t[o + 1:o + 15], ' ')) AS h
+    FROM wins
+),
+dup AS (
+    SELECT doc_id, o FROM hashed
+    WHERE h IN (SELECT h FROM hashed GROUP BY h HAVING COUNT(*) >= 2)
+),
+flagged AS (
+    SELECT doc_id, o,
+           CASE WHEN o > COALESCE(MAX(o + 15) OVER (
+                    PARTITION BY doc_id ORDER BY o
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), -1) THEN 1 ELSE 0 END AS brk
+    FROM dup
+),
+isl AS (
+    SELECT doc_id, o,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY o) AS island
+    FROM flagged
+)
+SELECT doc_id, MIN(o) AS span_start,
+       CAST(MAX(o) + 15 - MIN(o) AS BIGINT) AS span_len,
+       COUNT(*) AS n_dup_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup (web-corpus staple): the same page
     arrives under 4 synthesized variants per doc (scheme change,
@@ -2742,6 +2791,7 @@ QUERIES = {
     "jsonl_scan_gz": (q_jsonl_scan_gz, SQL_JSONL_SCAN_GZ),
     "text_entropy": (q_text_entropy, SQL_TEXT_ENTROPY),
     "text_ngramlm": (q_text_ngramlm, SQL_TEXT_NGRAMLM),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "binary_ingest": (q_binary_ingest, _binary_ingest_sql),
     "cogroup_conversion": (q_cogroup_conversion, SQL_COGROUP_CONVERSION),

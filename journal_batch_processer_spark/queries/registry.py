@@ -81,7 +81,9 @@ def _build() -> dict[str, QuerySpec]:
         "table_restore_read",    # RESTORE as a new history-keeping commit
         "table_zorder_read",     # OPTIMIZE ZORDER maintenance commit
         "table_stream_read",     # the table as a streaming source
+        "matview_incremental",   # CDC-applied materialized view
         "text_ngramlm",          # NEW r08: corpus bigram-LM scoring
+        "dedup_substring",       # NEW r08: Lee-et-al substring spans
         # stalest driver rows (freshest row <= r04), alphabetical
         "array_functions",
         "binary_ingest",

@@ -148,3 +148,34 @@ def test_ngram_lm_score_hand_computed(spark):
     assert (rows[3].n_bigrams, rows[3].sum_ppm, rows[3].mean_cond_ppm) == (
         0, 0, None,
     )
+
+
+def test_duplicated_substring_spans_hand_computed(spark):
+    """k=3 window dedup on a 3-doc corpus: docs 1 and 2 share the run
+    "a b c d" (windows at offsets 0,1 in both -> one merged span of
+    len 4); doc 3 repeats "x y z" WITHIN itself (offsets 0 and 4 ->
+    two islands, the gap at offsets 1..3 is unique); unique text never
+    appears."""
+    from journal_batch_processer_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d q r s"),
+            (2, "p a b c d"),
+            (3, "x y z k x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        duplicated_substring_spans(df, "doc_id", "text", k=3).collect(),
+        key=lambda r: (r.doc_id, r.span_start),
+    )
+    got = [(r.doc_id, r.span_start, r.span_len, r.n_dup_windows) for r in rows]
+    assert got == [
+        (1, 0, 4, 2),  # "a b c d" at head
+        (2, 1, 4, 2),  # "a b c d" after the unique "p"
+        (3, 0, 3, 1),  # first "x y z"
+        (3, 4, 3, 1),  # second "x y z" — NOT merged across the gap
+    ]
