@@ -1692,6 +1692,50 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-closed train/val/test split: documents are assigned by
+    the hash of their NEAR-DUP CONNECTED COMPONENT (dedup_cluster's
+    min-label fixpoint over exact-Jaccard >= 0.2 pairs), not their own
+    id — so two near-duplicate documents can never straddle train and
+    test. This is the decontamination-grade split a doc-level hash
+    split (`hash_split`) cannot give: there, a paraphrase pair lands
+    on both sides and leaks the test set into training. Composition:
+    candidate pairs (bucketed shingle equi-join) → components
+    (O(log n) min-label rounds) → one md5 threshold on the component
+    id, all existing scale paths."""
+    from journal_batch_processer_spark.operators.graph import cluster_assignments
+    from journal_batch_processer_spark.operators.sampling import (
+        split_thresholds,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=20
+    )
+    t, v = split_thresholds(0.8, 0.1)
+    b = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    return cluster_assignments(docs, "doc_id", pairs).select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < t, F.lit("train"))
+        .when(b < v, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+SQL_SPLIT_LEAKAGE_SAFE = f"""
+WITH base AS ({SQL_DEDUP_CLUSTER})
+SELECT doc_id, cluster_id,
+       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+            ELSE 'test' END AS split
+FROM base
+"""
+
+
 def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup (web-corpus staple): the same page
     arrives under 4 synthesized variants per doc (scheme change,
@@ -2792,6 +2836,7 @@ QUERIES = {
     "text_entropy": (q_text_entropy, SQL_TEXT_ENTROPY),
     "text_ngramlm": (q_text_ngramlm, SQL_TEXT_NGRAMLM),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "binary_ingest": (q_binary_ingest, _binary_ingest_sql),
     "cogroup_conversion": (q_cogroup_conversion, SQL_COGROUP_CONVERSION),

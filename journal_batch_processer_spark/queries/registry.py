@@ -84,6 +84,8 @@ def _build() -> dict[str, QuerySpec]:
         "matview_incremental",   # CDC-applied materialized view
         "text_ngramlm",          # NEW r08: corpus bigram-LM scoring
         "dedup_substring",       # NEW r08: Lee-et-al substring spans
+        "split_leakage_safe",    # NEW r08: near-dup-closed split
+        "heavy_hitters",         # NEW r08: count-min top-k
         # stalest driver rows (freshest row <= r04), alphabetical
         "array_functions",
         "binary_ingest",

@@ -219,6 +219,97 @@ FROM lineitem
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (Cormode–Muthukrishnan):
+    d=4 hash rows × w=256 buckets, hash_j(x) = first byte of
+    md5(j:x) — so unlike HLL/GK (bounded-check oracles above), the
+    sketch state is DETERMINISTIC and the estimates carry a FULL value
+    oracle: DuckDB rebuilds the identical 1024-cell sketch. The query
+    returns the top-20 users by estimated event count alongside the
+    exact count — count-min's one-sided guarantee (est >= exact, off
+    only by bucket collisions) is visible in the data.
+
+    Scale shape: the sketch build is one partial-aggregated groupBy to
+    a FIXED 1024 cells (mergeable across partitions/streams — why
+    count-min is the memory-bounded path when the key space, unlike
+    here, doesn't fit a hash agg); probes broadcast those cells. The
+    top-k window runs on the post-aggregate user table, not events."""
+    d_rows, width_hex, k = 4, 2, 20  # 2 hex chars = 256 buckets
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"), F.col("user_id").cast("string").alias("u")
+    )
+
+    def cell(j: int) -> F.Column:
+        h = F.md5(F.concat_ws(":", F.lit(str(j)), F.col("u")))
+        return F.conv(F.substring(h, 1, width_hex), 16, 10).cast("long")
+
+    jb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), cell(j).alias("b"))
+                for j in range(d_rows)
+            ]
+        )
+    ).alias("jb")
+    sketch = (
+        ev.select(jb)
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        ev.groupBy("user_id", "u")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .select("user_id", "exact_count", "u", jb)
+        .select(
+            "user_id",
+            "exact_count",
+            F.col("jb.j").alias("j"),
+            F.col("jb.b").alias("b"),
+        )
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    w = Window.orderBy(F.col("est_count").desc(), F.col("user_id"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("user_id", "est_count", "exact_count", "rank")
+    )
+
+
+SQL_HEAVY_HITTERS = """
+WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS u FROM events),
+js AS (SELECT UNNEST(range(4)) AS j),
+cells AS (
+    SELECT j,
+           ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || u), 1, 2))::BIGINT
+               AS b,
+           COUNT(*) AS c
+    FROM ev, js GROUP BY 1, 2
+),
+users AS (SELECT user_id, u, COUNT(*) AS exact_count FROM ev GROUP BY 1, 2),
+probes AS (
+    SELECT users.user_id, users.exact_count, js.j,
+           ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || users.u),
+                           1, 2))::BIGINT AS b
+    FROM users, js
+),
+est AS (
+    SELECT p.user_id, p.exact_count, MIN(c.c) AS est_count
+    FROM probes p JOIN cells c ON c.j = p.j AND c.b = p.b
+    GROUP BY 1, 2
+)
+SELECT user_id, est_count, exact_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY est_count DESC, user_id) AS INT)
+           AS rank
+FROM est
+QUALIFY rank <= 20
+"""
+
+
 def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide → long): the inverse of agg_pivot — per-priority
     status totals melted back to (priority, status, total) rows.
@@ -1358,6 +1449,7 @@ QUERIES = {
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
     "approx_quantile": (q_approx_quantile, SQL_APPROX_QUANTILE),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "agg_unpivot": (q_agg_unpivot, SQL_AGG_UNPIVOT),
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "string_agg": (q_string_agg, SQL_STRING_AGG),

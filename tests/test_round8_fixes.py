@@ -179,3 +179,42 @@ def test_duplicated_substring_spans_hand_computed(spark):
         (3, 0, 3, 1),  # first "x y z"
         (3, 4, 3, 1),  # second "x y z" — NOT merged across the gap
     ]
+
+
+def test_count_min_one_sided_and_exact_for_top(spark):
+    """Count-min never underestimates (min over d rows of bucket sums
+    that each include the key's own count), and with 150 keys in 256
+    buckets most top users are collision-free (est == exact for at
+    least half the top-20)."""
+    from journal_batch_processer_spark.queries.relational import q_heavy_hitters
+    from tests.conftest import SF_DIR
+
+    rows = q_heavy_hitters(spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 20  # min(20, n_users) — SF_DIR is tiny
+    assert all(r.est_count >= r.exact_count for r in rows)
+    assert sum(r.est_count == r.exact_count for r in rows) >= len(rows) // 2
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, len(rows) + 1)
+    )
+
+
+def test_leakage_safe_split_is_constant_per_component(spark):
+    """Every near-dup component lands wholly in one split — the
+    property that distinguishes this from hash_split."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.queries.llmops import (
+        q_split_leakage_safe,
+    )
+    from tests.conftest import SF_DIR
+
+    out = q_split_leakage_safe(spark, SF_DIR)
+    bad = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert bad == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
