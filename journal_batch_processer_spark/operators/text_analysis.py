@@ -220,7 +220,11 @@ def ngram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    doc_bi = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("bg"))
+    from ..cache import pin
+
+    doc_bi = pin(
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("bg"))
+    )
     c2 = doc_bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     w1 = F.element_at(F.split(F.col("bg"), " "), 1)
     c1 = c2.groupBy(w1.alias("w1")).agg(F.sum("c2").alias("c1"))
