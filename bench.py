@@ -81,6 +81,13 @@ BENCH_QUERIES = [
     # memoizes, so steady-state reps time the READ side — the tripwire
     # this guards is plan/manifest-resolution regressions, not commits
     "table_snapshot_read",
+    # r08 late: the two heaviest new text/dedup paths join the timed
+    # set — ngram-LM is the corpus-model train+score spine (three
+    # passes over the bigram relation, now pinned), substring dedup is
+    # the highest-fanout window emitter in the repo (~n_tokens md5s
+    # per doc)
+    "text_ngramlm",
+    "dedup_substring",
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is

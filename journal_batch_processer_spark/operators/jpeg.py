@@ -27,15 +27,16 @@ Scope — honest and loud:
   with DRI/RSTn; 12-bit PROGRESSIVE (Pq=1 quantizers + SOF2/SOF10
   precision 12, r08) included. Sequential frames — Huffman OR
   arithmetic (r08) — may declare HEIGHT 0 and define it via a DNL
-  segment after the first scan (B.2.5, r07). LOSSLESS
-  (SOF3, Annex H) decodes 1..4 interleaved 1×1 components — 2..16-bit,
+  segment after the first scan (B.2.5, r07). LOSSLESS —
+  Huffman (SOF3, Annex H, r07) AND arithmetic (SOF11, H.1.2.2 + QM
+  coder, r08) — decodes 1..4 interleaved 1×1 components — 2..16-bit,
   all seven predictors, point transform, restarts, bit-exact
   roundtrips; multi-component lossless reports PER-COMPONENT means
   (no color transform is defined for it)
-  (operators/jpeg_lossless.py, r07). Anything else raises
-  NotImplementedError/ValueError naming the feature: differential
-  SOFs, non-interleaved lossless scans, non-1×1 lossless sampling,
-  lossless-arithmetic (SOF11), fractional sampling ratios.
+  (operators/jpeg_lossless.py). Anything else raises
+  NotImplementedError/ValueError naming the feature: differential/
+  hierarchical SOFs (5-7, 13-15), non-interleaved lossless scans,
+  non-1×1 lossless sampling, fractional sampling ratios.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -573,7 +574,7 @@ def _decode_jpeg_baseline(data: bytes) -> dict:
     w, h, comps, planes, prec = _decode_jpeg_planes(data)
     half, maxval = 1 << (prec - 1), (1 << prec) - 1
     n = w * h
-    if len(comps) > 1 and _frame_sof(data) == 0xC3:
+    if len(comps) > 1 and _frame_sof(data) in (0xC3, 0xCB):
         # LOSSLESS multi-component carries NO defined color transform
         # (T.81 Annex H says nothing about YCbCr): report the first
         # three components' means directly, never BT.601
@@ -716,7 +717,13 @@ def _decode_jpeg_planes(data: bytes):
             )
 
             return decode_jpeg_lossless(data)
-        elif marker in (0xC5, 0xC6, 0xC7):
+        elif marker == 0xCB:  # SOF11 lossless arithmetic (r08)
+            from journal_batch_processer_spark.operators.jpeg_lossless import (
+                decode_jpeg_lossless_arith,
+            )
+
+            return decode_jpeg_lossless_arith(data)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"jpeg: SOF{marker - 0xC0} (differential) unsupported"
             )

@@ -257,6 +257,15 @@ class ArithEncoder:
         multiple of 2^k ≥ C inside the interval for a short tail."""
         total = self.nbits + 16  # bits of precision in C's scale
         c, a = self.c, self.a
+        if c == 0:
+            # V=0 is in [0, a) and the decoder zero-fills past the end
+            # of the segment, so NOTHING needs to be emitted. Without
+            # this guard the largest-k search below diverges (0 is a
+            # multiple of every 2^k) — reachable only by segments of
+            # pure no-add MPS decisions, which the DCT encoders never
+            # produce but tiny-precision lossless restart segments
+            # (SOF11, r08) do.
+            return b""
         # largest k with a single multiple of 2^k in [c, c+a)
         k = 0
         while True:

@@ -273,3 +273,305 @@ def encode_jpeg_lossless_gray(
         [samples], precision=precision, predictor=predictor, pt=pt,
         restart_interval=restart_interval,
     )
+
+
+# ---------------------------------------------------------------------------
+# SOF11 — lossless ARITHMETIC (T.81 H.1.2.2 statistical model over the
+# Annex-H DPCM predictors, QM coder from operators/jpeg_arith.py)
+# ---------------------------------------------------------------------------
+#
+# Statistics layout (the spec's 158-bin lossless area, Figure H.2
+# shape): 25 contexts — the 5x5 cross of the conditioning categories
+# of Da (difference at the sample to the LEFT) and Db (difference at
+# the sample ABOVE) — each holding 4 bins (S0, SS, SP, SN) at
+# 4*(5*cA+cB)..+3, then TWO shared magnitude trees (X1..X15 + M bins,
+# 29 slots each): bins 100..128 used when Db is not in a large
+# category, 129..157 when it is. Categories come from the DAC (L,U)
+# conditioning exactly as the sequential DC model applies them
+# (|d| <= (1<<L)>>1 -> zero, |d| > (1<<U)>>1 -> large, else small,
+# signed). Undefined neighbors (first row/column, after a restart)
+# condition as zero — the same convention their prediction uses.
+#
+# No third-party decoder for this mode exists in the container
+# (libjpeg has never shipped lossless arithmetic), so — as for SOF3
+# multi-component — validation is bit-exact round-trips of RANDOM
+# images across predictors/precisions/restarts, plus cross-checks
+# that the DPCM residual layer is shared verbatim with the
+# independently-validated Huffman path.
+
+_LA_TREE_A = 100
+_LA_TREE_B = 129
+LA_STAT_SLOTS = 158
+
+
+def _la_classify(diff: int, ll: int, uu: int) -> int:
+    """0 zero, 1 small+, 2 small-, 3 large+, 4 large-."""
+    mag = -diff if diff < 0 else diff
+    if mag <= (1 << ll) >> 1:
+        return 0
+    if mag > (1 << uu) >> 1:
+        return 3 if diff > 0 else 4
+    return 1 if diff > 0 else 2
+
+
+def _la_decode_diff(dec, stats, ctx: int, mag_base: int) -> int:
+    """Decode one prediction difference (the F.2.4.1 tree re-rooted at
+    a two-neighbor context and a selectable magnitude tree)."""
+    if dec.decode(stats, ctx) == 0:
+        return 0
+    sign = dec.decode(stats, ctx + 1)
+    st = ctx + 2 + sign
+    m = dec.decode(stats, st)
+    if m != 0:
+        st = mag_base
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise NotImplementedError(
+                    "jpeg: lossless-arithmetic |diff| >= 32768"
+                )
+            st += 1
+    v = m
+    st += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _la_encode_diff(enc, stats, ctx: int, mag_base: int, diff: int) -> None:
+    if diff == 0:
+        enc.encode(stats, ctx, 0)
+        return
+    enc.encode(stats, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(stats, ctx + 1, sign)
+    v = (-diff if sign else diff) - 1
+    st = ctx + 2 + sign
+    if v == 0:
+        enc.encode(stats, st, 0)
+        m = 0
+    else:
+        enc.encode(stats, st, 1)
+        m = 1
+        st = mag_base
+        while v >= (m << 1):
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st += 1
+        enc.encode(stats, st, 0)
+    st += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(stats, st, 1 if v & mm else 0)
+
+
+def decode_jpeg_lossless_arith(data: bytes):
+    """SOF11: same (w, h, comps, planes, prec) tuple as every other
+    decode path."""
+    from journal_batch_processer_spark.operators.jpeg_arith import (
+        ArithDecoder,
+        Stats,
+    )
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    cond: dict[int, tuple[int, int]] = {}
+    frame = None
+    scan = None
+    entropy_start = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xCC:  # DAC: DC-class conditioning only
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                if tc == 0:
+                    cs = seg[p + 1]
+                    cond[tb] = (cs & 0xF, cs >> 4)
+                p += 2
+        elif marker == 0xCB:
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError(f"jpeg: lossless precision {prec}")
+            if not 1 <= nc <= 4:
+                raise ValueError(f"jpeg: lossless component count {nc}")
+            comps = []
+            for ci in range(nc):
+                cid, samp, _tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: lossless sampling factors must be 1x1"
+                    )
+                comps.append((cid, 0, 1, 1))
+            frame = (w, h, comps, prec)
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4) for i in range(ns)
+            ]
+            ss, _se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            scan = (scan_comps, ss, a & 0xF)
+            entropy_start = pos + seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("jpeg: missing SOF11/SOS")
+    w, h, comps, prec = frame
+    scan_comps, pred_sel, pt = scan
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "jpeg: lossless multi-scan (non-interleaved) unsupported"
+        )
+    frame_by_id = {cid: i for i, (cid, _t, _h, _v) in enumerate(comps)}
+    order = []
+    for cid, tb in scan_comps:
+        if cid not in frame_by_id:
+            raise ValueError(f"jpeg: scan component id {cid} not in frame")
+        order.append((frame_by_id[cid], tb))
+    if not 1 <= pred_sel <= 7:
+        raise ValueError(f"jpeg: bad lossless predictor {pred_sel}")
+    default = 1 << (prec - 1 - pt) if prec - 1 - pt >= 0 else 0
+
+    def fresh_stats():
+        return {tb: Stats(LA_STAT_SLOTS) for _ci, tb in order}
+
+    dec = ArithDecoder(data, entropy_start)
+    stats_by_tb = fresh_stats()
+    planes = [[[0] * w for _ in range(h)] for _ in comps]
+    prev_diffs = [[0] * w for _ in comps]  # Db source (row above)
+    cur_diffs = [[0] * w for _ in comps]
+    count = 0
+    rst = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                mp = dec.marker_pos
+                if mp is None or data[mp + 1] != 0xD0 + rst:
+                    raise ValueError(f"jpeg: expected restart marker RST{rst}")
+                dec = ArithDecoder(data, mp + 2)
+                stats_by_tb = fresh_stats()
+                prev_diffs = [[0] * w for _ in comps]
+                cur_diffs = [[0] * w for _ in comps]
+                rst = (rst + 1) & 7
+                fresh = True
+            count += 1
+            for ci, tb in order:
+                ll, uu = cond.get(tb, (0, 1))
+                da = cur_diffs[ci][x - 1] if x > 0 and not fresh else 0
+                db = prev_diffs[ci][x] if y > 0 and not fresh else 0
+                ca, cb = _la_classify(da, ll, uu), _la_classify(db, ll, uu)
+                mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
+                diff = _la_decode_diff(
+                    dec, stats_by_tb[tb], 4 * (5 * ca + cb), mag_base
+                )
+                plane = planes[ci]
+                row = plane[y]
+                prev_row = plane[y - 1] if y > 0 else None
+                pred = _predict(pred_sel, row, prev_row, x, y, default, fresh)
+                row[x] = (pred + diff) & 0xFFFF
+                cur_diffs[ci][x] = diff
+            fresh = False
+        for ci in range(len(comps)):
+            prev_diffs[ci], cur_diffs[ci] = cur_diffs[ci], [0] * w
+    return w, h, comps, planes, prec
+
+
+def encode_jpeg_lossless_arith(
+    planes: "list[list[list[int]]]",
+    precision: int = 8,
+    predictor: int = 1,
+    pt: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """SOF11 encoder — the exact mirror of the decoder above (same
+    conditioning, same statistics layout, QM encoder)."""
+    from journal_batch_processer_spark.operators.jpeg_arith import (
+        ArithEncoder,
+        Stats,
+    )
+
+    nc = len(planes)
+    if not 1 <= nc <= 4:
+        raise ValueError(f"bad component count {nc}")
+    h = len(planes[0])
+    w = len(planes[0][0])
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad predictor {predictor}")
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xcb" + struct.pack(
+        ">HBHHB", 8 + 3 * nc, precision, h, w, nc
+    )
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x00, 0x10])  # L=0,U=1
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])  # all components share table 0
+    out += bytes([predictor, 0, pt])
+
+    default = 1 << (precision - 1 - pt) if precision - 1 - pt >= 0 else 0
+    ll, uu = 0, 1
+    enc = ArithEncoder()
+    stats = Stats(LA_STAT_SLOTS)
+    prev_diffs = [[0] * w for _ in planes]
+    cur_diffs = [[0] * w for _ in planes]
+    count = 0
+    rst = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                out += enc.flush()
+                out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) & 7
+                enc = ArithEncoder()
+                stats = Stats(LA_STAT_SLOTS)
+                prev_diffs = [[0] * w for _ in planes]
+                cur_diffs = [[0] * w for _ in planes]
+                fresh = True
+            count += 1
+            for ci, plane in enumerate(planes):
+                row = plane[y]
+                prev_row = plane[y - 1] if y > 0 else None
+                pred = _predict(predictor, row, prev_row, x, y, default, fresh)
+                dd = (row[x] - pred) & 0xFFFF
+                if dd >= 32768:
+                    dd -= 65536  # mod-2^16 diff in [-32768, 32767]
+                if dd == -32768:
+                    raise NotImplementedError(
+                        "jpeg: lossless-arithmetic |diff| >= 32768"
+                    )
+                da = cur_diffs[ci][x - 1] if x > 0 and not fresh else 0
+                db = prev_diffs[ci][x] if y > 0 and not fresh else 0
+                ca, cb = _la_classify(da, ll, uu), _la_classify(db, ll, uu)
+                mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
+                _la_encode_diff(enc, stats, 4 * (5 * ca + cb), mag_base, dd)
+                cur_diffs[ci][x] = dd
+            fresh = False
+        for ci in range(nc):
+            prev_diffs[ci], cur_diffs[ci] = cur_diffs[ci], [0] * w
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

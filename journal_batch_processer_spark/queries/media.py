@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v14-12bit-progressive"
+    fp = _fc.source_fingerprint(src) + ":v16-lossless-slot-3comp"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -66,6 +66,10 @@ def _materialize_media(sf_dir: str) -> str:
     )
     from journal_batch_processer_spark.operators.avi import (
         encode_avi_mjpeg,
+    )
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless as _enc_lossless,
+        encode_jpeg_lossless_arith as _enc_lossless_arith,
     )
     from journal_batch_processer_spark.operators.gif import (
         encode_gif_solid_frames,
@@ -161,8 +165,22 @@ def _materialize_media(sf_dir: str) -> str:
             jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
             payload = encode_jpeg_solid_gray_arith(jw, jh, jv)
         else:
+            # the i%9==8 slot is LOSSLESS (r08): Annex-H DPCM instead
+            # of DCT, alternating Huffman SOF3 / arithmetic SOF11 by
+            # parity, predictor cycling 1..7, restarts on every other
+            # file. Lossless of a solid gray decodes to EXACTLY jv, so
+            # the oracle's closed form is untouched — the slot swaps
+            # the entire coding stack under the same expected numbers.
             jw, jh = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 4)
-            payload = encode_jpeg_solid_gray(jw, jh, jv)
+            # three identical planes: multi-component lossless reports
+            # per-component means (no color transform), so all three
+            # decoded means stay exactly jv — channels=3 like the
+            # DCT branches
+            pls = [[[jv] * jw for _ in range(jh)] for _ in range(3)]
+            pred = 1 + (i // 9) % 7
+            ri = 3 if i % 18 == 8 else 0
+            enc = _enc_lossless if i % 2 == 0 else _enc_lossless_arith
+            payload = enc(pls, predictor=pred, restart_interval=ri)
         with open(os.path.join(d, f"img_{i:05d}.jpg"), "wb") as f:
             f.write(payload)
         # animated GIF: full-canvas solid frames, one palette entry per

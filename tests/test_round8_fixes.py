@@ -218,3 +218,81 @@ def test_leakage_safe_split_is_constant_per_component(spark):
     assert bad == 0
     splits = {r.split for r in out.select("split").distinct().collect()}
     assert splits == {"train", "val", "test"}
+
+
+def test_sof11_lossless_arith_roundtrips_random():
+    """SOF11 (lossless arithmetic, H.1.2.2 model + QM coder):
+    bit-exact roundtrips of RANDOM images across precision x predictor
+    x restart, and agreement with the independently-validated Huffman
+    lossless path on the same pixels (the DPCM layer is shared; this
+    pins the arithmetic entropy layer against it)."""
+    import random
+
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        decode_jpeg_lossless,
+        decode_jpeg_lossless_arith,
+        encode_jpeg_lossless,
+        encode_jpeg_lossless_arith,
+    )
+
+    rng = random.Random(808)
+    for prec in (2, 8, 12, 16):
+        for predictor in (1, 4, 7):
+            for ri in (0, 5):
+                maxv = (1 << prec) - 1
+                img = [
+                    [rng.randint(0, maxv) for _ in range(11)] for _ in range(6)
+                ]
+                a = encode_jpeg_lossless_arith(
+                    [img], precision=prec, predictor=predictor,
+                    restart_interval=ri,
+                )
+                hf = encode_jpeg_lossless(
+                    [img], precision=prec, predictor=predictor,
+                    restart_interval=ri,
+                )
+                wa, ha, _ca, pa, _preca = decode_jpeg_lossless_arith(a)
+                wh, hh, _ch, ph, _prech = decode_jpeg_lossless(hf)
+                assert pa[0] == img and ph[0] == img
+                assert (wa, ha) == (wh, hh) == (11, 6)
+
+
+def test_sof11_dispatch_and_multicomponent():
+    """decode_jpeg_planes routes SOF11 via the frame marker; 3-plane
+    lossless-arithmetic roundtrips and reports per-plane content."""
+    import random
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        _decode_jpeg_planes,
+    )
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless_arith,
+    )
+
+    rng = random.Random(11)
+    pls = [
+        [[rng.randint(0, 255) for _ in range(7)] for _ in range(5)]
+        for _ in range(3)
+    ]
+    data = encode_jpeg_lossless_arith(pls, predictor=5, restart_interval=4)
+    w, h, comps, planes, prec = _decode_jpeg_planes(data)
+    assert (w, h, prec, len(comps)) == (7, 5, 8, 3)
+    assert planes == pls
+
+
+def test_differential_arith_sofs_fail_loud():
+    from pytest import raises
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        _decode_jpeg_planes,
+    )
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless_arith,
+    )
+
+    data = bytearray(encode_jpeg_lossless_arith([[[1, 2], [3, 4]]]))
+    assert data[3] == 0xCB
+    for sof in (0xCD, 0xCE, 0xCF):
+        data[3] = sof
+        with raises(NotImplementedError, match="differential"):
+            _decode_jpeg_planes(bytes(data))
