@@ -1736,6 +1736,125 @@ FROM base
 """
 
 
+def q_trainprep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard CAPSTONE — the manifest a tokenizer shard
+    actually consumes, end to end under ONE oracle: near-dup-closed
+    split (component hash, so no paraphrase leaks across splits) →
+    Gopher quality gate on the TRAIN side → concat-and-chunk packing
+    into 256-token sequences per source. Composes three independently-
+    oracled stages (split_leakage_safe, quality_gate, seq_pack); this
+    key pins their INTERACTION: packing offsets are computed over the
+    post-gate survivor set, so a wrong gate or a leaked doc shifts
+    every downstream (bin_id, seg_start) after it — the whole manifest
+    is one big checksum of the pipeline."""
+    from journal_batch_processer_spark.operators.graph import cluster_assignments
+    from journal_batch_processer_spark.operators.text_analysis import (
+        quality_gate,
+    )
+    from journal_batch_processer_spark.queries.trainprep import PACK_CAP
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=20
+    )
+    b = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    train_ids = (
+        cluster_assignments(docs, "doc_id", pairs)
+        .filter(b < "cc")
+        .select("doc_id")
+    )
+    gated = (
+        quality_gate(docs.join(train_ids, "doc_id"), "doc_id", "text",
+                     append=True)
+        .filter("keep")
+        .select("source", "doc_id", "n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = gated.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start"),
+    ).withColumn("end", F.col("start") + F.col("n_tokens"))
+    spans = spans.select(
+        "source",
+        "doc_id",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {PACK_CAP}"),
+                F.expr(f"(end - 1) div {PACK_CAP}"),
+            )
+        ).alias("bin_id"),
+    )
+    seg_lo = F.greatest(F.col("start"), F.col("bin_id") * PACK_CAP)
+    seg_hi = F.least(F.col("end"), (F.col("bin_id") + 1) * PACK_CAP)
+    return spans.select(
+        "source",
+        "bin_id",
+        "doc_id",
+        (seg_lo - F.col("start")).alias("seg_start"),
+        (seg_hi - seg_lo).alias("seg_len"),
+    )
+
+
+def _trainprep_pipeline_sql() -> str:
+    from journal_batch_processer_spark.queries.trainprep import PACK_CAP
+
+    return f"""
+WITH base AS ({SQL_DEDUP_CLUSTER}),
+train AS (
+    SELECT doc_id FROM base
+    WHERE substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+),
+g AS (
+    SELECT d.doc_id, d.source, d.text,
+           len(string_split(d.text, ' ')) AS n,
+           length(d.text) AS nc,
+           len(list_filter(string_split(d.text, ' '),
+                           x -> x IN {_STOP_SQL})) AS stop,
+           length(regexp_replace(d.text, '[A-Za-z0-9 ]', '', 'g')) AS sym
+    FROM documents d JOIN train USING (doc_id)
+),
+kept AS (
+    SELECT doc_id, source, n AS n_tokens FROM g
+    WHERE n >= 50 AND n <= 100000
+      AND (nc - (n - 1)) / n >= 3.0 AND (nc - (n - 1)) / n <= 10.0
+      AND stop / n >= 0.02 AND sym / nc <= 0.1
+),
+spans AS (
+    SELECT source, doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS start
+    FROM kept
+),
+bins AS (
+    SELECT source, doc_id, start, start + n_tokens AS "end",
+           UNNEST(generate_series(
+               CAST(start // {PACK_CAP} AS BIGINT),
+               CAST((start + n_tokens - 1) // {PACK_CAP} AS BIGINT)
+           )) AS bin_id
+    FROM spans
+)
+SELECT source, bin_id, doc_id,
+       CAST(GREATEST(start, bin_id * {PACK_CAP}) - start AS BIGINT)
+           AS seg_start,
+       CAST(LEAST("end", (bin_id + 1) * {PACK_CAP})
+            - GREATEST(start, bin_id * {PACK_CAP}) AS BIGINT) AS seg_len
+FROM bins
+"""
+
+
+SQL_TRAINPREP_PIPELINE = _trainprep_pipeline_sql
+
+
 def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup (web-corpus staple): the same page
     arrives under 4 synthesized variants per doc (scheme change,
@@ -2837,6 +2956,7 @@ QUERIES = {
     "text_ngramlm": (q_text_ngramlm, SQL_TEXT_NGRAMLM),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
+    "trainprep_pipeline": (q_trainprep_pipeline, SQL_TRAINPREP_PIPELINE),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "binary_ingest": (q_binary_ingest, _binary_ingest_sql),
     "cogroup_conversion": (q_cogroup_conversion, SQL_COGROUP_CONVERSION),

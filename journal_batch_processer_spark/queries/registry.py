@@ -86,6 +86,7 @@ def _build() -> dict[str, QuerySpec]:
         "dedup_substring",       # NEW r08: Lee-et-al substring spans
         "split_leakage_safe",    # NEW r08: near-dup-closed split
         "heavy_hitters",         # NEW r08: count-min top-k
+        "trainprep_pipeline",    # NEW r08: shard-manifest capstone
         # stalest driver rows (freshest row <= r04), alphabetical
         "array_functions",
         "binary_ingest",

@@ -296,3 +296,38 @@ def test_differential_arith_sofs_fail_loud():
         data[3] = sof
         with raises(NotImplementedError, match="differential"):
             _decode_jpeg_planes(bytes(data))
+
+
+def test_qm_coder_random_decision_roundtrips():
+    """ArithEncoder/ArithDecoder symmetry pinned DIRECTLY: random
+    decision sequences over a shared adaptive context bank (plus the
+    fixed 0.5 bin) decode back exactly, including skewed streams that
+    drive c==0 at flush (the r08 divergence guard) and single-decision
+    segments."""
+    import random
+
+    from journal_batch_processer_spark.operators.jpeg_arith import (
+        FIXED_BIN,
+        ArithDecoder,
+        ArithEncoder,
+        Stats,
+    )
+
+    rng = random.Random(1181)
+    for trial in range(40):
+        n = rng.choice([1, 2, 17, 300])
+        p_one = rng.choice([0.0, 0.02, 0.5, 0.98])
+        n_ctx = rng.choice([1, 3, 8])
+        decisions = [
+            (rng.randrange(n_ctx), 1 if rng.random() < p_one else 0)
+            for _ in range(n)
+        ]
+        enc = ArithEncoder()
+        es = Stats(n_ctx)
+        for s, d in decisions:
+            enc.encode(es, s, d)
+        payload = enc.flush() + b"\xff\xd9"
+        dec = ArithDecoder(payload, 0)
+        ds = Stats(n_ctx)
+        got = [(s, dec.decode(ds, s)) for s, _d in decisions]
+        assert got == decisions, (trial, n, p_one, n_ctx)
