@@ -349,64 +349,57 @@ PCA_ITERS = 12
 PCA_SCALE = 1 << 20  # target magnitude of the iterate after rescale
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Integer division TRUNCATING toward zero — Spark ``div`` and
+    DuckDB ``//`` semantics (-7 div 2 = -3); Python's ``//`` floors,
+    so it cannot be used directly on negative operands."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
 def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant eigenvector of the int8-quantized gramian by POWER
     ITERATION — the top principal direction of the embedding space
-    (the whitening/OPQ primitive embed_gramian feeds). Six unrolled
-    rounds, each one matvec expressed as join+aggregate over the
-    symmetrized (i, j, gram) relation — the shape that scales to huge
-    sparse matrices (graph_pagerank's shape), here over d(d+1)/2
-    cells.
+    (the whitening/OPQ primitive embed_gramian feeds).
 
-    Everything is INTEGER: the iterate rescales each round by
-    ``w div max(1, max|w| div 2^20)`` (keeps magnitudes near 2^20
-    without float normalization), so every engine computes the
-    bit-identical vector — a float power iteration could never be
-    value-oracled. The per-round max|w| stays IN-plan (a one-row
-    aggregate broadcast), zero driver collects; the gramian relation
-    is localCheckpoint-ed once so six rounds don't re-expand the
-    mapInPandas stage."""
+    Scale shape (r08 rework): ONE distributed pass builds the gramian
+    (partition-partial int64 Q^T Q, operators/linalg.py — no data row
+    ever shuffles); the d×d result is MODEL-sized (independent of
+    corpus size), so the 12 power-iteration rounds run on the driver
+    over the collected cells — exactly MLlib's
+    ``RowMatrix.computePrincipalComponents`` design (computeGramian →
+    driver-side eigensolve). The previous revision iterated as 12
+    join+aggregate rounds over the (i, j, gram) relation; that shape
+    is right for HUGE SPARSE matrices (graph_pagerank keeps it) but
+    for a dense model-sized gramian it paid ~36 tiny-stage latencies
+    to avoid a d²-cell collect — measured 5.1 s vs ~1 s for the same
+    arithmetic (bench_runs, sf0.1).
+
+    Everything is INTEGER and bit-identical to the unrolled-SQL
+    oracle: w = G·v in exact int64, then the rescale
+    ``w div max(1, max|w| div 2^20)`` with truncating division
+    (:func:`_tdiv`); integer sums are order-independent, so the
+    driver-side loop reproduces the in-plan version exactly."""
     from journal_batch_processer_spark.operators.linalg import (
         quantized_gramian,
     )
 
-    gram = quantized_gramian(_embs(spark, sf_dir), "embedding")
-    gfull = (
-        gram.select("i", "j", "gram")
-        .union(
-            gram.filter(F.col("i") != F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "gram"
-            )
-        )
-        .localCheckpoint()
+    cells = quantized_gramian(_embs(spark, sf_dir), "embedding").collect()
+    rows: dict[int, list[tuple[int, int]]] = {}
+    for r in cells:
+        rows.setdefault(r.i, []).append((r.j, r.gram))
+        if r.i != r.j:
+            rows.setdefault(r.j, []).append((r.i, r.gram))
+    dims = sorted(rows)
+    v = {i: PCA_SCALE for i in dims}
+    for _ in range(PCA_ITERS):
+        w = {i: sum(g * v[j] for j, g in rows[i]) for i in dims}
+        mx = max(abs(x) for x in w.values())
+        s = max(1, mx // PCA_SCALE)  # mx >= 0: floor == truncate
+        v = {i: _tdiv(w[i], s) for i in dims}
+    return spark.createDataFrame(
+        [(i, v[i]) for i in dims], "dim int, v long"
     )
-    dims = gfull.select(F.col("i").alias("vi")).distinct()
-    v = dims.select("vi", F.lit(PCA_SCALE).cast("long").alias("val"))
-    for it in range(PCA_ITERS):
-        # truncate the iterate's lineage every few rounds (the vector
-        # is d rows — a localCheckpoint is free — while the unrolled
-        # join tree would otherwise double per round)
-        if it and it % 4 == 0:
-            v = v.localCheckpoint()
-        w = (
-            gfull.join(v, gfull.j == v.vi)
-            .groupBy("i")
-            .agg(F.sum(F.col("gram") * F.col("val")).alias("w"))
-        )
-        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
-        v = (
-            w.crossJoin(F.broadcast(mx))
-            .select(
-                F.col("i").alias("vi"),
-                # both engines TRUNCATE integer division toward zero
-                # (Spark `div`, DuckDB `//`: -7//2 = -3 in both), so
-                # the rescale is bit-identical including negative w
-                F.expr(
-                    f"w div greatest(1L, mx div {PCA_SCALE}L)"
-                ).alias("val"),
-            )
-        )
-    return v.select(F.col("vi").alias("dim"), F.col("val").alias("v"))
 
 
 def _pca_power_oracle_sql() -> str:
