@@ -396,18 +396,19 @@ def bpe_train(
     precedent) because round r+1's plan needs it as a literal.
     localCheckpoint after each round keeps the 8-round lineage flat.
 
-    Documented cost (VERDICT r07): the rounds are SEQUENTIAL jobs —
-    wall time is n_merges × (job latency + vocab aggregate), latency-
-    bound rather than data-bound once the vocab table is cached
-    (~2.1 s for 8 rounds at sf0.1; bench-tracked as tokenizer_train).
-    True BPE is inherently serial (round r+1's pair counts depend on
-    round r's merge), so batching rounds would change WHICH merges are
-    learned — any "top-k merges per round" variant is a different
-    algorithm (SentencePiece-style approximations do this consciously).
-    We keep exact BPE; if n_merges grows past ~100 at scale, the known
-    production answer is incremental pair-count maintenance (update
-    only counts adjacent to the merged pair), which shrinks each round
-    constant but not the round count.
+    r08 rework (was: 8 sequential Spark jobs, ~2 s of pure job
+    latency at sf0.1): since the iterated state is MODEL-sized, the
+    word-frequency table is collected once and the serial merge loop
+    runs on the driver — exactly how production BPE trainers
+    distribute (HuggingFace tokenizers / SentencePiece: distributed
+    word counting, local merge training), and the same
+    model-sized-collect precedent as embed_pca_power's gramian. True
+    BPE is inherently serial (round r+1's pair counts depend on round
+    r's merge), so in-plan rounds bought nothing but latency; the
+    driver loop reproduces the identical merges because every step —
+    pair counting, (cnt DESC, l, r) tie-break, leftmost-greedy
+    replace — is exact integer/string arithmetic with the same
+    semantics in Python, Spark, and DuckDB.
 
     Exactness: pair application is leftmost-greedy non-overlapping —
     exactly the semantics of string `replace` over the
@@ -426,45 +427,28 @@ def bpe_train(
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    words = words.select(
-        "freq",
-        F.concat(
-            F.lit(sep), F.array_join(F.split("__w", ""), sep), F.lit(sep)
-        ).alias("s"),
-    )
-    cur = words.localCheckpoint()
+    vocab = [
+        (int(row["freq"]), sep + sep.join(row["__w"]) + sep)
+        for row in words.collect()  # |vocab| rows — model-sized
+    ]
     merges: list[tuple[int, str, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
-        arr = F.split("s", sep)  # ['', s1..sk, ''] — sep is not regex-meta
-        k = F.size(arr) - 2
-        pairs = (
-            cur.select(
-                "freq",
-                F.slice(arr, 2, k - 1).alias("la"),
-                F.slice(arr, 3, k - 1).alias("ra"),
-            )
-            .select("freq", F.explode(F.arrays_zip("la", "ra")).alias("p"))
-            .select(
-                F.col("p.la").alias("l"), F.col("p.ra").alias("r"), "freq"
-            )
-        )
-        best = (
-            pairs.groupBy("l", "r")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not best:  # vocabulary fully merged — nothing left to learn
+        counts: dict[tuple[str, str], int] = {}
+        for freq, s in vocab:
+            syms = s.split(sep)[1:-1]
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:  # vocabulary fully merged — nothing left to learn
             break
-        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
-        merges.append((rnd, l, r, l + r, int(cnt)))
-        cur = cur.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(sep + l + sep + r + sep),
-                F.lit(sep + l + r + sep),
-            ),
-        ).localCheckpoint()
+        # max by (cnt DESC, l, r): Python str compares by code point,
+        # matching Spark/DuckDB binary string ordering
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd, l, r, l + r, cnt))
+        # str.replace is leftmost-greedy non-overlapping and continues
+        # AFTER the replacement — the same contract as Spark replace /
+        # DuckDB replace the oracle relies on
+        old, new = sep + l + sep + r + sep, sep + l + r + sep
+        vocab = [(freq, s.replace(old, new)) for freq, s in vocab]
     return merges
