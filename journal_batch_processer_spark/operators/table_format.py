@@ -205,18 +205,24 @@ class SnapshotTable:
     # ------------------------------------------------------------------
     # write paths
     # ------------------------------------------------------------------
-    def _stage_files(self, df: DataFrame, version_hint: int) -> list[dict]:
+    def _stage_files(
+        self, df: DataFrame, version_hint: int, prefix: str = "data"
+    ) -> list[dict]:
         """Write ``df`` to uniquely-named data files and return their
         manifest entries. Files become VISIBLE only when a manifest
         referencing them commits — an abandoned stage is garbage, never
-        a torn table (the snapshot-isolation half of the contract)."""
+        a torn table (the snapshot-isolation half of the contract).
+        ``prefix="cdc"`` stages change-feed files, kept apart from the
+        data tree so a plain directory listing of ``data/`` never
+        mixes in change rows."""
         token = uuid.uuid4().hex[:8]
         staging = os.path.join(self.root, f"_staging-{token}")
         df.write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.join(self.root, prefix), exist_ok=True)
         entries = []
         parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
         for i, p in enumerate(parts):
-            rel = f"data/v{version_hint:05d}-{i:04d}-{token}.parquet"
+            rel = f"{prefix}/v{version_hint:05d}-{i:04d}-{token}.parquet"
             os.rename(p, os.path.join(self.root, rel))
             entries.append(_file_entry(self.root, rel))
         shutil.rmtree(staging, ignore_errors=True)
@@ -334,6 +340,27 @@ class SnapshotTable:
             merged = batch
         merged = merged.repartitionByRange(max(1, len(rewrite_idx) or 1), key)
         new_files = self._stage_files(merged, base_v + 1)
+        # CHANGE DATA FEED materialized at write time (the Delta CDF
+        # design): row-level changes are a diff of the REWRITTEN file
+        # group only — carried files cancel by construction, so the
+        # cost is O(changed files), and readers never recompute it.
+        # The staged new files are read BACK for the diff (exact file
+        # contents, not a lineage recompute).
+        if rewrite_idx:
+            old_rows = base
+            new_rows = self._read_file_group(spark, man, new_files)
+            changes = (
+                new_rows.exceptAll(old_rows)
+                .withColumn("_change", F.lit("insert"))
+                .unionByName(
+                    old_rows.exceptAll(new_rows).withColumn(
+                        "_change", F.lit("delete")
+                    )
+                )
+            )
+        else:
+            changes = batch.withColumn("_change", F.lit("insert"))
+        cdc_files = self._stage_files(changes, base_v + 1, prefix="cdc")
         return self._try_commit(
             {
                 "format_version": 1,
@@ -343,6 +370,7 @@ class SnapshotTable:
                 "committed_at_us": self._now_us(committed_at_us),
                 "schema": man["schema"],
                 "files": carried + new_files,
+                "cdc_files": cdc_files,
             }
         )
 
@@ -432,13 +460,28 @@ class SnapshotTable:
             else:
                 rewrite.append(f)
         new_files: list[dict] = []
+        deleted_parts = []
+        if dropped:  # metadata-only drop, but the CDF records its rows
+            deleted_parts.append(self._read_file_group(spark, man, dropped))
         if rewrite:
-            kept_rows = self._read_file_group(spark, man, rewrite).filter(
-                (F.col(key) < lo) | (F.col(key) > hi)
+            in_group = self._read_file_group(spark, man, rewrite)
+            kept_rows = in_group.filter((F.col(key) < lo) | (F.col(key) > hi))
+            deleted_parts.append(
+                in_group.filter((F.col(key) >= lo) & (F.col(key) <= hi))
             )
             new_files = self._stage_files(
                 kept_rows.repartitionByRange(max(1, len(rewrite)), key),
                 base_v + 1,
+            )
+        cdc_files: list[dict] = []
+        if deleted_parts:
+            changes = deleted_parts[0]
+            for p in deleted_parts[1:]:
+                changes = changes.unionByName(p)
+            cdc_files = self._stage_files(
+                changes.withColumn("_change", F.lit("delete")),
+                base_v + 1,
+                prefix="cdc",
             )
         return self._try_commit(
             {
@@ -446,6 +489,7 @@ class SnapshotTable:
                 "version": base_v + 1,
                 "parent": base_v,
                 "operation": "delete",
+                "cdc_files": cdc_files,
                 "committed_at_us": self._now_us(committed_at_us),
                 "schema": man["schema"],
                 "files": carried + new_files,
@@ -551,14 +595,17 @@ class SnapshotTable:
             raise ValueError("vacuum must retain at least the head snapshot")
         versions = self.versions()
         keep_v = set(versions[-retain_last:])
+        def _all_refs(man: dict) -> list[dict]:
+            return man["files"] + man.get("cdc_files", [])
+
         live = set()
         for v in keep_v:
-            live |= {f["path"] for f in self.manifest(v)["files"]}
+            live |= {f["path"] for f in _all_refs(self.manifest(v))}
         removed = reclaimed = 0
         for v in versions:
             if v in keep_v:
                 continue
-            for f in self.manifest(v)["files"]:
+            for f in _all_refs(self.manifest(v)):
                 p = f["path"]
                 if p in live:
                     continue
@@ -692,6 +739,72 @@ class SnapshotTable:
         OF`` — exactly the files that manifest committed."""
         man = self.manifest(self._resolve(version, as_of_us))
         return self._read_file_group(spark, man, man["files"])
+
+    def read_changes(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame:
+        """CHANGE DATA FEED read over ``(from_version, to_version]``
+        (the Delta ``table_changes`` shape) — from the LOG, never by
+        snapshot diffing:
+
+        - append / stream_append commits emit their ADDED files as
+          inserts (no change files are written for appends — same as
+          Delta CDF, which derives them from the add entries);
+        - merge / delete commits emit their WRITE-TIME materialized
+          ``cdc_files`` (insert/delete tagged rows, computed from the
+          rewritten file group only when the commit happened);
+        - compact / cluster rewrites carry no logical change — nothing
+          is emitted (Delta's dataChange=false);
+        - restore fails loud: its logical diff is not materialized
+          (compute it with two snapshot reads if needed).
+
+        Rows carry ``_change`` and ``_commit_version`` and are
+        null-filled to ``to_version``'s schema, so a feed spanning a
+        schema evolution is uniformly typed."""
+        man_to = self.manifest(to_version)
+        change_schema = dict(man_to)
+        change_schema["schema"] = man_to["schema"] + [
+            {"name": "_change", "type": "string"}
+        ]
+        cols = [c["name"] for c in man_to["schema"]]
+        parts = []
+        for v in range(from_version + 1, to_version + 1):
+            man = self.manifest(v)
+            op = man["operation"]
+            if op in ("create", "compact", "cluster"):
+                continue
+            if op in ("append", "stream_append"):
+                parent = man["parent"]
+                seen = {f["path"] for f in self.manifest(parent)["files"]}
+                added = [f for f in man["files"] if f["path"] not in seen]
+                df = self._read_file_group(spark, man_to, added).withColumn(
+                    "_change", F.lit("insert")
+                )
+            elif op in ("merge", "delete"):
+                cdc = man.get("cdc_files")
+                if cdc is None:
+                    raise ValueError(
+                        f"commit v{v} ({op}) predates the change feed — "
+                        "no materialized cdc_files in its manifest"
+                    )
+                df = self._read_file_group(spark, change_schema, cdc)
+            else:
+                raise NotImplementedError(
+                    f"change feed over a {op!r} commit (v{v}) is not "
+                    "materialized — diff two snapshot reads instead"
+                )
+            parts.append(
+                df.select(*cols, "_change").withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+        if not parts:
+            ddl = self._ddl(change_schema) + ", `_commit_version` bigint"
+            return spark.createDataFrame([], ddl)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def pruned_files(
         self, key: str, lo, hi, version: int | None = None

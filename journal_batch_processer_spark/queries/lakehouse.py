@@ -49,7 +49,8 @@ from journal_batch_processer_spark.session import load_events
 
 # bump whenever the fixture-building logic changes: stale /tmp tables
 # from an older code revision must rebuild, not poison the oracle
-FIXTURE_REV = 2
+# (rev 3: merge/delete commits now materialize write-time cdc_files)
+FIXTURE_REV = 3
 COMPACT_TARGET = 64 * 1024
 
 # key-local update range: inside the key domain at EVERY sf (sf0.001's
@@ -497,6 +498,158 @@ FROM s4 GROUP BY event_type
 )
 
 
+def q_table_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE-TIME change data feed over the whole six-commit
+    history (Delta `table_changes(0, head)` shape): appends emit their
+    added files as inserts, the COW merge emits the insert/delete rows
+    it MATERIALIZED at commit time (diff of the rewritten file group
+    only — never a snapshot diff at read time, unlike table_cdc_read
+    which pins the snapshot-diff semantics the feed must equal), the
+    compaction emits nothing (dataChange=false). Rows are null-filled
+    to the head schema across the v5 evolution and carry
+    (_change, _commit_version)."""
+    root = materialize_table(spark, sf_dir)
+    t = SnapshotTable(root)
+    return t.read_changes(spark, 0, t.latest_version())
+
+
+SQL_TABLE_CDF_READ = (
+    _STATE_CTES
+    + """
+SELECT event_id, user_id, value, event_type,
+       CAST(NULL AS BIGINT) AS priority,
+       'insert' AS _change, CAST(2 AS BIGINT) AS _commit_version
+FROM ev WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, user_id, value, event_type, CAST(NULL AS BIGINT),
+       'insert', CAST(3 AS BIGINT)
+FROM ev WHERE event_id % 2 = 1
+UNION ALL
+SELECT *, CAST(NULL AS BIGINT), 'insert', CAST(4 AS BIGINT) FROM (
+    SELECT event_id, user_id, value, event_type FROM s4
+    EXCEPT ALL
+    SELECT event_id, user_id, value, event_type FROM ev
+)
+UNION ALL
+SELECT *, CAST(NULL AS BIGINT), 'delete', CAST(4 AS BIGINT) FROM (
+    SELECT event_id, user_id, value, event_type FROM ev
+    EXCEPT ALL
+    SELECT event_id, user_id, value, event_type FROM s4
+)
+UNION ALL
+SELECT event_id + 20000000, user_id, value, event_type, user_id % 5,
+       'insert', CAST(5 AS BIGINT)
+FROM ev WHERE event_id % 1000 = 1
+"""
+)
+
+
+def q_stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change-data-feed consumption (Delta's
+    `readStream.option("readChangeFeed", true)`): same two-drain
+    checkpointed restart protocol as table_stream_read, but the
+    mid-stream COW MERGE now EMITS its write-time change rows instead
+    of being skipped — run 1 consumes the two appends as inserts, run
+    2 consumes the merge's insert/delete pairs plus the third append.
+    Any lost delete, double-emitted carried row, or wrong version
+    stamp hash-fails."""
+    import tempfile as _tf
+
+    from journal_batch_processer_spark.queries.streaming_q import _await_drain
+    from journal_batch_processer_spark.sources.python_source import (
+        register_once,
+    )
+    from journal_batch_processer_spark.sources.table_stream import (
+        TableStreamSource,
+    )
+
+    register_once(spark, TableStreamSource)
+    root = _tf.mkdtemp(prefix="jbp_tcdc_")
+    ckpt, outdir = os.path.join(root, "_ckpt"), os.path.join(root, "_out")
+    ev = _base_events(spark, sf_dir)
+    t = SnapshotTable.create(
+        root,
+        [
+            ("event_id", "bigint"),
+            ("user_id", "bigint"),
+            ("value", "double"),
+            ("event_type", "string"),
+        ],
+        committed_at_us=1_000_000,
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(4, "event_id"),
+        committed_at_us=2_000_000,
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 1).repartitionByRange(4, "event_id"),
+        committed_at_us=3_000_000,
+    )
+
+    def drain(run: int) -> None:
+        stream = (
+            spark.readStream.format("jbp_table_stream")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q, f"jbp_table_cdc_run{run}")
+
+    drain(1)
+    t.merge(_merge_batch(ev), "event_id", committed_at_us=4_000_000)
+    t.append(
+        ev.filter(F.col("event_id") % 1000 == 1).select(
+            (F.col("event_id") + 20_000_000).alias("event_id"),
+            "user_id",
+            "value",
+            "event_type",
+        ),
+        committed_at_us=5_000_000,
+    )
+    drain(2)
+    return spark.read.parquet(outdir).select(
+        "event_id", "user_id", "value", "event_type", "_change",
+        "commit_version",
+    )
+
+
+SQL_STREAM_TABLE_CDC = (
+    _STATE_CTES
+    + """
+SELECT event_id, user_id, value, event_type,
+       'insert' AS _change, CAST(2 AS BIGINT) AS commit_version
+FROM ev WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, user_id, value, event_type, 'insert', CAST(3 AS BIGINT)
+FROM ev WHERE event_id % 2 = 1
+UNION ALL
+SELECT *, 'insert', CAST(4 AS BIGINT) FROM (
+    SELECT event_id, user_id, value, event_type FROM s4
+    EXCEPT ALL
+    SELECT event_id, user_id, value, event_type FROM ev
+)
+UNION ALL
+SELECT *, 'delete', CAST(4 AS BIGINT) FROM (
+    SELECT event_id, user_id, value, event_type FROM ev
+    EXCEPT ALL
+    SELECT event_id, user_id, value, event_type FROM s4
+)
+UNION ALL
+SELECT event_id + 20000000, user_id, value, event_type,
+       'insert', CAST(5 AS BIGINT)
+FROM ev WHERE event_id % 1000 = 1
+"""
+)
+
+
 def _materialize_restore_table(spark: SparkSession, sf_dir: str) -> str:
     """Third fixture chain (restore): create → append evens → append
     odds → RESTORE(2). Head state must equal the evens-only snapshot
@@ -711,4 +864,6 @@ QUERIES = {
     "table_zorder_read": (q_table_zorder_read, SQL_TABLE_ZORDER_READ),
     "table_stream_read": (q_table_stream_read, SQL_TABLE_STREAM_READ),
     "matview_incremental": (q_matview_incremental, SQL_MATVIEW_INCREMENTAL),
+    "table_cdf_read": (q_table_cdf_read, SQL_TABLE_CDF_READ),
+    "stream_table_cdc": (q_stream_table_cdc, SQL_STREAM_TABLE_CDC),
 }

@@ -87,6 +87,8 @@ def _build() -> dict[str, QuerySpec]:
         "split_leakage_safe",    # NEW r08: near-dup-closed split
         "heavy_hitters",         # NEW r08: count-min top-k
         "trainprep_pipeline",    # NEW r08: shard-manifest capstone
+        "table_cdf_read",        # NEW r08: write-time change feed
+        "stream_table_cdc",      # NEW r08: streaming CDF consumption
         # stalest driver rows (freshest row <= r04), alphabetical
         "array_functions",
         "binary_ingest",

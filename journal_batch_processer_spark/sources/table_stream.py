@@ -78,10 +78,20 @@ class TableFilePartition(InputPartition):
     file_columns: tuple  # columns physically present in the file
     schema: tuple  # ((name, ddl_type), ...) — full table schema
     commit_version: int
+    # CDF mode: constant string columns synthesized per partition
+    # (("_change", "insert") for append-derived rows; empty when the
+    # column is physically in the file or the mode is off)
+    constants: tuple = ()
 
 
 class TableStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, skip_change_commits: bool, schema: tuple):
+    def __init__(
+        self,
+        root: str,
+        skip_change_commits: bool,
+        schema: tuple,
+        change_feed: bool = False,
+    ):
         self.root = root
         self.skip_change_commits = skip_change_commits
         # the DECLARED stream schema (fixed at load time, commit_version
@@ -89,6 +99,7 @@ class TableStreamReader(DataSourceStreamReader):
         # it, so a schema-evolving commit mid-stream can't shift the
         # batch shape under the running query
         self.schema = schema
+        self.change_feed = change_feed
 
     def _table(self):
         from journal_batch_processer_spark.operators.table_format import (
@@ -108,7 +119,38 @@ class TableStreamReader(DataSourceStreamReader):
         parts: list[TableFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             man = t.manifest(v)
-            if man["operation"] not in APPEND_OPS:
+            op = man["operation"]
+            if self.change_feed:
+                # CDF mode (Delta readChangeFeed): appends emit added
+                # files tagged insert; merge/delete emit their
+                # WRITE-TIME materialized change files; dataChange-
+                # false rewrites (compact/cluster) emit nothing;
+                # restore has no materialized diff — fail loud.
+                if op in ("create", "compact", "cluster"):
+                    continue
+                if op in ("merge", "delete"):
+                    cdc = man.get("cdc_files")
+                    if cdc is None:
+                        raise RuntimeError(
+                            f"table stream CDF: commit v{v} ({op}) has "
+                            "no materialized cdc_files"
+                        )
+                    for f in cdc:
+                        parts.append(
+                            TableFilePartition(
+                                abspath=f"{self.root}/{f['path']}",
+                                file_columns=tuple(f["columns"]),
+                                schema=self.schema,
+                                commit_version=v,
+                            )
+                        )
+                    continue
+                if op not in APPEND_OPS:
+                    raise RuntimeError(
+                        f"table stream CDF: {op!r} commit v{v} carries "
+                        "no change feed — diff two snapshot reads"
+                    )
+            elif op not in APPEND_OPS:
                 if self.skip_change_commits:
                     continue
                 raise RuntimeError(
@@ -132,6 +174,9 @@ class TableStreamReader(DataSourceStreamReader):
                         file_columns=tuple(f["columns"]),
                         schema=self.schema,
                         commit_version=v,
+                        constants=(
+                            (("_change", "insert"),) if self.change_feed else ()
+                        ),
                     )
                 )
         return parts
@@ -140,16 +185,19 @@ class TableStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        consts = dict(partition.constants)
         wanted = [
             name
             for name, _ in partition.schema
-            if name in partition.file_columns
+            if name in partition.file_columns and name not in consts
         ]
         tbl = pq.read_table(partition.abspath, columns=wanted)
         n = tbl.num_rows
         cols, names = [], []
         for name, ddl in partition.schema:
-            if name in wanted:
+            if name in consts:  # partition-constant (CDF insert tag)
+                col = pa.array([consts[name]] * n, type=_arrow_type(ddl))
+            elif name in wanted:
                 col = tbl.column(name).cast(_arrow_type(ddl))
             else:  # evolved-in column: null-fill from metadata alone
                 col = pa.nulls(n, type=_arrow_type(ddl))
@@ -166,7 +214,11 @@ class TableStreamReader(DataSourceStreamReader):
 class TableStreamSource(DataSource):
     """``spark.readStream.format("jbp_table_stream").option("path",
     root)`` — options: ``path`` (table root, required),
-    ``skipChangeCommits`` ("true"/"false", default false)."""
+    ``skipChangeCommits`` ("true"/"false", default false),
+    ``readChangeFeed`` ("true"/"false", default false — emit the
+    CHANGE feed instead of table rows: appends as tagged inserts,
+    merge/delete commits from their write-time cdc_files, with a
+    ``_change`` column)."""
 
     @classmethod
     def name(cls) -> str:
@@ -178,6 +230,9 @@ class TableStreamSource(DataSource):
             raise ValueError("jbp_table_stream requires .option('path', root)")
         return root
 
+    def _flag(self, name: str) -> bool:
+        return str(self.options.get(name, "false")).lower() == "true"
+
     def schema(self) -> str:
         from journal_batch_processer_spark.operators.table_format import (
             SnapshotTable,
@@ -185,6 +240,8 @@ class TableStreamSource(DataSource):
 
         man = SnapshotTable(self._root()).manifest()
         ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in man["schema"])
+        if self._flag("readChangeFeed"):
+            ddl += ", `_change` string"
         return f"{ddl}, `commit_version` bigint"
 
     def streamReader(self, schema) -> TableStreamReader:
@@ -195,7 +252,7 @@ class TableStreamSource(DataSource):
         )
         return TableStreamReader(
             self._root(),
-            str(self.options.get("skipChangeCommits", "false")).lower()
-            == "true",
+            self._flag("skipChangeCommits"),
             declared,
+            change_feed=self._flag("readChangeFeed"),
         )

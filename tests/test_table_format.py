@@ -323,3 +323,59 @@ def test_table_stream_null_fills_pre_evolution_files(spark, tmp_path):
     assert sorted(by_commit) == [2, 3]
     assert all(r.w is None for r in by_commit[2])
     assert all(r.w == r.k + 1 for r in by_commit[3])
+
+
+def test_cdf_equals_snapshot_diff_and_orders_by_commit(spark, fixture_table):
+    """The write-time merge CDC (diff of the rewritten file group
+    only) must equal the LOGICAL snapshot diff — carried files cancel
+    by construction; and per-commit attribution covers every commit."""
+    from pyspark.sql import functions as F
+
+    t = fixture_table
+    feed = t.read_changes(spark, 3, 4)
+    cols = ["event_id", "user_id", "value", "event_type"]
+    old = t.read(spark, version=3).select(cols)
+    new = t.read(spark, version=4).select(cols)
+    ins = feed.filter("_change = 'insert'").select(cols)
+    dels = feed.filter("_change = 'delete'").select(cols)
+    assert ins.exceptAll(new.exceptAll(old)).count() == 0
+    assert new.exceptAll(old).exceptAll(ins).count() == 0
+    assert dels.exceptAll(old.exceptAll(new)).count() == 0
+    assert old.exceptAll(new).exceptAll(dels).count() == 0
+    # whole-history feed: v6 compact emits nothing, appends emit adds
+    all_feed = t.read_changes(spark, 0, t.latest_version())
+    vers = {
+        r._commit_version
+        for r in all_feed.select("_commit_version").distinct().collect()
+    }
+    assert vers == {2, 3, 4, 5}
+    n2 = all_feed.filter(
+        (F.col("_commit_version") == 2) & (F.col("_change") == "insert")
+    ).count()
+    assert n2 == t.read(spark, version=2).count()
+
+
+def test_cdf_restore_fails_loud_and_vacuum_keeps_live_cdc(spark, tmp_path):
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    # CHANGED values — an identical-value upsert is a no-op in a
+    # value-diff feed and would rightly emit nothing
+    batch = _df(spark, 10, 20).withColumn("v", F.col("v") + 1)
+    t.merge(batch, "k", committed_at_us=3_000_000)  # v3 w/ cdc
+    t.restore(2, committed_at_us=4_000_000)  # v4
+    with _pt.raises(NotImplementedError, match="restore"):
+        t.read_changes(spark, 0, 4).count()
+    # v3 retained -> its cdc files survive vacuum and still read
+    t.append(_df(spark, 200, 210), committed_at_us=5_000_000)  # v5
+    t.vacuum(retain_last=3)  # keeps v3..v5
+    assert t.read_changes(spark, 2, 3).count() > 0
+    # expire v3: its manifest AND cdc files go away
+    import glob as _g
+    import os as _os
+
+    t.vacuum(retain_last=1)
+    assert _g.glob(_os.path.join(t.root, "cdc", "v00003-*")) == []
