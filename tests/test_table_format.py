@@ -379,3 +379,95 @@ def test_cdf_restore_fails_loud_and_vacuum_keeps_live_cdc(spark, tmp_path):
 
     t.vacuum(retain_last=1)
     assert _g.glob(_os.path.join(t.root, "cdc", "v00003-*")) == []
+
+
+def test_table_format_random_ops_match_python_model(spark, tmp_path):
+    """Model-based randomized check: a seeded random sequence of
+    append / COW-merge / range-delete / compact commits is mirrored
+    into a plain Python dict-of-rows model. After every commit:
+    head read == model; after the run: every historical version ==
+    its recorded model state (time travel), and every consecutive
+    CDC window == the model diff (write-time feed == logical diff,
+    compact windows empty). One seed, ~10 ops — small but it walks
+    op INTERLEAVINGS none of the targeted tests cover."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(88)
+    t = SnapshotTable.create(
+        str(tmp_path / "rt"),
+        [("k", "bigint"), ("v", "bigint")],
+        committed_at_us=1_000_000,
+    )
+    model: dict = {}  # key -> multiset impossible: keys unique via merge
+
+    def mk_df(pairs):
+        return spark.createDataFrame(pairs, "k long, v long").repartitionByRange(
+            2, "k"
+        )
+
+    def snap(df):
+        return sorted((r.k, r.v) for r in df.collect())
+
+    states = {1: []}
+    ops = {1: "create"}
+    ts = 1_000_000
+    for step in range(10):
+        ts += 1_000_000
+        op = rng.choice(["append", "merge", "merge", "delete", "compact"])
+        if op == "append":
+            lo = rng.randrange(0, 500) * 10 + 100000 * step
+            pairs = [(lo + i, rng.randrange(1000)) for i in range(rng.randrange(1, 30))]
+            pairs = [(k, v) for k, v in pairs if k not in model]
+            if not pairs:
+                continue
+            t.append(mk_df(pairs), committed_at_us=ts)
+            model.update(dict(pairs))
+        elif op == "merge":
+            keys = list(model)
+            upd = rng.sample(keys, min(len(keys), rng.randrange(0, 8)))
+            ins = [(100000 * step + 777 + i, rng.randrange(1000)) for i in range(rng.randrange(0, 4))]
+            pairs = [(k, model[k] + 1 + rng.randrange(5)) for k in upd] + [
+                (k, v) for k, v in ins if k not in model
+            ]
+            if not pairs:
+                continue
+            t.merge(mk_df(pairs), "k", committed_at_us=ts)
+            model.update(dict(pairs))
+        elif op == "delete":
+            if not model:
+                continue
+            ks = sorted(model)
+            lo = rng.choice(ks)
+            hi = lo + rng.randrange(0, 2000)
+            t.delete_range(spark, "k", lo, hi, committed_at_us=ts)
+            model = {k: v for k, v in model.items() if not (lo <= k <= hi)}
+        else:
+            t.compact(spark, 32 * 1024, committed_at_us=ts)
+        v = t.latest_version()
+        states[v] = sorted(model.items())
+        ops[v] = op
+        assert snap(t.read(spark)) == states[v], f"head mismatch after {op} v{v}"
+    # time travel across the whole history
+    for v, want in states.items():
+        assert snap(t.read(spark, version=v)) == want, f"time travel v{v}"
+    # CDC window invariants between consecutive recorded states
+    vs = sorted(states)
+    for a, b in zip(vs, vs[1:]):
+        feed = t.read_changes(spark, a, b)
+        got_ins = sorted(
+            (r.k, r.v) for r in feed.filter(F.col("_change") == "insert").collect()
+        )
+        got_del = sorted(
+            (r.k, r.v) for r in feed.filter(F.col("_change") == "delete").collect()
+        )
+        sa, sb = dict(states[a]), dict(states[b])
+        want_ins = sorted(
+            (k, v) for k, v in sb.items() if sa.get(k) != v
+        )
+        want_del = sorted(
+            (k, v) for k, v in sa.items() if sb.get(k) != v
+        )
+        assert got_ins == want_ins, f"CDC inserts v{a}->v{b} ({ops[b]})"
+        assert got_del == want_del, f"CDC deletes v{a}->v{b} ({ops[b]})"
