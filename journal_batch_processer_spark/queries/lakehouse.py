@@ -650,6 +650,122 @@ FROM ev WHERE event_id % 1000 = 1
 )
 
 
+def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized view (the Delta Live Tables loop closed
+    end-to-end): a foreachBatch consumer of the CHANGE FEED stream
+    maintains the per-event_type aggregate incrementally — each
+    micro-batch's signed deltas (+insert/−delete) fold into the view
+    state; nothing ever recomputes from a snapshot. Driven through the
+    same two-drain checkpointed restart protocol (appends → drain →
+    COW merge + append → drain), so offset persistence, the merge's
+    write-time change rows, and the delta algebra are all on the hook:
+    the final view must hash-equal the direct head-snapshot aggregate
+    the oracle computes.
+
+    State note: the view is GROUP-cardinality (model-sized), so the
+    per-batch signed aggregate — computed DISTRIBUTED, then collected
+    at |groups| rows — folds into a driver dict; at warehouse scale
+    the same fold is a MERGE into a state table (upsert_merge), same
+    algebra, no other change."""
+    import tempfile as _tf
+
+    from journal_batch_processer_spark.queries.streaming_q import _await_drain
+    from journal_batch_processer_spark.sources.python_source import (
+        register_once,
+    )
+    from journal_batch_processer_spark.sources.table_stream import (
+        TableStreamSource,
+    )
+
+    register_once(spark, TableStreamSource)
+    root = _tf.mkdtemp(prefix="jbp_smv_")
+    ckpt = os.path.join(root, "_ckpt")
+    ev = _base_events(spark, sf_dir)
+    t = SnapshotTable.create(
+        root,
+        [
+            ("event_id", "bigint"),
+            ("user_id", "bigint"),
+            ("value", "double"),
+            ("event_type", "string"),
+        ],
+        committed_at_us=1_000_000,
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(4, "event_id"),
+        committed_at_us=2_000_000,
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 1).repartitionByRange(4, "event_id"),
+        committed_at_us=3_000_000,
+    )
+    view: dict[str, list[int]] = {}  # event_type -> [n_rows, milli_sum]
+
+    def fold(batch_df, batch_id) -> None:
+        sign = F.when(F.col("_change") == "insert", 1).otherwise(-1)
+        rows = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.sum(sign).alias("d_rows"),
+                F.sum(sign * F.floor(F.col("value") * 1000)).alias("d_milli"),
+            )
+            .collect()  # |groups| rows — view-sized, never data-sized
+        )
+        for r in rows:
+            st = view.setdefault(r.event_type, [0, 0])
+            st[0] += r.d_rows
+            st[1] += r.d_milli
+
+    def drain(run: int) -> None:
+        stream = (
+            spark.readStream.format("jbp_table_stream")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q, f"jbp_stream_matview_run{run}")
+
+    drain(1)
+    t.merge(_merge_batch(ev), "event_id", committed_at_us=4_000_000)
+    t.append(
+        ev.filter(F.col("event_id") % 1000 == 1).select(
+            (F.col("event_id") + 20_000_000).alias("event_id"),
+            "user_id",
+            "value",
+            "event_type",
+        ),
+        committed_at_us=5_000_000,
+    )
+    drain(2)
+    return spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in sorted(view.items()) if v[0] > 0],
+        "event_type string, n_rows long, val_milli_sum long",
+    )
+
+
+SQL_STREAM_MATVIEW = (
+    _STATE_CTES
+    + """
+, head AS (
+    SELECT * FROM s4
+    UNION ALL
+    SELECT event_id + 20000000, user_id, value, event_type
+    FROM ev WHERE event_id % 1000 = 1
+)
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+           AS val_milli_sum
+FROM head GROUP BY event_type
+"""
+)
+
+
 def _materialize_restore_table(spark: SparkSession, sf_dir: str) -> str:
     """Third fixture chain (restore): create → append evens → append
     odds → RESTORE(2). Head state must equal the evens-only snapshot
@@ -866,4 +982,5 @@ QUERIES = {
     "matview_incremental": (q_matview_incremental, SQL_MATVIEW_INCREMENTAL),
     "table_cdf_read": (q_table_cdf_read, SQL_TABLE_CDF_READ),
     "stream_table_cdc": (q_stream_table_cdc, SQL_STREAM_TABLE_CDC),
+    "stream_matview": (q_stream_matview, SQL_STREAM_MATVIEW),
 }

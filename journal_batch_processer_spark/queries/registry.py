@@ -89,6 +89,7 @@ def _build() -> dict[str, QuerySpec]:
         "trainprep_pipeline",    # NEW r08: shard-manifest capstone
         "table_cdf_read",        # NEW r08: write-time change feed
         "stream_table_cdc",      # NEW r08: streaming CDF consumption
+        "stream_matview",        # NEW r08: streaming incremental view
         # stalest driver rows (freshest row <= r04), alphabetical
         "array_functions",
         "binary_ingest",
