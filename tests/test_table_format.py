@@ -471,3 +471,78 @@ def test_table_format_random_ops_match_python_model(spark, tmp_path):
         )
         assert got_ins == want_ins, f"CDC inserts v{a}->v{b} ({ops[b]})"
         assert got_del == want_del, f"CDC deletes v{a}->v{b} ({ops[b]})"
+
+
+def test_table_stream_random_commits_and_drains(spark, tmp_path):
+    """Streaming-source property test: a seeded random interleaving of
+    appends, change commits, and checkpointed availableNow drains. The
+    union of ALL drains must equal exactly the appended rows (each
+    once, with its committing version) no matter where the drain
+    boundaries fall — offset persistence, manifest-diff planning, and
+    skipChangeCommits are all on the hook at once."""
+    import random
+
+    from journal_batch_processer_spark.queries.streaming_q import _await_drain
+    from journal_batch_processer_spark.sources.python_source import (
+        register_once,
+    )
+    from journal_batch_processer_spark.sources.table_stream import (
+        TableStreamSource,
+    )
+
+    register_once(spark, TableStreamSource)
+    rng = random.Random(4242)
+    t = _mk(spark, tmp_path, "st")
+    ckpt, outdir = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    expected = []  # (k, v, commit_version)
+    ts = 1_000_000
+    nxt = 1000
+
+    def drain():
+        q = (
+            spark.readStream.format("jbp_table_stream")
+            .option("path", t.root)
+            .option("skipChangeCommits", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q, "rand_drain")
+
+    for _ in range(12):
+        ts += 1_000_000
+        op = rng.choice(["append", "append", "merge", "compact", "drain"])
+        if op == "append":
+            n = rng.randrange(1, 20)
+            pairs = [(nxt + i, rng.randrange(100)) for i in range(n)]
+            nxt += n
+            v = t.append(
+                spark.createDataFrame(pairs, "k long, v long"),
+                committed_at_us=ts,
+            )
+            expected += [(k, val, v) for k, val in pairs]
+        elif op == "merge":
+            if not expected:
+                continue
+            ks = rng.sample([e[0] for e in expected], min(3, len(expected)))
+            t.merge(
+                spark.createDataFrame(
+                    [(k, 999) for k in ks], "k long, v long"
+                ),
+                "k",
+                committed_at_us=ts,
+            )  # change commit: must NOT re-emit under skipChangeCommits
+        elif op == "compact":
+            t.compact(spark, 32 * 1024, committed_at_us=ts)
+        else:
+            drain()
+    drain()  # final drain picks up everything outstanding
+    got = sorted(
+        (r.k, r.v, r.commit_version)
+        for r in spark.read.parquet(outdir).collect()
+    )
+    assert got == sorted(expected)
