@@ -105,6 +105,16 @@ def _file_entry(root: str, rel_path: str) -> dict:
 class SnapshotTable:
     """Handle on a snapshot-table directory (see module docstring)."""
 
+    # Iceberg-style MANIFEST LISTS: a commit whose file list exceeds
+    # this many entries shards the list into side JSON files and the
+    # top manifest references them — the commit stays one atomic
+    # hard-link, but no single JSON grows O(table files). At 100 TB
+    # (millions of files) this is the difference between a manifest
+    # and a manifest LIST; readers are oblivious (``manifest()``
+    # resolves shards transparently). Tests lower it to exercise the
+    # sharded path at fixture scale.
+    shard_threshold = 1000
+
     def __init__(self, root: str):
         self.root = root
         self._manifest_dir = os.path.join(root, "_manifest")
@@ -154,7 +164,15 @@ class SnapshotTable:
     def manifest(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
         with open(os.path.join(self._manifest_dir, f"v{v:05d}.json")) as fh:
-            return json.load(fh)
+            man = json.load(fh)
+        shards = man.get("file_shards")
+        if shards is not None:  # manifest LIST: inline the shard chunks
+            files: list[dict] = []
+            for rel in shards:
+                with open(os.path.join(self._manifest_dir, rel)) as fh:
+                    files.extend(json.load(fh))
+            man["files"] = files
+        return man
 
     def version_as_of(self, ts_us: int) -> int:
         """Greatest committed version with committed_at_us <= ts_us."""
@@ -187,6 +205,26 @@ class SnapshotTable:
         name — `link(2)` fails with EEXIST if any other writer got
         there, which IS the conflict detection (no lock files, no
         read-check-write race)."""
+        files = man.get("files")
+        if files is not None and len(files) > self.shard_threshold:
+            # shard the file list into side JSONs BEFORE the atomic
+            # link — like staged data files, unreferenced shards from
+            # a lost race are garbage, never a torn manifest
+            token = uuid.uuid4().hex[:8]
+            os.makedirs(os.path.join(self._manifest_dir, "shards"), exist_ok=True)
+            rels = []
+            for s in range(0, len(files), self.shard_threshold):
+                rel = (
+                    f"shards/v{man['version']:05d}-"
+                    f"{s // self.shard_threshold:03d}-{token}.json"
+                )
+                _fsync_write(
+                    os.path.join(self._manifest_dir, rel),
+                    json.dumps(files[s : s + self.shard_threshold]),
+                )
+                rels.append(rel)
+            man = {k: v for k, v in man.items() if k != "files"}
+            man["file_shards"] = rels
         target = os.path.join(self._manifest_dir, f"v{man['version']:05d}.json")
         tmp = os.path.join(
             self._manifest_dir, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -619,6 +657,11 @@ class SnapshotTable:
         n_manifests = 0
         for v in versions:
             if v not in keep_v:
+                for rel in self.manifest(v).get("file_shards", []):
+                    try:
+                        os.unlink(os.path.join(self._manifest_dir, rel))
+                    except FileNotFoundError:
+                        pass
                 os.unlink(os.path.join(self._manifest_dir, f"v{v:05d}.json"))
                 n_manifests += 1
         return {

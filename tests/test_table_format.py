@@ -546,3 +546,40 @@ def test_table_stream_random_commits_and_drains(spark, tmp_path):
         for r in spark.read.parquet(outdir).collect()
     )
     assert got == sorted(expected)
+
+
+def test_manifest_lists_shard_resolve_and_vacuum(spark, tmp_path):
+    """Manifest LISTS: above the shard threshold the commit writes
+    side shard JSONs and the top manifest references them; readers,
+    COW merges, CDC, and the streaming planner all see the resolved
+    list transparently; vacuum reclaims expired shards with their
+    manifest."""
+    import glob as _g
+    import json as _json
+    import os as _os
+
+    t = _mk(spark, tmp_path)
+    t.shard_threshold = 3
+    t.append(_df(spark, 0, 400).repartitionByRange(8, "k"),
+             committed_at_us=2_000_000)
+    raw = _json.load(
+        open(_os.path.join(t._manifest_dir, "v00002.json"))
+    )
+    assert "files" not in raw and len(raw["file_shards"]) == 3  # ceil(8/3)
+    assert len(t.manifest(2)["files"]) == 8  # transparently resolved
+    assert t.read(spark).count() == 400
+    # a COW merge against a sharded manifest: plans from resolved stats
+    from pyspark.sql import functions as F
+
+    t.merge(
+        _df(spark, 10, 20).withColumn("v", F.col("v") + 1),
+        "k",
+        committed_at_us=3_000_000,
+    )
+    assert sorted(r.v for r in t.read(spark).filter("k = 15").collect()) == [151]
+    assert t.read_changes(spark, 2, 3).count() > 0
+    # expire v2: its shard files go with its manifest
+    t.append(_df(spark, 1000, 1010), committed_at_us=4_000_000)
+    t.vacuum(retain_last=2)
+    assert _g.glob(_os.path.join(t._manifest_dir, "shards", "v00002-*")) == []
+    assert t.read(spark).count() == 400 + 10 - 10 + 10
