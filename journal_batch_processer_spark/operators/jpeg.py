@@ -280,6 +280,92 @@ def encode_jpeg_solid_gray(
     return bytes(out)
 
 
+def encode_jpeg_solid_gray_samp(
+    width: int,
+    height: int,
+    v: int,
+    samps: tuple = ((3, 1), (2, 1), (1, 1)),
+    restart_interval: int = 0,
+) -> bytes:
+    """Sequential JFIF of a solid gray with ARBITRARY per-component
+    sampling factors — including FRACTIONAL ratios (component factors
+    that do not divide the frame maximum, e.g. 2 against 3), the T.81
+    corner that libjpeg has never implemented ("Fractional sampling
+    not implemented yet"). Solid content keeps every decoded mean
+    exactly ``v`` whatever the upsampling mapping, so the fixture
+    stays closed-form while the geometry is genuinely fractional."""
+    hs = [h for h, _v in samps]
+    vs = [vv for _h, vv in samps]
+    if not all(1 <= x <= 4 for x in hs + vs):
+        raise ValueError("sampling factors must be 1..4")
+    hmax, vmax = max(hs), max(vs)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError("fixture encoder requires MCU-aligned dims")
+    if v % 2 or not 0 <= v <= 255:
+        raise ValueError("fixture encoder requires an even gray 0..255")
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ((0, STD_LUMA_QT), (1, STD_CHROMA_QT)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(qt[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for ci, (h, vv) in enumerate(samps):
+        out += bytes([ci + 1, (h << 4) | vv, 0 if ci == 0 else 1])
+    for cls, tid, (bits, vals) in (
+        (0, 0, STD_DC_LUMA),
+        (1, 0, STD_AC_LUMA),
+        (0, 1, STD_DC_CHROMA),
+        (1, 1, STD_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes(
+            [(cls << 4) | tid]
+        )
+        out += bytes(bits[1:17]) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+
+    dc_y = (8 * (v - 128)) // STD_LUMA_QT[0]
+    dc_luma = _huff_codes(*STD_DC_LUMA)
+    ac_luma = _huff_codes(*STD_AC_LUMA)
+    dc_chroma = _huff_codes(*STD_DC_CHROMA)
+    ac_chroma = _huff_codes(*STD_AC_CHROMA)
+    bw = _BitWriter()
+
+    def put_block(table_dc, table_ac, diff: int) -> None:
+        cat = _category(diff)
+        code, length = table_dc[cat]
+        bw.put(code, length)
+        if cat:
+            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw.put(amp, cat)
+        code, length = table_ac[0x00]  # EOB
+        bw.put(code, length)
+
+    n_mcus = (width // (8 * hmax)) * (height // (8 * vmax))
+    prev_dc = 0
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.buf
+            out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) & 7
+            bw = _BitWriter()
+            prev_dc = 0
+        for ci, (h, vv) in enumerate(samps):
+            for _ in range(h * vv):
+                if ci == 0:
+                    put_block(dc_luma, ac_luma, dc_y - prev_dc)
+                    prev_dc = dc_y
+                else:
+                    put_block(dc_chroma, ac_chroma, 0)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_solid_gray_arith(width: int, height: int, v: int) -> bytes:
     """Arithmetic-coded (SOF9) JFIF of a solid GRAY image: the same
     exactness contract as the baseline fixture encoder, with the
@@ -785,14 +871,15 @@ def _decode_jpeg_planes(data: bytes):
     # unit, so sampling factors play no dimensional role
     if len(comps) == 1:
         comps = [(comps[0][0], comps[0][1], 1, 1)]
+    # Sampling ratios need NOT divide the frame maximum: the
+    # per-component planes live at their own (hi, vi) block grid and
+    # the color stage maps luma-grid coordinates with x*hi//hmax —
+    # nearest-sample replication that is exact for integer ratios and
+    # a legitimate decoder-chosen upsampling for FRACTIONAL ones
+    # (T.81 A.1.1 allows any 1..4 factors and leaves the upsampling
+    # filter to the decoder; libjpeg rejects these files outright).
     hmax = max(hi for _cid, _tq, hi, _vi in comps)
     vmax = max(vi for _cid, _tq, _hi, vi in comps)
-    for _cid, _tq, hi, vi in comps:
-        if hmax % hi or vmax % vi:
-            raise NotImplementedError(
-                f"jpeg: fractional sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
-            )
-
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     # per-component planes at the component's own resolution, padded
@@ -1078,7 +1165,9 @@ def _decode_jpeg_progressive(data: bytes):
             for _c, _t, hi, vi in comps:
                 if hmax % hi or vmax % vi:
                     raise NotImplementedError(
-                        f"jpeg: fractional sampling ratio {hi}x{vi}"
+                        "jpeg: fractional sampling ratio "
+                        f"{hi}x{vi} in a PROGRESSIVE frame (sequential "
+                        "frames decode fractional ratios, r08)"
                     )
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)

@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v16-lossless-slot-3comp"
+    fp = _fc.source_fingerprint(src) + ":v17-fractional-sampling-slot"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -63,6 +63,7 @@ def _materialize_media(sf_dir: str) -> str:
         encode_jpeg_solid_gray12,
         encode_jpeg_solid_gray_arith,
         encode_jpeg_solid_gray_progressive,
+        encode_jpeg_solid_gray_samp,
     )
     from journal_batch_processer_spark.operators.avi import (
         encode_avi_mjpeg,
@@ -127,7 +128,19 @@ def _materialize_media(sf_dir: str) -> str:
         # per-component EOBn AC bands) with the SAME dims as the
         # sequential branch, so the oracle is coding-process-agnostic.
         jv = 2 * ((7 * i) % 100) + 20
-        if i % 3 == 0:
+        if i % 9 == 0:
+            # FRACTIONAL sampling ratios (r08): 3x1 luma / 2x1 Cb /
+            # 1x1 Cr — factors that do not divide the frame max, the
+            # T.81 corner libjpeg rejects outright ("Fractional
+            # sampling not implemented yet", verified against the
+            # system libjpeg). Solid content keeps the means exact
+            # under the decoder's nearest-sample upsampling.
+            jw, jh = 24 * (1 + i % 2), 16 * (1 + (i // 3) % 2)
+            payload = encode_jpeg_solid_gray_samp(
+                jw, jh, jv, ((3, 1), (2, 1), (1, 1)),
+                restart_interval=2 if i % 6 == 0 else 0,
+            )
+        elif i % 3 == 0:
             # every second subsampled file also carries DRI/RSTn
             # restart markers (interval 2 MCUs) — the resync structure
             # camera encoders emit (r06)
@@ -376,7 +389,8 @@ def q_media_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_IMAGE_DECODE_JPEG = f"""
 SELECT printf('img_%05d.jpg', doc_id) AS fname,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 16 * (1 + doc_id % 2)
+       CAST(CASE WHEN doc_id % 9 = 0 THEN 24 * (1 + doc_id % 2)
+                 WHEN doc_id % 3 = 0 THEN 16 * (1 + doc_id % 2)
                  ELSE 8 * (1 + doc_id % 3) END AS INT) AS width,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 16 * (1 + (doc_id // 3) % 2)
                  ELSE 8 * (1 + (doc_id // 3) % 4) END AS INT) AS height,

@@ -414,12 +414,16 @@ def test_jpeg_rejects_unsupported_features_loudly():
     prog = bytes(base[:i]) + b"\xff\xc2" + bytes(base[i + 2 :])
     with _pytest.raises(ValueError, match="DC scan"):
         decode_jpeg_baseline(prog)
-    # fractional sampling ratio (3x1 luma over 2x1 chroma) is rejected
+    # fractional sampling DECODES since r08 (see
+    # test_round8_fixes.test_fractional_sampling_decodes_exact...);
+    # merely PATCHING the factors into a 444 stream leaves too few
+    # entropy blocks per MCU — that must still fail loud, as a
+    # truncation, not decode garbage
     j = i + 11  # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) cid(1) -> samp
     frac = bytearray(base)
     frac[j] = 0x31
     frac[j + 3] = 0x21
-    with _pytest.raises(NotImplementedError, match="fractional"):
+    with _pytest.raises(ValueError, match="truncated"):
         decode_jpeg_baseline(bytes(frac))
     # truncated entropy data
     with _pytest.raises(ValueError):

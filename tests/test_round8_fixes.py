@@ -331,3 +331,47 @@ def test_qm_coder_random_decision_roundtrips():
         ds = Stats(n_ctx)
         got = [(s, dec.decode(ds, s)) for s, _d in decisions]
         assert got == decisions, (trial, n, p_one, n_ctx)
+
+
+def test_fractional_sampling_decodes_exact_and_libjpeg_rejects():
+    """Sequential frames with FRACTIONAL sampling ratios (factors not
+    dividing the frame max) decode to exact solid means under the
+    nearest-sample upsampling — a file family the system libjpeg
+    rejects outright (verified by the crossval harness when built:
+    'Fractional sampling not implemented yet')."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray_samp,
+    )
+
+    for samps in (
+        ((3, 1), (2, 1), (1, 1)),
+        ((3, 3), (2, 2), (1, 1)),
+        ((4, 1), (3, 1), (2, 1)),
+        ((2, 3), (3, 2), (1, 1)),
+    ):
+        hmax = max(h for h, _ in samps)
+        vmax = max(v for _, v in samps)
+        w, h = 8 * hmax * 2, 8 * vmax * 3
+        for ri in (0, 3):
+            d = decode_jpeg_baseline(
+                encode_jpeg_solid_gray_samp(w, h, 130, samps,
+                                            restart_interval=ri)
+            )
+            assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+            assert d["mean_r"] == d["mean_g"] == d["mean_b"] == 130
+
+
+def test_fractional_sampling_progressive_still_gated():
+    from pytest import raises
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_solid_gray_samp,
+    )
+
+    data = bytearray(encode_jpeg_solid_gray_samp(48, 24, 128))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # pretend progressive
+    with raises(NotImplementedError, match="PROGRESSIVE"):
+        decode_jpeg_baseline(bytes(data))
