@@ -33,10 +33,12 @@ Scope — honest and loud:
   all seven predictors, point transform, restarts, bit-exact
   roundtrips; multi-component lossless reports PER-COMPONENT means
   (no color transform is defined for it)
-  (operators/jpeg_lossless.py). Anything else raises
-  NotImplementedError/ValueError naming the feature: differential/
-  hierarchical SOFs (5-7, 13-15), non-interleaved lossless scans,
-  non-1×1 lossless sampling, fractional sampling ratios.
+  (operators/jpeg_lossless.py). FRACTIONAL sampling ratios decode in
+  sequential frames (r08 — nearest-sample upsampling; libjpeg rejects
+  such files). Anything else raises NotImplementedError/ValueError
+  naming the feature: differential/hierarchical SOFs (5-7, 13-15),
+  non-interleaved lossless scans, non-1×1 lossless sampling,
+  fractional sampling inside progressive frames.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
