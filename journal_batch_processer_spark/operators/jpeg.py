@@ -588,9 +588,14 @@ _IDCT_COS = [
 _IDCT_C = [1 / math.sqrt(2)] + [1.0] * 7
 
 
-def _idct_block(coef: list[int], half: int = 128, maxval: int = 255) -> list[int]:
+def _idct_block(
+    coef: list[int], half: int = 128, maxval: int = 255, lo: int = 0
+) -> list[int]:
     """Reference 2-D IDCT (T.81 A.3.3), separable rows/cols, then
-    level shift (2^(P-1)) + clamp to the sample range. O(8·8·8) per
+    level shift (2^(P-1)) + clamp to [lo, maxval]. DIFFERENTIAL frames
+    (hierarchical mode) pass half=0, lo=-maxval: their spatial output
+    is a SIGNED correction added to the reference frame, so clamping
+    at zero would destroy negative corrections (K.4). O(8·8·8) per
     dimension — fine for fixtures; a production decoder uses AAN."""
     tmp = [0.0] * 64
     for y in range(8):
@@ -606,7 +611,7 @@ def _idct_block(coef: list[int], half: int = 128, maxval: int = 255) -> list[int
             for v in range(8):
                 s += _IDCT_C[v] * tmp[v * 8 + x] * _IDCT_COS[y][v]
             val = int(round(s / 2)) + half
-            out[y * 8 + x] = 0 if val < 0 else maxval if val > maxval else val
+            out[y * 8 + x] = lo if val < lo else maxval if val > maxval else val
     return out
 
 
@@ -811,6 +816,15 @@ def _decode_jpeg_planes(data: bytes):
             )
 
             return decode_jpeg_lossless_arith(data)
+        elif marker == 0xDE:  # DHP — hierarchical pyramid (r08).
+            # Before this dispatch existed the decoder would sail past
+            # DHP and return the FIRST frame only — a reduced-
+            # resolution image presented silently as the answer.
+            from journal_batch_processer_spark.operators.jpeg_hier import (
+                decode_jpeg_hierarchical,
+            )
+
+            return decode_jpeg_hierarchical(data)
         elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"jpeg: SOF{marker - 0xC0} (differential) unsupported"

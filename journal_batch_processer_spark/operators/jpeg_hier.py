@@ -1,0 +1,498 @@
+"""T.81 HIERARCHICAL JPEG (Annex K): DHP-led multi-frame pyramids.
+
+A hierarchical stream is a SEQUENCE of frames: the first is any
+non-differential process at (usually) reduced resolution; each later
+frame is a DIFFERENTIAL frame whose decoded spatial output is a SIGNED
+correction ADDED to the reference (the reconstruction so far), with an
+optional EXP segment first that upsamples the reference ×2
+horizontally and/or vertically (the K.5 interpolation filter:
+even samples copy, odd samples are the (a+b+1)>>1 midpoint with edge
+replication). Before r08 the decoder silently decoded ONLY the first
+frame of such a stream — a low-resolution image presented as the
+answer; that is exactly the silent-partial-decode failure mode this
+repo's media layer bans, fixed here by decoding the pyramid.
+
+Supported scope, honest and loud:
+- DHP (0xDE) + a first non-differential frame in ANY process the
+  engine already decodes (it is re-dispatched through the main
+  decoder on a synthesized sub-stream: SOI + accumulated tables +
+  frame + EOI — table state accumulates across frames per B.2/K.2);
+- EXP (0xDF) reference expansion, Eh/Ev ∈ {0,1};
+- differential SEQUENTIAL Huffman frames (SOF5) over 1×1-sampled
+  components: DC coded with PRED=0 (F.2.1.3.1 — no predictor
+  carry-over in differential frames), no level shift, IDCT output in
+  [-maxval, maxval] added to the reference and clamped to the sample
+  range (K.4); DRI/RSTn honored.
+- Gated by name: differential progressive (SOF6), differential
+  lossless (SOF7), the arithmetic differential family (SOF13-15),
+  and non-1×1 sampling inside differential frames.
+
+Validation: no system library decodes hierarchical JPEG (libjpeg has
+never implemented it), so — as for lossless — the proof is bit-exact
+self-consistency: the fixture encoder writes real multi-frame pyramids
+(reduced first stage, EXP, constant-difference refinement) whose final
+means are closed-form, plus structural tests (a truncated pyramid and
+an unexpanded-reference dimension mismatch both fail loud).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from journal_batch_processer_spark.operators.jpeg import (
+    STD_DC_LUMA,
+    STD_AC_LUMA,
+    STD_LUMA_QT,
+    ZIGZAG,
+    _BitReader,
+    _BitWriter,
+    _category,
+    _entropy_end,
+    _extend,
+    _huff_codes,
+    _huff_decoder,
+    _idct_block,
+    _read_huff,
+)
+
+_TABLE_MARKERS = frozenset({0xDB, 0xC4, 0xCC, 0xDD, 0xFE})  # DQT DHT DAC DRI COM
+_NONDIFF_SOFS = frozenset({0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB})
+_DIFF_SOFS = frozenset({0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF})
+
+
+def _expand_1d(row: list[int]) -> list[int]:
+    """K.5 horizontal ×2: even outputs copy, odd outputs midpoint
+    (a+b+1)>>1, right edge replicated."""
+    n = len(row)
+    out = [0] * (2 * n)
+    for i, a in enumerate(row):
+        b = row[i + 1] if i + 1 < n else a
+        out[2 * i] = a
+        out[2 * i + 1] = (a + b + 1) >> 1
+    return out
+
+
+def expand_plane(plane: list, eh: int, ev: int) -> list:
+    """EXP reference upsampling: ×2 horizontally (eh) and/or
+    vertically (ev) with the K.5 filter in each direction."""
+    if eh:
+        plane = [_expand_1d(r) for r in plane]
+    if ev:
+        out = []
+        n = len(plane)
+        for y, r in enumerate(plane):
+            nxt = plane[y + 1] if y + 1 < n else r
+            out.append(r)
+            out.append([(a + b + 1) >> 1 for a, b in zip(r, nxt)])
+        plane = out
+    return plane
+
+
+def _decode_diff_seq_frame(
+    data: bytes,
+    frame_seg: bytes,
+    pos: int,
+    tables: dict,
+    prec: int,
+) -> tuple:
+    """Decode one SOF5 frame starting AFTER its frame segment at
+    ``pos``; returns (w, h, [(cid, plane)], new_pos) where each plane
+    holds SIGNED corrections at the frame's (padded) block grid."""
+    fprec, h, w, nc = struct.unpack(">BHHB", frame_seg[:6])
+    if fprec != prec:
+        raise ValueError(
+            f"jpeg hier: differential frame precision {fprec} != {prec}"
+        )
+    comps = []
+    for ci in range(nc):
+        cid, samp, tq = frame_seg[6 + 3 * ci : 9 + 3 * ci]
+        if samp != 0x11:
+            raise NotImplementedError(
+                "jpeg hier: non-1x1 sampling in a differential frame"
+            )
+        comps.append((cid, tq))
+    maxval = (1 << prec) - 1
+    bw_blocks = (w + 7) // 8
+    bh_blocks = (h + 7) // 8
+    planes = {cid: [[0] * (bw_blocks * 8) for _ in range(bh_blocks * 8)]
+              for cid, _tq in comps}
+    scan = None
+    restart_interval = tables.get("dri", 0)
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg hier: expected marker at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = [0] + list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                tables[("huff", tc, th)] = _huff_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                raw = seg[p + 1 : p + 65 + 64 * pq]
+                if pq:
+                    zz = [
+                        struct.unpack(">H", raw[2 * i : 2 * i + 2])[0]
+                        for i in range(64)
+                    ]
+                else:
+                    zz = list(raw[:64])
+                qt = [0] * 64
+                for i in range(64):
+                    qt[ZIGZAG[i]] = zz[i]
+                tables[("qt", tq)] = qt
+                p += 65 + 64 * pq
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+            tables["dri"] = restart_interval
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            entropy_start = pos + seglen
+            break
+        else:
+            raise ValueError(
+                f"jpeg hier: unexpected marker 0x{marker:02x} inside a "
+                "differential frame"
+            )
+        pos += seglen
+    if scan is None:
+        raise ValueError("jpeg hier: differential frame without SOS")
+    if len(scan) != nc:
+        raise NotImplementedError(
+            "jpeg hier: non-interleaved differential scans unsupported"
+        )
+    qt_by_cid = {}
+    for cid, tq in comps:
+        qt = tables.get(("qt", tq))
+        if qt is None:
+            raise ValueError(f"jpeg hier: missing DQT {tq}")
+        qt_by_cid[cid] = qt
+    end = _entropy_end(data, entropy_start, skip_restarts=True)
+    br = _BitReader(data[entropy_start:end])
+    mcu_count = 0
+    rst = 0
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                br.expect_restart(rst)
+                rst = (rst + 1) & 7
+            mcu_count += 1
+            for cid, dct, act in scan:
+                dc_tab = tables.get(("huff", 0, dct))
+                ac_tab = tables.get(("huff", 1, act))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("jpeg hier: missing DHT for scan")
+                qt = qt_by_cid[cid]
+                # DC: PRED = 0 in differential frames (F.2.1.3.1) —
+                # the decoded value IS the quantized DC, no carry
+                cat = _read_huff(br, dc_tab)
+                dc = _extend(br.bits(cat), cat) if cat else 0
+                coef = [0] * 64
+                coef[0] = dc * qt[0]
+                k = 1
+                while k < 64:
+                    rs = _read_huff(br, ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("jpeg hier: AC index overflow")
+                    coef[ZIGZAG[k]] = _extend(br.bits(s), s) * qt[ZIGZAG[k]]
+                    k += 1
+                block = _idct_block(coef, half=0, maxval=maxval, lo=-maxval)
+                plane = planes[cid]
+                for yy in range(8):
+                    row = plane[by * 8 + yy]
+                    for xx in range(8):
+                        row[bx * 8 + xx] = block[yy * 8 + xx]
+    return w, h, [(cid, planes[cid]) for cid, _tq in comps], end
+
+
+def decode_jpeg_hierarchical(data: bytes):
+    """Decode a DHP-led hierarchical stream; returns the standard
+    (w, h, comps, planes, prec) tuple for the FINAL reconstruction."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        _decode_jpeg_planes,
+    )
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    prelude: list[bytes] = []  # raw table/misc segments, accumulated
+    tables: dict = {}  # parsed state for differential frames
+    dhp = None
+    pending_exp = None
+    ref: dict[int, list] | None = None  # cid -> plane (reconstruction)
+    ref_dims: tuple[int, int] | None = None
+    prec = None
+    maxval = 255
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg hier: expected marker at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        mstart = pos
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDE:  # DHP — same payload layout as a SOF
+            p, y, x, nc = struct.unpack(">BHHB", seg[:6])
+            dhp = (p, x, y, [seg[6 + 3 * i] for i in range(nc)])
+            prec = p
+            maxval = (1 << p) - 1
+            pos += seglen
+        elif marker == 0xDF:  # EXP
+            pending_exp = (seg[0] >> 4, seg[0] & 0xF)
+            pos += seglen
+        elif marker in _TABLE_MARKERS or 0xE0 <= marker <= 0xEF:
+            prelude.append(data[mstart : pos + seglen])
+            if marker == 0xDD:
+                tables["dri"] = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xC4:
+                p2 = 0
+                while p2 < len(seg):
+                    tc, th = seg[p2] >> 4, seg[p2] & 0xF
+                    bits = [0] + list(seg[p2 + 1 : p2 + 17])
+                    n = sum(bits)
+                    vals = list(seg[p2 + 17 : p2 + 17 + n])
+                    tables[("huff", tc, th)] = _huff_decoder(bits, vals)
+                    p2 += 17 + n
+            elif marker == 0xDB:
+                p2 = 0
+                while p2 < len(seg):
+                    pq, tq = seg[p2] >> 4, seg[p2] & 0xF
+                    raw = seg[p2 + 1 : p2 + 65 + 64 * pq]
+                    if pq:
+                        zz = [
+                            struct.unpack(">H", raw[2 * i : 2 * i + 2])[0]
+                            for i in range(64)
+                        ]
+                    else:
+                        zz = list(raw[:64])
+                    qt = [0] * 64
+                    for i in range(64):
+                        qt[ZIGZAG[i]] = zz[i]
+                    tables[("qt", tq)] = qt
+                    p2 += 65 + 64 * pq
+            pos += seglen
+        elif marker in _NONDIFF_SOFS:
+            if dhp is None:
+                raise ValueError("jpeg hier: frame before DHP")
+            if ref is not None:
+                raise NotImplementedError(
+                    "jpeg hier: a SECOND non-differential frame "
+                    "(multi-band composition) is unsupported"
+                )
+            # find the end of this frame: scans until a frame-level
+            # marker, then synthesize a standalone stream for the
+            # existing decoder
+            fpos = pos + seglen
+            while True:
+                if data[fpos] != 0xFF:
+                    raise ValueError("jpeg hier: lost marker sync in frame")
+                m2 = data[fpos + 1]
+                if m2 == 0xDA:
+                    sl = struct.unpack(">H", data[fpos + 2 : fpos + 4])[0]
+                    fpos = _entropy_end(
+                        data, fpos + 2 + sl, skip_restarts=True
+                    )
+                elif (
+                    m2 in _TABLE_MARKERS
+                    or 0xE0 <= m2 <= 0xEF
+                ):
+                    sl = struct.unpack(">H", data[fpos + 2 : fpos + 4])[0]
+                    fpos += 2 + sl
+                else:  # SOF / EXP / DHP / EOI — frame is over
+                    break
+            sub = (
+                b"\xff\xd8"
+                + b"".join(prelude)
+                + data[mstart:fpos]
+                + b"\xff\xd9"
+            )
+            w0, h0, comps0, planes0, p0 = _decode_jpeg_planes(sub)
+            if p0 != prec:
+                raise ValueError("jpeg hier: frame precision != DHP")
+            ref = {cid: planes0[i] for i, (cid, *_r) in enumerate(comps0)}
+            ref_dims = (w0, h0)
+            pos = fpos
+        elif marker in _DIFF_SOFS:
+            if marker != 0xC5:
+                raise NotImplementedError(
+                    f"jpeg hier: SOF{marker - 0xC0} (differential "
+                    "progressive/lossless/arithmetic) unsupported"
+                )
+            if ref is None:
+                raise ValueError(
+                    "jpeg hier: differential frame without a reference"
+                )
+            if pending_exp:
+                eh, ev = pending_exp
+                ref = {c: expand_plane(pl, eh, ev) for c, pl in ref.items()}
+                ref_dims = (
+                    ref_dims[0] * (2 if eh else 1),
+                    ref_dims[1] * (2 if ev else 1),
+                )
+                pending_exp = None
+            fw, fh, diffs, pos = _decode_diff_seq_frame(
+                data, seg, pos + seglen, tables, prec
+            )
+            if (fw, fh) != ref_dims:
+                raise ValueError(
+                    f"jpeg hier: differential frame {fw}x{fh} does not "
+                    f"match the (expanded) reference {ref_dims[0]}x"
+                    f"{ref_dims[1]} — missing EXP?"
+                )
+            for cid, dplane in diffs:
+                if cid not in ref:
+                    raise ValueError(
+                        f"jpeg hier: differential component {cid} not in "
+                        "the reference frame"
+                    )
+                rplane = ref[cid]
+                for y in range(fh):
+                    rrow, drow = rplane[y], dplane[y]
+                    for x in range(fw):
+                        v = rrow[x] + drow[x]
+                        rrow[x] = 0 if v < 0 else maxval if v > maxval else v
+        else:
+            raise ValueError(
+                f"jpeg hier: unexpected top-level marker 0x{marker:02x}"
+            )
+    if dhp is None or ref is None or ref_dims is None:
+        raise ValueError("jpeg hier: no decodable pyramid (DHP + frames)")
+    x, y = dhp[1], dhp[2]
+    if ref_dims != (x, y):
+        raise ValueError(
+            f"jpeg hier: final reconstruction {ref_dims[0]}x{ref_dims[1]} "
+            f"!= DHP declared {x}x{y} — truncated pyramid"
+        )
+    cids = dhp[3]
+    comps = [(cid, 0, 1, 1) for cid in cids]
+    planes = [ref[cid] for cid in cids]
+    return x, y, comps, planes, prec
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_hierarchical_solid_gray(
+    width: int,
+    height: int,
+    v: int,
+    v_stage1: int | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Two-stage hierarchical pyramid of a solid gray: a half-
+    resolution SOF0 first stage at ``v_stage1``, EXP(1,1), and an
+    SOF5 differential refinement carrying the constant correction
+    ``v - v_stage1`` — every decoded mean stays closed-form while the
+    stream is a genuine Annex-K pyramid. Requires dims ≡ 0 (mod 16)
+    and even grays with a difference divisible by 4 (so both stages'
+    DC coefficients quantize exactly under Q00=16)."""
+    if width % 16 or height % 16:
+        raise ValueError("hierarchical fixture requires multiple-of-16 dims")
+    if v_stage1 is None:
+        v_stage1 = v - 40 if v >= 40 else v + 40
+    d = v - v_stage1
+    if v % 2 or v_stage1 % 2 or d % 4:
+        raise ValueError(
+            "hierarchical fixture requires even grays with a stage "
+            "difference divisible by 4"
+        )
+    dc_codes = _huff_codes(*STD_DC_LUMA)
+    ac_codes = _huff_codes(*STD_AC_LUMA)
+
+    out = bytearray(b"\xff\xd8")
+    # DHP: full-resolution target, one component
+    out += b"\xff\xde" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    # shared tables
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0])
+    out += bytes(STD_LUMA_QT[ZIGZAG[i]] for i in range(64))
+    bits, vals = STD_DC_LUMA
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([0x00])
+    out += bytes(bits[1:17]) + bytes(vals)
+    bits, vals = STD_AC_LUMA
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([0x10])
+    out += bytes(bits[1:17]) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def put_blocks(n_blocks: int, first_dc: int, repeat_all: bool) -> bytes:
+        """DC-only solid blocks. ``repeat_all=False``: sequential
+        frame semantics (DC prediction carries — first block codes
+        ``first_dc``, the rest diff 0, predictors reset per restart
+        segment). ``repeat_all=True``: differential frame semantics
+        (PRED=0 — every block codes ``first_dc``)."""
+        chunks: list[bytes] = []
+        bw = _BitWriter()
+        rst = 0
+        pending = first_dc
+        for m in range(n_blocks):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                chunks.append(bytes(bw.buf))
+                chunks.append(bytes((0xFF, 0xD0 + rst)))
+                rst = (rst + 1) & 7
+                bw = _BitWriter()
+                pending = first_dc
+            cat = _category(pending)
+            code, ln = dc_codes[cat]
+            bw.put(code, ln)
+            if cat:
+                amp = pending if pending >= 0 else pending + (1 << cat) - 1
+                bw.put(amp, cat)
+            code, ln = ac_codes[0x00]
+            bw.put(code, ln)
+            if not repeat_all:
+                pending = 0
+        bw.flush()
+        chunks.append(bytes(bw.buf))
+        return b"".join(chunks)
+
+    # stage 1: SOF0 at half resolution
+    hw, hh = width // 2, height // 2
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, hh, hw, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    dc1 = (8 * (v_stage1 - 128)) // STD_LUMA_QT[0]
+    out += put_blocks((hw // 8) * (hh // 8), dc1, repeat_all=False)
+    # EXP: expand reference x2 in both directions
+    out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
+    # stage 2: SOF5 differential at full resolution
+    out += b"\xff\xc5" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    dcd = (8 * d) // STD_LUMA_QT[0]
+    out += put_blocks((width // 8) * (height // 8), dcd, repeat_all=True)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v17-fractional-sampling-slot"
+    fp = _fc.source_fingerprint(src) + ":v18-hierarchical-slot"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -64,6 +64,9 @@ def _materialize_media(sf_dir: str) -> str:
         encode_jpeg_solid_gray_arith,
         encode_jpeg_solid_gray_progressive,
         encode_jpeg_solid_gray_samp,
+    )
+    from journal_batch_processer_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical_solid_gray,
     )
     from journal_batch_processer_spark.operators.avi import (
         encode_avi_mjpeg,
@@ -128,7 +131,16 @@ def _materialize_media(sf_dir: str) -> str:
         # per-component EOBn AC bands) with the SAME dims as the
         # sequential branch, so the oracle is coding-process-agnostic.
         jv = 2 * ((7 * i) % 100) + 20
-        if i % 9 == 0:
+        if i % 9 == 0 and i % 2 == 1:
+            # HIERARCHICAL pyramid (Annex K, r08): half-res SOF0 stage
+            # → EXP(1,1) → SOF5 differential correction; single gray
+            # component (channels=1 in the oracle), final mean exactly
+            # jv by the closed-form two-stage construction.
+            jw, jh = 16 * (1 + (i // 9) % 2), 16 * (1 + (i // 3) % 2)
+            payload = encode_jpeg_hierarchical_solid_gray(
+                jw, jh, jv, restart_interval=3 if i % 3 == 0 else 0,
+            )
+        elif i % 9 == 0:
             # FRACTIONAL sampling ratios (r08): 3x1 luma / 2x1 Cb /
             # 1x1 Cr — factors that do not divide the frame max, the
             # T.81 corner libjpeg rejects outright ("Fractional
@@ -389,12 +401,13 @@ def q_media_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_IMAGE_DECODE_JPEG = f"""
 SELECT printf('img_%05d.jpg', doc_id) AS fname,
-       CAST(CASE WHEN doc_id % 9 = 0 THEN 24 * (1 + doc_id % 2)
+       CAST(CASE WHEN doc_id % 18 = 9 THEN 16 * (1 + (doc_id // 9) % 2)
+                 WHEN doc_id % 9 = 0 THEN 24 * (1 + doc_id % 2)
                  WHEN doc_id % 3 = 0 THEN 16 * (1 + doc_id % 2)
                  ELSE 8 * (1 + doc_id % 3) END AS INT) AS width,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 16 * (1 + (doc_id // 3) % 2)
                  ELSE 8 * (1 + (doc_id // 3) % 4) END AS INT) AS height,
-       CAST(3 AS INT) AS channels,
+       CAST(CASE WHEN doc_id % 18 = 9 THEN 1 ELSE 3 END AS INT) AS channels,
        -- 12-bit fixtures (doc_id%9 = 2 sequential SOF1, = 4
        -- progressive SOF2 r08) carry gray 16·v in 0..4095
        CAST((CASE WHEN doc_id % 9 IN (2, 4) THEN 16 ELSE 1 END)

@@ -375,3 +375,65 @@ def test_fractional_sampling_progressive_still_gated():
     data[i + 1] = 0xC2  # pretend progressive
     with raises(NotImplementedError, match="PROGRESSIVE"):
         decode_jpeg_baseline(bytes(data))
+
+
+def test_hierarchical_jpeg_pyramids_decode_exact():
+    """Annex-K pyramids: half-res SOF0 stage -> EXP(1,1) -> SOF5
+    differential correction (positive AND negative, with and without
+    restarts) reconstruct the exact solid mean. Before the DHP
+    dispatch existed, such a stream silently decoded to its FIRST
+    frame only."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+    )
+    from journal_batch_processer_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical_solid_gray,
+    )
+
+    for (w, h) in ((16, 16), (48, 32)):
+        for v in (60, 220):
+            for ri in (0, 3):
+                d = decode_jpeg_baseline(
+                    encode_jpeg_hierarchical_solid_gray(
+                        w, h, v, restart_interval=ri
+                    )
+                )
+                assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+                assert d["mean_r"] == v
+    # negative correction: stage1 ABOVE the target
+    d = decode_jpeg_baseline(
+        encode_jpeg_hierarchical_solid_gray(16, 16, 60, v_stage1=100)
+    )
+    assert d["mean_r"] == 60
+
+
+def test_hierarchical_jpeg_fails_loud_on_structural_damage():
+    import struct as _struct
+
+    from pytest import raises
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+    )
+    from journal_batch_processer_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical_solid_gray,
+    )
+
+    base = encode_jpeg_hierarchical_solid_gray(16, 16, 128)
+    # truncate: drop everything from the EXP on -> half-res result
+    # must NOT be silently returned
+    i = base.find(b"\xff\xdf")
+    with raises(ValueError, match="DHP declared"):
+        decode_jpeg_baseline(base[:i] + b"\xff\xd9")
+    # remove ONLY the EXP segment: the differential frame no longer
+    # matches the (unexpanded) reference
+    no_exp = base[:i] + base[i + 5 :]
+    with raises(ValueError, match="missing EXP"):
+        decode_jpeg_baseline(no_exp)
+    # gated differential processes fail by name
+    j = base.find(b"\xff\xc5")
+    for sof in (0xC6, 0xC7, 0xCD):
+        mod = bytearray(base)
+        mod[j + 1] = sof
+        with raises(NotImplementedError, match="differential"):
+            decode_jpeg_baseline(bytes(mod))
