@@ -229,6 +229,162 @@ def _decode_diff_seq_frame(
     return w, h, [(cid, planes[cid]) for cid, _tq in comps], end
 
 
+def _decode_diff_arith_frame(
+    data: bytes,
+    frame_seg: bytes,
+    pos: int,
+    tables: dict,
+    prec: int,
+) -> tuple:
+    """SOF13 — differential sequential ARITHMETIC: the QM entropy
+    layer under the same PRED=0 spatial-correction semantics as SOF5.
+    Same return contract as :func:`_decode_diff_seq_frame`."""
+    from journal_batch_processer_spark.operators.jpeg_arith import (
+        AC_STAT_SLOTS,
+        DC_STAT_SLOTS,
+        FIXED_BIN,
+        ArithDecoder,
+        Stats,
+        decode_ac_coefs,
+        decode_dc_diff,
+    )
+
+    fprec, h, w, nc = struct.unpack(">BHHB", frame_seg[:6])
+    if fprec != prec:
+        raise ValueError(
+            f"jpeg hier: differential frame precision {fprec} != {prec}"
+        )
+    comps = []
+    for ci in range(nc):
+        cid, samp, tq = frame_seg[6 + 3 * ci : 9 + 3 * ci]
+        if samp != 0x11:
+            raise NotImplementedError(
+                "jpeg hier: non-1x1 sampling in a differential frame"
+            )
+        comps.append((cid, tq))
+    maxval = (1 << prec) - 1
+    bw_blocks = (w + 7) // 8
+    bh_blocks = (h + 7) // 8
+    planes = {cid: [[0] * (bw_blocks * 8) for _ in range(bh_blocks * 8)]
+              for cid, _tq in comps}
+    scan = None
+    restart_interval = tables.get("dri", 0)
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg hier: expected marker at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xCC:  # DAC
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                if tc == 0:
+                    tables[("dac_dc", tb)] = (cs & 0xF, cs >> 4)
+                else:
+                    tables[("dac_ac", tb)] = cs
+                p += 2
+        elif marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                raw = seg[p + 1 : p + 65 + 64 * pq]
+                if pq:
+                    zz = [
+                        struct.unpack(">H", raw[2 * i : 2 * i + 2])[0]
+                        for i in range(64)
+                    ]
+                else:
+                    zz = list(raw[:64])
+                qt = [0] * 64
+                for i in range(64):
+                    qt[ZIGZAG[i]] = zz[i]
+                tables[("qt", tq)] = qt
+                p += 65 + 64 * pq
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+            tables["dri"] = restart_interval
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            entropy_start = pos + seglen
+            break
+        else:
+            raise ValueError(
+                f"jpeg hier: unexpected marker 0x{marker:02x} inside a "
+                "differential frame"
+            )
+        pos += seglen
+    if scan is None:
+        raise ValueError("jpeg hier: differential frame without SOS")
+    if len(scan) != nc:
+        raise NotImplementedError(
+            "jpeg hier: non-interleaved differential scans unsupported"
+        )
+    qt_by_cid = {}
+    for cid, tq in comps:
+        qt = tables.get(("qt", tq))
+        if qt is None:
+            raise ValueError(f"jpeg hier: missing DQT {tq}")
+        qt_by_cid[cid] = qt
+
+    def fresh():
+        dc = {dct: Stats(DC_STAT_SLOTS) for _c, dct, _a in scan}
+        ac = {act: Stats(AC_STAT_SLOTS) for _c, _d, act in scan}
+        return dc, ac
+
+    fixed = Stats(1)
+    fixed.idx[0] = FIXED_BIN
+    dec = ArithDecoder(data, entropy_start)
+    dc_stats, ac_stats = fresh()
+    dc_ctx = {cid: 0 for cid, _tq in comps}
+    mcu_count = 0
+    rst = 0
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                mp = dec.marker_pos
+                if mp is None or data[mp + 1] != 0xD0 + rst:
+                    raise ValueError(
+                        f"jpeg hier: expected restart marker RST{rst}"
+                    )
+                dec = ArithDecoder(data, mp + 2)
+                dc_stats, ac_stats = fresh()
+                dc_ctx = {cid: 0 for cid, _tq in comps}
+                rst = (rst + 1) & 7
+            mcu_count += 1
+            for cid, dct, act in scan:
+                ll, uu = tables.get(("dac_dc", dct), (0, 1))
+                kx = tables.get(("dac_ac", act), 5)
+                qt = qt_by_cid[cid]
+                # PRED = 0: the decoded "difference" IS the DC value
+                dc, dc_ctx[cid] = decode_dc_diff(
+                    dec, dc_stats[dct], dc_ctx[cid], ll, uu
+                )
+                coef = [0] * 64
+                coef[0] = dc * qt[0]
+                decode_ac_coefs(
+                    dec, ac_stats[act], fixed, kx, coef, ZIGZAG, qt
+                )
+                block = _idct_block(coef, half=0, maxval=maxval, lo=-maxval)
+                plane = planes[cid]
+                for yy in range(8):
+                    row = plane[by * 8 + yy]
+                    for xx in range(8):
+                        row[bx * 8 + xx] = block[yy * 8 + xx]
+    end = _entropy_end(data, entropy_start, skip_restarts=True)
+    return w, h, [(cid, planes[cid]) for cid, _tq in comps], end
+
+
 def decode_jpeg_hierarchical(data: bytes):
     """Decode a DHP-led hierarchical stream; returns the standard
     (w, h, comps, planes, prec) tuple for the FINAL reconstruction."""
@@ -274,6 +430,16 @@ def decode_jpeg_hierarchical(data: bytes):
             prelude.append(data[mstart : pos + seglen])
             if marker == 0xDD:
                 tables["dri"] = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xCC:
+                p2 = 0
+                while p2 + 1 < len(seg):
+                    tc, tb = seg[p2] >> 4, seg[p2] & 0xF
+                    cs = seg[p2 + 1]
+                    if tc == 0:
+                        tables[("dac_dc", tb)] = (cs & 0xF, cs >> 4)
+                    else:
+                        tables[("dac_ac", tb)] = cs
+                    p2 += 2
             elif marker == 0xC4:
                 p2 = 0
                 while p2 < len(seg):
@@ -343,10 +509,10 @@ def decode_jpeg_hierarchical(data: bytes):
             ref_dims = (w0, h0)
             pos = fpos
         elif marker in _DIFF_SOFS:
-            if marker != 0xC5:
+            if marker not in (0xC5, 0xCD):
                 raise NotImplementedError(
                     f"jpeg hier: SOF{marker - 0xC0} (differential "
-                    "progressive/lossless/arithmetic) unsupported"
+                    "progressive/lossless) unsupported"
                 )
             if ref is None:
                 raise ValueError(
@@ -360,7 +526,12 @@ def decode_jpeg_hierarchical(data: bytes):
                     ref_dims[1] * (2 if ev else 1),
                 )
                 pending_exp = None
-            fw, fh, diffs, pos = _decode_diff_seq_frame(
+            decode_frame = (
+                _decode_diff_seq_frame
+                if marker == 0xC5
+                else _decode_diff_arith_frame
+            )
+            fw, fh, diffs, pos = decode_frame(
                 data, seg, pos + seglen, tables, prec
             )
             if (fw, fh) != ref_dims:
@@ -410,14 +581,16 @@ def encode_jpeg_hierarchical_solid_gray(
     v: int,
     v_stage1: int | None = None,
     restart_interval: int = 0,
+    diff_arith: bool = False,
 ) -> bytes:
     """Two-stage hierarchical pyramid of a solid gray: a half-
-    resolution SOF0 first stage at ``v_stage1``, EXP(1,1), and an
-    SOF5 differential refinement carrying the constant correction
-    ``v - v_stage1`` — every decoded mean stays closed-form while the
-    stream is a genuine Annex-K pyramid. Requires dims ≡ 0 (mod 16)
-    and even grays with a difference divisible by 4 (so both stages'
-    DC coefficients quantize exactly under Q00=16)."""
+    resolution SOF0 first stage at ``v_stage1``, EXP(1,1), and a
+    differential refinement carrying the constant correction
+    ``v - v_stage1`` — Huffman (SOF5) or, with ``diff_arith``,
+    QM-arithmetic (SOF13). Every decoded mean stays closed-form while
+    the stream is a genuine Annex-K pyramid. Requires dims ≡ 0
+    (mod 16) and even grays with a difference divisible by 4 (so both
+    stages' DC coefficients quantize exactly under Q00=16)."""
     if width % 16 or height % 16:
         raise ValueError("hierarchical fixture requires multiple-of-16 dims")
     if v_stage1 is None:
@@ -488,11 +661,48 @@ def encode_jpeg_hierarchical_solid_gray(
     out += put_blocks((hw // 8) * (hh // 8), dc1, repeat_all=False)
     # EXP: expand reference x2 in both directions
     out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
-    # stage 2: SOF5 differential at full resolution
-    out += b"\xff\xc5" + struct.pack(">HBHHB", 11, 8, height, width, 1)
-    out += bytes([1, 0x11, 0])
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
     dcd = (8 * d) // STD_LUMA_QT[0]
-    out += put_blocks((width // 8) * (height // 8), dcd, repeat_all=True)
+    n_blocks = (width // 8) * (height // 8)
+    if not diff_arith:
+        # stage 2: SOF5 differential at full resolution
+        out += b"\xff\xc5" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+        out += bytes([1, 0x11, 0])
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes([1, 0x00, 0, 63, 0])
+        out += put_blocks(n_blocks, dcd, repeat_all=True)
+        out += b"\xff\xd9"
+        return bytes(out)
+    # stage 2: SOF13 differential-arithmetic (QM coder, PRED=0)
+    from journal_batch_processer_spark.operators.jpeg_arith import (
+        AC_STAT_SLOTS,
+        DC_STAT_SLOTS,
+        ArithEncoder,
+        Stats,
+        encode_ac_coefs,
+        encode_dc_diff,
+    )
+
+    out += b"\xff\xcd" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xcc" + struct.pack(">H", 6) + bytes([0x00, 0x10, 0x10, 5])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    enc = ArithEncoder()
+    dc_stats = Stats(DC_STAT_SLOTS)
+    ac_stats = Stats(AC_STAT_SLOTS)
+    ctx = 0
+    rst = 0
+    zz_zero = [0] * 64
+    for m in range(n_blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            out += enc.flush()
+            out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) & 7
+            enc = ArithEncoder()
+            dc_stats = Stats(DC_STAT_SLOTS)
+            ac_stats = Stats(AC_STAT_SLOTS)
+            ctx = 0
+        ctx = encode_dc_diff(enc, dc_stats, ctx, 0, 1, dcd)
+        encode_ac_coefs(enc, ac_stats, 5, zz_zero)
+    out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v18-hierarchical-slot"
+    fp = _fc.source_fingerprint(src) + ":v19-hierarchical-sof13"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -138,7 +138,8 @@ def _materialize_media(sf_dir: str) -> str:
             # jv by the closed-form two-stage construction.
             jw, jh = 16 * (1 + (i // 9) % 2), 16 * (1 + (i // 3) % 2)
             payload = encode_jpeg_hierarchical_solid_gray(
-                jw, jh, jv, restart_interval=3 if i % 3 == 0 else 0,
+                jw, jh, jv, restart_interval=3,
+                diff_arith=bool((i // 18) % 2),  # SOF5 / SOF13 alternate
             )
         elif i % 9 == 0:
             # FRACTIONAL sampling ratios (r08): 3x1 luma / 2x1 Cb /

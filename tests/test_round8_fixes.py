@@ -430,10 +430,33 @@ def test_hierarchical_jpeg_fails_loud_on_structural_damage():
     no_exp = base[:i] + base[i + 5 :]
     with raises(ValueError, match="missing EXP"):
         decode_jpeg_baseline(no_exp)
-    # gated differential processes fail by name
+    # gated differential processes fail by name (SOF13 arithmetic is
+    # SUPPORTED since late r08 — see the diff_arith pyramid test)
     j = base.find(b"\xff\xc5")
-    for sof in (0xC6, 0xC7, 0xCD):
+    for sof in (0xC6, 0xC7, 0xCE):
         mod = bytearray(base)
         mod[j + 1] = sof
         with raises(NotImplementedError, match="differential"):
             decode_jpeg_baseline(bytes(mod))
+
+
+def test_hierarchical_sof13_arithmetic_refinement():
+    """SOF13 — differential sequential ARITHMETIC refinement: the QM
+    entropy layer under PRED=0 spatial corrections, positive and
+    negative, with restarts."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+    )
+    from journal_batch_processer_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical_solid_gray,
+    )
+
+    for v, v1, ri in ((220, None, 0), (60, 100, 0), (128, None, 3)):
+        d = decode_jpeg_baseline(
+            encode_jpeg_hierarchical_solid_gray(
+                32, 16, v, v_stage1=v1, restart_interval=ri,
+                diff_arith=True,
+            )
+        )
+        assert (d["width"], d["height"], d["channels"]) == (32, 16, 1)
+        assert d["mean_r"] == v
