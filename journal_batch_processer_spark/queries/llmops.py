@@ -1736,6 +1736,127 @@ FROM base
 """
 
 
+# Curated-positive training label shared by the two supervised
+# curation keys below: sources src1-src3 stand in for the "known
+# high quality" corpus (GPT-3's WebText positives / DSIR's target
+# distribution); everything else is the raw pool.
+CURATED_SOURCES = ("src1", "src2", "src3")
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3 / CCNet quality-filter shape: train a linear
+    classifier (curated sources positive, rest negative) and score
+    every document — see operators.classifier.quality_classifier for
+    the exact integer-ppm model. High mean contrast → the doc's
+    vocabulary looks like the curated subset."""
+    from journal_batch_processer_spark.operators.classifier import (
+        quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "__pos", F.col("source").isin(*CURATED_SOURCES)
+    )
+    return quality_classifier(docs, "doc_id", "text")
+
+
+SQL_QUALITY_CLASSIFIER = """
+WITH lab AS (
+    SELECT doc_id, (source IN ('src1', 'src2', 'src3')) AS pos
+    FROM documents
+),
+tok0 AS (
+    SELECT d.doc_id, UNNEST(string_split(d.text, ' ')) AS tok, l.pos
+    FROM documents d JOIN lab l USING (doc_id)
+),
+tk AS (SELECT * FROM tok0 WHERE tok <> ''),
+model AS (
+    SELECT tok,
+           SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+           SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+    FROM tk GROUP BY tok
+),
+tot AS (
+    SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, COUNT(*) AS v
+    FROM model
+),
+wt AS (
+    SELECT tok,
+           (1000000 * (c_pos + 1)) // (t.n_pos + t.v)
+               - (1000000 * (c_neg + 1)) // (t.n_neg + t.v) AS w_ppm
+    FROM model, tot t
+),
+sc AS (
+    SELECT tk.doc_id, COUNT(*) AS n_tokens, SUM(w.w_ppm) AS sum_ppm
+    FROM tk JOIN wt w USING (tok) GROUP BY tk.doc_id
+)
+SELECT l.doc_id, l.pos AS label,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.sum_ppm, 0) AS BIGINT) AS sum_contrast_ppm,
+       CASE WHEN s.n_tokens > 0
+            THEN CAST(s.sum_ppm AS DOUBLE) / s.n_tokens
+       END AS mean_contrast_ppm,
+       CASE WHEN s.n_tokens > 0 THEN s.sum_ppm >= 0 END AS pred_pos
+FROM lab l LEFT JOIN sc s USING (doc_id)
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (Xie et al. 2023): hashed-bigram
+    bucket distributions for the curated target vs the raw pool,
+    per-doc importance weight, deterministic top-k — see
+    operators.classifier.dsir_select."""
+    from journal_batch_processer_spark.operators.classifier import dsir_select
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "__target", F.col("source").isin(*CURATED_SOURCES)
+    )
+    return dsir_select(docs, "doc_id", "text")
+
+
+SQL_DSIR_SELECT = """
+WITH d AS (
+    SELECT doc_id, (source IN ('src1', 'src2', 'src3')) AS tgt,
+           string_split(text, ' ') AS t
+    FROM documents
+),
+bi AS (
+    SELECT doc_id, tgt,
+           UNNEST(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM d
+),
+f AS (
+    SELECT doc_id, tgt,
+           ('0x' || substr(md5(bg), 1, 3))::BIGINT AS bucket
+    FROM bi
+),
+dist AS (
+    SELECT bucket,
+           SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t,
+           COUNT(*) AS c_r
+    FROM f GROUP BY bucket
+),
+tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM dist),
+wt AS (
+    SELECT bucket,
+           (1000000 * (c_t + 1)) // (t.n_t + 4096)
+               - (1000000 * (c_r + 1)) // (t.n_r + 4096) AS w_ppm
+    FROM dist, tot t
+),
+sc AS (
+    SELECT f.doc_id, COUNT(*) AS n_feats, SUM(w.w_ppm) AS weight_ppm
+    FROM f JOIN wt w USING (bucket) GROUP BY f.doc_id
+)
+SELECT doc_id,
+       CAST(n_feats AS BIGINT) AS n_feats,
+       CAST(weight_ppm AS BIGINT) AS weight_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY weight_ppm DESC, doc_id) AS INT)
+           AS rank
+FROM sc
+QUALIFY rank <= 200
+"""
+
+
 def q_trainprep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-shard CAPSTONE — the manifest a tokenizer shard
     actually consumes, end to end under ONE oracle: near-dup-closed
@@ -2956,6 +3077,8 @@ QUERIES = {
     "text_ngramlm": (q_text_ngramlm, SQL_TEXT_NGRAMLM),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "trainprep_pipeline": (q_trainprep_pipeline, SQL_TRAINPREP_PIPELINE),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "binary_ingest": (q_binary_ingest, _binary_ingest_sql),
