@@ -621,6 +621,54 @@ class SnapshotTable:
             }
         )
 
+    def clone(
+        self,
+        dest_root: str,
+        version: int | None = None,
+        as_of_us: int | None = None,
+        committed_at_us: int | None = None,
+    ) -> "SnapshotTable":
+        """SHALLOW CLONE (the Delta ``CREATE TABLE ... CLONE`` shape):
+        a NEW table whose v1 manifest references the source snapshot's
+        data files BY PATH — zero bytes copied, metadata-only, O(files).
+        The clone then lives its own life: every write path is already
+        copy-on-write, so its merges/deletes stage replacement files
+        under the CLONE's root and the source is never touched;
+        conversely source commits after the clone point are invisible
+        to the clone (it pinned one manifest). Shared files are
+        protected from the clone's vacuum by the outside-root guard in
+        :meth:`vacuum` — reclaiming them is the source's prerogative.
+        At 100 TB this is how dev/staging copies of a production table
+        are made instantly (clone = one manifest write)."""
+        v = self._resolve(version, as_of_us)
+        man = self.manifest(v)
+        t = SnapshotTable(dest_root)
+        os.makedirs(t._manifest_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        files = []
+        for f in man["files"]:
+            e = dict(f)
+            e["path"] = os.path.relpath(
+                os.path.join(self.root, f["path"]), dest_root
+            )
+            files.append(e)
+        t._try_commit(
+            {
+                "format_version": 1,
+                "version": 1,
+                "parent": None,
+                "operation": "clone",
+                "cloned_from": {
+                    "root": os.path.abspath(self.root),
+                    "version": v,
+                },
+                "committed_at_us": t._now_us(committed_at_us),
+                "schema": man["schema"],
+                "files": files,
+            }
+        )
+        return t
+
     def vacuum(self, retain_last: int = 2) -> dict:
         """Physically remove data files referenced ONLY by snapshots
         older than the ``retain_last`` newest, and the expired
@@ -640,6 +688,7 @@ class SnapshotTable:
         for v in keep_v:
             live |= {f["path"] for f in _all_refs(self.manifest(v))}
         removed = reclaimed = 0
+        own_root = os.path.realpath(self.root) + os.sep
         for v in versions:
             if v in keep_v:
                 continue
@@ -648,6 +697,13 @@ class SnapshotTable:
                 if p in live:
                     continue
                 live.add(p)  # only count/remove once
+                # shallow-clone guard: entries referencing ANOTHER
+                # table's files (``../`` paths from clone()) are never
+                # reclaimed here — that data belongs to the source
+                if not os.path.realpath(
+                    os.path.join(self.root, p)
+                ).startswith(own_root):
+                    continue
                 try:
                     reclaimed += os.path.getsize(os.path.join(self.root, p))
                     os.unlink(os.path.join(self.root, p))

@@ -967,8 +967,77 @@ FROM ev WHERE event_id % 1000 = 1
 """
 
 
+def _materialize_clone_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Shallow-clone fixture: clone the six-commit table's head (zero
+    data copied), then DIVERGE the clone with a COW range DELETE of
+    [PRUNE_LO, PRUNE_HI] and vacuum it down to its own head. The clone
+    marker records an md5 of the SOURCE head manifest, so a rebuilt
+    source (whose staged file names are fresh uuids) invalidates the
+    clone's by-path references and forces a re-clone."""
+    import hashlib
+
+    src_root = materialize_table(spark, sf_dir)
+    src = SnapshotTable(src_root)
+    with open(
+        os.path.join(src_root, "_manifest", f"v{src.latest_version():05d}.json"),
+        "rb",
+    ) as fh:
+        src_id = hashlib.md5(fh.read()).hexdigest()
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"clone_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "clone", "sf_dir": sf_dir, "src": src_id}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 2:
+                return src_root, root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    t = src.clone(root, committed_at_us=1_000_000)
+    t.delete_range(
+        spark, "event_id", PRUNE_LO, PRUNE_HI, committed_at_us=2_000_000
+    )
+    t.vacuum(retain_last=1)
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return src_root, root
+
+
+def q_table_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + divergence, row-level, both tables in one
+    result: the clone (after ITS copy-on-write delete and a vacuum)
+    must be the source state minus the deleted range, and the SOURCE —
+    read after the clone diverged and vacuumed — must be bit-identical
+    to its own head: the clone staged its rewrites under its own root,
+    and its vacuum refused to reclaim the shared (../) files. A clone
+    that mutated shared data, dangled a reference, or vacuumed a
+    source file hash-fails on one side or the other."""
+    src_root, clone_root = _materialize_clone_table(spark, sf_dir)
+    src = SnapshotTable(src_root).read(spark)
+    cl = SnapshotTable(clone_root).read(spark)
+    return src.select(F.lit("source").alias("side"), "*").unionByName(
+        cl.select(F.lit("clone").alias("side"), "*")
+    )
+
+
+SQL_TABLE_CLONE_READ = (
+    _STATE_CTES
+    + f"""
+SELECT 'source' AS side, event_id, user_id, value, event_type, priority
+FROM s5
+UNION ALL
+SELECT 'clone', event_id, user_id, value, event_type, priority
+FROM s5 WHERE event_id NOT BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+"""
+)
+
+
 QUERIES = {
     "table_snapshot_read": (q_table_snapshot_read, SQL_TABLE_SNAPSHOT_READ),
+    "table_clone_read": (q_table_clone_read, SQL_TABLE_CLONE_READ),
     "table_merge_commit": (q_table_merge_commit, SQL_TABLE_MERGE_COMMIT),
     "table_evolution_read": (q_table_evolution_read, SQL_TABLE_EVOLUTION_READ),
     "table_compact_read": (q_table_compact_read, SQL_TABLE_COMPACT_READ),

@@ -583,3 +583,53 @@ def test_manifest_lists_shard_resolve_and_vacuum(spark, tmp_path):
     t.vacuum(retain_last=2)
     assert _g.glob(_os.path.join(t._manifest_dir, "shards", "v00002-*")) == []
     assert t.read(spark).count() == 400 + 10 - 10 + 10
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    import glob as _glob
+
+    t = _mk(spark, tmp_path, "src")
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    c = t.clone(str(tmp_path / "cl"), committed_at_us=3_000_000)
+    # zero-copy: the clone owns NO parquet yet, only references
+    assert _glob.glob(str(tmp_path / "cl" / "**" / "*.parquet"),
+                      recursive=True) == []
+    assert c.manifest(1)["operation"] == "clone"
+    assert c.read(spark).count() == 100
+    # divergence is copy-on-write into the CLONE's root
+    c.delete_range(spark, "k", 0, 9, committed_at_us=4_000_000)
+    assert c.read(spark).count() == 90
+    assert t.read(spark).count() == 100  # source untouched
+    # source commits after the clone point stay invisible to the clone
+    t.append(_df(spark, 100, 150), committed_at_us=5_000_000)
+    assert c.read(spark).count() == 90
+    # every file the clone now references under its own root exists
+    for f in c.manifest()["files"]:
+        assert os.path.exists(os.path.join(c.root, f["path"]))
+
+
+def test_clone_vacuum_never_reclaims_shared_source_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, "src")
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    src_files = [
+        os.path.join(t.root, f["path"]) for f in t.manifest()["files"]
+    ]
+    c = t.clone(str(tmp_path / "cl"), committed_at_us=3_000_000)
+    c.delete_range(spark, "k", 0, 99, committed_at_us=4_000_000)
+    stats = c.vacuum(retain_last=1)
+    # v1's only refs are the source's files: the guard must skip ALL
+    # of them (removed==0), and the source must still read clean
+    assert stats["files_removed"] == 0
+    assert all(os.path.exists(p) for p in src_files)
+    assert t.read(spark).count() == 100
+    with pytest.raises(FileNotFoundError):
+        c.manifest(1)  # the expired manifest itself IS reclaimed
+
+
+def test_clone_of_time_travel_version(spark, tmp_path):
+    t = _mk(spark, tmp_path, "src")
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    t.append(_df(spark, 50, 80), committed_at_us=3_000_000)
+    c = t.clone(str(tmp_path / "cl"), version=2, committed_at_us=4_000_000)
+    assert c.read(spark).count() == 50  # the pinned snapshot, not head
+    assert c.manifest(1)["cloned_from"]["version"] == 2
