@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     # per doc)
     "text_ngramlm",
     "dedup_substring",
+    # r08 session 2: the supervised-curation pair — classifier is a
+    # second corpus-model train+score (vocab-keyed join, stopword
+    # skew); DSIR adds the fixed-4096-bucket broadcast-join shape
+    "quality_classifier",
+    "dsir_select",
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is
