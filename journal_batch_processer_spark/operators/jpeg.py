@@ -35,9 +35,14 @@ Scope — honest and loud:
   (no color transform is defined for it)
   (operators/jpeg_lossless.py). FRACTIONAL sampling ratios decode in
   sequential frames (r08 — nearest-sample upsampling; libjpeg rejects
-  such files). Anything else raises NotImplementedError/ValueError
-  naming the feature: differential/hierarchical SOFs (5-7, 13-15),
-  non-interleaved lossless scans, non-1×1 lossless sampling,
+  such files). HIERARCHICAL pyramids (Annex K, operators/jpeg_hier.py)
+  decode with differential sequential (SOF5/13) AND differential
+  LOSSLESS (SOF7/15, r08 — Ss=0 no-prediction corrections added
+  modulo 2^16, so lossless pyramids reconstruct bit-exactly)
+  refinement frames, Huffman or QM-arithmetic. Anything else raises
+  NotImplementedError/ValueError naming the feature: differential
+  PROGRESSIVE frames (SOF6/14), non-1×1 sampling in differential
+  frames, non-interleaved lossless scans, non-1×1 lossless sampling,
   fractional sampling inside progressive frames.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).

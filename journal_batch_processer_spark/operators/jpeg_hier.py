@@ -18,14 +18,19 @@ Supported scope, honest and loud:
   decoder on a synthesized sub-stream: SOI + accumulated tables +
   frame + EOI — table state accumulates across frames per B.2/K.2);
 - EXP (0xDF) reference expansion, Eh/Ev ∈ {0,1};
-- differential SEQUENTIAL Huffman frames (SOF5) over 1×1-sampled
-  components: DC coded with PRED=0 (F.2.1.3.1 — no predictor
-  carry-over in differential frames), no level shift, IDCT output in
-  [-maxval, maxval] added to the reference and clamped to the sample
-  range (K.4); DRI/RSTn honored.
-- Gated by name: differential progressive (SOF6), differential
-  lossless (SOF7), the arithmetic differential family (SOF13-15),
-  and non-1×1 sampling inside differential frames.
+- differential SEQUENTIAL frames — Huffman (SOF5) or QM-arithmetic
+  (SOF13) — over 1×1-sampled components: DC coded with PRED=0
+  (F.2.1.3.1 — no predictor carry-over in differential frames), no
+  level shift, IDCT output in [-maxval, maxval] added to the
+  reference and clamped to the sample range (K.4); DRI/RSTn honored.
+- differential LOSSLESS frames — Huffman (SOF7) or QM-arithmetic
+  (SOF15), r08: Ss=0 scans (Table H.1 predictor value 0 = no
+  prediction — the coded diffs ARE the corrections), added to the
+  reference MODULO 2^16 (K.4), so a pyramid whose stages are all
+  lossless reconstructs the source bit-exactly; DRI/RSTn honored,
+  2..16-bit, 1..4 components.
+- Gated by name: differential PROGRESSIVE (SOF6/14) and non-1×1
+  sampling inside differential frames.
 
 Validation: no system library decodes hierarchical JPEG (libjpeg has
 never implemented it), so — as for lossless — the proof is bit-exact
@@ -385,6 +390,192 @@ def _decode_diff_arith_frame(
     return w, h, [(cid, planes[cid]) for cid, _tq in comps], end
 
 
+def _decode_diff_lossless_frame(
+    data: bytes,
+    frame_seg: bytes,
+    pos: int,
+    tables: dict,
+    prec: int,
+    arith: bool,
+) -> tuple:
+    """SOF7 (Huffman) / SOF15 (QM-arithmetic) — differential LOSSLESS:
+    the correction samples are coded with the Annex-H entropy layer but
+    WITHOUT prediction (T.81 Table H.1: predictor selection value 0 is
+    reserved for exactly this — differential coding in hierarchical
+    mode; the scan's Ss must be 0).  The decoded value (<< Pt) IS the
+    correction; the caller adds it to the reference MODULO 2^16 (K.4 —
+    lossless differential addition is modular, unlike the clamped DCT
+    case, so the final stage reconstructs the source bit-exactly).
+    Arithmetic conditioning (H.1.2.2) classifies Da/Db over the coded
+    correction values themselves — in a non-differential lossless
+    frame those conditioning values are the prediction differences,
+    and in a differential frame the corrections play that role.
+    Returns (w, h, [(cid, plane)], new_pos, pt) with planes at the
+    exact sample grid (no 8x8 padding)."""
+    fprec, h, w, nc = struct.unpack(">BHHB", frame_seg[:6])
+    if fprec != prec:
+        raise ValueError(
+            f"jpeg hier: differential frame precision {fprec} != {prec}"
+        )
+    comps = []
+    for ci in range(nc):
+        cid, samp, _tq = frame_seg[6 + 3 * ci : 9 + 3 * ci]
+        if samp != 0x11:
+            raise NotImplementedError(
+                "jpeg hier: non-1x1 sampling in a differential frame"
+            )
+        comps.append(cid)
+    scan = None
+    restart_interval = tables.get("dri", 0)
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg hier: expected marker at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = [0] + list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                tables[("huff", tc, th)] = _huff_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xCC:
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                if tc == 0:
+                    tables[("dac_dc", tb)] = (cs & 0xF, cs >> 4)
+                else:
+                    tables[("dac_ac", tb)] = cs
+                p += 2
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+            tables["dri"] = restart_interval
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4) for i in range(ns)
+            ]
+            ss, _se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            scan = (scan_comps, ss, a & 0xF)
+            entropy_start = pos + seglen
+            break
+        else:
+            raise ValueError(
+                f"jpeg hier: unexpected marker 0x{marker:02x} inside a "
+                "differential frame"
+            )
+        pos += seglen
+    if scan is None:
+        raise ValueError("jpeg hier: differential frame without SOS")
+    scan_comps, ss, pt = scan
+    if ss != 0:
+        raise ValueError(
+            f"jpeg hier: differential lossless scan must have Ss=0 "
+            f"(no prediction), got {ss}"
+        )
+    if len(scan_comps) != nc:
+        raise NotImplementedError(
+            "jpeg hier: non-interleaved differential scans unsupported"
+        )
+    order = []
+    for cid, tb in scan_comps:
+        if cid not in comps:
+            raise ValueError(f"jpeg hier: scan component id {cid} not in frame")
+        order.append((cid, tb))
+    planes = {cid: [[0] * w for _ in range(h)] for cid in comps}
+
+    if not arith:
+        end = _entropy_end(data, entropy_start, skip_restarts=True)
+        br = _BitReader(data[entropy_start:end])
+        count = 0
+        rst = 0
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and count and (
+                    count % restart_interval == 0
+                ):
+                    br.expect_restart(rst)
+                    rst = (rst + 1) & 7
+                count += 1
+                for cid, tb in order:
+                    table = tables.get(("huff", 0, tb))
+                    if table is None:
+                        raise ValueError("jpeg hier: missing DHT for scan")
+                    s = _read_huff(br, table)
+                    if s == 16:
+                        diff = 32768
+                    elif s:
+                        diff = _extend(br.bits(s), s)
+                    else:
+                        diff = 0
+                    planes[cid][y][x] = diff << pt
+        return w, h, [(cid, planes[cid]) for cid in comps], end, pt
+
+    from journal_batch_processer_spark.operators.jpeg_arith import (
+        ArithDecoder,
+        Stats,
+    )
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        LA_STAT_SLOTS,
+        _LA_TREE_A,
+        _LA_TREE_B,
+        _la_classify,
+        _la_decode_diff,
+    )
+
+    def fresh_stats():
+        return {tb: Stats(LA_STAT_SLOTS) for _cid, tb in order}
+
+    dec = ArithDecoder(data, entropy_start)
+    stats_by_tb = fresh_stats()
+    idx = {cid: i for i, cid in enumerate(comps)}
+    prev_diffs = [[0] * w for _ in comps]
+    cur_diffs = [[0] * w for _ in comps]
+    count = 0
+    rst = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                mp = dec.marker_pos
+                if mp is None or data[mp + 1] != 0xD0 + rst:
+                    raise ValueError(
+                        f"jpeg hier: expected restart marker RST{rst}"
+                    )
+                dec = ArithDecoder(data, mp + 2)
+                stats_by_tb = fresh_stats()
+                prev_diffs = [[0] * w for _ in comps]
+                cur_diffs = [[0] * w for _ in comps]
+                rst = (rst + 1) & 7
+                fresh = True
+            count += 1
+            for cid, tb in order:
+                ci = idx[cid]
+                ll, uu = tables.get(("dac_dc", tb), (0, 1))
+                da = cur_diffs[ci][x - 1] if x > 0 and not fresh else 0
+                db = prev_diffs[ci][x] if y > 0 and not fresh else 0
+                ca, cb = _la_classify(da, ll, uu), _la_classify(db, ll, uu)
+                mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
+                diff = _la_decode_diff(
+                    dec, stats_by_tb[tb], 4 * (5 * ca + cb), mag_base
+                )
+                planes[cid][y][x] = diff << pt
+                cur_diffs[ci][x] = diff
+            fresh = False
+        for ci in range(len(comps)):
+            prev_diffs[ci], cur_diffs[ci] = cur_diffs[ci], [0] * w
+    end = _entropy_end(data, entropy_start, skip_restarts=True)
+    return w, h, [(cid, planes[cid]) for cid in comps], end, pt
+
+
 def decode_jpeg_hierarchical(data: bytes):
     """Decode a DHP-led hierarchical stream; returns the standard
     (w, h, comps, planes, prec) tuple for the FINAL reconstruction."""
@@ -509,10 +700,10 @@ def decode_jpeg_hierarchical(data: bytes):
             ref_dims = (w0, h0)
             pos = fpos
         elif marker in _DIFF_SOFS:
-            if marker not in (0xC5, 0xCD):
+            if marker not in (0xC5, 0xCD, 0xC7, 0xCF):
                 raise NotImplementedError(
                     f"jpeg hier: SOF{marker - 0xC0} (differential "
-                    "progressive/lossless) unsupported"
+                    "progressive) unsupported"
                 )
             if ref is None:
                 raise ValueError(
@@ -526,14 +717,21 @@ def decode_jpeg_hierarchical(data: bytes):
                     ref_dims[1] * (2 if ev else 1),
                 )
                 pending_exp = None
-            decode_frame = (
-                _decode_diff_seq_frame
-                if marker == 0xC5
-                else _decode_diff_arith_frame
-            )
-            fw, fh, diffs, pos = decode_frame(
-                data, seg, pos + seglen, tables, prec
-            )
+            lossless = marker in (0xC7, 0xCF)
+            if lossless:
+                fw, fh, diffs, pos, _pt = _decode_diff_lossless_frame(
+                    data, seg, pos + seglen, tables, prec,
+                    arith=(marker == 0xCF),
+                )
+            else:
+                decode_frame = (
+                    _decode_diff_seq_frame
+                    if marker == 0xC5
+                    else _decode_diff_arith_frame
+                )
+                fw, fh, diffs, pos = decode_frame(
+                    data, seg, pos + seglen, tables, prec
+                )
             if (fw, fh) != ref_dims:
                 raise ValueError(
                     f"jpeg hier: differential frame {fw}x{fh} does not "
@@ -549,9 +747,17 @@ def decode_jpeg_hierarchical(data: bytes):
                 rplane = ref[cid]
                 for y in range(fh):
                     rrow, drow = rplane[y], dplane[y]
-                    for x in range(fw):
-                        v = rrow[x] + drow[x]
-                        rrow[x] = 0 if v < 0 else maxval if v > maxval else v
+                    if lossless:
+                        # K.4: lossless differential addition is MODULO
+                        # 2^16 — exact reconstruction, never clamped
+                        for x in range(fw):
+                            rrow[x] = (rrow[x] + drow[x]) & 0xFFFF
+                    else:
+                        for x in range(fw):
+                            v = rrow[x] + drow[x]
+                            rrow[x] = (
+                                0 if v < 0 else maxval if v > maxval else v
+                            )
         else:
             raise ValueError(
                 f"jpeg hier: unexpected top-level marker 0x{marker:02x}"
@@ -571,8 +777,178 @@ def decode_jpeg_hierarchical(data: bytes):
 
 
 # ---------------------------------------------------------------------------
-# fixture encoder
+# fixture encoders
 # ---------------------------------------------------------------------------
+
+
+def encode_jpeg_hierarchical_lossless(
+    planes: "list[list[list[int]]]",
+    precision: int = 8,
+    diff_arith: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Two-stage LOSSLESS pyramid over 1..4 ARBITRARY sample grids:
+    stage 1 is an SOF3 frame of the 2×-decimated image, then EXP(1,1)
+    and an SOF7 (or, with ``diff_arith``, SOF15) differential-lossless
+    refinement carrying ``(target - expanded_ref) mod 2^16``.  Because
+    every stage is lossless the full pyramid reconstructs the input
+    BIT-EXACTLY — random images round-trip, the strongest validation
+    available for a mode no system library implements.  Requires even
+    dims (EXP doubles exactly)."""
+    nc = len(planes)
+    if not 1 <= nc <= 4:
+        raise ValueError(f"bad component count {nc}")
+    h = len(planes[0])
+    w = len(planes[0][0])
+    if w % 2 or h % 2:
+        raise ValueError("hierarchical lossless fixture requires even dims")
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        _LL_BITS,
+        _LL_VALS,
+        encode_jpeg_lossless,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xde" + struct.pack(
+        ">HBHHB", 8 + 3 * nc, precision, h, w, nc
+    )
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
+    # stage 1: SOF3 of the decimated image (strip the standalone
+    # encoder's SOI/EOI; its DHT rides inside the frame region)
+    stage1 = [
+        [[pl[2 * y][2 * x] for x in range(w // 2)] for y in range(h // 2)]
+        for pl in planes
+    ]
+    out += encode_jpeg_lossless(stage1, precision=precision)[2:-2]
+    # EXP ×2 both directions; the reference the decoder will hold is
+    # exactly expand_plane(stage1) because stage 1 was lossless
+    out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
+    refs = [expand_plane(pl, 1, 1) for pl in stage1]
+
+    def _diffs(ci):
+        pl, rf = planes[ci], refs[ci]
+        return [
+            [(pl[y][x] - rf[y][x]) & 0xFFFF for x in range(w)]
+            for y in range(h)
+        ]
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if not diff_arith:
+        out += b"\xff\xc7" + struct.pack(
+            ">HBHHB", 8 + 3 * nc, precision, h, w, nc
+        )
+        for ci in range(nc):
+            out += bytes([ci + 1, 0x11, 0])
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(_LL_VALS))
+        out += bytes([0x00]) + bytes(_LL_BITS[1:17]) + bytes(_LL_VALS)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for ci in range(nc):
+            out += bytes([ci + 1, 0x00])
+        out += bytes([0, 0, 0])  # Ss=0: differential, no prediction
+        codes = _huff_codes(_LL_BITS, _LL_VALS)
+        diffs = [_diffs(ci) for ci in range(nc)]
+        bw = _BitWriter()
+        count = 0
+        rst = 0
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and count and (
+                    count % restart_interval == 0
+                ):
+                    bw.flush()
+                    out += bw.buf
+                    out += bytes((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) & 7
+                    bw = _BitWriter()
+                count += 1
+                for ci in range(nc):
+                    dd = diffs[ci][y][x]
+                    if dd >= 32768 and dd != 32768:
+                        dd -= 65536
+                    if dd == 32768:
+                        s = 16
+                    else:
+                        s = (
+                            dd.bit_length()
+                            if dd >= 0
+                            else (-dd).bit_length()
+                        )
+                    c, ln = codes[s]
+                    bw.put(c, ln)
+                    if 0 < s < 16:
+                        amp = dd if dd >= 0 else dd + (1 << s) - 1
+                        bw.put(amp, s)
+        bw.flush()
+        out += bw.buf
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    from journal_batch_processer_spark.operators.jpeg_arith import (
+        ArithEncoder,
+        Stats,
+    )
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        LA_STAT_SLOTS,
+        _LA_TREE_A,
+        _LA_TREE_B,
+        _la_classify,
+        _la_encode_diff,
+    )
+
+    out += b"\xff\xcf" + struct.pack(
+        ">HBHHB", 8 + 3 * nc, precision, h, w, nc
+    )
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x00, 0x10])
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([0, 0, 0])
+    ll, uu = 0, 1
+    diffs = [_diffs(ci) for ci in range(nc)]
+    enc = ArithEncoder()
+    stats = Stats(LA_STAT_SLOTS)
+    prev_diffs = [[0] * w for _ in range(nc)]
+    cur_diffs = [[0] * w for _ in range(nc)]
+    count = 0
+    rst = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                out += enc.flush()
+                out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) & 7
+                enc = ArithEncoder()
+                stats = Stats(LA_STAT_SLOTS)
+                prev_diffs = [[0] * w for _ in range(nc)]
+                cur_diffs = [[0] * w for _ in range(nc)]
+                fresh = True
+            count += 1
+            for ci in range(nc):
+                dd = diffs[ci][y][x]
+                if dd >= 32768:
+                    dd -= 65536
+                if dd == -32768:
+                    raise NotImplementedError(
+                        "jpeg hier: lossless-arithmetic |diff| >= 32768"
+                    )
+                da = cur_diffs[ci][x - 1] if x > 0 and not fresh else 0
+                db = prev_diffs[ci][x] if y > 0 and not fresh else 0
+                ca = _la_classify(da, ll, uu)
+                cb = _la_classify(db, ll, uu)
+                mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
+                _la_encode_diff(enc, stats, 4 * (5 * ca + cb), mag_base, dd)
+                cur_diffs[ci][x] = dd
+            fresh = False
+        for ci in range(nc):
+            prev_diffs[ci], cur_diffs[ci] = cur_diffs[ci], [0] * w
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg_hierarchical_solid_gray(

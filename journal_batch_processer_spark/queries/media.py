@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v19-hierarchical-sof13"
+    fp = _fc.source_fingerprint(src) + ":v20-hierarchical-lossless"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -66,6 +66,7 @@ def _materialize_media(sf_dir: str) -> str:
         encode_jpeg_solid_gray_samp,
     )
     from journal_batch_processer_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical_lossless,
         encode_jpeg_hierarchical_solid_gray,
     )
     from journal_batch_processer_spark.operators.avi import (
@@ -132,15 +133,33 @@ def _materialize_media(sf_dir: str) -> str:
         # sequential branch, so the oracle is coding-process-agnostic.
         jv = 2 * ((7 * i) % 100) + 20
         if i % 9 == 0 and i % 2 == 1:
-            # HIERARCHICAL pyramid (Annex K, r08): half-res SOF0 stage
-            # → EXP(1,1) → SOF5 differential correction; single gray
+            # HIERARCHICAL pyramid (Annex K, r08): half-res first stage
+            # → EXP(1,1) → differential correction; single gray
             # component (channels=1 in the oracle), final mean exactly
-            # jv by the closed-form two-stage construction.
+            # jv by construction. The slot cycles the whole
+            # differential-frame matrix: SOF5 / SOF13 (DCT corrections,
+            # Huffman/arithmetic) and SOF7 / SOF15 (LOSSLESS
+            # corrections — a ±d checkerboard whose halves cancel, so
+            # the bit-exact reconstruction keeps the mean at jv while
+            # every correction sample is nonzero).
             jw, jh = 16 * (1 + (i // 9) % 2), 16 * (1 + (i // 3) % 2)
-            payload = encode_jpeg_hierarchical_solid_gray(
-                jw, jh, jv, restart_interval=3,
-                diff_arith=bool((i // 18) % 2),  # SOF5 / SOF13 alternate
-            )
+            variant = (i // 18) % 4
+            if variant < 2:
+                payload = encode_jpeg_hierarchical_solid_gray(
+                    jw, jh, jv, restart_interval=3,
+                    diff_arith=bool(variant),  # SOF5 / SOF13
+                )
+            else:
+                dlt = 1 + i % 5
+                pls = [[
+                    [jv + (dlt if (x + y) % 2 == 0 else -dlt)
+                     for x in range(jw)]
+                    for y in range(jh)
+                ]]
+                payload = encode_jpeg_hierarchical_lossless(
+                    pls, restart_interval=3,
+                    diff_arith=(variant == 3),  # SOF7 / SOF15
+                )
         elif i % 9 == 0:
             # FRACTIONAL sampling ratios (r08): 3x1 luma / 2x1 Cb /
             # 1x1 Cr — factors that do not divide the frame max, the

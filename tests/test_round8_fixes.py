@@ -430,10 +430,12 @@ def test_hierarchical_jpeg_fails_loud_on_structural_damage():
     no_exp = base[:i] + base[i + 5 :]
     with raises(ValueError, match="missing EXP"):
         decode_jpeg_baseline(no_exp)
-    # gated differential processes fail by name (SOF13 arithmetic is
-    # SUPPORTED since late r08 — see the diff_arith pyramid test)
+    # gated differential processes fail by name (SOF13 arithmetic and
+    # SOF7/15 lossless are SUPPORTED since late r08 — see the
+    # diff_arith / lossless pyramid tests); only differential
+    # PROGRESSIVE remains gated
     j = base.find(b"\xff\xc5")
-    for sof in (0xC6, 0xC7, 0xCE):
+    for sof in (0xC6, 0xCE):
         mod = bytearray(base)
         mod[j + 1] = sof
         with raises(NotImplementedError, match="differential"):
@@ -460,3 +462,60 @@ def test_hierarchical_sof13_arithmetic_refinement():
         )
         assert (d["width"], d["height"], d["channels"]) == (32, 16, 1)
         assert d["mean_r"] == v
+
+
+def test_hierarchical_lossless_pyramid_roundtrips_random_images():
+    """SOF7 / SOF15 — differential LOSSLESS refinement (Ss=0, modulo
+    2^16 addition): a pyramid whose stages are all lossless must
+    reconstruct RANDOM images bit-exactly across precision, component
+    count, entropy coder, and restarts — the strongest validation
+    available for a mode no system library has ever implemented."""
+    import random
+
+    from journal_batch_processer_spark.operators.jpeg_hier import (
+        decode_jpeg_hierarchical,
+        encode_jpeg_hierarchical_lossless,
+    )
+
+    rng = random.Random(81)
+    for prec in (2, 8, 12, 16):
+        hi = 32767 if prec == 16 else (1 << prec) - 1
+        for nc in (1, 3):
+            for arith in (False, True):
+                for ri in (0, 5):
+                    w, h = 10, 6
+                    planes = [
+                        [[rng.randint(0, hi) for _ in range(w)]
+                         for _ in range(h)]
+                        for _ in range(nc)
+                    ]
+                    data = encode_jpeg_hierarchical_lossless(
+                        planes, precision=prec, diff_arith=arith,
+                        restart_interval=ri,
+                    )
+                    ww, hh, comps, out, p2 = decode_jpeg_hierarchical(data)
+                    assert (ww, hh, p2) == (w, h, prec)
+                    assert out == planes, (prec, nc, arith, ri)
+
+
+def test_hierarchical_lossless_scan_requires_ss0():
+    """A differential lossless scan with Ss != 0 is malformed (Table
+    H.1 reserves predictor 0 for differential frames) — fail loud,
+    never decode with a predictor."""
+    from pytest import raises
+
+    from journal_batch_processer_spark.operators.jpeg_hier import (
+        decode_jpeg_hierarchical,
+        encode_jpeg_hierarchical_lossless,
+    )
+
+    base = bytearray(
+        encode_jpeg_hierarchical_lossless([[[5] * 4 for _ in range(4)]])
+    )
+    # the SECOND SOS is the differential frame's (the first belongs to
+    # the SOF3 stage); its Ss byte sits 3 bytes before the entropy data
+    j = base.find(b"\xff\xda", base.find(b"\xff\xc7"))
+    ss_at = j + 4 + 2 * base[j + 4]  # len(2) + ns + 2*ns comps -> Ss
+    base[ss_at + 1] = 1
+    with raises(ValueError, match="Ss=0"):
+        decode_jpeg_hierarchical(bytes(base))
