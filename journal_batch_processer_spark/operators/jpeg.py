@@ -36,14 +36,14 @@ Scope — honest and loud:
   (operators/jpeg_lossless.py). FRACTIONAL sampling ratios decode in
   sequential frames (r08 — nearest-sample upsampling; libjpeg rejects
   such files). HIERARCHICAL pyramids (Annex K, operators/jpeg_hier.py)
-  decode with differential sequential (SOF5/13) AND differential
-  LOSSLESS (SOF7/15, r08 — Ss=0 no-prediction corrections added
-  modulo 2^16, so lossless pyramids reconstruct bit-exactly)
-  refinement frames, Huffman or QM-arithmetic. Anything else raises
-  NotImplementedError/ValueError naming the feature: differential
-  PROGRESSIVE frames (SOF6/14), non-1×1 sampling in differential
-  frames, non-interleaved lossless scans, non-1×1 lossless sampling,
-  fractional sampling inside progressive frames.
+  decode with EVERY differential process (r08): sequential (SOF5/13),
+  PROGRESSIVE (SOF6/14 — the jpeg.py scan decoders reused with
+  PRED=0), and LOSSLESS (SOF7/15 — Ss=0 no-prediction corrections
+  added modulo 2^16, so lossless pyramids reconstruct bit-exactly),
+  Huffman or QM-arithmetic throughout. Anything else raises
+  NotImplementedError/ValueError naming the feature: non-1×1 sampling
+  in differential frames, non-interleaved lossless scans, non-1×1
+  lossless sampling, fractional sampling inside progressive frames.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -1274,14 +1274,17 @@ def _decode_jpeg_progressive(data: bytes):
 
 def _decode_progressive_scan_arith(
     data, entropy_start, frame, geom, coefs, scan_comps, ss, se, ah, al,
-    restart_interval, dc_cond, ac_cond,
+    restart_interval, dc_cond, ac_cond, differential=False,
 ):
     """One SOF10 scan (T.81 G.2 arithmetic progressive): the same scan
     geometry as the Huffman progressive path with QM-coded decisions —
     DC first/refine, AC first with band bounds, the AC refinement
     correction-bit algorithm (operators/jpeg_arith.py). Statistics,
     predictors, and the coder reset at scan start and at every restart
-    marker (F.2.2.5)."""
+    marker (F.2.2.5). ``differential`` (SOF14 frames inside a
+    hierarchical stream): PRED=0 — each block's decoded DC value is
+    its own correction, no predictor accumulation (the conditioning
+    context still chains per F.1.4.4.1.1)."""
     from journal_batch_processer_spark.operators.jpeg_arith import (
         AC_STAT_SLOTS,
         DC_STAT_SLOTS,
@@ -1345,8 +1348,10 @@ def _decode_progressive_scan_arith(
                 diff, dc_ctx[cid] = decode_dc_diff(
                     dec, dc_stats[dct], dc_ctx[cid], ll, uu
                 )
-                last_dc[cid] += diff
-                cq[0] = last_dc[cid] << al
+                if not differential:
+                    last_dc[cid] += diff
+                    diff = last_dc[cid]
+                cq[0] = diff << al
             else:  # refinement: one fixed-bin bit per block
                 decode_dc_refine(dec, fixed, cq, al)
 
@@ -1403,7 +1408,7 @@ def _decode_progressive_scan_arith(
 
 def _decode_progressive_scan(
     br, frame, geom, coefs, dc_tables, ac_tables, scan_comps, ss, se, ah, al,
-    restart_interval=0,
+    restart_interval=0, differential=False,
 ):
     w, h, comps = frame
     hmax, vmax, mcux, mcuy, dims = geom
@@ -1442,8 +1447,11 @@ def _decode_progressive_scan(
             if ah == 0:  # first pass: diffs of (DC >> Al)
                 cat = _read_huff(br, dc_tables[dct])
                 diff = _extend(br.bits(cat), cat) if cat else 0
-                preds[cid] += diff
-                cq[0] = preds[cid] << al
+                # differential (SOF6) frames: PRED=0, no accumulation
+                if not differential:
+                    preds[cid] += diff
+                    diff = preds[cid]
+                cq[0] = diff << al
             else:  # refinement: one bit per block
                 if br.bit():
                     cq[0] |= 1 << al

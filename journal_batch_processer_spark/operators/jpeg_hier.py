@@ -29,8 +29,12 @@ Supported scope, honest and loud:
   reference MODULO 2^16 (K.4), so a pyramid whose stages are all
   lossless reconstructs the source bit-exactly; DRI/RSTn honored,
   2..16-bit, 1..4 components.
-- Gated by name: differential PROGRESSIVE (SOF6/14) and non-1×1
-  sampling inside differential frames.
+- differential PROGRESSIVE frames — Huffman (SOF6) or QM-arithmetic
+  (SOF14), r08: the spectral-selection / successive-approximation
+  scan decoders of operators/jpeg.py reused with ``differential=True``
+  (PRED=0 in the DC first pass), coefficients accumulated across
+  scans and IDCT'd once at frame end into clamped corrections.
+- Gated by name: non-1×1 sampling inside differential frames.
 
 Validation: no system library decodes hierarchical JPEG (libjpeg has
 never implemented it), so — as for lossless — the proof is bit-exact
@@ -390,6 +394,175 @@ def _decode_diff_arith_frame(
     return w, h, [(cid, planes[cid]) for cid, _tq in comps], end
 
 
+def _decode_diff_progressive_frame(
+    data: bytes,
+    frame_seg: bytes,
+    pos: int,
+    tables: dict,
+    prec: int,
+    arith: bool,
+) -> tuple:
+    """SOF6 (Huffman) / SOF14 (QM-arithmetic) — differential
+    PROGRESSIVE: the correction image's quantized DCT coefficients
+    accumulate across spectral-selection / successive-approximation
+    scans exactly as in a non-differential progressive frame
+    (operators/jpeg.py scan decoders, reused with ``differential=True``
+    so the DC first pass applies PRED=0 — each block's decoded value
+    IS its correction DC, F.2.1.3.1), then dequantize + IDCT once at
+    frame end into signed corrections in [-maxval, maxval].  Same
+    return contract as :func:`_decode_diff_seq_frame`; the frame ends
+    at the first non-scan, non-table marker (next frame / EXP / EOI).
+    """
+    from journal_batch_processer_spark.operators.jpeg import (
+        _decode_progressive_scan,
+        _decode_progressive_scan_arith,
+    )
+
+    fprec, h, w, nc = struct.unpack(">BHHB", frame_seg[:6])
+    if fprec != prec:
+        raise ValueError(
+            f"jpeg hier: differential frame precision {fprec} != {prec}"
+        )
+    comps = []
+    for ci in range(nc):
+        cid, samp, tq = frame_seg[6 + 3 * ci : 9 + 3 * ci]
+        if samp != 0x11:
+            raise NotImplementedError(
+                "jpeg hier: non-1x1 sampling in a differential frame"
+            )
+        comps.append((cid, tq, 1, 1))
+    maxval = (1 << prec) - 1
+    bw_blocks = (w + 7) // 8
+    bh_blocks = (h + 7) // 8
+    frame = (w, h, comps)
+    dims = [(bw_blocks, bh_blocks, bw_blocks, bh_blocks)] * nc
+    geom = (1, 1, bw_blocks, bh_blocks, dims)
+    coefs = [
+        [[0] * 64 for _ in range(bw_blocks * bh_blocks)] for _ in comps
+    ]
+    restart_interval = tables.get("dri", 0)
+    saw_scan = False
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg hier: expected marker at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        if marker not in (0xC4, 0xCC, 0xDB, 0xDD, 0xDA):
+            break  # frame over: next frame / EXP / DHP / EOI
+        mstart = pos
+        pos += 2
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = [0] + list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                tables[("huff", tc, th)] = _huff_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xCC:
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                if tc == 0:
+                    tables[("dac_dc", tb)] = (cs & 0xF, cs >> 4)
+                else:
+                    tables[("dac_ac", tb)] = cs
+                p += 2
+        elif marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                raw = seg[p + 1 : p + 65 + 64 * pq]
+                if pq:
+                    zz = [
+                        struct.unpack(">H", raw[2 * i : 2 * i + 2])[0]
+                        for i in range(64)
+                    ]
+                else:
+                    zz = list(raw[:64])
+                qt = [0] * 64
+                for i in range(64):
+                    qt[ZIGZAG[i]] = zz[i]
+                tables[("qt", tq)] = qt
+                p += 65 + 64 * pq
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+            tables["dri"] = restart_interval
+        else:  # SOS — decode this scan now
+            saw_scan = True
+            ns = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            entropy_start = pos + seglen
+            end = _entropy_end(
+                data, entropy_start, skip_restarts=restart_interval > 0
+            )
+            if arith:
+                dc_cond = {
+                    tb: tables[("dac_dc", tb)]
+                    for tb in range(16)
+                    if ("dac_dc", tb) in tables
+                }
+                ac_cond = {
+                    tb: tables[("dac_ac", tb)]
+                    for tb in range(16)
+                    if ("dac_ac", tb) in tables
+                }
+                _decode_progressive_scan_arith(
+                    data, entropy_start, frame, geom, coefs,
+                    scan_comps, ss, se, ah, al, restart_interval,
+                    dc_cond, ac_cond, differential=True,
+                )
+            else:
+                dc_tables = {
+                    th: tables[("huff", 0, th)]
+                    for th in range(16)
+                    if ("huff", 0, th) in tables
+                }
+                ac_tables = {
+                    th: tables[("huff", 1, th)]
+                    for th in range(16)
+                    if ("huff", 1, th) in tables
+                }
+                br = _BitReader(data[entropy_start:end])
+                _decode_progressive_scan(
+                    br, frame, geom, coefs, dc_tables, ac_tables,
+                    scan_comps, ss, se, ah, al, restart_interval,
+                    differential=True,
+                )
+            pos = end
+            continue
+        pos += seglen
+    if not saw_scan:
+        raise ValueError("jpeg hier: differential frame without SOS")
+    planes = {}
+    for ci, (cid, tq, _hi, _vi) in enumerate(comps):
+        qt = tables.get(("qt", tq))
+        if qt is None:
+            raise ValueError(f"jpeg hier: missing DQT {tq}")
+        plane = [[0] * (bw_blocks * 8) for _ in range(bh_blocks * 8)]
+        for bidx, cq in enumerate(coefs[ci]):
+            block = _idct_block(
+                [cq[i] * qt[i] for i in range(64)],
+                half=0, maxval=maxval, lo=-maxval,
+            )
+            by, bx = divmod(bidx, bw_blocks)
+            for yy in range(8):
+                row = plane[by * 8 + yy]
+                row[bx * 8 : bx * 8 + 8] = block[yy * 8 : yy * 8 + 8]
+        planes[cid] = plane
+    return w, h, [(cid, planes[cid]) for cid, *_r in comps], pos
+
+
 def _decode_diff_lossless_frame(
     data: bytes,
     frame_seg: bytes,
@@ -700,11 +873,6 @@ def decode_jpeg_hierarchical(data: bytes):
             ref_dims = (w0, h0)
             pos = fpos
         elif marker in _DIFF_SOFS:
-            if marker not in (0xC5, 0xCD, 0xC7, 0xCF):
-                raise NotImplementedError(
-                    f"jpeg hier: SOF{marker - 0xC0} (differential "
-                    "progressive) unsupported"
-                )
             if ref is None:
                 raise ValueError(
                     "jpeg hier: differential frame without a reference"
@@ -722,6 +890,11 @@ def decode_jpeg_hierarchical(data: bytes):
                 fw, fh, diffs, pos, _pt = _decode_diff_lossless_frame(
                     data, seg, pos + seglen, tables, prec,
                     arith=(marker == 0xCF),
+                )
+            elif marker in (0xC6, 0xCE):
+                fw, fh, diffs, pos = _decode_diff_progressive_frame(
+                    data, seg, pos + seglen, tables, prec,
+                    arith=(marker == 0xCE),
                 )
             else:
                 decode_frame = (
@@ -958,15 +1131,21 @@ def encode_jpeg_hierarchical_solid_gray(
     v_stage1: int | None = None,
     restart_interval: int = 0,
     diff_arith: bool = False,
+    diff_progressive: bool = False,
 ) -> bytes:
     """Two-stage hierarchical pyramid of a solid gray: a half-
     resolution SOF0 first stage at ``v_stage1``, EXP(1,1), and a
     differential refinement carrying the constant correction
     ``v - v_stage1`` — Huffman (SOF5) or, with ``diff_arith``,
-    QM-arithmetic (SOF13). Every decoded mean stays closed-form while
-    the stream is a genuine Annex-K pyramid. Requires dims ≡ 0
-    (mod 16) and even grays with a difference divisible by 4 (so both
-    stages' DC coefficients quantize exactly under Q00=16)."""
+    QM-arithmetic (SOF13); with ``diff_progressive`` the refinement is
+    a differential PROGRESSIVE frame (SOF6, or SOF14 when combined
+    with ``diff_arith``) of three real scans: DC first pass at Al=1
+    (PRED=0 per block), DC refinement delivering the low bit, and an
+    AC first pass whose all-zero band is per-block EOB. Every decoded
+    mean stays closed-form while the stream is a genuine Annex-K
+    pyramid. Requires dims ≡ 0 (mod 16) and even grays with a
+    difference divisible by 4 (so both stages' DC coefficients
+    quantize exactly under Q00=16)."""
     if width % 16 or height % 16:
         raise ValueError("hierarchical fixture requires multiple-of-16 dims")
     if v_stage1 is None:
@@ -1039,6 +1218,109 @@ def encode_jpeg_hierarchical_solid_gray(
     out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
     dcd = (8 * d) // STD_LUMA_QT[0]
     n_blocks = (width // 8) * (height // 8)
+    if diff_progressive:
+        b1, lowbit = dcd >> 1, dcd & 1
+        sof = 0xCE if diff_arith else 0xC6
+        out += bytes((0xFF, sof)) + struct.pack(
+            ">HBHHB", 11, 8, height, width, 1
+        )
+        out += bytes([1, 0x11, 0])
+
+        def sos(ss, se, ah, al):
+            return (
+                b"\xff\xda"
+                + struct.pack(">HB", 8, 1)
+                + bytes([1, 0x00, ss, se, (ah << 4) | al])
+            )
+
+        if not diff_arith:
+            # SOF6 — three Huffman scans (tables from the prelude)
+            def huff_scan(put_block):
+                nonlocal out
+                chunks: list[bytes] = []
+                bw = _BitWriter()
+                rst = 0
+                for m in range(n_blocks):
+                    if restart_interval and m and (
+                        m % restart_interval == 0
+                    ):
+                        bw.flush()
+                        chunks.append(bytes(bw.buf))
+                        chunks.append(bytes((0xFF, 0xD0 + rst)))
+                        rst = (rst + 1) & 7
+                        bw = _BitWriter()
+                    put_block(bw)
+                bw.flush()
+                chunks.append(bytes(bw.buf))
+                out += b"".join(chunks)
+
+            def dc_first(bw):
+                cat = _category(b1)
+                code, ln = dc_codes[cat]
+                bw.put(code, ln)
+                if cat:
+                    amp = b1 if b1 >= 0 else b1 + (1 << cat) - 1
+                    bw.put(amp, cat)
+
+            def eob_block(bw):
+                code, ln = ac_codes[0x00]
+                bw.put(code, ln)
+
+            out += sos(0, 0, 0, 1)  # DC first, Al=1, PRED=0 per block
+            huff_scan(dc_first)
+            out += sos(0, 0, 1, 0)  # DC refinement: the low bit
+            huff_scan(lambda bw: bw.put(lowbit, 1))
+            out += sos(1, 63, 0, 0)  # AC first: all-zero band, EOBs
+            huff_scan(eob_block)
+            out += b"\xff\xd9"
+            return bytes(out)
+        # SOF14 — the same three scans, QM-coded
+        from journal_batch_processer_spark.operators.jpeg_arith import (
+            AC_STAT_SLOTS,
+            DC_STAT_SLOTS,
+            ArithEncoder,
+            Stats,
+            encode_dc_diff,
+        )
+
+        out += b"\xff\xcc" + struct.pack(">H", 6)
+        out += bytes([0x00, 0x10, 0x10, 5])
+
+        def arith_scan(fresh_state, put_block):
+            nonlocal out
+            enc = ArithEncoder()
+            state = fresh_state()
+            rst = 0
+            for m in range(n_blocks):
+                if restart_interval and m and m % restart_interval == 0:
+                    out += enc.flush()
+                    out += bytes((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) & 7
+                    enc = ArithEncoder()
+                    state = fresh_state()
+                state = put_block(enc, state)
+            out += enc.flush()
+
+        out += sos(0, 0, 0, 1)
+        arith_scan(
+            lambda: (Stats(DC_STAT_SLOTS), 0),
+            lambda enc, st: (
+                st[0],
+                encode_dc_diff(enc, st[0], st[1], 0, 1, b1),
+            ),
+        )
+        out += sos(0, 0, 1, 0)
+        arith_scan(
+            lambda: None,
+            lambda enc, st: (enc.encode_fixed(lowbit), None)[1],
+        )
+        out += sos(1, 63, 0, 0)
+        arith_scan(
+            lambda: Stats(AC_STAT_SLOTS),
+            lambda enc, st: (enc.encode(st, 0, 1), st)[1],  # EOB at k=1
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
     if not diff_arith:
         # stage 2: SOF5 differential at full resolution
         out += b"\xff\xc5" + struct.pack(">HBHHB", 11, 8, height, width, 1)

@@ -53,7 +53,7 @@ def _materialize_media(sf_dir: str) -> str:
         return d
     # generator-version salt: the stamp must change when the SET of
     # generated fixtures changes (r05 added PNGs), not only the source
-    fp = _fc.source_fingerprint(src) + ":v20-hierarchical-lossless"
+    fp = _fc.source_fingerprint(src) + ":v21-hierarchical-progressive"
     if _fc.is_fresh(d, fp):
         return d
     import duckdb
@@ -136,12 +136,14 @@ def _materialize_media(sf_dir: str) -> str:
             # HIERARCHICAL pyramid (Annex K, r08): half-res first stage
             # → EXP(1,1) → differential correction; single gray
             # component (channels=1 in the oracle), final mean exactly
-            # jv by construction. The slot cycles the whole
-            # differential-frame matrix: SOF5 / SOF13 (DCT corrections,
-            # Huffman/arithmetic) and SOF7 / SOF15 (LOSSLESS
-            # corrections — a ±d checkerboard whose halves cancel, so
-            # the bit-exact reconstruction keeps the mean at jv while
-            # every correction sample is nonzero).
+            # jv by construction. The four fixture slots cycle one
+            # representative of each differential-frame FAMILY —
+            # SOF5 (sequential Huffman), SOF13 (sequential
+            # arithmetic), SOF7 (LOSSLESS: a ±d checkerboard whose
+            # halves cancel, reconstructed bit-exactly mod 2^16), and
+            # SOF14 (PROGRESSIVE arithmetic: DC-first Al=1 + DC
+            # refine + EOB AC band) — the remaining coder variants
+            # (SOF6, SOF15) are pinned by the roundtrip unit tests.
             jw, jh = 16 * (1 + (i // 9) % 2), 16 * (1 + (i // 3) % 2)
             variant = (i // 18) % 4
             if variant < 2:
@@ -149,7 +151,7 @@ def _materialize_media(sf_dir: str) -> str:
                     jw, jh, jv, restart_interval=3,
                     diff_arith=bool(variant),  # SOF5 / SOF13
                 )
-            else:
+            elif variant == 2:
                 dlt = 1 + i % 5
                 pls = [[
                     [jv + (dlt if (x + y) % 2 == 0 else -dlt)
@@ -157,8 +159,12 @@ def _materialize_media(sf_dir: str) -> str:
                     for y in range(jh)
                 ]]
                 payload = encode_jpeg_hierarchical_lossless(
-                    pls, restart_interval=3,
-                    diff_arith=(variant == 3),  # SOF7 / SOF15
+                    pls, restart_interval=3,  # SOF7
+                )
+            else:
+                payload = encode_jpeg_hierarchical_solid_gray(
+                    jw, jh, jv, restart_interval=3,
+                    diff_arith=True, diff_progressive=True,  # SOF14
                 )
         elif i % 9 == 0:
             # FRACTIONAL sampling ratios (r08): 3x1 luma / 2x1 Cb /

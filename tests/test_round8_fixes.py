@@ -430,16 +430,15 @@ def test_hierarchical_jpeg_fails_loud_on_structural_damage():
     no_exp = base[:i] + base[i + 5 :]
     with raises(ValueError, match="missing EXP"):
         decode_jpeg_baseline(no_exp)
-    # gated differential processes fail by name (SOF13 arithmetic and
-    # SOF7/15 lossless are SUPPORTED since late r08 — see the
-    # diff_arith / lossless pyramid tests); only differential
-    # PROGRESSIVE remains gated
+    # EVERY differential process decodes since late r08 (SOF5/13
+    # sequential, SOF6/14 progressive, SOF7/15 lossless — see the
+    # pyramid tests); the remaining differential gate is sampling:
+    # a non-1×1 factor in a differential frame fails by name
     j = base.find(b"\xff\xc5")
-    for sof in (0xC6, 0xCE):
-        mod = bytearray(base)
-        mod[j + 1] = sof
-        with raises(NotImplementedError, match="differential"):
-            decode_jpeg_baseline(bytes(mod))
+    mod = bytearray(base)
+    mod[j + 11] = 0x22  # component sampling byte 1x1 -> 2x2
+    with raises(NotImplementedError, match="non-1x1"):
+        decode_jpeg_baseline(bytes(mod))
 
 
 def test_hierarchical_sof13_arithmetic_refinement():
@@ -519,3 +518,28 @@ def test_hierarchical_lossless_scan_requires_ss0():
     base[ss_at + 1] = 1
     with raises(ValueError, match="Ss=0"):
         decode_jpeg_hierarchical(bytes(base))
+
+
+def test_hierarchical_differential_progressive_refinement():
+    """SOF6 / SOF14 — differential PROGRESSIVE refinement: three real
+    scans (DC first at Al=1 with PRED=0, DC refinement, all-zero AC
+    band), Huffman and QM-arithmetic, positive and negative
+    corrections, with restarts. Closes the last differential-process
+    gate: every SOF5-7/13-15 family member now decodes."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+    )
+    from journal_batch_processer_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical_solid_gray,
+    )
+
+    for arith in (False, True):
+        for v, v1, ri in ((220, None, 0), (60, 100, 0), (128, None, 3)):
+            d = decode_jpeg_baseline(
+                encode_jpeg_hierarchical_solid_gray(
+                    32, 16, v, v_stage1=v1, restart_interval=ri,
+                    diff_arith=arith, diff_progressive=True,
+                )
+            )
+            assert (d["width"], d["height"], d["channels"]) == (32, 16, 1)
+            assert d["mean_r"] == v, (arith, v, v1, ri)
