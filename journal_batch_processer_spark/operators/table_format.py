@@ -318,12 +318,25 @@ class SnapshotTable:
         key: str,
         committed_at_us: int | None = None,
         expected_version: int | None = None,
+        resolve: str | None = None,
+        stream_batch_id: int | None = None,
     ) -> int:
         """Copy-on-write MERGE (upsert): matched keys take the batch
         row wholesale, unmatched batch rows insert, untouched base rows
         survive — but only files whose [min,max] key range can contain
         a batch key are rewritten; all others carry into the new
         manifest by reference.
+
+        ``resolve``: optional LAST-WINS conflict column (the Delta
+        ``WHEN MATCHED AND source.seq > target.seq`` shape): instead of
+        batch-wholesale replacement, each key keeps the single row with
+        the highest ``resolve`` value across base ∪ batch — which also
+        dedups multi-row batches and makes the END STATE invariant to
+        how a stream of upserts is split into batches (the property
+        streaming MERGE needs; ``resolve`` must be unique per key or
+        the winner is undefined). ``stream_batch_id`` records the
+        micro-batch id in the manifest for the exactly-once streaming
+        protocol (see :meth:`merge_stream_batch`).
 
         The pruning join is batch ⋈ broadcast(file-ranges): the range
         table is O(files) and tiny, the batch streams past it once
@@ -369,13 +382,29 @@ class SnapshotTable:
         rewrite_idx = sorted(touched)
         carried = [f for i, f in enumerate(files) if i not in touched]
         batch = batch_df.select(cols)
+
+        def last_wins(df: DataFrame) -> DataFrame:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(key).orderBy(F.col(resolve).desc())
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
         if rewrite_idx:
             base = self._read_file_group(
                 spark, man, [files[i] for i in rewrite_idx]
             ).select(cols)
-            merged = base.join(batch.select(key), key, "left_anti").unionByName(batch)
+            if resolve is None:
+                merged = base.join(
+                    batch.select(key), key, "left_anti"
+                ).unionByName(batch)
+            else:
+                merged = last_wins(base.unionByName(batch))
         else:
-            merged = batch
+            merged = batch if resolve is None else last_wins(batch)
         merged = merged.repartitionByRange(max(1, len(rewrite_idx) or 1), key)
         new_files = self._stage_files(merged, base_v + 1)
         # CHANGE DATA FEED materialized at write time (the Delta CDF
@@ -399,17 +428,41 @@ class SnapshotTable:
         else:
             changes = batch.withColumn("_change", F.lit("insert"))
         cdc_files = self._stage_files(changes, base_v + 1, prefix="cdc")
-        return self._try_commit(
-            {
-                "format_version": 1,
-                "version": base_v + 1,
-                "parent": base_v,
-                "operation": "merge",
-                "committed_at_us": self._now_us(committed_at_us),
-                "schema": man["schema"],
-                "files": carried + new_files,
-                "cdc_files": cdc_files,
-            }
+        man_out = {
+            "format_version": 1,
+            "version": base_v + 1,
+            "parent": base_v,
+            "operation": "merge",
+            "committed_at_us": self._now_us(committed_at_us),
+            "schema": man["schema"],
+            "files": carried + new_files,
+            "cdc_files": cdc_files,
+        }
+        if stream_batch_id is not None:
+            man_out["stream_batch_id"] = stream_batch_id
+        return self._try_commit(man_out)
+
+    def merge_stream_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        key: str,
+        resolve: str | None = None,
+    ) -> int | None:
+        """foreachBatch sink body for STREAMING MERGE (the Delta
+        foreachBatch-upsert pattern): apply one micro-batch of upserts
+        exactly once — the manifest-recorded batch id makes a replayed
+        batch (Structured Streaming's at-least-once window) skip, the
+        same protocol as :meth:`append_stream_batch`. With ``resolve``
+        the merge is last-wins on that column, so the table's end
+        state is independent of how the upsert stream was batched.
+        Returns the committed version, or None when skipped/empty."""
+        if batch_id <= self.last_stream_batch_id():
+            return None
+        if not batch_df.take(1):
+            return None
+        return self.merge(
+            batch_df, key, resolve=resolve, stream_batch_id=batch_id
         )
 
     def compact(

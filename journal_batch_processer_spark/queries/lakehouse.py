@@ -967,6 +967,98 @@ FROM ev WHERE event_id % 1000 = 1
 """
 
 
+def q_stream_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MERGE into the snapshot table (the Delta foreachBatch
+    upsert pattern): events keyed by ``event_id % 1000`` upsert into a
+    pre-seeded table with LAST-WINS resolution on ``event_id``. The
+    seeds pin all three MERGE outcomes end-to-end: keys 0..9 are
+    seeded with a HIGHER resolve value than any stream row (matched
+    but older → the seed must survive, the conditional-update path),
+    keys 1000..1009 never match a stream key (they ride the rewritten
+    file group untouched), and every other key takes its latest
+    stream row. The end state is invariant to how the stream was
+    batched — the property ``resolve`` buys (unit-tested across
+    batch splits and replays); the exactly-once batch-id protocol is
+    shared with stream_table_append."""
+    import tempfile as _tf
+
+    from journal_batch_processer_spark.queries.streaming_q import (
+        _events_stream_dir,
+    )
+    from journal_batch_processer_spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    root = _tf.mkdtemp(prefix="jbp_snapmerge_")
+    ckpt = _tf.mkdtemp(prefix="jbp_snapmerge_ckpt_")
+    schema = [
+        ("k", "bigint"),
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema)
+    seeds = (
+        spark.range(0, 10)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") + 1_000_000_000).alias("event_id"),
+        )
+        .unionByName(
+            spark.range(1000, 1010).select(
+                F.col("id").alias("k"), F.lit(-1).cast("long").alias("event_id")
+            )
+        )
+        .select(
+            "k",
+            "event_id",
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(0.5).alias("value"),
+            F.lit("seed").alias("event_type"),
+        )
+    )
+    t.append(seeds.coalesce(1))
+    stream = read_events_stream(spark, _events_stream_dir(sf_dir)).select(
+        (F.col("event_id") % 1000).alias("k"),
+        "event_id",
+        "user_id",
+        "value",
+        "event_type",
+    )
+
+    def sink(batch_df, batch_id):
+        t.merge_stream_batch(batch_df, batch_id, key="k", resolve="event_id")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return t.read(spark)
+
+
+SQL_STREAM_TABLE_MERGE = """
+WITH e AS (
+    SELECT event_id % 1000 AS k, event_id, user_id, value, event_type
+    FROM events
+),
+w AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY event_id DESC) AS rn
+    FROM e
+)
+SELECT k, event_id, user_id, value, event_type FROM w WHERE rn = 1 AND k >= 10
+UNION ALL
+SELECT k, 1000000000 + k, CAST(-1 AS BIGINT), 0.5e0, 'seed'
+FROM (SELECT UNNEST(range(0, 10)) AS k)
+UNION ALL
+SELECT k, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.5e0, 'seed'
+FROM (SELECT UNNEST(range(1000, 1010)) AS k)
+"""
+
+
 def _materialize_clone_table(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str]:
@@ -1044,6 +1136,7 @@ QUERIES = {
     "table_prune_read": (q_table_prune_read, SQL_TABLE_PRUNE_READ),
     "table_delete_commit": (q_table_delete_commit, SQL_TABLE_DELETE_COMMIT),
     "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
+    "stream_table_merge": (q_stream_table_merge, SQL_STREAM_TABLE_MERGE),
     "table_cdc_read": (q_table_cdc_read, SQL_TABLE_CDC_READ),
     "table_restore_read": (q_table_restore_read, SQL_TABLE_RESTORE_READ),
     "table_zorder_read": (q_table_zorder_read, SQL_TABLE_ZORDER_READ),

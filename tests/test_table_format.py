@@ -633,3 +633,61 @@ def test_clone_of_time_travel_version(spark, tmp_path):
     c = t.clone(str(tmp_path / "cl"), version=2, committed_at_us=4_000_000)
     assert c.read(spark).count() == 50  # the pinned snapshot, not head
     assert c.manifest(1)["cloned_from"]["version"] == 2
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v bigint, seq bigint")
+
+
+def test_merge_stream_batch_last_wins_and_replay(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "t"),
+        [("k", "bigint"), ("v", "bigint"), ("seq", "bigint")],
+        committed_at_us=1_000_000,
+    )
+    assert t.merge_stream_batch(
+        _kv(spark, [(1, 10, 100), (2, 20, 100), (1, 11, 101)]),
+        0, key="k", resolve="seq",
+    ) is not None
+    # intra-batch dup of k=1: the higher seq won
+    state = {r.k: (r.v, r.seq) for r in t.read(spark).collect()}
+    assert state == {1: (11, 101), 2: (20, 100)}
+    # REPLAY of batch 0 (same id) must skip — even with different rows
+    assert t.merge_stream_batch(
+        _kv(spark, [(9, 99, 999)]), 0, key="k", resolve="seq"
+    ) is None
+    assert 9 not in {r.k for r in t.read(spark).collect()}
+    # batch 1: out-of-order upsert for k=1 (older seq) must LOSE;
+    # newer seq for k=2 must win; new key inserts
+    t.merge_stream_batch(
+        _kv(spark, [(1, 12, 50), (2, 21, 200), (3, 30, 1)]),
+        1, key="k", resolve="seq",
+    )
+    state = {r.k: (r.v, r.seq) for r in t.read(spark).collect()}
+    assert state == {1: (11, 101), 2: (21, 200), 3: (30, 1)}
+
+
+def test_merge_resolve_end_state_invariant_to_batch_split(spark, tmp_path):
+    """The property that makes streaming MERGE sound: the same upsert
+    set applied as one batch or split into three reaches the SAME end
+    state (last-wins on seq is associative and order-independent
+    because base rows re-enter the window on every merge)."""
+    ups = [(k, 100 * k + i, 10 * i + k % 3) for k in range(6) for i in range(4)]
+
+    def run(splits):
+        t = SnapshotTable.create(
+            str(tmp_path / f"t{len(splits)}"),
+            [("k", "bigint"), ("v", "bigint"), ("seq", "bigint")],
+            committed_at_us=1_000_000,
+        )
+        for b, chunk in enumerate(splits):
+            t.merge_stream_batch(_kv(spark, chunk), b, key="k", resolve="seq")
+        return sorted(
+            (r.k, r.v, r.seq) for r in t.read(spark).collect()
+        )
+
+    one = run([ups])
+    # reversed chunks: later batches carry LOWER seqs — end state holds
+    three = run([ups[16:], ups[8:16], ups[:8]])
+    assert one == three
+    assert len(one) == 6
