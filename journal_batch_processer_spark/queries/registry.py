@@ -69,6 +69,15 @@ def _build() -> dict[str, QuerySpec]:
     # together they fill the ~50-key budget exactly, discharging the
     # stale tier in one round (VERDICT r07 item 2).
     priority = [
+        # NEW in r08 session 2 — never driver-checked yet, front of
+        # the queue (supervised curation pair, shallow clone,
+        # streaming MERGE), plus the media key whose fixture mix
+        # changed (hierarchical slots now cycle SOF5/13/7/14)
+        "quality_classifier",
+        "dsir_select",
+        "table_clone_read",
+        "stream_table_merge",
+        "media_image_decode_jpeg",
         # NEW in r08 — snapshot table format (operators/table_format.py)
         "table_snapshot_read",   # time travel v1..v6, both resolvers
         "table_merge_commit",    # copy-on-write MERGE, carried files
