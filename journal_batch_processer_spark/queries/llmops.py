@@ -1857,6 +1857,123 @@ QUALIFY rank <= 200
 """
 
 
+def q_text_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-watermark detection (Kirchenbauer et al. 2023,
+    arXiv:2301.10226) — the contamination screen a pretraining corpus
+    runs to keep synthetic model output from feeding back into
+    training data. The detector recomputes the green list per
+    position: token i is GREEN iff md5(prev_token || '|' || token)
+    starts below '8' (γ = 1/2 of the hash space, the paper's
+    hash-of-previous-token seeding made portable); per doc it reports
+    the green count and the one-proportion z-score
+    ``(2·g − n) / sqrt(n)`` (mean n/2, sd sqrt(n)/2 under H0), and
+    flags z ≥ 4 (the paper's detection threshold). IEEE sqrt and one
+    division are correctly-rounded in both engines, so even the
+    z-scores hash-match.
+
+    Scale shape: ENTIRELY per-row expressions — no shuffle, no joins,
+    whole-stage codegen; the 100 TB screen is a narrow map over the
+    corpus."""
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    greens = F.when(
+        n >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        "|", F.element_at(t, i), F.element_at(t, i + 1)
+                    )
+                )
+                < "8",
+            )
+        ),
+    ).otherwise(F.lit(0))
+    n_scored = F.greatest(n - 1, F.lit(0))
+    z = F.when(
+        n_scored > 0,
+        (2 * greens.cast("double") - n_scored) / F.sqrt(n_scored),
+    )
+    return docs.select(
+        "doc_id",
+        n_scored.cast("long").alias("n_scored"),
+        greens.cast("long").alias("n_green"),
+        z.alias("z_score"),
+        F.when(n_scored > 0, z >= 4.0).alias("watermarked"),
+    )
+
+
+SQL_TEXT_WATERMARK = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (
+    SELECT doc_id,
+           GREATEST(len(t) - 1, 0) AS n_scored,
+           CASE WHEN len(t) >= 2 THEN len(list_filter(
+                    range(1, len(t)),
+                    i -> md5(t[i] || '|' || t[i + 1]) < '8'))
+                ELSE 0 END AS n_green
+    FROM d
+)
+SELECT doc_id,
+       CAST(n_scored AS BIGINT) AS n_scored,
+       CAST(n_green AS BIGINT) AS n_green,
+       CASE WHEN n_scored > 0
+            THEN (2 * CAST(n_green AS DOUBLE) - n_scored) / sqrt(n_scored)
+       END AS z_score,
+       CASE WHEN n_scored > 0
+            THEN ((2 * CAST(n_green AS DOUBLE) - n_scored)
+                  / sqrt(n_scored)) >= 4.0e0
+       END AS watermarked
+FROM s
+"""
+
+
+def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@5 of the multi-probe LSH path
+    against the brute-force ground truth, per query: the measurement
+    every ANN deployment runs before trusting the fast path. Both
+    sides are the already-oracled queries; this key pins their
+    INTERACTION (a silent candidate-set regression in the LSH path
+    shows up here as a recall drop even while its own ranked output
+    stays internally consistent)."""
+    bf = q_sim_search(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = q_sim_search_ann(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            F.col("k").cast("long").alias("k"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            (F.col("n_hit").cast("double") / F.col("k")).alias("recall"),
+        )
+    )
+
+
+def _sim_recall_oracle() -> str:
+    return f"""
+WITH bf AS ({SQL_SIM_SEARCH}),
+ann AS ({SQL_SIM_SEARCH_ANN})
+SELECT bf.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall
+FROM bf LEFT JOIN ann a
+    ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
 def q_trainprep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-shard CAPSTONE — the manifest a tokenizer shard
     actually consumes, end to end under ONE oracle: near-dup-closed
@@ -3079,6 +3196,8 @@ QUERIES = {
     "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "text_watermark": (q_text_watermark, SQL_TEXT_WATERMARK),
+    "sim_recall_eval": (q_sim_recall_eval, _sim_recall_oracle),
     "trainprep_pipeline": (q_trainprep_pipeline, SQL_TRAINPREP_PIPELINE),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "binary_ingest": (q_binary_ingest, _binary_ingest_sql),
