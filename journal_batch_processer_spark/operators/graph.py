@@ -280,3 +280,76 @@ def cluster_assignments(
         cluster.alias("cluster_id"),
         (F.col(id_col) == cluster).cast("int").alias("is_rep"),
     )
+
+
+def triangle_counts(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle counts — the clique-density signal a near-dup
+    graph analysis runs (template spam shows up as dense triangle
+    clusters; a path of pairwise matches does not).
+
+    Algorithm: degree-oriented wedge counting (Suri & Vassilvitskii,
+    WWW'11 — "the curse of the last reducer"): every undirected edge
+    is oriented from its LOWER (degree, id) endpoint to the higher,
+    wedges are pairs of out-edges from one source, and a wedge is a
+    triangle iff its closing edge exists in the SAME orientation. Each
+    triangle is counted exactly once, and — the scale point — wedge
+    fan-out is bounded by out-degree, which degree-orientation caps at
+    O(sqrt(m)) even for hub nodes, instead of the O(d^2) a naive
+    min-id orientation pays on high-degree vertices. The (degree, id)
+    order is packed into one bigint (``deg * 1e12 + id``) so both
+    engines compare a single key.
+
+    Shape: one degree aggregate, two broadcast-or-shuffle equi-joins
+    (edges ⋈ degrees), one self-join on the wedge source, one closing
+    equi-join, one final count — all key-partitioned, no driver state.
+    """
+    e0 = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    deg = (
+        e0.select(F.col("x").alias("n"))
+        .unionAll(e0.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select("n", (F.col("d") * F.lit(1_000_000_000_000) + F.col("n")).alias("k"))
+    )
+    from ..cache import pin
+
+    # the oriented edge list feeds THREE plan branches (both wedge
+    # sides + the closing join) — pin it so the pair generator runs
+    # once, not three times (scoped release per cache.py)
+    o = pin(
+        e0.join(deg.withColumnsRenamed({"n": "x", "k": "kx"}), "x")
+        .join(deg.withColumnsRenamed({"n": "y", "k": "ky"}), "y")
+        .select(
+            F.when(F.col("kx") < F.col("ky"), F.col("x"))
+            .otherwise(F.col("y"))
+            .alias("src"),
+            F.when(F.col("kx") < F.col("ky"), F.col("y"))
+            .otherwise(F.col("x"))
+            .alias("dst"),
+            F.greatest("kx", "ky").alias("dstk"),
+        )
+    )
+    w = (
+        o.alias("o1")
+        .join(o.alias("o2"), F.col("o1.src") == F.col("o2.src"))
+        .filter(F.col("o1.dstk") < F.col("o2.dstk"))
+        .select(
+            F.col("o1.src").alias("u"),
+            F.col("o1.dst").alias("v1"),
+            F.col("o2.dst").alias("v2"),
+        )
+    )
+    tri = w.join(
+        o.select(F.col("src").alias("v1"), F.col("dst").alias("v2")),
+        ["v1", "v2"],
+    )
+    nodes = (
+        tri.select(F.col("u").alias("doc_id"))
+        .unionAll(tri.select(F.col("v1").alias("doc_id")))
+        .unionAll(tri.select(F.col("v2").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

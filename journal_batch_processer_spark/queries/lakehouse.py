@@ -967,6 +967,50 @@ FROM ev WHERE event_id % 1000 = 1
 """
 
 
+def q_table_history_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: the commit log as a queryable relation —
+    version, operation, pinned commit timestamp, and the row count of
+    each snapshot (summed from manifest file entries, never scanning
+    data). Every cell is independently replayed by the oracle: the
+    operations and timestamps are the fixture contract, the row
+    counts are the six logical states recomputed from ``events`` — a
+    manifest that lost or double-counted a file's rows hash-fails
+    here at the metadata level, complementing the row-level reads."""
+    root = materialize_table(spark, sf_dir)
+    hist = SnapshotTable(root).history()
+    return spark.createDataFrame(
+        [
+            (h["version"], h["operation"], h["committed_at_us"], h["n_rows"])
+            for h in hist
+        ],
+        "version int, operation string, committed_at_us long, n_rows long",
+    )
+
+
+SQL_TABLE_HISTORY_READ = (
+    _STATE_CTES
+    + """
+SELECT CAST(v AS INT) AS version, op AS operation,
+       CAST(v * 1000000 AS BIGINT) AS committed_at_us,
+       CAST(n AS BIGINT) AS n_rows
+FROM (
+    SELECT 1 AS v, 'create' AS op, 0 AS n
+    UNION ALL
+    SELECT 2, 'append',
+           (SELECT COUNT(*) FROM ev WHERE event_id % 2 = 0)
+    UNION ALL
+    SELECT 3, 'append', (SELECT COUNT(*) FROM ev)
+    UNION ALL
+    SELECT 4, 'merge', (SELECT COUNT(*) FROM s4)
+    UNION ALL
+    SELECT 5, 'append', (SELECT COUNT(*) FROM s5)
+    UNION ALL
+    SELECT 6, 'compact', (SELECT COUNT(*) FROM s5)
+)
+"""
+)
+
+
 def q_stream_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING MERGE into the snapshot table (the Delta foreachBatch
     upsert pattern): events keyed by ``event_id % 1000`` upsert into a
@@ -1137,6 +1181,7 @@ QUERIES = {
     "table_delete_commit": (q_table_delete_commit, SQL_TABLE_DELETE_COMMIT),
     "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
     "stream_table_merge": (q_stream_table_merge, SQL_STREAM_TABLE_MERGE),
+    "table_history_read": (q_table_history_read, SQL_TABLE_HISTORY_READ),
     "table_cdc_read": (q_table_cdc_read, SQL_TABLE_CDC_READ),
     "table_restore_read": (q_table_restore_read, SQL_TABLE_RESTORE_READ),
     "table_zorder_read": (q_table_zorder_read, SQL_TABLE_ZORDER_READ),

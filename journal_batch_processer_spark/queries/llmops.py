@@ -1857,6 +1857,59 @@ QUALIFY rank <= 200
 """
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup graph (exact-Jaccard
+    pairs >= 0.2, the dedup_cluster edge set): clique-density — a
+    template-spam cluster is triangle-dense, a chain of borderline
+    matches is triangle-free. Degree-oriented wedge counting; see
+    operators.graph.triangle_counts for the scale argument."""
+    from journal_batch_processer_spark.operators.graph import triangle_counts
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=20
+    )
+    return triangle_counts(pairs)
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH pairs AS ({SQL_DEDUP_NGRAM}),
+strong AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM pairs
+    WHERE inter / (sz_a + sz_b - inter) >= 0.2
+),
+deg AS MATERIALIZED (
+    SELECT n, COUNT(*) * 1000000000000 + n AS k FROM (
+        SELECT doc_a AS n FROM strong
+        UNION ALL SELECT doc_b FROM strong
+    ) GROUP BY n
+),
+o AS MATERIALIZED (
+    SELECT CASE WHEN ka.k < kb.k THEN s.doc_a ELSE s.doc_b END AS src,
+           CASE WHEN ka.k < kb.k THEN s.doc_b ELSE s.doc_a END AS dst,
+           CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS dstk
+    FROM strong s
+    JOIN deg ka ON ka.n = s.doc_a
+    JOIN deg kb ON kb.n = s.doc_b
+),
+w AS (
+    SELECT o1.src AS u, o1.dst AS v1, o2.dst AS v2
+    FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dstk < o2.dstk
+),
+tri AS (
+    SELECT w.u, w.v1, w.v2
+    FROM w JOIN o ON o.src = w.v1 AND o.dst = w.v2
+)
+SELECT CAST(n AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT u AS n FROM tri
+    UNION ALL SELECT v1 FROM tri
+    UNION ALL SELECT v2 FROM tri
+) GROUP BY n
+"""
+
+
 def q_text_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-watermark detection (Kirchenbauer et al. 2023,
     arXiv:2301.10226) — the contamination screen a pretraining corpus
@@ -3198,6 +3251,7 @@ QUERIES = {
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "text_watermark": (q_text_watermark, SQL_TEXT_WATERMARK),
     "sim_recall_eval": (q_sim_recall_eval, _sim_recall_oracle),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "trainprep_pipeline": (q_trainprep_pipeline, SQL_TRAINPREP_PIPELINE),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "binary_ingest": (q_binary_ingest, _binary_ingest_sql),
