@@ -77,6 +77,10 @@ def _build() -> dict[str, QuerySpec]:
         "dsir_select",
         "table_clone_read",
         "stream_table_merge",
+        "text_watermark",
+        "sim_recall_eval",
+        "graph_triangles",
+        "table_history_read",
         "media_image_decode_jpeg",
         # NEW in r08 — snapshot table format (operators/table_format.py)
         "table_snapshot_read",   # time travel v1..v6, both resolvers
