@@ -93,6 +93,11 @@ BENCH_QUERIES = [
     # skew); DSIR adds the fixed-4096-bucket broadcast-join shape
     "quality_classifier",
     "dsir_select",
+    # r08 session 2: the heaviest new multi-join driver — wedge
+    # counting over the near-dup graph (pairs gen + 3-branch pinned
+    # orientation + two joins); a candidate-generator or caching
+    # regression shows here first
+    "graph_triangles",
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is
