@@ -384,7 +384,8 @@ def test_cdf_restore_fails_loud_and_vacuum_keeps_live_cdc(spark, tmp_path):
 def test_table_format_random_ops_match_python_model(spark, tmp_path):
     """Model-based randomized check: a seeded random sequence of
     append / COW-merge / range-delete / compact commits is mirrored
-    into a plain Python dict-of-rows model. After every commit:
+    into a plain Python dict-of-rows model (merge_resolve = last-wins
+    max(old, new) per key). After every commit:
     head read == model; after the run: every historical version ==
     its recorded model state (time travel), and every consecutive
     CDC window == the model diff (write-time feed == logical diff,
@@ -415,7 +416,9 @@ def test_table_format_random_ops_match_python_model(spark, tmp_path):
     ts = 1_000_000
     for step in range(10):
         ts += 1_000_000
-        op = rng.choice(["append", "merge", "merge", "delete", "compact"])
+        op = rng.choice(
+            ["append", "merge", "merge", "merge_resolve", "delete", "compact"]
+        )
         if op == "append":
             lo = rng.randrange(0, 500) * 10 + 100000 * step
             pairs = [(lo + i, rng.randrange(1000)) for i in range(rng.randrange(1, 30))]
@@ -435,6 +438,23 @@ def test_table_format_random_ops_match_python_model(spark, tmp_path):
                 continue
             t.merge(mk_df(pairs), "k", committed_at_us=ts)
             model.update(dict(pairs))
+        elif op == "merge_resolve":
+            # LAST-WINS merge on v: the model keeps max(old, new) per
+            # key — ties produce identical (k, v) rows either way
+            keys = list(model)
+            upd = rng.sample(keys, min(len(keys), rng.randrange(0, 8)))
+            ins = [
+                (100000 * step + 555 + i, rng.randrange(1000))
+                for i in range(rng.randrange(0, 4))
+            ]
+            pairs = [(k, rng.randrange(1000)) for k in upd] + [
+                (k, v) for k, v in ins if k not in model
+            ]
+            if not pairs:
+                continue
+            t.merge(mk_df(pairs), "k", committed_at_us=ts, resolve="v")
+            for k, v_ in pairs:
+                model[k] = max(model.get(k, v_), v_)
         elif op == "delete":
             if not model:
                 continue
