@@ -672,7 +672,21 @@ class MediaDecoder(Decoder):
 
 
 def get_decoder() -> Decoder:
-    """Backend selector — the ONLY place DECODE_STUB is consulted."""
+    """Backend selector — the ONLY place DECODE_STUB is consulted.
+
+    Production note (100 TB media): the pure-Python codecs in
+    operators/jpeg*.py / gif.py / avi.py exist because this
+    environment has no imaging libraries; they are exact but
+    CPU-bound in Python. At real media scale the correct deployment
+    is a NATIVE backend behind this same ``Decoder`` interface —
+    PIL-SIMD / libjpeg-turbo / ffmpeg via a pip dependency, or a JVM
+    codec invoked from a Scala UDF — selected here exactly as
+    ``StubDecoder`` is today. Every Spark-side contract (binaryFile
+    partitioning, Arrow mapInPandas batch shape, feature schema,
+    fail-loud error channel) is backend-independent and already
+    pinned by the StubDecoder contract tests, so swapping the codec
+    is a this-function-only change; the stdlib decoders then remain
+    as the differential-testing oracle for the fast path."""
     return StubDecoder() if DECODE_STUB else MediaDecoder()
 
 
