@@ -240,6 +240,26 @@ class SnapshotTable:
             os.unlink(tmp)
         return man["version"]
 
+    @staticmethod
+    def _carry_deletes(man_out: dict, man_parent: dict) -> dict:
+        """Carry the parent snapshot's pending equality-delete files
+        into a child commit whose operation doesn't resolve them."""
+        if man_parent.get("delete_files"):
+            man_out["delete_files"] = man_parent["delete_files"]
+        return man_out
+
+    def _guard_no_pending_deletes(self, man: dict, op: str) -> None:
+        """File-rewriting operations plan against the PHYSICAL file
+        contents; running one while equality-delete files are pending
+        would resurrect deleted rows (the rewrite reads rows the MOR
+        filter hides). Fail loud and name the fix — the same contract
+        Iceberg enforces by rewrite-delete maintenance ordering."""
+        if man.get("delete_files"):
+            raise NotImplementedError(
+                f"{op} over pending equality deletes is not supported — "
+                "run apply_deletes() first"
+            )
+
     # ------------------------------------------------------------------
     # write paths
     # ------------------------------------------------------------------
@@ -262,7 +282,12 @@ class SnapshotTable:
         for i, p in enumerate(parts):
             rel = f"{prefix}/v{version_hint:05d}-{i:04d}-{token}.parquet"
             os.rename(p, os.path.join(self.root, rel))
-            entries.append(_file_entry(self.root, rel))
+            e = _file_entry(self.root, rel)
+            # the Iceberg sequence-number shape: equality-delete files
+            # apply only to data files COMMITTED BEFORE them, decided
+            # by comparing this field against the delete's applies_below
+            e["added_version"] = version_hint
+            entries.append(e)
         shutil.rmtree(staging, ignore_errors=True)
         return [e for e in entries if e["rows"] > 0]
 
@@ -294,15 +319,18 @@ class SnapshotTable:
         for _ in range(_max_retries):
             try:
                 return self._try_commit(
-                    {
-                        "format_version": 1,
-                        "version": man["version"] + 1,
-                        "parent": man["version"],
-                        "operation": "append",
-                        "committed_at_us": self._now_us(committed_at_us),
-                        "schema": schema,
-                        "files": man["files"] + new_files,
-                    }
+                    self._carry_deletes(
+                        {
+                            "format_version": 1,
+                            "version": man["version"] + 1,
+                            "parent": man["version"],
+                            "operation": "append",
+                            "committed_at_us": self._now_us(committed_at_us),
+                            "schema": schema,
+                            "files": man["files"] + new_files,
+                        },
+                        man,
+                    )
                 )
             except CommitConflictError:
                 man = self.manifest(self.latest_version())
@@ -349,6 +377,7 @@ class SnapshotTable:
         spark = batch_df.sparkSession
         base_v = self.latest_version() if expected_version is None else expected_version
         man = self.manifest(base_v)
+        self._guard_no_pending_deletes(man, "merge")
         cols = [c["name"] for c in man["schema"]]
         if set(batch_df.columns) != set(cols):
             raise ValueError(
@@ -481,6 +510,7 @@ class SnapshotTable:
         the operator's contract and is what the oracle checks."""
         base_v = self.latest_version() if expected_version is None else expected_version
         man = self.manifest(base_v)
+        self._guard_no_pending_deletes(man, "compact")
         groups: dict[tuple[str, ...], list[dict]] = {}
         for f in man["files"]:
             groups.setdefault(tuple(f["columns"]), []).append(f)
@@ -539,6 +569,7 @@ class SnapshotTable:
         in the manifest (``delete`` entry) for audit."""
         base_v = self.latest_version() if expected_version is None else expected_version
         man = self.manifest(base_v)
+        self._guard_no_pending_deletes(man, "delete_range")
         dropped, rewrite, carried = [], [], []
         for f in man["files"]:
             st = (f.get("stats") or {}).get(key)
@@ -595,6 +626,171 @@ class SnapshotTable:
             }
         )
 
+    def delete_mor(
+        self,
+        keys_df: DataFrame,
+        key: str,
+        committed_at_us: int | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """MERGE-ON-READ equality delete (the Iceberg v2 equality-
+        delete-file / Delta deletion-vector shape): rows whose ``key``
+        appears in ``keys_df`` leave the LOGICAL table, but no data
+        file is rewritten — the commit stages only the (small) distinct
+        key set as a delete file and every data file carries by
+        reference. Readers apply the delete as a broadcast anti-join;
+        :meth:`apply_deletes` later folds it into the files.
+
+        Applicability is the Iceberg sequence-number rule: the delete
+        file records ``applies_below`` (this commit's version) and
+        affects only data files with ``added_version`` strictly below
+        it — a row re-inserted by a LATER append is visible again.
+
+        At 100 TB this is the difference between a GDPR key-delete
+        that commits in seconds (O(keys) IO now, rewrite amortized
+        into the next maintenance window) and one that rewrites every
+        file whose range contains a key. The flip side — read-path
+        anti-join cost and the rewrite-op guard — is why
+        ``apply_deletes`` exists; large delete sets should go through
+        :meth:`delete_range` / COW instead.
+
+        The write-time CDF contract is kept: the rows leaving the
+        logical state (current MOR-filtered snapshot ⋈ keys, computed
+        over stats-candidate files only) are materialized as
+        ``cdc_files``, so :meth:`read_changes` and the streaming CDF
+        treat this like any delete."""
+        spark = keys_df.sparkSession
+        base_v = self.latest_version() if expected_version is None else expected_version
+        man = self.manifest(base_v)
+        types = {c["name"]: c["type"] for c in man["schema"]}
+        if key not in types:
+            raise ValueError(f"delete key {key!r} not in table schema")
+        keys = (
+            keys_df.select(F.col(key).cast(types[key]).alias(key))
+            .distinct()
+            .coalesce(1)
+        )
+        del_files = self._stage_files(keys, base_v + 1, prefix="delete")
+        for d in del_files:
+            d["key"] = key
+            d["applies_below"] = base_v + 1
+        # stats-prune the CDF computation: only files whose [min,max]
+        # can contain a deleted key contribute deleted rows
+        klo = min((d["stats"][key][0] for d in del_files if key in d.get("stats", {})), default=None)
+        khi = max((d["stats"][key][1] for d in del_files if key in d.get("stats", {})), default=None)
+        cand = []
+        for f in man["files"]:
+            st = (f.get("stats") or {}).get(key)
+            if (
+                st is not None
+                and klo is not None
+                and (st[1] < klo or st[0] > khi)
+            ):
+                continue
+            cand.append(f)
+        cdc_files: list[dict] = []
+        if del_files and cand:
+            cur = self._read_with_deletes(spark, man, cand)
+            changes = cur.join(F.broadcast(keys), key, "semi").withColumn(
+                "_change", F.lit("delete")
+            )
+            cdc_files = self._stage_files(changes, base_v + 1, prefix="cdc")
+        return self._try_commit(
+            {
+                "format_version": 1,
+                "version": base_v + 1,
+                "parent": base_v,
+                "operation": "delete_mor",
+                "committed_at_us": self._now_us(committed_at_us),
+                "schema": man["schema"],
+                "files": man["files"],
+                "delete_files": (man.get("delete_files") or []) + del_files,
+                "cdc_files": cdc_files,
+            }
+        )
+
+    def apply_deletes(
+        self,
+        spark: SparkSession,
+        committed_at_us: int | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Maintenance rewrite resolving pending equality deletes
+        (Iceberg's rewrite-deletes / Delta's PURGE): data files that
+        actually CONTAIN an applicable deleted key are rewritten with
+        the anti-join applied; every other file carries; the delete
+        files drop from the manifest (vacuum reclaims them once their
+        last referencing manifest expires). Content is identical to
+        the MOR read by contract — this is a dataChange=false commit,
+        invisible to the change feed, exactly like compaction.
+
+        The rewrite set is proven, not guessed: candidate files pass
+        the stats overlap test AND an exact probe of the (small) delete
+        key sets against a broadcast table of file ranges — the same
+        metadata-only planning MERGE uses."""
+        base_v = self.latest_version() if expected_version is None else expected_version
+        man = self.manifest(base_v)
+        dvs = man.get("delete_files") or []
+        if not dvs:
+            raise ValueError("apply_deletes: no pending equality deletes")
+        files = man["files"]
+        # exact hit detection per delete file: which affected files'
+        # [min,max] ranges contain at least one of its keys
+        hit: set[int] = set()
+        for d in dvs:
+            ranged: list[tuple[int, object, object]] = []
+            for i, f in enumerate(files):
+                if f.get("added_version", 0) >= d["applies_below"]:
+                    continue  # committed after the delete: unaffected
+                st = (f.get("stats") or {}).get(d["key"])
+                if st is None:
+                    hit.add(i)  # no stats: conservatively rewrite
+                else:
+                    ranged.append((i, st[0], st[1]))
+            if not ranged:
+                continue
+            rng = spark.createDataFrame(
+                [(i, lo, hi) for i, lo, hi in ranged], "fid int, lo long, hi long"
+            )
+            keys = spark.read.schema(self._ddl(man, {d["key"]})).parquet(
+                os.path.join(self.root, d["path"])
+            )
+            rows = (
+                keys.select(F.col(d["key"]).alias("_k"))
+                .join(
+                    F.broadcast(rng),
+                    (F.col("_k") >= F.col("lo")) & (F.col("_k") <= F.col("hi")),
+                )
+                .select("fid")
+                .distinct()
+                .collect()
+            )
+            hit |= {r.fid for r in rows}
+        rewrite = [f for i, f in enumerate(files) if i in hit]
+        carried = [f for i, f in enumerate(files) if i not in hit]
+        new_files: list[dict] = []
+        if rewrite:
+            resolved = self._read_with_deletes(spark, man, rewrite)
+            new_files = self._stage_files(
+                resolved.coalesce(max(1, len(rewrite))), base_v + 1
+            )
+        return self._try_commit(
+            {
+                "format_version": 1,
+                "version": base_v + 1,
+                "parent": base_v,
+                "operation": "rewrite_deletes",
+                "committed_at_us": self._now_us(committed_at_us),
+                "schema": man["schema"],
+                "files": carried + new_files,
+                "rewrite_deletes": {
+                    "delete_files_removed": len(dvs),
+                    "rewritten_files": len(rewrite),
+                    "carried_files": len(carried),
+                },
+            }
+        )
+
     def restore(
         self,
         version: int,
@@ -608,22 +804,28 @@ class SnapshotTable:
         rewrites the log). Fails loud if the target was vacuumed."""
         src = self.manifest(version)  # raises if vacuumed away
         base_v = self.latest_version() if expected_version is None else expected_version
-        for f in src["files"]:
+        for f in src["files"] + (src.get("delete_files") or []):
             if not os.path.exists(os.path.join(self.root, f["path"])):
                 raise FileNotFoundError(
                     f"restore target v{version} references vacuumed file {f['path']}"
                 )
         return self._try_commit(
-            {
-                "format_version": 1,
-                "version": base_v + 1,
-                "parent": base_v,
-                "operation": "restore",
-                "restored_from": version,
-                "committed_at_us": self._now_us(committed_at_us),
-                "schema": src["schema"],
-                "files": src["files"],
-            }
+            # a restored snapshot's pending equality deletes are part
+            # of its logical state: carry them (version-numbered fields
+            # stay mutually consistent — both sides were copied)
+            self._carry_deletes(
+                {
+                    "format_version": 1,
+                    "version": base_v + 1,
+                    "parent": base_v,
+                    "operation": "restore",
+                    "restored_from": version,
+                    "committed_at_us": self._now_us(committed_at_us),
+                    "schema": src["schema"],
+                    "files": src["files"],
+                },
+                src,
+            )
         )
 
     def optimize_zorder(
@@ -650,6 +852,7 @@ class SnapshotTable:
 
         base_v = self.latest_version() if expected_version is None else expected_version
         man = self.manifest(base_v)
+        self._guard_no_pending_deletes(man, "optimize_zorder")
         df = self._read_file_group(spark, man, man["files"])
         z = F.expr(
             zorder_terms_sql(f"({x_sql})", f"({y_sql})", bits).format(div="div")
@@ -695,6 +898,11 @@ class SnapshotTable:
         are made instantly (clone = one manifest write)."""
         v = self._resolve(version, as_of_us)
         man = self.manifest(v)
+        # the clone restarts version numbering at 1, which would break
+        # the per-pair added_version < applies_below applicability test
+        # copied entries rely on once the clone writes its own files —
+        # resolve deletes first (Iceberg's rewrite-deletes ordering)
+        self._guard_no_pending_deletes(man, "clone")
         t = SnapshotTable(dest_root)
         os.makedirs(t._manifest_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
@@ -735,7 +943,11 @@ class SnapshotTable:
         versions = self.versions()
         keep_v = set(versions[-retain_last:])
         def _all_refs(man: dict) -> list[dict]:
-            return man["files"] + man.get("cdc_files", [])
+            return (
+                man["files"]
+                + man.get("cdc_files", [])
+                + man.get("delete_files", [])
+            )
 
         live = set()
         for v in keep_v:
@@ -811,16 +1023,19 @@ class SnapshotTable:
         for _ in range(10):
             try:
                 return self._try_commit(
-                    {
-                        "format_version": 1,
-                        "version": man["version"] + 1,
-                        "parent": man["version"],
-                        "operation": "stream_append",
-                        "committed_at_us": self._now_us(None),
-                        "schema": man["schema"],
-                        "files": man["files"] + new_files,
-                        "stream_batch_id": batch_id,
-                    }
+                    self._carry_deletes(
+                        {
+                            "format_version": 1,
+                            "version": man["version"] + 1,
+                            "parent": man["version"],
+                            "operation": "stream_append",
+                            "committed_at_us": self._now_us(None),
+                            "schema": man["schema"],
+                            "files": man["files"] + new_files,
+                            "stream_batch_id": batch_id,
+                        },
+                        man,
+                    )
                 )
             except CommitConflictError:
                 man = self.manifest(self.latest_version())
@@ -881,6 +1096,44 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
+    def _read_with_deletes(
+        self, spark: SparkSession, man: dict, files: list[dict]
+    ) -> DataFrame:
+        """Read data files and apply the manifest's pending EQUALITY
+        DELETE files. Files are grouped by the subset of delete files
+        that apply to them (the added_version < applies_below rule), so
+        each group gets exactly the anti-joins it needs — a file added
+        after every delete reads with none. The delete key sets are
+        broadcast: they are small by the operator's contract (large
+        deletes go through delete_range/COW), so the read plan stays
+        shuffle-free — scan + broadcast anti-join per pending delete."""
+        dvs = man.get("delete_files") or []
+        if not dvs:
+            return self._read_file_group(spark, man, files)
+        groups: dict[tuple[int, ...], list[dict]] = {}
+        for f in files:
+            av = f.get("added_version", 0)
+            appl = tuple(
+                i for i, d in enumerate(dvs) if av < d["applies_below"]
+            )
+            groups.setdefault(appl, []).append(f)
+        parts = []
+        for appl, fs in sorted(groups.items()):
+            df = self._read_file_group(spark, man, fs)
+            for i in appl:
+                d = dvs[i]
+                keys = spark.read.schema(self._ddl(man, {d["key"]})).parquet(
+                    os.path.join(self.root, d["path"])
+                )
+                df = df.join(F.broadcast(keys), d["key"], "left_anti")
+            parts.append(df)
+        if not parts:
+            return spark.createDataFrame([], self._ddl(man))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(
         self,
         spark: SparkSession,
@@ -888,9 +1141,10 @@ class SnapshotTable:
         as_of_us: int | None = None,
     ) -> DataFrame:
         """Snapshot read: latest, ``VERSION AS OF`` or ``TIMESTAMP AS
-        OF`` — exactly the files that manifest committed."""
+        OF`` — exactly the files that manifest committed, minus the
+        rows its pending equality-delete files hide."""
         man = self.manifest(self._resolve(version, as_of_us))
-        return self._read_file_group(spark, man, man["files"])
+        return self._read_with_deletes(spark, man, man["files"])
 
     def read_changes(
         self, spark: SparkSession, from_version: int, to_version: int
@@ -923,8 +1177,8 @@ class SnapshotTable:
         for v in range(from_version + 1, to_version + 1):
             man = self.manifest(v)
             op = man["operation"]
-            if op in ("create", "compact", "cluster"):
-                continue
+            if op in ("create", "compact", "cluster", "rewrite_deletes"):
+                continue  # dataChange=false: no logical change to feed
             if op in ("append", "stream_append"):
                 parent = man["parent"]
                 seen = {f["path"] for f in self.manifest(parent)["files"]}
@@ -932,7 +1186,7 @@ class SnapshotTable:
                 df = self._read_file_group(spark, man_to, added).withColumn(
                     "_change", F.lit("insert")
                 )
-            elif op in ("merge", "delete"):
+            elif op in ("merge", "delete", "delete_mor"):
                 cdc = man.get("cdc_files")
                 if cdc is None:
                     raise ValueError(
@@ -991,7 +1245,7 @@ class SnapshotTable:
         v = self._resolve(version, None)
         man = self.manifest(v)
         kept, _ = self.pruned_files(key, lo, hi, version=v)
-        df = self._read_file_group(spark, man, kept)
+        df = self._read_with_deletes(spark, man, kept)
         return df.filter((F.col(key) >= lo) & (F.col(key) <= hi))
 
 

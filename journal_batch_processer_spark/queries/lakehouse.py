@@ -346,6 +346,101 @@ WHERE event_id NOT BETWEEN (SELECT MAX(event_id) // 4 FROM events)
 """
 
 
+def _materialize_mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """Merge-on-read fixture chain: create → append all events →
+    EQUALITY DELETE of event_id % 10 == 3 as a delete FILE (no data
+    rewrite) → re-append a tripled-value subset of the deleted rows
+    (proving newer files escape older deletes) → a second stacked
+    equality delete (event_id % 8 == 1, hitting old and re-inserted
+    rows alike) → apply_deletes (the maintenance rewrite) → vacuum
+    keeping v4..v6, which must preserve the delete files v5 still
+    references (reclaiming them would corrupt the MOR time-travel
+    read the driver checks)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"mor_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "mor", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 6:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _base_events(spark, sf_dir)
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema, committed_at_us=1_000_000)
+    t.append(ev.repartitionByRange(8, "event_id"), committed_at_us=2_000_000)
+    t.delete_mor(
+        ev.filter(F.col("event_id") % 10 == 3).select("event_id"),
+        "event_id",
+        committed_at_us=3_000_000,
+    )
+    t.append(
+        ev.filter(
+            (F.col("event_id") % 10 == 3) & (F.col("event_id") % 7 < 3)
+        ).select(
+            "event_id",
+            "user_id",
+            (F.col("value") * 3).alias("value"),
+            "event_type",
+        ),
+        committed_at_us=4_000_000,
+    )
+    t.delete_mor(
+        ev.filter(F.col("event_id") % 8 == 1).select("event_id"),
+        "event_id",
+        committed_at_us=5_000_000,
+    )
+    t.apply_deletes(spark, committed_at_us=6_000_000)
+    t.vacuum(retain_last=3)
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def q_table_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read state at v5 (both equality deletes pending, zero
+    data files rewritten), row-level: base rows survive iff neither
+    delete lists their key; the re-inserted tripled rows (newer than
+    the first delete, older than the second) survive iff the SECOND
+    delete spares them — the added_version < applies_below rule
+    applied per (file, delete-file) pair. Read AFTER the fixture's
+    vacuum, so the delete files' vacuum liveness is on this hook too."""
+    root = _materialize_mor_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark, version=5)
+
+
+SQL_TABLE_MOR_READ = """
+WITH ev AS (SELECT event_id, user_id, value, event_type FROM events)
+SELECT event_id, user_id, value, event_type FROM ev
+WHERE event_id % 10 <> 3 AND event_id % 8 <> 1
+UNION ALL
+SELECT event_id, user_id, value * 3 AS value, event_type FROM ev
+WHERE event_id % 10 = 3 AND event_id % 7 < 3 AND event_id % 8 <> 1
+"""
+
+
+def q_table_mor_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head read after apply_deletes folded the pending equality
+    deletes into the data files: content identical to the v5 MOR read
+    by contract (same oracle text — the compaction-identity pattern),
+    now served from rewritten files with no anti-join on the plan. A
+    unit test pins the physical side (delete files dropped, only
+    key-containing files rewritten); this key pins the content."""
+    root = _materialize_mor_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark)
+
+
+# apply_deletes' contract is content identity with the MOR read
+SQL_TABLE_MOR_APPLY = SQL_TABLE_MOR_READ
+
+
 def q_stream_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest INTO the snapshot table:
     ``foreachBatch`` commits each micro-batch through
@@ -1179,6 +1274,8 @@ QUERIES = {
     "table_compact_read": (q_table_compact_read, SQL_TABLE_COMPACT_READ),
     "table_prune_read": (q_table_prune_read, SQL_TABLE_PRUNE_READ),
     "table_delete_commit": (q_table_delete_commit, SQL_TABLE_DELETE_COMMIT),
+    "table_mor_read": (q_table_mor_read, SQL_TABLE_MOR_READ),
+    "table_mor_apply": (q_table_mor_apply, SQL_TABLE_MOR_APPLY),
     "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
     "stream_table_merge": (q_stream_table_merge, SQL_STREAM_TABLE_MERGE),
     "table_history_read": (q_table_history_read, SQL_TABLE_HISTORY_READ),

@@ -126,9 +126,9 @@ class TableStreamReader(DataSourceStreamReader):
                 # WRITE-TIME materialized change files; dataChange-
                 # false rewrites (compact/cluster) emit nothing;
                 # restore has no materialized diff — fail loud.
-                if op in ("create", "compact", "cluster"):
+                if op in ("create", "compact", "cluster", "rewrite_deletes"):
                     continue
-                if op in ("merge", "delete"):
+                if op in ("merge", "delete", "delete_mor"):
                     cdc = man.get("cdc_files")
                     if cdc is None:
                         raise RuntimeError(

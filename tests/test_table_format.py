@@ -711,3 +711,149 @@ def test_merge_resolve_end_state_invariant_to_batch_split(spark, tmp_path):
     three = run([ups[16:], ups[8:16], ups[:8]])
     assert one == three
     assert len(one) == 6
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read equality deletes (delete_mor / apply_deletes)
+# ---------------------------------------------------------------------------
+def test_mor_delete_rewrites_nothing_and_stacks(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    keys = spark.range(0, 100, 10).selectExpr("id as k")
+    t.delete_mor(keys, "k", committed_at_us=3_000_000)
+    # zero data files rewritten: the commit carries v2's files verbatim
+    assert [f["path"] for f in t.manifest(3)["files"]] == [
+        f["path"] for f in t.manifest(2)["files"]
+    ]
+    got = {r.k for r in t.read(spark).collect()}
+    assert got == {i for i in range(100) if i % 10 != 0}
+    # re-insert one deleted key: the NEW file is younger than the
+    # delete (added_version >= applies_below) so the row is visible
+    t.append(
+        spark.createDataFrame([(20, 999)], "k bigint, v bigint"),
+        committed_at_us=4_000_000,
+    )
+    assert (20, 999) in {(r.k, r.v) for r in t.read(spark).collect()}
+    # a second, stacked delete hits old and re-inserted files alike
+    t.delete_mor(
+        spark.createDataFrame([(20,), (55,)], "k bigint"),
+        "k",
+        committed_at_us=5_000_000,
+    )
+    got = {r.k for r in t.read(spark).collect()}
+    assert 20 not in got and 55 not in got and 30 not in got and 21 in got
+    # time travel between the deletes sees the intermediate MOR state
+    got4 = {r.k for r in t.read(spark, version=4).collect()}
+    assert 20 in got4 and 30 not in got4 and 55 in got4
+
+
+def test_mor_cdf_emits_only_logically_deleted_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    t.delete_mor(
+        spark.range(0, 100, 10).selectExpr("id as k"), "k",
+        committed_at_us=3_000_000,
+    )
+    assert sorted(r.k for r in t.read_changes(spark, 2, 3).collect()) == list(
+        range(0, 100, 10)
+    )
+    t.append(
+        spark.createDataFrame([(20, 999)], "k bigint, v bigint"),
+        committed_at_us=4_000_000,
+    )
+    t.delete_mor(
+        spark.createDataFrame([(20,), (55,)], "k bigint"), "k",
+        committed_at_us=5_000_000,
+    )
+    # k=20's V2 row was already deleted at v3 — only the re-inserted
+    # (20, 999) and the live (55, 550) leave the logical state at v5
+    ch = sorted(
+        (r.k, r.v, r._change, r._commit_version)
+        for r in t.read_changes(spark, 4, 5).collect()
+    )
+    assert ch == [(20, 999, "delete", 5), (55, 550, "delete", 5)]
+
+
+def test_mor_guards_file_rewriting_ops(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    t.delete_mor(
+        spark.createDataFrame([(7,)], "k bigint"), "k",
+        committed_at_us=3_000_000,
+    )
+    batch = spark.createDataFrame([(1, 2)], "k bigint, v bigint")
+    with pytest.raises(NotImplementedError):
+        t.merge(batch, "k")
+    with pytest.raises(NotImplementedError):
+        t.compact(spark, 10**6)
+    with pytest.raises(NotImplementedError):
+        t.delete_range(spark, "k", 0, 5)
+    with pytest.raises(NotImplementedError):
+        t.clone(str(tmp_path / "c"))
+    # appends are fine and CARRY the pending delete
+    t.append(_df(spark, 100, 110), committed_at_us=4_000_000)
+    assert len(t.manifest(4)["delete_files"]) == 1
+    assert 7 not in {r.k for r in t.read(spark).collect()}
+
+
+def test_apply_deletes_rewrites_only_key_containing_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # two range-disjoint files: [0,49] and [50,99]
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    t.delete_mor(
+        spark.createDataFrame([(5,), (7,)], "k bigint"), "k",
+        committed_at_us=3_000_000,
+    )
+    before = sorted((r.k, r.v) for r in t.read(spark).collect())
+    paths3 = {f["path"] for f in t.manifest(3)["files"]}
+    v = t.apply_deletes(spark, committed_at_us=4_000_000)
+    man = t.manifest(v)
+    assert not man.get("delete_files")
+    assert man["rewrite_deletes"]["rewritten_files"] == 1
+    assert man["rewrite_deletes"]["carried_files"] == 1
+    # the untouched upper-range file carried by path
+    assert len(paths3 & {f["path"] for f in man["files"]}) == 1
+    # content identity (dataChange=false) and no change-feed emission
+    assert before == sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert t.read_changes(spark, 3, 4).count() == 0
+
+
+def test_vacuum_tracks_delete_file_liveness(spark, tmp_path):
+    import glob as _glob
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    t.delete_mor(
+        spark.range(0, 100, 10).selectExpr("id as k"), "k",
+        committed_at_us=3_000_000,
+    )
+    t.append(_df(spark, 100, 120), committed_at_us=4_000_000)
+    root = t.root
+    # retain v3+v4: both reference the delete file -> it must survive
+    t.vacuum(retain_last=2)
+    assert len(_glob.glob(os.path.join(root, "delete", "*"))) == 1
+    assert {r.k for r in t.read(spark, version=3).collect()} == {
+        i for i in range(100) if i % 10 != 0
+    }
+    # resolve the deletes, then retain only the head: the delete file's
+    # last referencing manifest expires and vacuum reclaims it
+    t.apply_deletes(spark, committed_at_us=5_000_000)
+    before = sorted((r.k, r.v) for r in t.read(spark).collect())
+    t.vacuum(retain_last=1)
+    assert _glob.glob(os.path.join(root, "delete", "*")) == []
+    assert before == sorted((r.k, r.v) for r in t.read(spark).collect())
+
+
+def test_restore_carries_pending_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    t.delete_mor(
+        spark.createDataFrame([(7,), (8,)], "k bigint"), "k",
+        committed_at_us=3_000_000,
+    )
+    t.apply_deletes(spark, committed_at_us=4_000_000)
+    # restore to the pending-deletes snapshot: logical state preserved
+    v = t.restore(3, committed_at_us=5_000_000)
+    assert len(t.manifest(v)["delete_files"]) == 1
+    got = {r.k for r in t.read(spark).collect()}
+    assert 7 not in got and 8 not in got and 9 in got
