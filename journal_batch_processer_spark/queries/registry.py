@@ -69,9 +69,11 @@ def _build() -> dict[str, QuerySpec]:
     # together they fill the ~50-key budget exactly, discharging the
     # stale tier in one round (VERDICT r07 item 2).
     priority = [
-        # NEW in r08 session 3 — merge-on-read equality deletes
+        # NEW in r08 session 3 — merge-on-read equality deletes,
+        # h-index coreness
         "table_mor_read",        # stacked MOR deletes + re-insert rule
         "table_mor_apply",       # rewrite-deletes content identity
+        "graph_kcore",           # coreness via h-index iteration
         # NEW in r08 session 2 — never driver-checked yet, front of
         # the queue (supervised curation pair, shallow clone,
         # streaming MERGE), plus the media key whose fixture mix

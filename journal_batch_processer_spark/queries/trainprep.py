@@ -701,6 +701,161 @@ def _pagerank_oracle_sql() -> str:
 SQL_GRAPH_PAGERANK = _pagerank_oracle_sql()
 
 
+KCORE_ITERS = 6
+# (a, c, in-block-position limit): node links to
+# block_start + (node*a + c) % block_size, but only when
+# node % LPA_BLOCK < limit — the position-graded generator counts give
+# each block a CORE-PERIPHERY gradient (hubs near the block start,
+# degree-1 and isolated nodes at the tail), so coreness spans 0..5
+# instead of the single value a regular expander collapses to
+KCORE_GENS = (
+    (1, 1, 40),
+    (3, 1, 30),
+    (7, 11, 30),
+    (5, 3, 15),
+    (11, 7, 15),
+    (13, 5, 6),
+    (17, 3, 6),
+    (19, 9, 6),
+)
+
+
+def _kcore_edges(nodes: DataFrame, n: int) -> DataFrame:
+    """Deterministic blocked core-periphery graph (see KCORE_GENS)."""
+    e = None
+    for a, c, lim in KCORE_GENS:
+        bs = F.least(
+            F.lit(LPA_BLOCK),
+            F.lit(n) - (F.col("node") - F.col("node") % LPA_BLOCK),
+        )
+        part = nodes.filter(F.col("node") % LPA_BLOCK < lim).select(
+            F.col("node").alias("src"),
+            (
+                (F.col("node") - F.col("node") % LPA_BLOCK)
+                + (F.col("node") * a + c) % bs
+            ).alias("dst"),
+        )
+        e = part if e is None else e.unionAll(part)
+    return e.filter(F.col("src") != F.col("dst"))
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed CORENESS via h-index iteration (Lü, Chen, Ren,
+    Zhang, Zhang, Zhou, PNAS 2016: start every node at its degree;
+    repeatedly replace each node's value with the H-index of its
+    neighbors' values; the sequence is non-increasing and converges to
+    the node's k-core number) — the degeneracy-ordering peel without
+    any sequential peel: classic Batagelj–Zaversnik coreness removes
+    one minimum-degree vertex at a time (inherently serial), while the
+    H-operator is a per-node local update, so each round is ONE
+    shuffle join (values × edges on the neighbor key) plus a
+    per-node window/aggregate — the graph_pagerank scale shape.
+    Coreness drives corpus-graph curation the way pagerank does:
+    near-dup graph k-cores are template/boilerplate families, cores of
+    the link graph are hub communities to cap in a training mix.
+
+    Fixed KCORE_ITERS synchronous rounds (deterministic — everything
+    is integer counts, and MAX(LEAST(rank, value)) over a descending
+    sort is invariant to tie order), so the unrolled DuckDB oracle is
+    hash-exact. The graph is the labelprop blocked shape graded into
+    CORE-PERIPHERY blocks (KCORE_GENS): hub nodes near each block
+    start, degree-1 and isolated nodes at the tail, so the fixture
+    corenesses span 0..5 and the peel has real work per round."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # scalar action: graph size, needed as a literal
+    nodes = docs.select(F.col("doc_id").alias("node")).localCheckpoint()
+    directed = _kcore_edges(nodes, n)
+    edges = (
+        directed.union(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    cur = nodes.join(deg, nodes.node == deg.src, "left").select(
+        "node", F.coalesce("d", F.lit(0)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("nc").desc())
+    for _ in range(KCORE_ITERS):
+        nbr = edges.join(
+            cur.select(F.col("node").alias("dst"), F.col("c").alias("nc")),
+            "dst",
+        ).select("src", "nc")
+        # H-index of the neighbor-value multiset: sort desc, rank, then
+        # max(min(rank, value)) — the window and the groupBy hash on the
+        # SAME key, so one exchange serves both
+        h = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .groupBy("src")
+            .agg(F.max(F.least(F.col("rn"), F.col("nc"))).alias("h"))
+        )
+        cur = cur.join(h, cur.node == h.src, "left").select(
+            "node", F.coalesce("h", F.lit(0)).cast("long").alias("c")
+        )
+    return cur.select(
+        F.col("node").alias("node_id"), F.col("c").alias("coreness")
+    )
+
+
+def _kcore_oracle_sql() -> str:
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents),",
+        "nodes AS (SELECT doc_id AS node FROM documents),",
+        "directed AS (",
+    ]
+    links = []
+    for a, c, lim in KCORE_GENS:
+        links.append(
+            f"  SELECT node AS src, (node - node % {LPA_BLOCK})"
+            f" + (node * {a} + {c})"
+            f" % LEAST({LPA_BLOCK}, nn.n - (node - node % {LPA_BLOCK}))"
+            f" AS dst FROM nodes, nn WHERE node % {LPA_BLOCK} < {lim}"
+        )
+    parts.append("\n  UNION ALL\n".join(links))
+    # MATERIALIZED: each d{i} is referenced twice by level i+1 (the
+    # neighbor join and the carry-forward), so the plain-CTE plan
+    # re-expands 2^KCORE_ITERS times — materializing pins it linear
+    parts += [
+        "),",
+        "edges AS MATERIALIZED (",
+        "  SELECT DISTINCT src, dst FROM (",
+        "    SELECT src, dst FROM directed WHERE src <> dst",
+        "    UNION ALL SELECT dst, src FROM directed WHERE src <> dst",
+        "  )",
+        "),",
+        "d0 AS MATERIALIZED (",
+        "  SELECT n.node, CAST(COALESCE(d.c, 0) AS BIGINT) AS c",
+        "  FROM nodes n LEFT JOIN (",
+        "    SELECT src, COUNT(*) AS c FROM edges GROUP BY 1",
+        "  ) d ON d.src = n.node",
+        "),",
+    ]
+    for i in range(1, KCORE_ITERS + 1):
+        parts += [
+            f"v{i} AS (",
+            f"  SELECT e.src, d.c AS nc, ROW_NUMBER() OVER (",
+            f"    PARTITION BY e.src ORDER BY d.c DESC) AS rn",
+            f"  FROM edges e JOIN d{i - 1} d ON d.node = e.dst",
+            "),",
+            f"h{i} AS (SELECT src, MAX(LEAST(rn, nc)) AS h",
+            f"         FROM v{i} GROUP BY 1),",
+            f"d{i} AS MATERIALIZED (",
+            f"  SELECT p.node, CAST(COALESCE(h.h, 0) AS BIGINT) AS c",
+            f"  FROM d{i - 1} p LEFT JOIN h{i} h ON h.src = p.node",
+            ")" + ("," if i < KCORE_ITERS else ""),
+        ]
+    parts.append(
+        f"SELECT node AS node_id, c AS coreness FROM d{KCORE_ITERS}"
+    )
+    return "\n".join(parts)
+
+
+SQL_GRAPH_KCORE = _kcore_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # event funnel
 # ---------------------------------------------------------------------------
@@ -1071,6 +1226,7 @@ QUERIES = {
     "embed_pca_power": (q_embed_pca_power, SQL_EMBED_PCA_POWER),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_labelprop": (q_graph_labelprop, SQL_GRAPH_LABELPROP),
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
     "funnel_events": (q_funnel_events, SQL_FUNNEL_EVENTS),
     "dedup_chunks": (q_dedup_chunks, SQL_DEDUP_CHUNKS),
 }

@@ -334,3 +334,33 @@ def test_late_round5_operators_plan_shape(spark):
     om = plan_stats(q_outlier_mad(spark, SF))
     assert om.cartesian == 0, om.plan
     assert om.broadcast_hash_joins >= 2, om.plan
+
+
+def test_graph_kcore_plan_and_convergence(spark):
+    """graph_kcore's 6 unrolled h-index rounds must stay
+    nested-loop-free (the localCheckpoint'd edge relation, not a
+    re-expanded scan, feeds every round), and on the fixture the
+    final round must be a FIXPOINT of the H-operator (one more round
+    changes nothing) with a non-degenerate coreness spread — the
+    core-periphery generators exist precisely so the peel has work."""
+    from journal_batch_processer_spark.queries import trainprep
+    from journal_batch_processer_spark.queries.trainprep import q_graph_kcore
+
+    df = q_graph_kcore(spark, SF)
+    kc = plan_stats(df)
+    assert kc.cartesian == 0 and kc.nested_loop_joins == 0, kc.plan
+    rows6 = sorted((r.node_id, r.coreness) for r in df.collect())
+    vals = {c for _, c in rows6}
+    assert len(vals) >= 3, vals
+    assert min(vals) == 0  # block-tail isolated nodes
+    # fixpoint: a 7th H-operator round changes nothing at fixture scale
+    old = trainprep.KCORE_ITERS
+    trainprep.KCORE_ITERS = old + 1
+    try:
+        rows7 = sorted(
+            (r.node_id, r.coreness)
+            for r in q_graph_kcore(spark, SF).collect()
+        )
+    finally:
+        trainprep.KCORE_ITERS = old
+    assert rows6 == rows7
