@@ -291,11 +291,47 @@ class SnapshotTable:
         shutil.rmtree(staging, ignore_errors=True)
         return [e for e in entries if e["rows"] > 0]
 
+    def _stage_files_bucketed(
+        self, df: DataFrame, version_hint: int, field: str, n_buckets: int
+    ) -> list[dict]:
+        """Stage ``df`` HIDDEN-PARTITIONED by ``field % n_buckets``
+        (the Iceberg bucket-transform shape): one file per bucket, and
+        each manifest entry records its transform + bucket value, so a
+        point lookup on ``field`` prunes to 1/n of the files by
+        METADATA alone — something min/max stats cannot do for a hash/
+        modulo layout, where every bucket file spans the whole value
+        range. The bucket column itself never exists in the data (the
+        transform is recomputed from the entry — hidden partitioning:
+        readers filter on the SOURCE column only)."""
+        token = uuid.uuid4().hex[:8]
+        staging = os.path.join(self.root, f"_staging-{token}")
+        (
+            df.withColumn("_b", F.pmod(F.col(field), F.lit(n_buckets)))
+            .repartition(n_buckets, "_b")
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(staging)
+        )
+        os.makedirs(self._data_dir, exist_ok=True)
+        entries = []
+        parts = sorted(glob.glob(os.path.join(staging, "_b=*", "*.parquet")))
+        for i, p in enumerate(parts):
+            b = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+            rel = f"data/v{version_hint:05d}-b{b:03d}-{i:04d}-{token}.parquet"
+            os.rename(p, os.path.join(self.root, rel))
+            e = _file_entry(self.root, rel)
+            e["added_version"] = version_hint
+            e["partition"] = {"field": field, "mod": n_buckets, "value": b}
+            entries.append(e)
+        shutil.rmtree(staging, ignore_errors=True)
+        return [e for e in entries if e["rows"] > 0]
+
     def append(
         self,
         df: DataFrame,
         committed_at_us: int | None = None,
         new_columns: list[tuple[str, str]] | None = None,
+        bucket_by: tuple[str, int] | None = None,
         _max_retries: int = 10,
     ) -> int:
         """Append ``df`` as a new snapshot. Additive schema evolution:
@@ -303,7 +339,14 @@ class SnapshotTable:
         files are never touched; the reader null-fills them). Appends
         never conflict LOGICALLY, so a lost commit race auto-rebases on
         the new latest and retries (data files are already staged and
-        are commit-target agnostic)."""
+        are commit-target agnostic).
+
+        ``bucket_by=(field, n)`` lays the batch out hidden-partitioned
+        (see :meth:`_stage_files_bucketed`). The spec is PER FILE, so
+        it can evolve freely between appends — Iceberg partition-spec
+        evolution: each file prunes under the spec it was written
+        with, files without one (or rewritten by COW) just never
+        bucket-prune."""
         base_v = self.latest_version()
         man = self.manifest(base_v)
         schema = list(man["schema"])
@@ -315,7 +358,12 @@ class SnapshotTable:
         bad = set(df.columns) - known
         if bad:
             raise ValueError(f"append columns not in table schema: {sorted(bad)}")
-        new_files = self._stage_files(df, base_v + 1)
+        if bucket_by is not None:
+            new_files = self._stage_files_bucketed(
+                df, base_v + 1, bucket_by[0], bucket_by[1]
+            )
+        else:
+            new_files = self._stage_files(df, base_v + 1)
         for _ in range(_max_retries):
             try:
                 return self._try_commit(
@@ -1247,6 +1295,52 @@ class SnapshotTable:
         kept, _ = self.pruned_files(key, lo, hi, version=v)
         df = self._read_with_deletes(spark, man, kept)
         return df.filter((F.col(key) >= lo) & (F.col(key) <= hi))
+
+    def eq_files(
+        self, field: str, value: int, version: int | None = None
+    ) -> tuple[list[dict], list[dict]]:
+        """Split a snapshot's files into (kept, skipped) for a point
+        lookup ``field == value`` using BOTH pruning sources: the
+        hidden-partition transform recorded per file (skip when
+        ``value % mod != bucket`` — the pruning min/max can never give
+        a modulo layout) and the min/max stats. Files carrying neither
+        are kept — pruning is an optimization, never a correctness
+        gate, which is exactly what lets the partition spec evolve
+        per-append and COW rewrites drop the metadata."""
+        man = self.manifest(self._resolve(version, None))
+        kept, skipped = [], []
+        for f in man["files"]:
+            p = f.get("partition")
+            if (
+                p is not None
+                and p["field"] == field
+                and value % p["mod"] != p["value"]
+            ):
+                skipped.append(f)
+                continue
+            st = (f.get("stats") or {}).get(field)
+            if st is not None and (st[1] < value or st[0] > value):
+                skipped.append(f)
+                continue
+            kept.append(f)
+        return kept, skipped
+
+    def read_eq(
+        self,
+        spark: SparkSession,
+        field: str,
+        value: int,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Hidden-partitioned point lookup: the caller filters on the
+        SOURCE column only (never a bucket column — it doesn't exist
+        in the data); bucket-transform metadata and stats prune files
+        before Spark lists them, the row filter does the rest."""
+        v = self._resolve(version, None)
+        man = self.manifest(v)
+        kept, _ = self.eq_files(field, value, version=v)
+        df = self._read_with_deletes(spark, man, kept)
+        return df.filter(F.col(field) == value)
 
 
 def table_fixture_root(tag: str) -> str:

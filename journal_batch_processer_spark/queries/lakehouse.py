@@ -441,6 +441,70 @@ def q_table_mor_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TABLE_MOR_APPLY = SQL_TABLE_MOR_READ
 
 
+def _materialize_bucket_table(spark: SparkSession, sf_dir: str) -> str:
+    """Hidden-partitioning fixture with SPEC EVOLUTION: all events
+    appended under bucket(user_id, 8), then a derived second
+    generation under bucket(user_id, 4) — two specs live in one
+    table, each file pruning under the spec it was written with."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"bucket_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "bucket", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 3:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _base_events(spark, sf_dir)
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema, committed_at_us=1_000_000)
+    t.append(ev, committed_at_us=2_000_000, bucket_by=("user_id", 8))
+    gen2 = ev.filter(F.col("event_id") % 1000 == 1).select(
+        (F.col("event_id") + 20_000_000).alias("event_id"),
+        "user_id",
+        "value",
+        "event_type",
+    )
+    t.append(gen2, committed_at_us=3_000_000, bucket_by=("user_id", 4))
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def q_table_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-partitioned point lookup across an EVOLVED partition
+    spec: one user's rows from a table whose first generation is
+    bucketed user_id%8 and second user_id%4. The caller filters on
+    the source column only; the bucket transforms recorded per file
+    prune to ~1 file per spec before Spark lists anything (min/max
+    stats cannot prune a modulo layout — every bucket file spans the
+    whole id range; a unit test pins the file counts). The lookup key
+    derives from the data (min user_id + 3) so it binds at every sf;
+    the oracle recomputes it as a scalar subquery."""
+    root = _materialize_bucket_table(spark, sf_dir)
+    ev = _base_events(spark, sf_dir)
+    k = ev.agg((F.min("user_id") + 3).alias("k")).collect()[0][0]
+    return SnapshotTable(root).read_eq(spark, "user_id", int(k))
+
+
+SQL_TABLE_PARTITION_READ = """
+WITH ev AS (SELECT event_id, user_id, value, event_type FROM events),
+k AS (SELECT MIN(user_id) + 3 AS u FROM ev)
+SELECT event_id, user_id, value, event_type FROM ev
+WHERE user_id = (SELECT u FROM k)
+UNION ALL
+SELECT event_id + 20000000 AS event_id, user_id, value, event_type FROM ev
+WHERE event_id % 1000 = 1 AND user_id = (SELECT u FROM k)
+"""
+
+
 def q_stream_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest INTO the snapshot table:
     ``foreachBatch`` commits each micro-batch through
@@ -1276,6 +1340,7 @@ QUERIES = {
     "table_delete_commit": (q_table_delete_commit, SQL_TABLE_DELETE_COMMIT),
     "table_mor_read": (q_table_mor_read, SQL_TABLE_MOR_READ),
     "table_mor_apply": (q_table_mor_apply, SQL_TABLE_MOR_APPLY),
+    "table_partition_read": (q_table_partition_read, SQL_TABLE_PARTITION_READ),
     "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
     "stream_table_merge": (q_stream_table_merge, SQL_STREAM_TABLE_MERGE),
     "table_history_read": (q_table_history_read, SQL_TABLE_HISTORY_READ),

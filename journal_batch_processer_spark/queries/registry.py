@@ -74,6 +74,7 @@ def _build() -> dict[str, QuerySpec]:
         "table_mor_read",        # stacked MOR deletes + re-insert rule
         "table_mor_apply",       # rewrite-deletes content identity
         "graph_kcore",           # coreness via h-index iteration
+        "table_partition_read",  # hidden bucket partitioning + evolution
         # NEW in r08 session 2 — never driver-checked yet, front of
         # the queue (supervised curation pair, shallow clone,
         # streaming MERGE), plus the media key whose fixture mix

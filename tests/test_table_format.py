@@ -857,3 +857,38 @@ def test_restore_carries_pending_deletes(spark, tmp_path):
     assert len(t.manifest(v)["delete_files"]) == 1
     got = {r.k for r in t.read(spark).collect()}
     assert 7 not in got and 8 not in got and 9 in got
+
+
+def test_bucket_partition_prunes_point_lookups_across_specs(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # gen 1 under bucket(k, 4); gen 2 (overlapping keys) under
+    # bucket(k, 2) — partition-spec evolution, two specs in one table
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000, bucket_by=("k", 4))
+    assert len(t.manifest(2)["files"]) == 4
+    t.append(
+        spark.createDataFrame(
+            [(10, 111), (11, 222)], "k bigint, v bigint"
+        ),
+        committed_at_us=3_000_000,
+        bucket_by=("k", 2),
+    )
+    # lookup k=10: one file per spec survives (10%4=2, 10%2=0); the
+    # other 4 skip on bucket metadata ALONE — every gen-1 bucket file
+    # spans [~0, ~99] so min/max could never prune this
+    kept, skipped = t.eq_files("k", 10)
+    assert len(kept) == 2 and len(skipped) == 4
+    assert {f["partition"]["value"] for f in kept} == {2, 0}
+    rows = sorted((r.k, r.v) for r in t.read_eq(spark, "k", 10).collect())
+    assert rows == [(10, 100), (10, 111)]
+    # a file WITHOUT partition metadata (plain append) falls back to
+    # stats pruning: k=999 can't contain 10, so it skips on min/max
+    t.append(
+        spark.createDataFrame([(999, 1)], "k bigint, v bigint"),
+        committed_at_us=4_000_000,
+    )
+    kept, skipped = t.eq_files("k", 10)
+    assert len(kept) == 2 and len(skipped) == 5
+    assert any("partition" not in f for f in skipped)
+    assert sorted(
+        (r.k, r.v) for r in t.read_eq(spark, "k", 10).collect()
+    ) == [(10, 100), (10, 111)]
