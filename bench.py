@@ -98,6 +98,13 @@ BENCH_QUERIES = [
     # orientation + two joins); a candidate-generator or caching
     # regression shows here first
     "graph_triangles",
+    # r08 session 3: the h-index coreness driver (6 unrolled
+    # join+window+agg rounds — a window-vs-agg exchange-reuse
+    # regression shows here), and the merge-on-read read path (per
+    # delete-scoped file group: scan + broadcast anti-joins; a plan
+    # that shuffles for the anti-join would triple this row)
+    "graph_kcore",
+    "table_mor_read",
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is

@@ -383,14 +383,17 @@ def test_cdf_restore_fails_loud_and_vacuum_keeps_live_cdc(spark, tmp_path):
 
 def test_table_format_random_ops_match_python_model(spark, tmp_path):
     """Model-based randomized check: a seeded random sequence of
-    append / COW-merge / range-delete / compact commits is mirrored
-    into a plain Python dict-of-rows model (merge_resolve = last-wins
-    max(old, new) per key). After every commit:
-    head read == model; after the run: every historical version ==
-    its recorded model state (time travel), and every consecutive
-    CDC window == the model diff (write-time feed == logical diff,
-    compact windows empty). One seed, ~10 ops — small but it walks
-    op INTERLEAVINGS none of the targeted tests cover."""
+    append / COW-merge / range-delete / compact / MOR-equality-delete /
+    apply-deletes commits is mirrored into a plain Python dict-of-rows
+    model (merge_resolve = last-wins max(old, new) per key; appends
+    are randomly hidden-bucketed and may RE-INSERT tombstoned keys —
+    the applies_below visibility rule on a random walk). After every
+    commit: head read == model; after the run: every historical
+    version == its recorded model state (time travel), and every
+    consecutive CDC window == the model diff (write-time feed ==
+    logical diff, compact/apply windows empty). One seed, ~14 ops —
+    small but it walks op INTERLEAVINGS none of the targeted tests
+    cover."""
     import random
 
     from pyspark.sql import functions as F
@@ -414,19 +417,64 @@ def test_table_format_random_ops_match_python_model(spark, tmp_path):
     states = {1: []}
     ops = {1: "create"}
     ts = 1_000_000
-    for step in range(10):
+    pending = False  # MOR delete files awaiting apply_deletes
+    tombstoned: list = []  # keys removed by delete_mor, re-insertable
+    for step in range(14):
         ts += 1_000_000
         op = rng.choice(
-            ["append", "merge", "merge", "merge_resolve", "delete", "compact"]
+            [
+                "append",
+                "merge",
+                "merge",
+                "merge_resolve",
+                "delete",
+                "compact",
+                "delete_mor",
+                "delete_mor",
+                "apply_deletes",
+            ]
         )
+        if pending and op in ("merge", "merge_resolve", "delete", "compact"):
+            # guarded while equality deletes are pending (targeted
+            # tests pin the guard itself) — resolve instead
+            op = "apply_deletes"
         if op == "append":
             lo = rng.randrange(0, 500) * 10 + 100000 * step
             pairs = [(lo + i, rng.randrange(1000)) for i in range(rng.randrange(1, 30))]
-            pairs = [(k, v) for k, v in pairs if k not in model]
+            # occasionally RE-INSERT a tombstoned key: the new file is
+            # younger than the delete file, so the row must be visible
+            revive = [
+                (k, rng.randrange(1000))
+                for k in rng.sample(tombstoned, min(len(tombstoned), rng.randrange(0, 3)))
+            ]
+            pairs = [(k, v) for k, v in pairs + revive if k not in model]
             if not pairs:
                 continue
-            t.append(mk_df(pairs), committed_at_us=ts)
+            t.append(
+                mk_df(pairs),
+                committed_at_us=ts,
+                bucket_by=rng.choice([None, ("k", 2), ("k", 4)]),
+            )
             model.update(dict(pairs))
+            tombstoned = [k for k in tombstoned if k not in model]
+        elif op == "delete_mor":
+            if not model:
+                continue
+            ks = rng.sample(sorted(model), min(len(model), rng.randrange(1, 6)))
+            t.delete_mor(
+                spark.createDataFrame([(k,) for k in ks], "k long"),
+                "k",
+                committed_at_us=ts,
+            )
+            for k in ks:
+                model.pop(k, None)
+            tombstoned.extend(ks)
+            pending = True
+        elif op == "apply_deletes":
+            if not pending:
+                continue
+            t.apply_deletes(spark, committed_at_us=ts)
+            pending = False
         elif op == "merge":
             keys = list(model)
             upd = rng.sample(keys, min(len(keys), rng.randrange(0, 8)))
@@ -495,11 +543,14 @@ def test_table_format_random_ops_match_python_model(spark, tmp_path):
 
 def test_table_stream_random_commits_and_drains(spark, tmp_path):
     """Streaming-source property test: a seeded random interleaving of
-    appends, change commits, and checkpointed availableNow drains. The
-    union of ALL drains must equal exactly the appended rows (each
-    once, with its committing version) no matter where the drain
-    boundaries fall — offset persistence, manifest-diff planning, and
-    skipChangeCommits are all on the hook at once."""
+    appends, change commits (COW merge AND MOR equality delete, with
+    apply_deletes resolving pends), and checkpointed availableNow
+    drains. The union of ALL drains must equal exactly the appended
+    rows (each once, with its committing version) no matter where the
+    drain boundaries fall — offset persistence, manifest-diff
+    planning, and skipChangeCommits are all on the hook at once;
+    delete_mor/rewrite_deletes must neither re-emit nor retro-drop
+    rows from the append-only stream."""
     import random
 
     from journal_batch_processer_spark.queries.streaming_q import _await_drain
@@ -533,9 +584,14 @@ def test_table_stream_random_commits_and_drains(spark, tmp_path):
         )
         _await_drain(q, "rand_drain")
 
-    for _ in range(12):
+    pending = False  # MOR delete files awaiting apply_deletes
+    for _ in range(14):
         ts += 1_000_000
-        op = rng.choice(["append", "append", "merge", "compact", "drain"])
+        op = rng.choice(
+            ["append", "append", "merge", "compact", "delete_mor", "drain"]
+        )
+        if pending and op in ("merge", "compact"):
+            op = "apply_deletes"  # guarded while equality deletes pend
         if op == "append":
             n = rng.randrange(1, 20)
             pairs = [(nxt + i, rng.randrange(100)) for i in range(n)]
@@ -556,6 +612,21 @@ def test_table_stream_random_commits_and_drains(spark, tmp_path):
                 "k",
                 committed_at_us=ts,
             )  # change commit: must NOT re-emit under skipChangeCommits
+        elif op == "delete_mor":
+            if not expected:
+                continue
+            ks = rng.sample([e[0] for e in expected], min(2, len(expected)))
+            t.delete_mor(
+                spark.createDataFrame([(k,) for k in ks], "k long"),
+                "k",
+                committed_at_us=ts,
+            )  # change commit too: already-appended files must not
+            #    re-emit, and the APPEND-STREAM contract keeps rows
+            #    emitted at append time regardless of later deletes
+            pending = True
+        elif op == "apply_deletes":
+            t.apply_deletes(spark, committed_at_us=ts)
+            pending = False  # dataChange=false: skipped whole, no emit
         elif op == "compact":
             t.compact(spark, 32 * 1024, committed_at_us=ts)
         else:
