@@ -35,7 +35,10 @@ Scope — honest and loud:
   (no color transform is defined for it)
   (operators/jpeg_lossless.py). FRACTIONAL sampling ratios decode in
   sequential frames (r08 — nearest-sample upsampling; libjpeg rejects
-  such files). HIERARCHICAL pyramids (Annex K, operators/jpeg_hier.py)
+  such files) AND progressive frames (r08 s3 — interleaved scans on
+  the padded MCU grid, per-component scans on the component's own
+  grid, same shared color stage). HIERARCHICAL pyramids (Annex K,
+  operators/jpeg_hier.py)
   decode with EVERY differential process (r08): sequential (SOF5/13),
   PROGRESSIVE (SOF6/14 — the jpeg.py scan decoders reused with
   PRED=0), and LOSSLESS (SOF7/15 — Ss=0 no-prediction corrections
@@ -43,7 +46,7 @@ Scope — honest and loud:
   Huffman or QM-arithmetic throughout. Anything else raises
   NotImplementedError/ValueError naming the feature: non-1×1 sampling
   in differential frames, non-interleaved lossless scans, non-1×1
-  lossless sampling, fractional sampling inside progressive frames.
+  lossless sampling.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -1181,15 +1184,14 @@ def _decode_jpeg_progressive(data: bytes):
                 comps.append((cid, tq, hi, vi))
             if nc == 1:
                 comps = [(comps[0][0], comps[0][1], 1, 1)]
+            # Sampling ratios need NOT divide the frame maximum here
+            # either (r08 s3): the interleaved scans address the padded
+            # MCU grid (mcux·hi blocks wide), non-interleaved scans the
+            # component's own ceil-scaled grid, and the shared color
+            # stage maps luma coordinates with x*hi//hmax — the same
+            # nearest-sample generalization the sequential path ships.
             hmax = max(hi for _c, _t, hi, _v in comps)
             vmax = max(vi for _c, _t, _h, vi in comps)
-            for _c, _t, hi, vi in comps:
-                if hmax % hi or vmax % vi:
-                    raise NotImplementedError(
-                        "jpeg: fractional sampling ratio "
-                        f"{hi}x{vi} in a PROGRESSIVE frame (sequential "
-                        "frames decode fractional ratios, r08)"
-                    )
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             dims = []
@@ -1574,6 +1576,7 @@ def _decode_progressive_scan(
 def encode_jpeg_solid_gray_progressive(
     width: int, height: int, v: int, restart_interval: int = 0,
     precision: int = 8,
+    samps: tuple = ((1, 1), (1, 1), (1, 1)),
 ) -> bytes:
     """Progressive (SOF2) JFIF of a solid GRAY image: five REAL scans —
     interleaved DC first pass at Al=1, DC refinement delivering the
@@ -1592,9 +1595,22 @@ def encode_jpeg_solid_gray_progressive(
     (r08): 16-bit DQT entries (Pq=1), SOF2 precision byte 12, samples
     in 0..4095 with midpoint 2048 — the DC diff of the Al=1 first pass
     stays ≤ category 10, so the Annex K "typical" DC tables still
-    cover it."""
-    if width % 8 or height % 8:
-        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    cover it.
+
+    ``samps`` (r08 s3) sets per-component sampling factors, including
+    FRACTIONAL ratios (e.g. 3x1/2x1/1x1): the interleaved DC scans
+    then carry Hi×Vi data units per component per MCU, and each
+    per-component AC scan covers that component's own block grid —
+    dims must be MCU-aligned (width % 8·hmax == height % 8·vmax == 0)
+    so the non-interleaved grid equals the padded grid and the EOBn
+    run count is exact."""
+    hs = [hh for hh, _v in samps]
+    vs_ = [vv for _h, vv in samps]
+    if not all(1 <= x <= 4 for x in hs + vs_):
+        raise ValueError("sampling factors must be 1..4")
+    hmax, vmax = max(hs), max(vs_)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError("fixture encoder requires MCU-aligned dims")
     if precision not in (8, 12):
         raise ValueError("fixture encoder supports precision 8 or 12")
     mid, vmaxval = 1 << (precision - 1), (1 << precision) - 1
@@ -1621,7 +1637,8 @@ def encode_jpeg_solid_gray_progressive(
     out += b"\xff\xc2" + struct.pack(
         ">HBHHB", 17, precision, height, width, 3
     )
-    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for ci, (hh, vv) in enumerate(samps):
+        out += bytes([ci + 1, (hh << 4) | vv, 0 if ci == 0 else 1])
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # The Annex K "typical" AC tables are sequential-only: they contain
@@ -1655,7 +1672,8 @@ def encode_jpeg_solid_gray_progressive(
     dc_q = (8 * (v - mid)) // STD_LUMA_QT[0]  # exact for even v
     dc_luma = _huff_codes(*STD_DC_LUMA)
     dc_chroma = _huff_codes(*STD_DC_CHROMA)
-    n_blocks = (width // 8) * (height // 8)
+    mcux, mcuy = width // (8 * hmax), height // (8 * vmax)
+    n_mcus = mcux * mcuy
 
     ri = restart_interval
 
@@ -1667,29 +1685,33 @@ def encode_jpeg_solid_gray_progressive(
 
     # scan 1: interleaved DC first pass, Al=1 — diffs of (DC >> 1);
     # T.81 G.1.2.1: the DC point transform is an ARITHMETIC shift.
-    # Predictors reset at every restart, so each segment's first MCU
-    # re-codes the full hi_dc diff.
+    # Predictors reset at every restart, so each segment's first Y
+    # data unit re-codes the full hi_dc diff; with Hi×Vi > 1 every
+    # MCU carries that many Y units (restart units are MCUs).
     out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
     hi_dc = dc_q >> 1
     rst = 0
-    for si, seg_n in enumerate(seg_bounds(n_blocks)):
+    for si, seg_n in enumerate(seg_bounds(n_mcus)):
         if si:
             out += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) & 7
         bw = _BitWriter()
         prev = 0
-        for blk in range(seg_n):
-            diff = hi_dc - prev if blk == 0 else 0
-            prev = hi_dc
-            cat = _category(diff)
-            c, ln = dc_luma[cat]
-            bw.put(c, ln)
-            if cat:
-                amp = diff if diff >= 0 else diff + (1 << cat) - 1
-                bw.put(amp, cat)
-            for tdc in (dc_chroma, dc_chroma):
-                c, ln = tdc[0]
-                bw.put(c, ln)
+        for m in range(seg_n):
+            for ci, (hh, vv) in enumerate(samps):
+                for _u in range(hh * vv):
+                    if ci == 0:
+                        diff = hi_dc - prev
+                        prev = hi_dc
+                        cat = _category(diff)
+                        c, ln = dc_luma[cat]
+                        bw.put(c, ln)
+                        if cat:
+                            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+                            bw.put(amp, cat)
+                    else:
+                        c, ln = dc_chroma[0]
+                        bw.put(c, ln)
         bw.flush()
         out += bw.buf
 
@@ -1697,27 +1719,29 @@ def encode_jpeg_solid_gray_progressive(
     out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 1, 0)
     low = dc_q - (hi_dc << 1)  # the bit the refinement delivers
     rst = 0
-    for si, seg_n in enumerate(seg_bounds(n_blocks)):
+    for si, seg_n in enumerate(seg_bounds(n_mcus)):
         if si:
             out += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) & 7
         bw = _BitWriter()
-        for _ in range(seg_n):
-            bw.put(low & 1, 1)  # Y
-            bw.put(0, 1)  # Cb
-            bw.put(0, 1)  # Cr
+        for _m in range(seg_n):
+            for ci, (hh, vv) in enumerate(samps):
+                for _u in range(hh * vv):
+                    bw.put(low & 1 if ci == 0 else 0, 1)
         bw.flush()
         out += bw.buf
 
-    # scans 3-5: per-component AC first pass — one EOBn run per restart
-    # SEGMENT (an EOB run must not cross a boundary, G.1.2.2); without
-    # DRI that is a single run covering every block (AC table 2: the
-    # EOBn-only table)
+    # scans 3-5: per-component AC first pass over that component's OWN
+    # block grid (non-interleaved, so restart units are data units) —
+    # one EOBn run per restart SEGMENT (an EOB run must not cross a
+    # boundary, G.1.2.2); without DRI that is a single run covering
+    # every unit (AC table 2: the EOBn-only table)
     eobn = _huff_codes(eobn_bits, eobn_vals)
-    for cid in (1, 2, 3):
+    for ci, (cid, (hh, vv)) in enumerate(zip((1, 2, 3), samps)):
         out += sos([(cid, 0x02)], 1, 63, 0, 0)
+        n_units = (mcux * hh) * (mcuy * vv)
         rst = 0
-        for si, seg_n in enumerate(seg_bounds(n_blocks)):
+        for si, seg_n in enumerate(seg_bounds(n_units)):
             if si:
                 out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) & 7

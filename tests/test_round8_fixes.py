@@ -362,19 +362,49 @@ def test_fractional_sampling_decodes_exact_and_libjpeg_rejects():
             assert d["mean_r"] == d["mean_g"] == d["mean_b"] == 130
 
 
-def test_fractional_sampling_progressive_still_gated():
-    from pytest import raises
-
+def test_fractional_sampling_progressive_decodes_exact():
+    """PROGRESSIVE frames with fractional sampling ratios decode too
+    (r08 s3 — the last sampling gate): interleaved DC scans address
+    the padded MCU grid, per-component AC scans the component's own
+    grid, and the shared nearest-sample color stage does the rest.
+    Per-pixel planes must agree with the independently validated
+    SEQUENTIAL fractional path on identical geometry; restarts,
+    12-bit, and mixed Hi/Vi included."""
     from journal_batch_processer_spark.operators.jpeg import (
         decode_jpeg_baseline,
+        decode_jpeg_planes,
+        encode_jpeg_solid_gray_progressive,
         encode_jpeg_solid_gray_samp,
     )
 
-    data = bytearray(encode_jpeg_solid_gray_samp(48, 24, 128))
-    i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # pretend progressive
-    with raises(NotImplementedError, match="PROGRESSIVE"):
-        decode_jpeg_baseline(bytes(data))
+    for samps in (
+        ((3, 1), (2, 1), (1, 1)),
+        ((3, 2), (2, 3), (1, 1)),
+        ((4, 2), (3, 1), (2, 2)),
+    ):
+        hmax = max(h for h, _ in samps)
+        vmax = max(v for _, v in samps)
+        w, h = 8 * hmax * 2, 8 * vmax * 2
+        for ri in (0, 3):
+            b = encode_jpeg_solid_gray_progressive(
+                w, h, 130, restart_interval=ri, samps=samps
+            )
+            d = decode_jpeg_baseline(b)
+            assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+            assert d["mean_r"] == d["mean_g"] == d["mean_b"] == 130
+        # plane-exact agreement with the sequential fractional decode
+        assert decode_jpeg_planes(
+            encode_jpeg_solid_gray_progressive(w, h, 130, samps=samps)
+        ) == decode_jpeg_planes(
+            encode_jpeg_solid_gray_samp(w, h, 130, samps)
+        )
+    # 12-bit fractional progressive
+    d = decode_jpeg_baseline(
+        encode_jpeg_solid_gray_progressive(
+            48, 16, 1024, precision=12, samps=((3, 1), (2, 1), (1, 1))
+        )
+    )
+    assert d["mean_r"] == 1024 and d["channels"] == 3
 
 
 def test_hierarchical_jpeg_pyramids_decode_exact():
