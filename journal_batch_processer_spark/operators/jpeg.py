@@ -43,10 +43,12 @@ Scope — honest and loud:
   PROGRESSIVE (SOF6/14 — the jpeg.py scan decoders reused with
   PRED=0), and LOSSLESS (SOF7/15 — Ss=0 no-prediction corrections
   added modulo 2^16, so lossless pyramids reconstruct bit-exactly),
-  Huffman or QM-arithmetic throughout. Anything else raises
-  NotImplementedError/ValueError naming the feature: non-1×1 sampling
-  in differential frames, non-interleaved lossless scans, non-1×1
-  lossless sampling.
+  Huffman or QM-arithmetic throughout; differential DCT frames accept
+  ANY 1..4 sampling including fractional ratios (r08 s3 — per-
+  component reference planes, sampling pinned across pyramid frames).
+  Anything else raises NotImplementedError/ValueError naming the
+  feature: non-interleaved lossless scans, non-1×1 lossless sampling
+  (including lossless differential over a subsampled reference).
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an

@@ -34,7 +34,18 @@ Supported scope, honest and loud:
   scan decoders of operators/jpeg.py reused with ``differential=True``
   (PRED=0 in the DC first pass), coefficients accumulated across
   scans and IDCT'd once at frame end into clamped corrections.
-- Gated by name: non-1×1 sampling inside differential frames.
+- ANY 1..4 sampling in differential DCT frames, fractional ratios
+  included (r08 s3): references are kept PER COMPONENT at the
+  component's own resolution (cropped from the padded block grid so
+  EXP midpoints never see padding), corrections decode on the same
+  per-component grids, and each component's sampling is pinned across
+  pyramid frames — a frame that re-declares a component at different
+  factors fails by name. The Hi×Vi data-unit raster inside each MCU
+  is the exact loop convention of the libjpeg-cross-validated
+  sequential decoder.
+- Gated by name: sampling changes across pyramid frames, and LOSSLESS
+  differential frames over a subsampled reference (lossless scans
+  are 1×1 throughout this engine).
 
 Validation: no system library decodes hierarchical JPEG (libjpeg has
 never implemented it), so — as for lossless — the proof is bit-exact
@@ -51,7 +62,10 @@ import struct
 from journal_batch_processer_spark.operators.jpeg import (
     STD_DC_LUMA,
     STD_AC_LUMA,
+    STD_DC_CHROMA,
+    STD_AC_CHROMA,
     STD_LUMA_QT,
+    STD_CHROMA_QT,
     ZIGZAG,
     _BitReader,
     _BitWriter,
@@ -97,16 +111,17 @@ def expand_plane(plane: list, eh: int, ev: int) -> list:
     return plane
 
 
-def _decode_diff_seq_frame(
-    data: bytes,
-    frame_seg: bytes,
-    pos: int,
-    tables: dict,
-    prec: int,
-) -> tuple:
-    """Decode one SOF5 frame starting AFTER its frame segment at
-    ``pos``; returns (w, h, [(cid, plane)], new_pos) where each plane
-    holds SIGNED corrections at the frame's (padded) block grid."""
+def _crop(plane: list, cw: int, ch: int) -> list:
+    """Crop a padded block-grid plane to its true component dims."""
+    return [row[:cw] for row in plane[:ch]]
+
+
+def _diff_frame_comps(frame_seg: bytes, prec: int) -> tuple:
+    """Parse a differential DCT frame header: (h, w, comps, geometry)
+    with ARBITRARY 1..4 sampling factors (r08 s3 — the last sampling
+    gate): comps are (cid, tq, hi, vi); geometry is (hmax, vmax,
+    mcux, mcuy) over the padded MCU grid. A single-component frame is
+    non-interleaved, so its factors play no dimensional role."""
     fprec, h, w, nc = struct.unpack(">BHHB", frame_seg[:6])
     if fprec != prec:
         raise ValueError(
@@ -115,16 +130,45 @@ def _decode_diff_seq_frame(
     comps = []
     for ci in range(nc):
         cid, samp, tq = frame_seg[6 + 3 * ci : 9 + 3 * ci]
-        if samp != 0x11:
-            raise NotImplementedError(
-                "jpeg hier: non-1x1 sampling in a differential frame"
-            )
-        comps.append((cid, tq))
+        hi, vi = samp >> 4, samp & 0xF
+        if not (1 <= hi <= 4 and 1 <= vi <= 4):
+            raise ValueError(f"jpeg hier: invalid sampling factors {hi}x{vi}")
+        comps.append((cid, tq, hi, vi))
+    if nc == 1:
+        comps = [(comps[0][0], comps[0][1], 1, 1)]
+    hmax = max(hi for _c, _t, hi, _v in comps)
+    vmax = max(vi for _c, _t, _h, vi in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return h, w, comps, (hmax, vmax, mcux, mcuy)
+
+
+def _comp_dims(w: int, h: int, hi: int, vi: int, hmax: int, vmax: int):
+    """True component sample dims per T.81 A.1.1 (ceil scaling)."""
+    return -(-w * hi // hmax), -(-h * vi // vmax)
+
+
+def _decode_diff_seq_frame(
+    data: bytes,
+    frame_seg: bytes,
+    pos: int,
+    tables: dict,
+    prec: int,
+) -> tuple:
+    """Decode one SOF5 frame starting AFTER its frame segment at
+    ``pos``; returns (w, h, [(cid, plane, (hi, vi))], new_pos) where
+    each plane holds SIGNED corrections cropped to the component's
+    true (possibly subsampled) dims."""
+    h, w, comps, (hmax, vmax, mcux, mcuy) = _diff_frame_comps(
+        frame_seg, prec
+    )
+    nc = len(comps)
     maxval = (1 << prec) - 1
-    bw_blocks = (w + 7) // 8
-    bh_blocks = (h + 7) // 8
-    planes = {cid: [[0] * (bw_blocks * 8) for _ in range(bh_blocks * 8)]
-              for cid, _tq in comps}
+    planes = {
+        cid: [[0] * (mcux * hi * 8) for _ in range(mcuy * vi * 8)]
+        for cid, _tq, hi, vi in comps
+    }
+    samp_by_cid = {cid: (hi, vi) for cid, _tq, hi, vi in comps}
     scan = None
     restart_interval = tables.get("dri", 0)
     while pos < len(data):
@@ -186,7 +230,7 @@ def _decode_diff_seq_frame(
             "jpeg hier: non-interleaved differential scans unsupported"
         )
     qt_by_cid = {}
-    for cid, tq in comps:
+    for cid, tq, _hi, _vi in comps:
         qt = tables.get(("qt", tq))
         if qt is None:
             raise ValueError(f"jpeg hier: missing DQT {tq}")
@@ -195,8 +239,8 @@ def _decode_diff_seq_frame(
     br = _BitReader(data[entropy_start:end])
     mcu_count = 0
     rst = 0
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu_count and (
                 mcu_count % restart_interval == 0
             ):
@@ -209,33 +253,50 @@ def _decode_diff_seq_frame(
                 if dc_tab is None or ac_tab is None:
                     raise ValueError("jpeg hier: missing DHT for scan")
                 qt = qt_by_cid[cid]
-                # DC: PRED = 0 in differential frames (F.2.1.3.1) —
-                # the decoded value IS the quantized DC, no carry
-                cat = _read_huff(br, dc_tab)
-                dc = _extend(br.bits(cat), cat) if cat else 0
-                coef = [0] * 64
-                coef[0] = dc * qt[0]
-                k = 1
-                while k < 64:
-                    rs = _read_huff(br, ac_tab)
-                    r, s = rs >> 4, rs & 0xF
-                    if rs == 0x00:
-                        break
-                    if rs == 0xF0:
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("jpeg hier: AC index overflow")
-                    coef[ZIGZAG[k]] = _extend(br.bits(s), s) * qt[ZIGZAG[k]]
-                    k += 1
-                block = _idct_block(coef, half=0, maxval=maxval, lo=-maxval)
+                hi, vi = samp_by_cid[cid]
                 plane = planes[cid]
-                for yy in range(8):
-                    row = plane[by * 8 + yy]
-                    for xx in range(8):
-                        row[bx * 8 + xx] = block[yy * 8 + xx]
-    return w, h, [(cid, planes[cid]) for cid, _tq in comps], end
+                # T.81 B.2.3: Hi×Vi data units per component per MCU
+                for bv in range(vi):
+                    for bhx in range(hi):
+                        # DC: PRED = 0 in differential frames
+                        # (F.2.1.3.1) — the decoded value IS the
+                        # quantized DC, no carry
+                        cat = _read_huff(br, dc_tab)
+                        dc = _extend(br.bits(cat), cat) if cat else 0
+                        coef = [0] * 64
+                        coef[0] = dc * qt[0]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff(br, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "jpeg hier: AC index overflow"
+                                )
+                            coef[ZIGZAG[k]] = (
+                                _extend(br.bits(s), s) * qt[ZIGZAG[k]]
+                            )
+                            k += 1
+                        block = _idct_block(
+                            coef, half=0, maxval=maxval, lo=-maxval
+                        )
+                        py = (my * vi + bv) * 8
+                        px = (mx * hi + bhx) * 8
+                        for yy in range(8):
+                            row = plane[py + yy]
+                            for xx in range(8):
+                                row[px + xx] = block[yy * 8 + xx]
+    out = []
+    for cid, _tq, hi, vi in comps:
+        cw, ch = _comp_dims(w, h, hi, vi, hmax, vmax)
+        out.append((cid, _crop(planes[cid], cw, ch), (hi, vi)))
+    return w, h, out, end
 
 
 def _decode_diff_arith_frame(
@@ -258,24 +319,16 @@ def _decode_diff_arith_frame(
         decode_dc_diff,
     )
 
-    fprec, h, w, nc = struct.unpack(">BHHB", frame_seg[:6])
-    if fprec != prec:
-        raise ValueError(
-            f"jpeg hier: differential frame precision {fprec} != {prec}"
-        )
-    comps = []
-    for ci in range(nc):
-        cid, samp, tq = frame_seg[6 + 3 * ci : 9 + 3 * ci]
-        if samp != 0x11:
-            raise NotImplementedError(
-                "jpeg hier: non-1x1 sampling in a differential frame"
-            )
-        comps.append((cid, tq))
+    h, w, comps, (hmax, vmax, mcux, mcuy) = _diff_frame_comps(
+        frame_seg, prec
+    )
+    nc = len(comps)
     maxval = (1 << prec) - 1
-    bw_blocks = (w + 7) // 8
-    bh_blocks = (h + 7) // 8
-    planes = {cid: [[0] * (bw_blocks * 8) for _ in range(bh_blocks * 8)]
-              for cid, _tq in comps}
+    planes = {
+        cid: [[0] * (mcux * hi * 8) for _ in range(mcuy * vi * 8)]
+        for cid, _tq, hi, vi in comps
+    }
+    samp_by_cid = {cid: (hi, vi) for cid, _tq, hi, vi in comps}
     scan = None
     restart_interval = tables.get("dri", 0)
     while pos < len(data):
@@ -338,7 +391,7 @@ def _decode_diff_arith_frame(
             "jpeg hier: non-interleaved differential scans unsupported"
         )
     qt_by_cid = {}
-    for cid, tq in comps:
+    for cid, tq, _hi, _vi in comps:
         qt = tables.get(("qt", tq))
         if qt is None:
             raise ValueError(f"jpeg hier: missing DQT {tq}")
@@ -353,11 +406,11 @@ def _decode_diff_arith_frame(
     fixed.idx[0] = FIXED_BIN
     dec = ArithDecoder(data, entropy_start)
     dc_stats, ac_stats = fresh()
-    dc_ctx = {cid: 0 for cid, _tq in comps}
+    dc_ctx = {cid: 0 for cid, _tq, _hi, _vi in comps}
     mcu_count = 0
     rst = 0
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu_count and (
                 mcu_count % restart_interval == 0
             ):
@@ -368,30 +421,43 @@ def _decode_diff_arith_frame(
                     )
                 dec = ArithDecoder(data, mp + 2)
                 dc_stats, ac_stats = fresh()
-                dc_ctx = {cid: 0 for cid, _tq in comps}
+                dc_ctx = {cid: 0 for cid, _tq, _hi, _vi in comps}
                 rst = (rst + 1) & 7
             mcu_count += 1
             for cid, dct, act in scan:
                 ll, uu = tables.get(("dac_dc", dct), (0, 1))
                 kx = tables.get(("dac_ac", act), 5)
                 qt = qt_by_cid[cid]
-                # PRED = 0: the decoded "difference" IS the DC value
-                dc, dc_ctx[cid] = decode_dc_diff(
-                    dec, dc_stats[dct], dc_ctx[cid], ll, uu
-                )
-                coef = [0] * 64
-                coef[0] = dc * qt[0]
-                decode_ac_coefs(
-                    dec, ac_stats[act], fixed, kx, coef, ZIGZAG, qt
-                )
-                block = _idct_block(coef, half=0, maxval=maxval, lo=-maxval)
+                hi, vi = samp_by_cid[cid]
                 plane = planes[cid]
-                for yy in range(8):
-                    row = plane[by * 8 + yy]
-                    for xx in range(8):
-                        row[bx * 8 + xx] = block[yy * 8 + xx]
+                for bv in range(vi):
+                    for bhx in range(hi):
+                        # PRED = 0: the decoded "difference" IS the
+                        # DC value (conditioning context still chains
+                        # per component, F.1.4.4.1.1)
+                        dc, dc_ctx[cid] = decode_dc_diff(
+                            dec, dc_stats[dct], dc_ctx[cid], ll, uu
+                        )
+                        coef = [0] * 64
+                        coef[0] = dc * qt[0]
+                        decode_ac_coefs(
+                            dec, ac_stats[act], fixed, kx, coef, ZIGZAG, qt
+                        )
+                        block = _idct_block(
+                            coef, half=0, maxval=maxval, lo=-maxval
+                        )
+                        py = (my * vi + bv) * 8
+                        px = (mx * hi + bhx) * 8
+                        for yy in range(8):
+                            row = plane[py + yy]
+                            for xx in range(8):
+                                row[px + xx] = block[yy * 8 + xx]
     end = _entropy_end(data, entropy_start, skip_restarts=True)
-    return w, h, [(cid, planes[cid]) for cid, _tq in comps], end
+    out = []
+    for cid, _tq, hi, vi in comps:
+        cw, ch = _comp_dims(w, h, hi, vi, hmax, vmax)
+        out.append((cid, _crop(planes[cid], cw, ch), (hi, vi)))
+    return w, h, out, end
 
 
 def _decode_diff_progressive_frame(
@@ -418,27 +484,20 @@ def _decode_diff_progressive_frame(
         _decode_progressive_scan_arith,
     )
 
-    fprec, h, w, nc = struct.unpack(">BHHB", frame_seg[:6])
-    if fprec != prec:
-        raise ValueError(
-            f"jpeg hier: differential frame precision {fprec} != {prec}"
-        )
-    comps = []
-    for ci in range(nc):
-        cid, samp, tq = frame_seg[6 + 3 * ci : 9 + 3 * ci]
-        if samp != 0x11:
-            raise NotImplementedError(
-                "jpeg hier: non-1x1 sampling in a differential frame"
-            )
-        comps.append((cid, tq, 1, 1))
+    h, w, comps, (hmax, vmax, mcux, mcuy) = _diff_frame_comps(
+        frame_seg, prec
+    )
     maxval = (1 << prec) - 1
-    bw_blocks = (w + 7) // 8
-    bh_blocks = (h + 7) // 8
     frame = (w, h, comps)
-    dims = [(bw_blocks, bh_blocks, bw_blocks, bh_blocks)] * nc
-    geom = (1, 1, bw_blocks, bh_blocks, dims)
+    dims = []
+    for _cid, _tq, hi, vi in comps:
+        bwb, bhb = mcux * hi, mcuy * vi  # padded storage grid
+        cwb = (-(-w * hi // hmax) + 7) // 8  # non-interleaved grid
+        chb = (-(-h * vi // vmax) + 7) // 8
+        dims.append((bwb, bhb, cwb, chb))
+    geom = (hmax, vmax, mcux, mcuy, dims)
     coefs = [
-        [[0] * 64 for _ in range(bw_blocks * bh_blocks)] for _ in comps
+        [[0] * 64 for _ in range(bwb * bhb)] for bwb, bhb, _cw, _ch in dims
     ]
     restart_interval = tables.get("dri", 0)
     saw_scan = False
@@ -544,23 +603,25 @@ def _decode_diff_progressive_frame(
         pos += seglen
     if not saw_scan:
         raise ValueError("jpeg hier: differential frame without SOS")
-    planes = {}
-    for ci, (cid, tq, _hi, _vi) in enumerate(comps):
+    out = []
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
         qt = tables.get(("qt", tq))
         if qt is None:
             raise ValueError(f"jpeg hier: missing DQT {tq}")
-        plane = [[0] * (bw_blocks * 8) for _ in range(bh_blocks * 8)]
+        bwb, bhb, _cwb, _chb = dims[ci]
+        plane = [[0] * (bwb * 8) for _ in range(bhb * 8)]
         for bidx, cq in enumerate(coefs[ci]):
             block = _idct_block(
                 [cq[i] * qt[i] for i in range(64)],
                 half=0, maxval=maxval, lo=-maxval,
             )
-            by, bx = divmod(bidx, bw_blocks)
+            by, bx = divmod(bidx, bwb)
             for yy in range(8):
                 row = plane[by * 8 + yy]
                 row[bx * 8 : bx * 8 + 8] = block[yy * 8 : yy * 8 + 8]
-        planes[cid] = plane
-    return w, h, [(cid, planes[cid]) for cid, *_r in comps], pos
+        cw, ch = _comp_dims(w, h, hi, vi, hmax, vmax)
+        out.append((cid, _crop(plane, cw, ch), (hi, vi)))
+    return w, h, out, pos
 
 
 def _decode_diff_lossless_frame(
@@ -869,7 +930,18 @@ def decode_jpeg_hierarchical(data: bytes):
             w0, h0, comps0, planes0, p0 = _decode_jpeg_planes(sub)
             if p0 != prec:
                 raise ValueError("jpeg hier: frame precision != DHP")
-            ref = {cid: planes0[i] for i, (cid, *_r) in enumerate(comps0)}
+            # per-component reference planes at the COMPONENT's own
+            # resolution (r08 s3): cropped from the padded block grid
+            # so EXP midpoints and differential additions never see
+            # padding garbage; ref_samp pins the sampling every later
+            # differential frame must repeat
+            hm0 = max(hi for _c, _t, hi, _v in comps0)
+            vm0 = max(vi for _c, _t, _h, vi in comps0)
+            ref, ref_samp = {}, {}
+            for i, (cid, _tq, hi, vi) in enumerate(comps0):
+                cw, ch = _comp_dims(w0, h0, hi, vi, hm0, vm0)
+                ref[cid] = _crop(planes0[i], cw, ch)
+                ref_samp[cid] = (hi, vi)
             ref_dims = (w0, h0)
             pos = fpos
         elif marker in _DIFF_SOFS:
@@ -887,10 +959,16 @@ def decode_jpeg_hierarchical(data: bytes):
                 pending_exp = None
             lossless = marker in (0xC7, 0xCF)
             if lossless:
+                if any(s != (1, 1) for s in ref_samp.values()):
+                    raise NotImplementedError(
+                        "jpeg hier: non-1x1 sampling with a LOSSLESS "
+                        "differential frame (lossless scans are 1x1)"
+                    )
                 fw, fh, diffs, pos, _pt = _decode_diff_lossless_frame(
                     data, seg, pos + seglen, tables, prec,
                     arith=(marker == 0xCF),
                 )
+                diffs = [(cid, pl, (1, 1)) for cid, pl in diffs]
             elif marker in (0xC6, 0xCE):
                 fw, fh, diffs, pos = _decode_diff_progressive_frame(
                     data, seg, pos + seglen, tables, prec,
@@ -911,22 +989,35 @@ def decode_jpeg_hierarchical(data: bytes):
                     f"match the (expanded) reference {ref_dims[0]}x"
                     f"{ref_dims[1]} — missing EXP?"
                 )
-            for cid, dplane in diffs:
+            for cid, dplane, dsamp in diffs:
                 if cid not in ref:
                     raise ValueError(
                         f"jpeg hier: differential component {cid} not in "
                         "the reference frame"
                     )
+                if dsamp != ref_samp[cid]:
+                    raise NotImplementedError(
+                        f"jpeg hier: component {cid} sampling changed "
+                        f"across pyramid frames ({ref_samp[cid]} -> "
+                        f"{dsamp})"
+                    )
                 rplane = ref[cid]
-                for y in range(fh):
+                ch, cw = len(dplane), len(dplane[0]) if dplane else 0
+                if len(rplane) < ch or (rplane and len(rplane[0]) < cw):
+                    raise ValueError(
+                        f"jpeg hier: component {cid} reference "
+                        f"{len(rplane[0]) if rplane else 0}x{len(rplane)}"
+                        f" smaller than its correction {cw}x{ch}"
+                    )
+                for y in range(ch):
                     rrow, drow = rplane[y], dplane[y]
                     if lossless:
                         # K.4: lossless differential addition is MODULO
                         # 2^16 — exact reconstruction, never clamped
-                        for x in range(fw):
+                        for x in range(cw):
                             rrow[x] = (rrow[x] + drow[x]) & 0xFFFF
                     else:
-                        for x in range(fw):
+                        for x in range(cw):
                             v = rrow[x] + drow[x]
                             rrow[x] = (
                                 0 if v < 0 else maxval if v > maxval else v
@@ -944,7 +1035,7 @@ def decode_jpeg_hierarchical(data: bytes):
             f"!= DHP declared {x}x{y} — truncated pyramid"
         )
     cids = dhp[3]
-    comps = [(cid, 0, 1, 1) for cid in cids]
+    comps = [(cid, 0, *ref_samp[cid]) for cid in cids]
     planes = [ref[cid] for cid in cids]
     return x, y, comps, planes, prec
 
@@ -1361,6 +1452,270 @@ def encode_jpeg_hierarchical_solid_gray(
             ctx = 0
         ctx = encode_dc_diff(enc, dc_stats, ctx, 0, 1, dcd)
         encode_ac_coefs(enc, ac_stats, 5, zz_zero)
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical_solid_gray_samp(
+    width: int,
+    height: int,
+    v: int,
+    v_stage1: int | None = None,
+    samps: tuple = ((2, 2), (1, 1), (1, 1)),
+    restart_interval: int = 0,
+    diff_arith: bool = False,
+    diff_progressive: bool = False,
+) -> bytes:
+    """Three-component hierarchical pyramid of a solid gray with
+    ARBITRARY per-component sampling (r08 s3 — including fractional
+    ratios): a half-resolution SOF0 first stage at ``v_stage1`` with
+    the SAME sampling, EXP(1,1) per component, and a differential
+    refinement under that sampling — SOF5 (Huffman), SOF13
+    (``diff_arith``: QM-arithmetic), or SOF6 (``diff_progressive``:
+    three progressive scans — interleaved DC first at Al=1 with PRED=0
+    per data unit, DC refinement, and per-component AC passes over
+    each component's own grid). Y carries the constant correction
+    ``v - v_stage1``; chroma corrections are zero, so Cb = Cr = 128
+    throughout and every decoded mean is exactly ``v``."""
+    if diff_arith and diff_progressive:
+        raise ValueError(
+            "fixture: SOF14 with sampling not offered (the QM and "
+            "progressive-geometry layers are each covered separately)"
+        )
+    hs = [hh for hh, _v in samps]
+    vs_ = [vv for _h, vv in samps]
+    if len(samps) != 3 or not all(1 <= x <= 4 for x in hs + vs_):
+        raise ValueError("samps must be three (h, v) pairs in 1..4")
+    hmax, vmax = max(hs), max(vs_)
+    if width % (16 * hmax) or height % (16 * vmax):
+        raise ValueError(
+            "hierarchical samp fixture requires dims MCU-aligned at "
+            "BOTH pyramid levels (multiples of 16*hmax / 16*vmax)"
+        )
+    if v_stage1 is None:
+        v_stage1 = v - 40 if v >= 40 else v + 40
+    d = v - v_stage1
+    if v % 2 or v_stage1 % 2 or d % 4:
+        raise ValueError(
+            "hierarchical fixture requires even grays with a stage "
+            "difference divisible by 4"
+        )
+    dc_y = _huff_codes(*STD_DC_LUMA)
+    ac_y = _huff_codes(*STD_AC_LUMA)
+    dc_c = _huff_codes(*STD_DC_CHROMA)
+    ac_c = _huff_codes(*STD_AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xde" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for ci, (hh, vv) in enumerate(samps):
+        out += bytes([ci + 1, (hh << 4) | vv, 0 if ci == 0 else 1])
+    for tid, qt in ((0, STD_LUMA_QT), (1, STD_CHROMA_QT)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(qt[ZIGZAG[i]] for i in range(64))
+    for cls, tid, (bits, vals) in (
+        (0, 0, STD_DC_LUMA),
+        (1, 0, STD_AC_LUMA),
+        (0, 1, STD_DC_CHROMA),
+        (1, 1, STD_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes(
+            [(cls << 4) | tid]
+        )
+        out += bytes(bits[1:17]) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    ri = restart_interval
+
+    def put_dc_eob(bw, table_dc, table_ac, diff):
+        cat = _category(diff)
+        c, ln = table_dc[cat]
+        bw.put(c, ln)
+        if cat:
+            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw.put(amp, cat)
+        c, ln = table_ac[0x00]
+        bw.put(c, ln)
+
+    def seq_scan_body(n_mcus, y_dc, pred_carry):
+        """Interleaved DCT scan over n_mcus: Y blocks carry ``y_dc``
+        (with per-segment DC prediction when ``pred_carry`` —
+        sequential frames; without — PRED=0 differential frames),
+        chroma blocks zero."""
+        chunks = []
+        bw = _BitWriter()
+        rst = 0
+        prev = 0
+        for m in range(n_mcus):
+            if ri and m and m % ri == 0:
+                bw.flush()
+                chunks.append(bytes(bw.buf))
+                chunks.append(bytes((0xFF, 0xD0 + rst)))
+                rst = (rst + 1) & 7
+                bw = _BitWriter()
+                prev = 0
+            for ci, (hh, vv) in enumerate(samps):
+                for _u in range(hh * vv):
+                    if ci == 0:
+                        diff = y_dc - prev if pred_carry else y_dc
+                        if pred_carry:
+                            prev = y_dc
+                        put_dc_eob(bw, dc_y, ac_y, diff)
+                    else:
+                        put_dc_eob(bw, dc_c, ac_c, 0)
+        bw.flush()
+        chunks.append(bytes(bw.buf))
+        return b"".join(chunks)
+
+    def sos_interleaved():
+        body = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # stage 1: SOF0 at half resolution, same sampling
+    hw, hh_ = width // 2, height // 2
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, hh_, hw, 3)
+    for ci, (hh, vv) in enumerate(samps):
+        out += bytes([ci + 1, (hh << 4) | vv, 0 if ci == 0 else 1])
+    out += sos_interleaved()
+    dc1 = (8 * (v_stage1 - 128)) // STD_LUMA_QT[0]
+    n_mcus1 = (hw // (8 * hmax)) * (hh_ // (8 * vmax))
+    out += seq_scan_body(n_mcus1, dc1, pred_carry=True)
+    # EXP: expand every component x2 in both directions
+    out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
+    dcd = (8 * d) // STD_LUMA_QT[0]
+    mcux2, mcuy2 = width // (8 * hmax), height // (8 * vmax)
+    n_mcus2 = mcux2 * mcuy2
+
+    if diff_progressive:
+        # SOF6: DC first (Al=1, PRED=0 per unit), DC refine, then one
+        # AC pass per component over its OWN block grid
+        b1, lowbit = (dcd >> 1), dcd & 1
+        out += b"\xff\xc6" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        for ci, (hh, vv) in enumerate(samps):
+            out += bytes([ci + 1, (hh << 4) | vv, 0 if ci == 0 else 1])
+
+        def sos(comp_specs, ss, se, ah, al):
+            body = bytes([len(comp_specs)])
+            for cid, tbl in comp_specs:
+                body += bytes([cid, tbl])
+            body += bytes([ss, se, (ah << 4) | al])
+            return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+        def seg_bounds(n):
+            if not ri:
+                return [n]
+            return [min(ri, n - s) for s in range(0, n, ri)]
+
+        # scan 1: interleaved DC first pass — PRED=0, every Y unit b1
+        out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
+        rst = 0
+        for si, seg_n in enumerate(seg_bounds(n_mcus2)):
+            if si:
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+            bw = _BitWriter()
+            for _m in range(seg_n):
+                for ci, (hh, vv) in enumerate(samps):
+                    for _u in range(hh * vv):
+                        diff = b1 if ci == 0 else 0
+                        cat = _category(diff)
+                        tb = dc_y if ci == 0 else dc_c
+                        c, ln = tb[cat]
+                        bw.put(c, ln)
+                        if cat:
+                            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+                            bw.put(amp, cat)
+            bw.flush()
+            out += bw.buf
+        # scan 2: interleaved DC refinement — raw low bits
+        out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 1, 0)
+        rst = 0
+        for si, seg_n in enumerate(seg_bounds(n_mcus2)):
+            if si:
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+            bw = _BitWriter()
+            for _m in range(seg_n):
+                for ci, (hh, vv) in enumerate(samps):
+                    for _u in range(hh * vv):
+                        bw.put(lowbit if ci == 0 else 0, 1)
+            bw.flush()
+            out += bw.buf
+        # scans 3-5: per-component AC first pass, per-block EOB
+        for ci, cid in enumerate((1, 2, 3)):
+            hh, vv = samps[ci]
+            tbl = 0x00 if ci == 0 else 0x01  # Ta: AC table id
+            out += sos([(cid, tbl)], 1, 63, 0, 0)
+            n_units = (mcux2 * hh) * (mcuy2 * vv)
+            ac_tab = ac_y if ci == 0 else ac_c
+            rst = 0
+            for si, seg_n in enumerate(seg_bounds(n_units)):
+                if si:
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) & 7
+                bw = _BitWriter()
+                for _u in range(seg_n):
+                    c, ln = ac_tab[0x00]
+                    bw.put(c, ln)
+                bw.flush()
+                out += bw.buf
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    if not diff_arith:
+        # stage 2: SOF5 differential, same sampling
+        out += b"\xff\xc5" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        for ci, (hh, vv) in enumerate(samps):
+            out += bytes([ci + 1, (hh << 4) | vv, 0 if ci == 0 else 1])
+        out += sos_interleaved()
+        out += seq_scan_body(n_mcus2, dcd, pred_carry=False)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # stage 2: SOF13 differential-arithmetic, same sampling
+    from journal_batch_processer_spark.operators.jpeg_arith import (
+        AC_STAT_SLOTS,
+        DC_STAT_SLOTS,
+        ArithEncoder,
+        Stats,
+        encode_ac_coefs,
+        encode_dc_diff,
+    )
+
+    out += b"\xff\xcd" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for ci, (hh, vv) in enumerate(samps):
+        out += bytes([ci + 1, (hh << 4) | vv, 0 if ci == 0 else 1])
+    out += b"\xff\xcc" + struct.pack(">H", 10)
+    out += bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5])
+    out += sos_interleaved()
+    zz_zero = [0] * 64
+
+    def fresh():
+        return (
+            {0: Stats(DC_STAT_SLOTS), 1: Stats(DC_STAT_SLOTS)},
+            {0: Stats(AC_STAT_SLOTS), 1: Stats(AC_STAT_SLOTS)},
+            {1: 0, 2: 0, 3: 0},
+        )
+
+    enc = ArithEncoder()
+    dc_stats, ac_stats, ctx = fresh()
+    rst = 0
+    for m in range(n_mcus2):
+        if ri and m and m % ri == 0:
+            out += enc.flush()
+            out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) & 7
+            enc = ArithEncoder()
+            dc_stats, ac_stats, ctx = fresh()
+        for ci, (hh, vv) in enumerate(samps):
+            cid = ci + 1
+            tb = 0 if ci == 0 else 1
+            val = dcd if ci == 0 else 0
+            for _u in range(hh * vv):
+                ctx[cid] = encode_dc_diff(
+                    enc, dc_stats[tb], ctx[cid], 0, 1, val
+                )
+                encode_ac_coefs(enc, ac_stats[tb], 5, zz_zero)
     out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -462,13 +462,15 @@ def test_hierarchical_jpeg_fails_loud_on_structural_damage():
         decode_jpeg_baseline(no_exp)
     # EVERY differential process decodes since late r08 (SOF5/13
     # sequential, SOF6/14 progressive, SOF7/15 lossless — see the
-    # pyramid tests); the remaining differential gate is sampling:
-    # a non-1×1 factor in a differential frame fails by name
+    # pyramid tests), and since r08 s3 DCT differential frames accept
+    # ANY sampling: patching this SINGLE-component frame's sampling
+    # byte to 2x2 is dimensionless under the A.1.1 non-interleaved
+    # rule, so the stream still decodes to the exact mean
     j = base.find(b"\xff\xc5")
     mod = bytearray(base)
     mod[j + 11] = 0x22  # component sampling byte 1x1 -> 2x2
-    with raises(NotImplementedError, match="non-1x1"):
-        decode_jpeg_baseline(bytes(mod))
+    d = decode_jpeg_baseline(bytes(mod))
+    assert d["mean_r"] == 128 and (d["width"], d["height"]) == (16, 16)
 
 
 def test_hierarchical_sof13_arithmetic_refinement():
@@ -573,3 +575,82 @@ def test_hierarchical_differential_progressive_refinement():
             )
             assert (d["width"], d["height"], d["channels"]) == (32, 16, 1)
             assert d["mean_r"] == v, (arith, v, v1, ri)
+
+
+def test_hierarchical_pyramids_with_sampling_decode_exact():
+    """Differential DCT frames accept ANY 1..4 sampling since r08 s3
+    (the last sampling gate): three-component pyramids — subsampled
+    AND fractional-ratio chroma — reconstruct exact solid means under
+    every differential DCT process (SOF5 Huffman, SOF13 arithmetic,
+    SOF6 progressive), with and without restarts. The Hi×Vi data-unit
+    raster inside each MCU reuses the exact loop convention of the
+    libjpeg-cross-validated sequential decoder, so the interleave
+    order is inherited from a third-party-validated path."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+    )
+    from journal_batch_processer_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical_solid_gray_samp,
+    )
+
+    for samps in (
+        ((2, 2), (1, 1), (1, 1)),
+        ((3, 1), (2, 1), (1, 1)),  # fractional ratios inside a pyramid
+        ((2, 2), (2, 1), (1, 2)),
+    ):
+        hmax = max(h for h, _ in samps)
+        vmax = max(v for _, v in samps)
+        w, h = 16 * hmax, 16 * vmax
+        for arith, prog in ((False, False), (True, False), (False, True)):
+            for ri in (0, 2):
+                d = decode_jpeg_baseline(
+                    encode_jpeg_hierarchical_solid_gray_samp(
+                        w, h, 128, samps=samps, restart_interval=ri,
+                        diff_arith=arith, diff_progressive=prog,
+                    )
+                )
+                assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+                assert d["mean_r"] == d["mean_g"] == d["mean_b"] == 128, (
+                    samps, arith, prog, ri, d,
+                )
+
+
+def test_hierarchical_sampling_change_across_frames_fails_loud():
+    """A differential frame that re-declares a component at DIFFERENT
+    sampling than the reference cannot be added per-sample — fails by
+    name instead of mis-adding mismatched grids."""
+    from pytest import raises
+
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+    )
+    from journal_batch_processer_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical_solid_gray_samp,
+    )
+
+    # swap Y and Cb factors in the DIFFERENTIAL frame only: hmax/vmax
+    # and the per-MCU data-unit counts are unchanged, so the entropy
+    # layer decodes cleanly — the mismatch must be caught by the NAMED
+    # per-component sampling-consistency check, not by luck downstream
+    base = bytearray(
+        encode_jpeg_hierarchical_solid_gray_samp(
+            32, 32, 128, samps=((2, 1), (1, 2), (1, 1))
+        )
+    )
+    j = base.find(b"\xff\xc5")
+    assert j > 0
+    base[j + 11] = 0x12  # Y: 2x1 -> 1x2
+    base[j + 14] = 0x21  # Cb: 1x2 -> 2x1
+    with raises(NotImplementedError, match="sampling changed"):
+        decode_jpeg_baseline(bytes(base))
+    # a geometry-BREAKING sampling change still fails loud too (as a
+    # truncation/structure error from the shifted entropy layout)
+    base2 = bytearray(
+        encode_jpeg_hierarchical_solid_gray_samp(
+            32, 32, 128, samps=((2, 2), (1, 1), (1, 1))
+        )
+    )
+    j2 = base2.find(b"\xff\xc5")
+    base2[j2 + 11] = 0x11  # Y in the DIFFERENTIAL frame: 2x2 -> 1x1
+    with raises(ValueError):
+        decode_jpeg_baseline(bytes(base2))
