@@ -925,6 +925,116 @@ FROM head GROUP BY event_type
 )
 
 
+def _materialize_dim_table(spark: SparkSession, sf_dir: str) -> str:
+    """Dimension-table fixture for JOIN-view maintenance: v2 appends
+    one row per distinct user (segment = user_id % 7), v3 COW-merges
+    a segment update for user_id % 5 == 2 (+100) plus one brand-new
+    user — both deltas materialized in the commit's change feed."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"dimjoin_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "dimjoin", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 3:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    users = (
+        _base_events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .repartitionByRange(4, "user_id")
+    )
+    t = SnapshotTable.create(
+        root,
+        [("user_id", "bigint"), ("segment", "bigint")],
+        committed_at_us=1_000_000,
+    )
+    t.append(
+        users.select("user_id", (F.col("user_id") % 7).alias("segment")),
+        committed_at_us=2_000_000,
+    )
+    max_u = users.agg(F.max("user_id")).collect()[0][0]
+    batch = users.filter(F.col("user_id") % 5 == 2).select(
+        "user_id", (F.col("user_id") % 7 + 100).alias("segment")
+    ).unionByName(
+        spark.createDataFrame(
+            [(int(max_u) + 1000, 999)], "user_id bigint, segment bigint"
+        )
+    )
+    t.merge(batch, "user_id", committed_at_us=3_000_000)
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def q_matview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view (the
+    delta-join rule every streaming-SQL engine implements —
+    Flink/Materialize/DBSP): V = events ⋈ user-dimension on user_id,
+    maintained across a COW merge on EACH side purely from the two
+    change feeds: ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB with signs multiplying
+    (the cross term is what makes simultaneous fact+dim updates
+    cancel exactly — dropping it double-counts rows whose user
+    changed segment in the same window their event was rewritten).
+    Signed rows fold by full-row groupBy, keeping multiplicity > 0.
+    The head view is NEVER recomputed from the head snapshots on this
+    side; the oracle joins the recomputed head states directly, so
+    any missed/mis-signed delta term hash-fails.
+
+    Scale: ΔA⋈B₀ and ΔA⋈ΔB join a delta (small) and broadcast it;
+    A₀⋈ΔB is the known cost of dim-side updates (all matching fact
+    rows re-derive) but ΔB broadcasts, so no fact shuffle; only the
+    one-time V₀ build touches both tables whole — O(changes)
+    maintenance after that, the entire point at 100 TB."""
+    root_a = materialize_table(spark, sf_dir)
+    root_b = _materialize_dim_table(spark, sf_dir)
+    ta, tb = SnapshotTable(root_a), SnapshotTable(root_b)
+    acols = ["event_id", "user_id", "value", "event_type"]
+    out_cols = ["event_id", "user_id", "value", "event_type", "segment"]
+    a0 = ta.read(spark, version=3).select(acols)
+    b0 = tb.read(spark, version=2)
+    sgn = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    da = ta.read_changes(spark, 3, 4).select(*acols, sgn.alias("sa"))
+    db = tb.read_changes(spark, 2, 3).select(
+        "user_id", "segment", sgn.alias("sb")
+    )
+    v0 = a0.join(b0, "user_id").select(*out_cols, F.lit(1).alias("sign"))
+    t1 = da.join(b0, "user_id").select(*out_cols, F.col("sa").alias("sign"))
+    t2 = a0.join(F.broadcast(db), "user_id").select(
+        *out_cols, F.col("sb").alias("sign")
+    )
+    t3 = da.join(F.broadcast(db), "user_id").select(
+        *out_cols, (F.col("sa") * F.col("sb")).alias("sign")
+    )
+    return (
+        v0.unionByName(t1)
+        .unionByName(t2)
+        .unionByName(t3)
+        .groupBy(out_cols)
+        .agg(F.sum("sign").alias("m"))
+        .filter(F.col("m") > 0)
+        .select(out_cols)
+    )
+
+
+SQL_MATVIEW_JOIN_INCREMENTAL = (
+    _STATE_CTES
+    + """,
+dim1 AS (
+    SELECT user_id,
+           CASE WHEN user_id % 5 = 2 THEN user_id % 7 + 100
+                ELSE user_id % 7 END AS segment
+    FROM (SELECT DISTINCT user_id FROM ev)
+)
+SELECT a.event_id, a.user_id, a.value, a.event_type, b.segment
+FROM s4 a JOIN dim1 b ON a.user_id = b.user_id
+"""
+)
+
+
 def _materialize_restore_table(spark: SparkSession, sf_dir: str) -> str:
     """Third fixture chain (restore): create → append evens → append
     odds → RESTORE(2). Head state must equal the evens-only snapshot
@@ -1349,6 +1459,10 @@ QUERIES = {
     "table_zorder_read": (q_table_zorder_read, SQL_TABLE_ZORDER_READ),
     "table_stream_read": (q_table_stream_read, SQL_TABLE_STREAM_READ),
     "matview_incremental": (q_matview_incremental, SQL_MATVIEW_INCREMENTAL),
+    "matview_join_incremental": (
+        q_matview_join_incremental,
+        SQL_MATVIEW_JOIN_INCREMENTAL,
+    ),
     "table_cdf_read": (q_table_cdf_read, SQL_TABLE_CDF_READ),
     "stream_table_cdc": (q_stream_table_cdc, SQL_STREAM_TABLE_CDC),
     "stream_matview": (q_stream_matview, SQL_STREAM_MATVIEW),

@@ -75,6 +75,7 @@ def _build() -> dict[str, QuerySpec]:
         "table_mor_apply",       # rewrite-deletes content identity
         "graph_kcore",           # coreness via h-index iteration
         "table_partition_read",  # hidden bucket partitioning + evolution
+        "matview_join_incremental",  # delta-join view maintenance
         # NEW in r08 session 2 — never driver-checked yet, front of
         # the queue (supervised curation pair, shallow clone,
         # streaming MERGE), plus the media key whose fixture mix

@@ -963,3 +963,56 @@ def test_bucket_partition_prunes_point_lookups_across_specs(spark, tmp_path):
     assert sorted(
         (r.k, r.v) for r in t.read_eq(spark, "k", 10).collect()
     ) == [(10, 100), (10, 111)]
+
+
+def test_join_view_cross_term_is_load_bearing(spark):
+    """The ΔA⋈ΔB cross term of matview_join_incremental must be (a)
+    NON-EMPTY on the fixture — the merge window rewrites events whose
+    users simultaneously change segment, otherwise the key would pass
+    with the term dropped and prove nothing — and (b) load-bearing:
+    the signed fold over v0+t1+t2 alone must NOT equal the direct
+    head-state join."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.queries.lakehouse import (
+        _materialize_dim_table,
+        materialize_table,
+        q_matview_join_incremental,
+    )
+    from tests.conftest import SF_DIR
+
+    root_a = materialize_table(spark, SF_DIR)
+    root_b = _materialize_dim_table(spark, SF_DIR)
+    ta, tb = SnapshotTable(root_a), SnapshotTable(root_b)
+    sgn = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    acols = ["event_id", "user_id", "value", "event_type"]
+    da = ta.read_changes(spark, 3, 4).select(*acols, sgn.alias("sa"))
+    db = tb.read_changes(spark, 2, 3).select(
+        "user_id", "segment", sgn.alias("sb")
+    )
+    assert da.join(db, "user_id").count() > 0  # (a) overlap exists
+    # (b) direct head join == the incremental result (the oracle says
+    # so too, but pin it here against the DIRECT Spark recompute), and
+    # both differ from the fold with t3 dropped
+    out_cols = ["event_id", "user_id", "value", "event_type", "segment"]
+    direct = sorted(
+        map(tuple, ta.read(spark, version=4).select(acols)
+            .join(tb.read(spark, version=3), "user_id")
+            .select(out_cols).collect())
+    )
+    incr = sorted(
+        map(tuple, q_matview_join_incremental(spark, SF_DIR).collect())
+    )
+    assert incr == direct
+    a0 = ta.read(spark, version=3).select(acols)
+    b0 = tb.read(spark, version=2)
+    v0 = a0.join(b0, "user_id").select(*out_cols, F.lit(1).alias("sign"))
+    t1 = da.join(b0, "user_id").select(*out_cols, F.col("sa").alias("sign"))
+    t2 = a0.join(db, "user_id").select(*out_cols, F.col("sb").alias("sign"))
+    without_cross = sorted(
+        map(tuple,
+            v0.unionByName(t1).unionByName(t2)
+            .groupBy(out_cols).agg(F.sum("sign").alias("m"))
+            .filter(F.col("m") > 0).select(out_cols).collect())
+    )
+    assert without_cross != direct
