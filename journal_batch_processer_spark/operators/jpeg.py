@@ -46,9 +46,12 @@ Scope — honest and loud:
   Huffman or QM-arithmetic throughout; differential DCT frames accept
   ANY 1..4 sampling including fractional ratios (r08 s3 — per-
   component reference planes, sampling pinned across pyramid frames).
-  Anything else raises NotImplementedError/ValueError naming the
-  feature: non-interleaved lossless scans, non-1×1 lossless sampling
-  (including lossless differential over a subsampled reference).
+  Lossless scans may be interleaved OR one-per-component (r08 s3 —
+  the DICOM RGB multi-scan layout, per-scan predictor/Pt honored,
+  both entropy coders). Anything else raises
+  NotImplementedError/ValueError naming the feature: non-1×1
+  lossless sampling (including lossless differential over a
+  subsampled reference).
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an

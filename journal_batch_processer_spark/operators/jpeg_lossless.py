@@ -3,11 +3,14 @@
 The last named JPEG family: Huffman-coded DPCM over raw samples (no
 DCT, no quantization — decode reproduces the input EXACTLY), the
 format DICOM archives and film scanners emit. Supported scope, honest
-and loud: 1..4 components at 1×1 sampling (interleaved MCU = one
-sample per component, per-component predictor state and Huffman
-table), precision 2..16 bits, all seven predictors (H.1.2.1), point
-transform (Al), restart markers; non-1×1 sampling raises
-NotImplementedError. Multi-component lossless carries NO defined
+and loud: 1..4 components at 1×1 sampling, precision 2..16 bits, all
+seven predictors (H.1.2.1), point transform (Al), restart markers,
+and BOTH scan layouts (r08 s3): one interleaved scan (MCU = one
+sample per component, per-component predictor state) OR one scan per
+component (the multi-scan layout some DICOM RGB encoders emit), each
+scan honoring its own predictor/Pt with fresh restart/statistics
+state; a component coded twice or never fails loud. Non-1×1 sampling
+raises NotImplementedError. Multi-component lossless carries NO defined
 color transform — the feature layer reports per-component means
 directly (operators/jpeg.py:_decode_jpeg_baseline).
 
@@ -79,8 +82,9 @@ def decode_jpeg_lossless(data: bytes):
     pos = 2
     dc_tables: dict[int, object] = {}
     frame = None
-    scan = None
-    entropy_start = None
+    planes = None
+    frame_by_id: dict[int, int] = {}
+    seen_cids: set[int] = set()
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -123,64 +127,90 @@ def decode_jpeg_lossless(data: bytes):
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
+            # A lossless frame may carry ONE interleaved scan (all
+            # components, the MCU = one sample of each) or SEVERAL
+            # non-interleaved scans — one per component, each a full
+            # raster over the shared w×h grid (1×1 factors), with its
+            # OWN predictor/Pt and fresh restart/predictor state
+            # (r08 s3: multi-scan was the last lossless-Huffman gate).
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF3")
+            w, h, comps, prec = frame
+            if planes is None:
+                planes = [[[0] * w for _ in range(h)] for _ in comps]
+                frame_by_id = {
+                    cid: i for i, (cid, _t, _h, _v) in enumerate(comps)
+                }
             ns = seg[0]
             scan_comps = [
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4) for i in range(ns)
             ]  # (component id, dc table id)
             ss, _se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
-            scan = (scan_comps, ss, a & 0xF)  # (comps, predictor, Pt)
+            pred_sel, pt = ss, a & 0xF
+            if ns not in (len(comps), 1):
+                raise NotImplementedError(
+                    "jpeg: lossless scans must be interleaved (all "
+                    "components) or single-component"
+                )
+            order = []
+            for cid, dct in scan_comps:
+                if cid not in frame_by_id:
+                    raise ValueError(
+                        f"jpeg: scan component id {cid} not in frame"
+                    )
+                if cid in seen_cids:
+                    raise ValueError(
+                        f"jpeg: component {cid} coded by two scans"
+                    )
+                seen_cids.add(cid)
+                order.append((frame_by_id[cid], dc_tables[dct]))
+            if not 1 <= pred_sel <= 7:
+                raise ValueError(f"jpeg: bad lossless predictor {pred_sel}")
+            default = 1 << (prec - 1 - pt) if prec - 1 - pt >= 0 else 0
             entropy_start = pos + seglen
-            break
+            end = _entropy_end(data, entropy_start, skip_restarts=True)
+            br = _BitReader(data[entropy_start:end])
+            count = 0
+            rst = 0
+            fresh = True
+            for y in range(h):
+                for x in range(w):
+                    # restart units count MCUs of THIS scan and reset
+                    # all predictor state
+                    if restart_interval and count and (
+                        count % restart_interval == 0
+                    ):
+                        br.expect_restart(rst)
+                        rst = (rst + 1) & 7
+                        fresh = True
+                    count += 1
+                    for ci, table in order:
+                        s = _read_huff(br, table)
+                        if s == 16:  # no appended bits (H.1.2.2.1)
+                            diff = 32768
+                        elif s:
+                            diff = _extend(br.bits(s), s)
+                        else:
+                            diff = 0
+                        plane = planes[ci]
+                        row = plane[y]
+                        prev_row = plane[y - 1] if y > 0 else None
+                        pred = _predict(
+                            pred_sel, row, prev_row, x, y, default, fresh
+                        )
+                        row[x] = (pred + diff) & 0xFFFF
+                    fresh = False
+            pos = end
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or planes is None:
         raise ValueError("jpeg: missing SOF3/SOS")
     w, h, comps, prec = frame
-    scan_comps, pred_sel, pt = scan
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError(
-            "jpeg: lossless multi-scan (non-interleaved) unsupported"
+    if len(seen_cids) != len(comps):
+        missing = [c for c, *_r in comps if c not in seen_cids]
+        raise ValueError(
+            f"jpeg: lossless components never coded by any scan: {missing}"
         )
-    frame_by_id = {cid: i for i, (cid, _t, _h, _v) in enumerate(comps)}
-    order = []
-    for cid, dct in scan_comps:
-        if cid not in frame_by_id:
-            raise ValueError(f"jpeg: scan component id {cid} not in frame")
-        order.append((frame_by_id[cid], dc_tables[dct]))
-    if not 1 <= pred_sel <= 7:
-        raise ValueError(f"jpeg: bad lossless predictor {pred_sel}")
-    default = 1 << (prec - 1 - pt) if prec - 1 - pt >= 0 else 0
-    end = _entropy_end(data, entropy_start, skip_restarts=True)
-    br = _BitReader(data[entropy_start:end])
-
-    planes = [[[0] * w for _ in range(h)] for _ in comps]
-    count = 0
-    rst = 0
-    fresh = True
-    for y in range(h):
-        for x in range(w):
-            # an MCU is one sample of EVERY component (1×1 factors);
-            # restart units count MCUs and reset all predictor state
-            if restart_interval and count and count % restart_interval == 0:
-                br.expect_restart(rst)
-                rst = (rst + 1) & 7
-                fresh = True
-            count += 1
-            for ci, table in order:
-                s = _read_huff(br, table)
-                if s == 16:  # no appended bits (H.1.2.2.1)
-                    diff = 32768
-                elif s:
-                    diff = _extend(br.bits(s), s)
-                else:
-                    diff = 0
-                plane = planes[ci]
-                row = plane[y]
-                prev_row = plane[y - 1] if y > 0 else None
-                pred = _predict(
-                    pred_sel, row, prev_row, x, y, default, fresh
-                )
-                row[x] = (pred + diff) & 0xFFFF
-            fresh = False
     return w, h, comps, planes, prec
 
 
@@ -196,11 +226,16 @@ def encode_jpeg_lossless(
     predictor: int = 1,
     pt: int = 0,
     restart_interval: int = 0,
+    non_interleaved: bool = False,
 ) -> bytes:
     """SOF3 encoder over 1..4 ARBITRARY sample grids (lossless means
     random-image fixtures round-trip bit-exactly — no solid-image
-    restriction needed). Interleaved scan, one sample per component
-    per MCU, shared DC table."""
+    restriction needed). Default: one interleaved scan, one sample per
+    component per MCU, shared DC table. ``non_interleaved`` (r08 s3):
+    one SCAN PER COMPONENT — the multi-scan layout some DICOM RGB
+    encoders emit — with per-scan restart markers and predictor state,
+    and (to prove per-scan parameter honoring) each scan's predictor
+    cycling ``predictor, predictor+1, ...`` wrapped into 1..7."""
     nc = len(planes)
     if not 1 <= nc <= 4:
         raise ValueError(f"bad component count {nc}")
@@ -216,47 +251,62 @@ def encode_jpeg_lossless(
     out += bytes(_LL_BITS[1:17]) + bytes(_LL_VALS)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
-    for ci in range(nc):
-        out += bytes([ci + 1, 0x00])
-    out += bytes([predictor, 0, pt])
     codes = _huff_codes(_LL_BITS, _LL_VALS)
-    default = 1 << (precision - 1 - pt) if precision - 1 - pt >= 0 else 0
-    bw = _BitWriter()
-    count = 0
-    rst = 0
-    fresh = True
-    for y in range(h):
-        for x in range(w):
-            if restart_interval and count and count % restart_interval == 0:
-                bw.flush()
-                out += bw.buf
-                out += bytes((0xFF, 0xD0 + rst))
-                rst = (rst + 1) & 7
-                bw = _BitWriter()
-                fresh = True
-            count += 1
-            for plane in planes:
-                row = plane[y]
-                prev_row = plane[y - 1] if y > 0 else None
-                pred = _predict(
-                    predictor, row, prev_row, x, y, default, fresh
-                )
-                dd = (row[x] - pred) & 0xFFFF
-                if dd >= 32768 and dd != 32768:
-                    dd -= 65536  # mod-2^16 diff in [-32767, 32768]
-                if dd == 32768:
-                    s = 16
-                else:
-                    s = dd.bit_length() if dd >= 0 else (-dd).bit_length()
-                c, ln = codes[s]
-                bw.put(c, ln)
-                if 0 < s < 16:
-                    amp = dd if dd >= 0 else dd + (1 << s) - 1
-                    bw.put(amp, s)
-            fresh = False
-    bw.flush()
-    out += bw.buf
+
+    def scan_body(scan_planes: list, pred_s: int) -> bytes:
+        default = 1 << (precision - 1 - pt) if precision - 1 - pt >= 0 else 0
+        chunks: list[bytes] = []
+        bw = _BitWriter()
+        count = 0
+        rst = 0
+        fresh = True
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and count and (
+                    count % restart_interval == 0
+                ):
+                    bw.flush()
+                    chunks.append(bytes(bw.buf))
+                    chunks.append(bytes((0xFF, 0xD0 + rst)))
+                    rst = (rst + 1) & 7
+                    bw = _BitWriter()
+                    fresh = True
+                count += 1
+                for plane in scan_planes:
+                    row = plane[y]
+                    prev_row = plane[y - 1] if y > 0 else None
+                    pred = _predict(
+                        pred_s, row, prev_row, x, y, default, fresh
+                    )
+                    dd = (row[x] - pred) & 0xFFFF
+                    if dd >= 32768 and dd != 32768:
+                        dd -= 65536  # mod-2^16 diff in [-32767, 32768]
+                    if dd == 32768:
+                        s = 16
+                    else:
+                        s = dd.bit_length() if dd >= 0 else (-dd).bit_length()
+                    c, ln = codes[s]
+                    bw.put(c, ln)
+                    if 0 < s < 16:
+                        amp = dd if dd >= 0 else dd + (1 << s) - 1
+                        bw.put(amp, s)
+                fresh = False
+        bw.flush()
+        chunks.append(bytes(bw.buf))
+        return b"".join(chunks)
+
+    if non_interleaved:
+        for ci in range(nc):
+            pred_s = (predictor - 1 + ci) % 7 + 1
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, 0x00, pred_s, 0, pt])
+            out += scan_body([planes[ci]], pred_s)
+    else:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for ci in range(nc):
+            out += bytes([ci + 1, 0x00])
+        out += bytes([predictor, 0, pt])
+        out += scan_body(planes, predictor)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -382,8 +432,9 @@ def decode_jpeg_lossless_arith(data: bytes):
     pos = 2
     cond: dict[int, tuple[int, int]] = {}
     frame = None
-    scan = None
-    entropy_start = None
+    planes = None
+    frame_by_id: dict[int, int] = {}
+    seen_cids: set[int] = set()
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -424,75 +475,106 @@ def decode_jpeg_lossless_arith(data: bytes):
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
+            # interleaved (all components) or single-component scans,
+            # same contract as the Huffman path (r08 s3); each scan
+            # carries its own predictor/Pt, QM statistics, and
+            # Da/Db conditioning rows
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF11")
+            w, h, comps, prec = frame
+            if planes is None:
+                planes = [[[0] * w for _ in range(h)] for _ in comps]
+                frame_by_id = {
+                    cid: i for i, (cid, _t, _h, _v) in enumerate(comps)
+                }
             ns = seg[0]
             scan_comps = [
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4) for i in range(ns)
             ]
             ss, _se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
-            scan = (scan_comps, ss, a & 0xF)
+            pred_sel, pt = ss, a & 0xF
+            if ns not in (len(comps), 1):
+                raise NotImplementedError(
+                    "jpeg: lossless scans must be interleaved (all "
+                    "components) or single-component"
+                )
+            order = []
+            for cid, tb in scan_comps:
+                if cid not in frame_by_id:
+                    raise ValueError(
+                        f"jpeg: scan component id {cid} not in frame"
+                    )
+                if cid in seen_cids:
+                    raise ValueError(
+                        f"jpeg: component {cid} coded by two scans"
+                    )
+                seen_cids.add(cid)
+                order.append((frame_by_id[cid], tb))
+            if not 1 <= pred_sel <= 7:
+                raise ValueError(f"jpeg: bad lossless predictor {pred_sel}")
+            default = 1 << (prec - 1 - pt) if prec - 1 - pt >= 0 else 0
             entropy_start = pos + seglen
-            break
+
+            def fresh_stats():
+                return {tb: Stats(LA_STAT_SLOTS) for _ci, tb in order}
+
+            dec = ArithDecoder(data, entropy_start)
+            stats_by_tb = fresh_stats()
+            nsc = len(order)
+            prev_diffs = [[0] * w for _ in range(nsc)]  # Db (row above)
+            cur_diffs = [[0] * w for _ in range(nsc)]
+            count = 0
+            rst = 0
+            fresh = True
+            for y in range(h):
+                for x in range(w):
+                    if restart_interval and count and (
+                        count % restart_interval == 0
+                    ):
+                        mp = dec.marker_pos
+                        if mp is None or data[mp + 1] != 0xD0 + rst:
+                            raise ValueError(
+                                f"jpeg: expected restart marker RST{rst}"
+                            )
+                        dec = ArithDecoder(data, mp + 2)
+                        stats_by_tb = fresh_stats()
+                        prev_diffs = [[0] * w for _ in range(nsc)]
+                        cur_diffs = [[0] * w for _ in range(nsc)]
+                        rst = (rst + 1) & 7
+                        fresh = True
+                    count += 1
+                    for si, (ci, tb) in enumerate(order):
+                        ll, uu = cond.get(tb, (0, 1))
+                        da = cur_diffs[si][x - 1] if x > 0 and not fresh else 0
+                        db = prev_diffs[si][x] if y > 0 and not fresh else 0
+                        ca = _la_classify(da, ll, uu)
+                        cb = _la_classify(db, ll, uu)
+                        mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
+                        diff = _la_decode_diff(
+                            dec, stats_by_tb[tb], 4 * (5 * ca + cb), mag_base
+                        )
+                        plane = planes[ci]
+                        row = plane[y]
+                        prev_row = plane[y - 1] if y > 0 else None
+                        pred = _predict(
+                            pred_sel, row, prev_row, x, y, default, fresh
+                        )
+                        row[x] = (pred + diff) & 0xFFFF
+                        cur_diffs[si][x] = diff
+                    fresh = False
+                for si in range(nsc):
+                    prev_diffs[si], cur_diffs[si] = cur_diffs[si], [0] * w
+            pos = _entropy_end(data, entropy_start, skip_restarts=True)
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or planes is None:
         raise ValueError("jpeg: missing SOF11/SOS")
     w, h, comps, prec = frame
-    scan_comps, pred_sel, pt = scan
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError(
-            "jpeg: lossless multi-scan (non-interleaved) unsupported"
+    if len(seen_cids) != len(comps):
+        missing = [c for c, *_r in comps if c not in seen_cids]
+        raise ValueError(
+            f"jpeg: lossless components never coded by any scan: {missing}"
         )
-    frame_by_id = {cid: i for i, (cid, _t, _h, _v) in enumerate(comps)}
-    order = []
-    for cid, tb in scan_comps:
-        if cid not in frame_by_id:
-            raise ValueError(f"jpeg: scan component id {cid} not in frame")
-        order.append((frame_by_id[cid], tb))
-    if not 1 <= pred_sel <= 7:
-        raise ValueError(f"jpeg: bad lossless predictor {pred_sel}")
-    default = 1 << (prec - 1 - pt) if prec - 1 - pt >= 0 else 0
-
-    def fresh_stats():
-        return {tb: Stats(LA_STAT_SLOTS) for _ci, tb in order}
-
-    dec = ArithDecoder(data, entropy_start)
-    stats_by_tb = fresh_stats()
-    planes = [[[0] * w for _ in range(h)] for _ in comps]
-    prev_diffs = [[0] * w for _ in comps]  # Db source (row above)
-    cur_diffs = [[0] * w for _ in comps]
-    count = 0
-    rst = 0
-    fresh = True
-    for y in range(h):
-        for x in range(w):
-            if restart_interval and count and count % restart_interval == 0:
-                mp = dec.marker_pos
-                if mp is None or data[mp + 1] != 0xD0 + rst:
-                    raise ValueError(f"jpeg: expected restart marker RST{rst}")
-                dec = ArithDecoder(data, mp + 2)
-                stats_by_tb = fresh_stats()
-                prev_diffs = [[0] * w for _ in comps]
-                cur_diffs = [[0] * w for _ in comps]
-                rst = (rst + 1) & 7
-                fresh = True
-            count += 1
-            for ci, tb in order:
-                ll, uu = cond.get(tb, (0, 1))
-                da = cur_diffs[ci][x - 1] if x > 0 and not fresh else 0
-                db = prev_diffs[ci][x] if y > 0 and not fresh else 0
-                ca, cb = _la_classify(da, ll, uu), _la_classify(db, ll, uu)
-                mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
-                diff = _la_decode_diff(
-                    dec, stats_by_tb[tb], 4 * (5 * ca + cb), mag_base
-                )
-                plane = planes[ci]
-                row = plane[y]
-                prev_row = plane[y - 1] if y > 0 else None
-                pred = _predict(pred_sel, row, prev_row, x, y, default, fresh)
-                row[x] = (pred + diff) & 0xFFFF
-                cur_diffs[ci][x] = diff
-            fresh = False
-        for ci in range(len(comps)):
-            prev_diffs[ci], cur_diffs[ci] = cur_diffs[ci], [0] * w
     return w, h, comps, planes, prec
 
 
@@ -502,9 +584,13 @@ def encode_jpeg_lossless_arith(
     predictor: int = 1,
     pt: int = 0,
     restart_interval: int = 0,
+    non_interleaved: bool = False,
 ) -> bytes:
     """SOF11 encoder — the exact mirror of the decoder above (same
-    conditioning, same statistics layout, QM encoder)."""
+    conditioning, same statistics layout, QM encoder).
+    ``non_interleaved`` (r08 s3): one scan per component with per-scan
+    coder/statistics state and predictor cycling, mirroring the
+    Huffman encoder's multi-scan layout."""
     from journal_batch_processer_spark.operators.jpeg_arith import (
         ArithEncoder,
         Stats,
@@ -526,52 +612,72 @@ def encode_jpeg_lossless_arith(
     out += b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x00, 0x10])  # L=0,U=1
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
-    for ci in range(nc):
-        out += bytes([ci + 1, 0x00])  # all components share table 0
-    out += bytes([predictor, 0, pt])
 
     default = 1 << (precision - 1 - pt) if precision - 1 - pt >= 0 else 0
     ll, uu = 0, 1
-    enc = ArithEncoder()
-    stats = Stats(LA_STAT_SLOTS)
-    prev_diffs = [[0] * w for _ in planes]
-    cur_diffs = [[0] * w for _ in planes]
-    count = 0
-    rst = 0
-    fresh = True
-    for y in range(h):
-        for x in range(w):
-            if restart_interval and count and count % restart_interval == 0:
-                out += enc.flush()
-                out += bytes((0xFF, 0xD0 + rst))
-                rst = (rst + 1) & 7
-                enc = ArithEncoder()
-                stats = Stats(LA_STAT_SLOTS)
-                prev_diffs = [[0] * w for _ in planes]
-                cur_diffs = [[0] * w for _ in planes]
-                fresh = True
-            count += 1
-            for ci, plane in enumerate(planes):
-                row = plane[y]
-                prev_row = plane[y - 1] if y > 0 else None
-                pred = _predict(predictor, row, prev_row, x, y, default, fresh)
-                dd = (row[x] - pred) & 0xFFFF
-                if dd >= 32768:
-                    dd -= 65536  # mod-2^16 diff in [-32768, 32767]
-                if dd == -32768:
-                    raise NotImplementedError(
-                        "jpeg: lossless-arithmetic |diff| >= 32768"
+
+    def scan_body(scan_planes: list, pred_s: int) -> bytes:
+        chunks: list[bytes] = []
+        enc = ArithEncoder()
+        stats = Stats(LA_STAT_SLOTS)
+        prev_diffs = [[0] * w for _ in scan_planes]
+        cur_diffs = [[0] * w for _ in scan_planes]
+        count = 0
+        rst = 0
+        fresh = True
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and count and (
+                    count % restart_interval == 0
+                ):
+                    chunks.append(enc.flush())
+                    chunks.append(bytes((0xFF, 0xD0 + rst)))
+                    rst = (rst + 1) & 7
+                    enc = ArithEncoder()
+                    stats = Stats(LA_STAT_SLOTS)
+                    prev_diffs = [[0] * w for _ in scan_planes]
+                    cur_diffs = [[0] * w for _ in scan_planes]
+                    fresh = True
+                count += 1
+                for ci, plane in enumerate(scan_planes):
+                    row = plane[y]
+                    prev_row = plane[y - 1] if y > 0 else None
+                    pred = _predict(
+                        pred_s, row, prev_row, x, y, default, fresh
                     )
-                da = cur_diffs[ci][x - 1] if x > 0 and not fresh else 0
-                db = prev_diffs[ci][x] if y > 0 and not fresh else 0
-                ca, cb = _la_classify(da, ll, uu), _la_classify(db, ll, uu)
-                mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
-                _la_encode_diff(enc, stats, 4 * (5 * ca + cb), mag_base, dd)
-                cur_diffs[ci][x] = dd
-            fresh = False
+                    dd = (row[x] - pred) & 0xFFFF
+                    if dd >= 32768:
+                        dd -= 65536  # mod-2^16 diff in [-32768, 32767]
+                    if dd == -32768:
+                        raise NotImplementedError(
+                            "jpeg: lossless-arithmetic |diff| >= 32768"
+                        )
+                    da = cur_diffs[ci][x - 1] if x > 0 and not fresh else 0
+                    db = prev_diffs[ci][x] if y > 0 and not fresh else 0
+                    ca = _la_classify(da, ll, uu)
+                    cb = _la_classify(db, ll, uu)
+                    mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
+                    _la_encode_diff(
+                        enc, stats, 4 * (5 * ca + cb), mag_base, dd
+                    )
+                    cur_diffs[ci][x] = dd
+                fresh = False
+            for ci in range(len(scan_planes)):
+                prev_diffs[ci], cur_diffs[ci] = cur_diffs[ci], [0] * w
+        chunks.append(enc.flush())
+        return b"".join(chunks)
+
+    if non_interleaved:
         for ci in range(nc):
-            prev_diffs[ci], cur_diffs[ci] = cur_diffs[ci], [0] * w
-    out += enc.flush()
+            pred_s = (predictor - 1 + ci) % 7 + 1
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, 0x00, pred_s, 0, pt])
+            out += scan_body([planes[ci]], pred_s)
+    else:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for ci in range(nc):
+            out += bytes([ci + 1, 0x00])  # all components share table 0
+        out += bytes([predictor, 0, pt])
+        out += scan_body(planes, predictor)
     out += b"\xff\xd9"
     return bytes(out)

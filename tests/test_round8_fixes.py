@@ -654,3 +654,52 @@ def test_hierarchical_sampling_change_across_frames_fails_loud():
     base2[j2 + 11] = 0x11  # Y in the DIFFERENTIAL frame: 2x2 -> 1x1
     with raises(ValueError):
         decode_jpeg_baseline(bytes(base2))
+
+
+def test_lossless_non_interleaved_scans_roundtrip_exact():
+    """Multi-scan (one component per scan) LOSSLESS decode — the last
+    lossless scan-layout gate (r08 s3), the layout some DICOM RGB
+    encoders emit: random images roundtrip bit-exactly through BOTH
+    entropy coders (SOF3 Huffman, SOF11 QM-arithmetic), with per-scan
+    restart/predictor/statistics state and DIFFERENT predictors per
+    scan (the encoder cycles them to prove per-scan parameter
+    honoring). A component coded twice, or never, fails loud."""
+    import random
+
+    from pytest import raises
+
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        decode_jpeg_lossless,
+        decode_jpeg_lossless_arith,
+        encode_jpeg_lossless,
+        encode_jpeg_lossless_arith,
+    )
+
+    rng = random.Random(11)
+    for nc in (1, 3, 4):
+        for prec, mx in ((8, 256), (12, 4096)):
+            for ri in (0, 3):
+                pls = [
+                    [[rng.randrange(mx) for _ in range(9)] for _ in range(5)]
+                    for _ in range(nc)
+                ]
+                for enc, dec in (
+                    (encode_jpeg_lossless, decode_jpeg_lossless),
+                    (encode_jpeg_lossless_arith, decode_jpeg_lossless_arith),
+                ):
+                    b = enc(
+                        pls, precision=prec, predictor=4,
+                        restart_interval=ri, non_interleaved=True,
+                    )
+                    assert dec(b)[3] == pls, (enc.__name__, nc, prec, ri)
+    # structural: duplicate-scan and missing-scan detection
+    pls = [[[7] * 4 for _ in range(3)] for _ in range(2)]
+    b = bytearray(encode_jpeg_lossless(pls, non_interleaved=True))
+    i = b.find(b"\xff\xda")
+    j = b.find(b"\xff\xda", i + 2)
+    dup = bytes(b[:j + 5]) + bytes([1]) + bytes(b[j + 6:])  # scan 2 -> comp 1
+    with raises(ValueError, match="two scans"):
+        decode_jpeg_lossless(bytes(dup))
+    trunc = bytes(b[:j]) + b"\xff\xd9"  # drop component 2's scan
+    with raises(ValueError, match="never coded"):
+        decode_jpeg_lossless(trunc)
