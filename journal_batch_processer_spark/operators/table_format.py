@@ -248,6 +248,19 @@ class SnapshotTable:
             man_out["delete_files"] = man_parent["delete_files"]
         return man_out
 
+    @staticmethod
+    def _carry_staged(man_out: dict, man_parent: dict) -> dict:
+        """Carry the parent snapshot's WAP-staged files (see
+        :meth:`append_wap`) into a child commit that neither publishes
+        nor aborts them. Staged files are workflow state, not logical
+        table state, so EVERY ordinary commit carries them — a pending
+        audit survives interleaved appends, merges, and maintenance,
+        exactly as Iceberg's staged snapshots survive main-branch
+        commits (they live in metadata until cherry-picked/expired)."""
+        if man_parent.get("staged_files"):
+            man_out["staged_files"] = man_parent["staged_files"]
+        return man_out
+
     def _guard_no_pending_deletes(self, man: dict, op: str) -> None:
         """File-rewriting operations plan against the PHYSICAL file
         contents; running one while equality-delete files are pending
@@ -367,7 +380,8 @@ class SnapshotTable:
         for _ in range(_max_retries):
             try:
                 return self._try_commit(
-                    self._carry_deletes(
+                    self._carry_staged(
+                        self._carry_deletes(
                         {
                             "format_version": 1,
                             "version": man["version"] + 1,
@@ -377,6 +391,8 @@ class SnapshotTable:
                             "schema": schema,
                             "files": man["files"] + new_files,
                         },
+                        man,
+                        ),
                         man,
                     )
                 )
@@ -517,7 +533,7 @@ class SnapshotTable:
         }
         if stream_batch_id is not None:
             man_out["stream_batch_id"] = stream_batch_id
-        return self._try_commit(man_out)
+        return self._try_commit(self._carry_staged(man_out, man))
 
     def merge_stream_batch(
         self,
@@ -580,7 +596,7 @@ class SnapshotTable:
                     self._stage_files(df.coalesce(1), base_v + 1)
                 )
         return self._try_commit(
-            {
+            self._carry_staged({
                 "format_version": 1,
                 "version": base_v + 1,
                 "parent": base_v,
@@ -588,7 +604,7 @@ class SnapshotTable:
                 "committed_at_us": self._now_us(committed_at_us),
                 "schema": man["schema"],
                 "files": carried + new_files,
-            }
+            }, man)
         )
 
     def delete_range(
@@ -654,7 +670,7 @@ class SnapshotTable:
                 prefix="cdc",
             )
         return self._try_commit(
-            {
+            self._carry_staged({
                 "format_version": 1,
                 "version": base_v + 1,
                 "parent": base_v,
@@ -671,7 +687,7 @@ class SnapshotTable:
                     "rewritten_files": len(rewrite),
                     "carried_files": len(carried),
                 },
-            }
+            }, man)
         )
 
     def delete_mor(
@@ -744,7 +760,7 @@ class SnapshotTable:
             )
             cdc_files = self._stage_files(changes, base_v + 1, prefix="cdc")
         return self._try_commit(
-            {
+            self._carry_staged({
                 "format_version": 1,
                 "version": base_v + 1,
                 "parent": base_v,
@@ -754,7 +770,7 @@ class SnapshotTable:
                 "files": man["files"],
                 "delete_files": (man.get("delete_files") or []) + del_files,
                 "cdc_files": cdc_files,
-            }
+            }, man)
         )
 
     def apply_deletes(
@@ -823,7 +839,7 @@ class SnapshotTable:
                 resolved.coalesce(max(1, len(rewrite))), base_v + 1
             )
         return self._try_commit(
-            {
+            self._carry_staged({
                 "format_version": 1,
                 "version": base_v + 1,
                 "parent": base_v,
@@ -836,7 +852,7 @@ class SnapshotTable:
                     "rewritten_files": len(rewrite),
                     "carried_files": len(carried),
                 },
-            }
+            }, man)
         )
 
     def restore(
@@ -852,6 +868,7 @@ class SnapshotTable:
         rewrites the log). Fails loud if the target was vacuumed."""
         src = self.manifest(version)  # raises if vacuumed away
         base_v = self.latest_version() if expected_version is None else expected_version
+        head = self.manifest(base_v)
         for f in src["files"] + (src.get("delete_files") or []):
             if not os.path.exists(os.path.join(self.root, f["path"])):
                 raise FileNotFoundError(
@@ -861,6 +878,7 @@ class SnapshotTable:
             # a restored snapshot's pending equality deletes are part
             # of its logical state: carry them (version-numbered fields
             # stay mutually consistent — both sides were copied)
+            self._carry_staged(
             self._carry_deletes(
                 {
                     "format_version": 1,
@@ -873,6 +891,12 @@ class SnapshotTable:
                     "files": src["files"],
                 },
                 src,
+            # WAP-staged batches are WORKFLOW state pending on the
+            # head, not logical state of the restored snapshot —
+            # carry them from the head so a pending audit survives
+            # the restore (Iceberg: staged snapshots live in
+            # metadata regardless of what the branch points at)
+            ), head,
             )
         )
 
@@ -913,7 +937,7 @@ class SnapshotTable:
         )
         new_files = self._stage_files(clustered, base_v + 1)
         return self._try_commit(
-            {
+            self._carry_staged({
                 "format_version": 1,
                 "version": base_v + 1,
                 "parent": base_v,
@@ -922,7 +946,7 @@ class SnapshotTable:
                 "schema": man["schema"],
                 "files": new_files,
                 "cluster": {"x": x_sql, "y": y_sql, "bits": bits},
-            }
+            }, man)
         )
 
     def clone(
@@ -995,6 +1019,7 @@ class SnapshotTable:
                 man["files"]
                 + man.get("cdc_files", [])
                 + man.get("delete_files", [])
+                + man.get("staged_files", [])
             )
 
         live = set()
@@ -1071,7 +1096,8 @@ class SnapshotTable:
         for _ in range(10):
             try:
                 return self._try_commit(
-                    self._carry_deletes(
+                    self._carry_staged(
+                        self._carry_deletes(
                         {
                             "format_version": 1,
                             "version": man["version"] + 1,
@@ -1083,6 +1109,8 @@ class SnapshotTable:
                             "stream_batch_id": batch_id,
                         },
                         man,
+                        ),
+                        man,
                     )
                 )
             except CommitConflictError:
@@ -1090,6 +1118,190 @@ class SnapshotTable:
                 if self.last_stream_batch_id() >= batch_id:
                     return None  # a concurrent replay won the race
         raise CommitConflictError("stream append lost 10 commit races")
+
+    # ------------------------------------------------------------------
+    # write-audit-publish (WAP)
+    # ------------------------------------------------------------------
+    def append_wap(
+        self,
+        df: DataFrame,
+        wap_id: str,
+        committed_at_us: int | None = None,
+        _max_retries: int = 10,
+    ) -> int:
+        """Stage an append under ``wap_id`` WITHOUT publishing it —
+        the write half of write-audit-publish (the Iceberg
+        ``spark.wap.id`` staged-snapshot workflow, Delta's shadow-
+        table pattern). The batch's files commit to the log as
+        ``staged_files`` entries tagged with ``wap_id``; the snapshot's
+        LOGICAL state (``files``) is unchanged, so every ordinary
+        reader — head reads, time travel, CDF, streaming — is blind to
+        the batch until :meth:`publish_wap`. Audits run against
+        :meth:`read_wap` (the table as-if-published); a failed audit
+        calls :meth:`abort_wap` and the data never becomes visible.
+
+        Multiple batches may stage under one ``wap_id`` (they publish
+        or abort together), and several wap_ids may be pending
+        at once — publish picks its own. Staging never conflicts
+        logically, so a lost commit race auto-rebases and retries,
+        like :meth:`append`."""
+        base_v = self.latest_version()
+        man = self.manifest(base_v)
+        known = {c["name"] for c in man["schema"]}
+        bad = set(df.columns) - known
+        if bad:
+            raise ValueError(
+                f"append_wap columns not in table schema: {sorted(bad)}"
+            )
+        new_files = self._stage_files(df, base_v + 1, prefix="wap")
+        for f in new_files:
+            f["wap_id"] = wap_id
+        for _ in range(_max_retries):
+            try:
+                return self._try_commit(
+                    self._carry_deletes(
+                        {
+                            "format_version": 1,
+                            "version": man["version"] + 1,
+                            "parent": man["version"],
+                            "operation": "wap_append",
+                            "wap_id": wap_id,
+                            "committed_at_us": self._now_us(committed_at_us),
+                            "schema": man["schema"],
+                            "files": man["files"],
+                            "staged_files": man.get("staged_files", [])
+                            + new_files,
+                        },
+                        man,
+                    )
+                )
+            except CommitConflictError:
+                man = self.manifest(self.latest_version())
+        raise CommitConflictError(f"append_wap lost {_max_retries} commit races")
+
+    def pending_wap_ids(self, version: int | None = None) -> list[str]:
+        """Distinct wap_ids with batches staged-but-unresolved at the
+        given (default head) snapshot, in first-staged order."""
+        out: list[str] = []
+        for f in self.manifest(
+            self.latest_version() if version is None else version
+        ).get("staged_files", []):
+            if f["wap_id"] not in out:
+                out.append(f["wap_id"])
+        return out
+
+    def read_wap(
+        self, spark: SparkSession, wap_id: str, version: int | None = None
+    ) -> DataFrame:
+        """AUDIT read: the table as-if ``wap_id`` were published —
+        committed files plus that id's staged files (other pending
+        ids stay invisible: each audit sees only its own batch).
+        Pending equality deletes apply by the usual added_version
+        rule; note publish re-stamps added_version (cherry-pick
+        semantics), so a delete committed while the batch was staged
+        hides staged rows HERE but not after publish — audit is a
+        preview of content, not of sequence numbers."""
+        man = self.manifest(self._resolve(version, None))
+        mine = [
+            {k: v for k, v in f.items() if k != "wap_id"}
+            for f in man.get("staged_files", [])
+            if f["wap_id"] == wap_id
+        ]
+        if not mine:
+            raise LookupError(
+                f"no batches staged under wap_id={wap_id!r} at this version"
+            )
+        return self._read_with_deletes(spark, man, man["files"] + mine)
+
+    def publish_wap(
+        self,
+        wap_id: str,
+        committed_at_us: int | None = None,
+        _max_retries: int = 10,
+    ) -> int:
+        """PUBLISH the audited batch: move ``wap_id``'s staged files
+        into the logical file list as a new commit (Iceberg's
+        cherry-pick). Metadata-only — zero data IO, O(files) — and the
+        entries' ``added_version`` is RE-STAMPED to the publish
+        version: the rows logically enter the table NOW, so equality
+        deletes that committed while the batch was staged do not
+        apply to it (exactly the Iceberg sequence-number assignment on
+        cherry-pick). The change feed emits the published rows as
+        inserts at the publish version. Other pending wap_ids carry."""
+        for _ in range(_max_retries):
+            base_v = self.latest_version()
+            man = self.manifest(base_v)
+            staged = man.get("staged_files", [])
+            mine = [f for f in staged if f["wap_id"] == wap_id]
+            rest = [f for f in staged if f["wap_id"] != wap_id]
+            if not mine:
+                raise LookupError(
+                    f"no batches staged under wap_id={wap_id!r} to publish"
+                )
+            published = []
+            for f in mine:
+                e = {k: v for k, v in f.items() if k != "wap_id"}
+                e["added_version"] = base_v + 1
+                published.append(e)
+            man_out = {
+                "format_version": 1,
+                "version": base_v + 1,
+                "parent": base_v,
+                "operation": "wap_publish",
+                "wap_id": wap_id,
+                "committed_at_us": self._now_us(committed_at_us),
+                "schema": man["schema"],
+                "files": man["files"] + published,
+            }
+            if rest:
+                man_out["staged_files"] = rest
+            try:
+                return self._try_commit(self._carry_deletes(man_out, man))
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(f"publish_wap lost {_max_retries} commit races")
+
+    def abort_wap(
+        self,
+        wap_id: str,
+        committed_at_us: int | None = None,
+        _max_retries: int = 10,
+    ) -> int:
+        """ABORT a staged batch that failed its audit: drop its
+        entries from ``staged_files`` as a new commit. The physical
+        files linger for the retention window (time travel into
+        pre-abort versions can still audit-read them) and are
+        reclaimed by :meth:`vacuum` once no retained manifest
+        references them — the failed data never touches logical state
+        or the change feed."""
+        for _ in range(_max_retries):
+            base_v = self.latest_version()
+            man = self.manifest(base_v)
+            staged = man.get("staged_files", [])
+            mine = [f for f in staged if f["wap_id"] == wap_id]
+            rest = [f for f in staged if f["wap_id"] != wap_id]
+            if not mine:
+                raise LookupError(
+                    f"no batches staged under wap_id={wap_id!r} to abort"
+                )
+            man_out = {
+                "format_version": 1,
+                "version": base_v + 1,
+                "parent": base_v,
+                "operation": "wap_abort",
+                "wap_id": wap_id,
+                "aborted_files": len(mine),
+                "committed_at_us": self._now_us(committed_at_us),
+                "schema": man["schema"],
+                "files": man["files"],
+            }
+            if rest:
+                man_out["staged_files"] = rest
+            try:
+                return self._try_commit(self._carry_deletes(man_out, man))
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(f"abort_wap lost {_max_retries} commit races")
 
     # ------------------------------------------------------------------
     # read paths
@@ -1225,9 +1437,19 @@ class SnapshotTable:
         for v in range(from_version + 1, to_version + 1):
             man = self.manifest(v)
             op = man["operation"]
-            if op in ("create", "compact", "cluster", "rewrite_deletes"):
-                continue  # dataChange=false: no logical change to feed
-            if op in ("append", "stream_append"):
+            if op in (
+                "create",
+                "compact",
+                "cluster",
+                "rewrite_deletes",
+                "wap_append",
+                "wap_abort",
+            ):
+                # dataChange=false / not-yet-logical: nothing to feed —
+                # WAP-staged rows enter the change feed only when (and
+                # if) their publish commit lands
+                continue
+            if op in ("append", "stream_append", "wap_publish"):
                 parent = man["parent"]
                 seen = {f["path"] for f in self.manifest(parent)["files"]}
                 added = [f for f in man["files"] if f["path"] not in seen]

@@ -1440,6 +1440,144 @@ FROM s5 WHERE event_id NOT BETWEEN {PRUNE_LO} AND {PRUNE_HI}
 )
 
 
+
+def _materialize_wap_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write-audit-publish fixture chain (7 commits):
+
+      v1 create
+      v2 append  event_id%4==0            (committed baseline)
+      v3 wap_append "w1"  %4==1           (good batch, staged)
+      v4 append  %4==2                    (interleaved commit: the
+                                           pending stage must carry)
+      v5 wap_append "w2"  %4==3, with event_type NULLed for
+                           user_id%10==0  (poisoned batch, staged)
+      v6 publish "w1"  — its audit (no NULL event_type in the
+                         as-if-published table) passes
+      v7 abort  "w2"   — its audit fails; the data never becomes
+                         logical state
+
+    The audits run INSIDE the fixture build exactly as a production
+    WAP pipeline would: stage → read_wap → publish-or-abort. The
+    final state (%4 ∈ {0,1,2}) plus the pre-publish and audit views
+    are what the registry key exposes."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"wap_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "wap", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 7:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _base_events(spark, sf_dir)
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema, committed_at_us=1_000_000)
+    t.append(
+        ev.filter(F.col("event_id") % 4 == 0).repartitionByRange(4, "event_id"),
+        committed_at_us=2_000_000,
+    )
+    t.append_wap(
+        ev.filter(F.col("event_id") % 4 == 1).repartitionByRange(4, "event_id"),
+        "w1",
+        committed_at_us=3_000_000,
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 4 == 2).repartitionByRange(4, "event_id"),
+        committed_at_us=4_000_000,
+    )
+    poisoned = ev.filter(F.col("event_id") % 4 == 3).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(F.col("user_id") % 10 != 0, F.col("event_type")).alias(
+            "event_type"
+        ),
+    )
+    t.append_wap(poisoned, "w2", committed_at_us=5_000_000)
+    # the audit gate: no NULL event_type may enter the table
+    for wap_id, at in (("w1", 6_000_000), ("w2", 7_000_000)):
+        bad = (
+            t.read_wap(spark, wap_id)
+            .filter(F.col("event_type").isNull())
+            .count()
+        )
+        if bad == 0:
+            t.publish_wap(wap_id, committed_at_us=at)
+        else:
+            t.abort_wap(wap_id, committed_at_us=at)
+    assert t.latest_version() == 7
+    assert t.manifest(6)["operation"] == "wap_publish"
+    assert t.manifest(7)["operation"] == "wap_abort"
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def q_table_wap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish, all three visibility surfaces aggregated
+    per (phase, event_type):
+
+    - ``pending``  — head read at v5: BOTH staged batches invisible
+      (%4 ∈ {0,2});
+    - ``audit_w1`` — read_wap('w1') at v5: the as-if-published audit
+      view sees committed state + ITS batch only (%4 ∈ {0,1,2} — the
+      poisoned w2 stays invisible to w1's audit);
+    - ``final``    — head read at v7: published w1 in, aborted w2
+      out, forever.
+
+    A carry bug (stage lost across the v4 append), a visibility leak
+    (staged rows in a head read), a publish that drops/duplicates
+    files, or an abort that leaks rows all hash-fail against the
+    oracle recomputing the three states from `events` directly."""
+    root = _materialize_wap_table(spark, sf_dir)
+    t = SnapshotTable(root)
+    surfaces = [
+        ("pending", t.read(spark, version=5)),
+        ("audit_w1", t.read_wap(spark, "w1", version=5)),
+        ("final", t.read(spark)),
+    ]
+    parts = []
+    for phase, df in surfaces:
+        parts.append(
+            df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").alias("id_sum"),
+                F.sum(F.floor(F.col("value") * 1000)).alias("val_milli_sum"),
+            ).select(F.lit(phase).alias("phase"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_TABLE_WAP_READ = """
+WITH ev AS (SELECT event_id, user_id, value, event_type FROM events),
+tagged AS (
+    SELECT 'pending' AS phase, event_type, event_id, value
+    FROM ev WHERE event_id % 4 IN (0, 2)
+    UNION ALL
+    SELECT 'audit_w1', event_type, event_id, value
+    FROM ev WHERE event_id % 4 IN (0, 1, 2)
+    UNION ALL
+    SELECT 'final', event_type, event_id, value
+    FROM ev WHERE event_id % 4 IN (0, 1, 2)
+)
+SELECT phase, event_type, COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+           AS val_milli_sum
+FROM tagged GROUP BY phase, event_type
+"""
+
+
 QUERIES = {
     "table_snapshot_read": (q_table_snapshot_read, SQL_TABLE_SNAPSHOT_READ),
     "table_clone_read": (q_table_clone_read, SQL_TABLE_CLONE_READ),
@@ -1466,4 +1604,5 @@ QUERIES = {
     "table_cdf_read": (q_table_cdf_read, SQL_TABLE_CDF_READ),
     "stream_table_cdc": (q_stream_table_cdc, SQL_STREAM_TABLE_CDC),
     "stream_matview": (q_stream_matview, SQL_STREAM_MATVIEW),
+    "table_wap_read": (q_table_wap_read, SQL_TABLE_WAP_READ),
 }

@@ -69,6 +69,8 @@ def _build() -> dict[str, QuerySpec]:
     # together they fill the ~50-key budget exactly, discharging the
     # stale tier in one round (VERDICT r07 item 2).
     priority = [
+        # NEW in r08 session 4 — write-audit-publish
+        "table_wap_read",        # staged commits, audit view, publish/abort
         # NEW in r08 session 3 — merge-on-read equality deletes,
         # h-index coreness
         "table_mor_read",        # stacked MOR deletes + re-insert rule

@@ -8,7 +8,8 @@ is one directory listing, and ``partitions(start, end)`` plans one
 Spark task per data file ADDED by each commit in ``(start, end]``
 (file membership diffed against the parent manifest — pure metadata,
 no data scan). Append-family commits (`create` / `append` /
-`stream_append`) stream through; change commits (merge, delete,
+`stream_append` / `wap_publish`) stream through; WAP stage/abort
+commits carry no data; change commits (merge, delete,
 compact, cluster, restore) REWRITE files, and re-emitting their
 carried rows would double-count, so by default planning fails loud —
 exactly Delta's "data update detected" contract — and with
@@ -45,7 +46,11 @@ from pyspark.sql.datasource import (
 )
 
 # commits whose files are pure additions; everything else rewrites
-APPEND_OPS = frozenset({"create", "append", "stream_append"})
+APPEND_OPS = frozenset({"create", "append", "stream_append", "wap_publish"})
+# commits that change neither logical files nor the change feed:
+# WAP staging/abort is workflow metadata — nothing to emit, never
+# an error, in BOTH modes (staged rows stream only at publish)
+NO_DATA_OPS = frozenset({"wap_append", "wap_abort"})
 
 _ARROW_BY_DDL = {
     "bigint": "int64",
@@ -120,6 +125,8 @@ class TableStreamReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             man = t.manifest(v)
             op = man["operation"]
+            if op in NO_DATA_OPS:
+                continue
             if self.change_feed:
                 # CDF mode (Delta readChangeFeed): appends emit added
                 # files tagged insert; merge/delete emit their

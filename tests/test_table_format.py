@@ -1016,3 +1016,138 @@ def test_join_view_cross_term_is_load_bearing(spark):
             .filter(F.col("m") > 0).select(out_cols).collect())
     )
     assert without_cross != direct
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish
+# ---------------------------------------------------------------------------
+
+
+def test_wap_staged_invisible_until_publish(spark, tmp_path):
+    """A staged batch is invisible to head reads, time travel, and the
+    change feed; publish makes it visible exactly once."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    v3 = t.append_wap(_df(spark, 50, 80), "w1", committed_at_us=3_000_000)
+    assert t.read(spark).count() == 50          # head blind to staged
+    assert t.read(spark, version=v3).count() == 50
+    assert t.pending_wap_ids() == ["w1"]
+    # audit sees the table as-if-published
+    assert t.read_wap(spark, "w1").count() == 80
+    # CDF over the stage commit: nothing
+    assert t.read_changes(spark, 2, v3).count() == 0
+    v4 = t.publish_wap("w1", committed_at_us=4_000_000)
+    assert t.read(spark).count() == 80
+    assert t.pending_wap_ids() == []
+    # CDF emits the published rows as inserts AT the publish version
+    ch = t.read_changes(spark, v3, v4).collect()
+    assert len(ch) == 30
+    assert {r._change for r in ch} == {"insert"}
+    assert {r._commit_version for r in ch} == {v4}
+
+
+def test_wap_abort_never_reaches_logical_state(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    t.append_wap(_df(spark, 50, 80), "bad", committed_at_us=3_000_000)
+    va = t.abort_wap("bad", committed_at_us=4_000_000)
+    assert t.read(spark).count() == 50
+    assert t.pending_wap_ids() == []
+    assert t.read_changes(spark, 1, va).count() == 50  # only the real append
+    with pytest.raises(LookupError):
+        t.read_wap(spark, "bad")
+    # time travel to the pre-abort version can still audit-read it
+    assert t.read_wap(spark, "bad", version=3).count() == 80
+    # after the retention window, vacuum reclaims the staged files
+    import glob as _glob
+    import os as _os
+
+    t.append(_df(spark, 80, 90), committed_at_us=5_000_000)
+    t.append(_df(spark, 90, 95), committed_at_us=6_000_000)
+    t.vacuum(retain_last=2)
+    assert _glob.glob(_os.path.join(t.root, "wap", "*.parquet")) == []
+
+
+def test_wap_pending_carries_through_other_commits(spark, tmp_path):
+    """Interleaved append, COW merge, and compaction all carry the
+    pending staged batch; selective publish among two pending ids."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    t.append_wap(_df(spark, 100, 130), "w1", committed_at_us=3_000_000)
+    t.append_wap(_df(spark, 200, 220), "w2", committed_at_us=4_000_000)
+    t.append(_df(spark, 50, 60), committed_at_us=5_000_000)
+    t.merge(_df(spark, 0, 5), "k", committed_at_us=6_000_000)
+    t.compact(spark, 1 << 20, committed_at_us=7_000_000)
+    assert t.pending_wap_ids() == ["w1", "w2"]
+    # each audit sees only its own batch on top of committed state
+    assert t.read_wap(spark, "w1").count() == 60 + 30
+    assert t.read_wap(spark, "w2").count() == 60 + 20
+    t.publish_wap("w1", committed_at_us=8_000_000)
+    assert t.read(spark).count() == 90
+    assert t.pending_wap_ids() == ["w2"]
+    t.abort_wap("w2", committed_at_us=9_000_000)
+    assert t.read(spark).count() == 90
+    # restore across the whole story keeps nothing staged resurrected
+    assert t.pending_wap_ids() == []
+
+
+def test_wap_publish_restamps_added_version_for_mor(spark, tmp_path):
+    """A MOR equality delete committed while the batch was staged must
+    NOT hide the published rows: publish re-stamps added_version
+    (cherry-pick sequence numbers), so the delete's applies_below
+    excludes them — while the audit read (pre-publish preview) does
+    apply it."""
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    t.append_wap(_df(spark, 40, 70), "w1", committed_at_us=3_000_000)
+    keys = spark.range(45, 100).select(F.col("id").alias("k"))
+    t.delete_mor(keys, "k", committed_at_us=4_000_000)
+    # audit preview: delete applies to the staged rows too
+    # (base 0..44 survive; staged 40..69 loses 45..69 -> 40..44 remain)
+    assert t.read_wap(spark, "w1").count() == 45 + 5
+    t.publish_wap("w1", committed_at_us=5_000_000)
+    got = sorted(r.k for r in t.read(spark).collect())
+    # base rows 0..44 survive the delete; published 40..69 ALL visible
+    # (append semantics: 40..44 duplicate across base and batch)
+    assert got == sorted(list(range(45)) + list(range(40, 70)))
+
+
+def test_wap_streaming_source_emits_only_published(spark, tmp_path):
+    """The table-as-stream source skips stage/abort commits and emits
+    the published batch at its publish commit, tagged insert in CDF
+    mode."""
+    from journal_batch_processer_spark.queries.streaming_q import _await_drain
+    from journal_batch_processer_spark.sources.python_source import register_once
+    from journal_batch_processer_spark.sources.table_stream import (
+        TableStreamSource,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 20), committed_at_us=2_000_000)
+    t.append_wap(_df(spark, 20, 35), "w1", committed_at_us=3_000_000)
+    t.append_wap(_df(spark, 50, 60), "w2", committed_at_us=4_000_000)
+    vp = t.publish_wap("w1", committed_at_us=5_000_000)
+    t.abort_wap("w2", committed_at_us=6_000_000)
+    register_once(spark, TableStreamSource)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("jbp_table_stream")
+        .option("path", t.root)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drain(q, "wap_stream_test")
+    rows = spark.read.parquet(out).collect()
+    ks = sorted(r.k for r in rows)
+    assert ks == list(range(35))  # base 0..19 + published 20..34, no w2
+    assert all(r._change == "insert" for r in rows)
+    pub = [r for r in rows if r.k >= 20]
+    assert {r.commit_version for r in pub} == {vp}
