@@ -636,6 +636,78 @@ def minhash_candidates_incremental(
     )
 
 
+
+def apply_index_changes(
+    index_df: DataFrame,
+    changes_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Maintain an LSH band index INCREMENTALLY from a table change
+    feed: ``changes_df`` carries ``_change`` ('insert'/'delete') and
+    ``_commit_version`` rows as produced by SnapshotTable.read_changes
+    — an updated document arrives as delete(old row) + insert(new row)
+    in one commit. The feed may span MANY commits: per document the
+    LAST change wins (ordered by ``_commit_version``, insert over the
+    same-commit delete), so a doc updated then later range-deleted
+    nets out to absence, exactly the head state. Signatures are a pure
+    per-document function of the text, so maintenance is exact and
+    O(changes): every changed doc's rows drop from the index (the
+    changed-doc set broadcasts) and only final-insert texts re-band —
+    the corpus is never re-signatured.
+
+    Invariant (pinned in tests): apply_index_changes(index(v_a),
+    changes(v_a→v_b)) == index(v_b) computed from scratch."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_commit_version").desc(), F.col("_change").desc()
+    )
+    last = (
+        changes_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    changed = last.select(F.col(id_col).alias("doc")).distinct()
+    kept = index_df.join(F.broadcast(changed), "doc", "left_anti")
+    winners = last.filter(F.col("_change") == "insert").select(
+        id_col, text_col
+    )
+    fresh = banded_signatures(winners, id_col, text_col, n_hashes, bands, n)
+    return kept.unionByName(fresh)
+
+
+def probe_band_index(
+    index_df: DataFrame,
+    delta_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Dedup candidates for CHANGED documents against a maintained
+    band index: band the delta, equi-join on (band, bucket) — linear
+    in the delta size plus bucket collisions, the incremental sibling
+    of minhash_candidates' self-join. The index side should already
+    contain the delta's own rows (apply_index_changes first) so
+    changed-vs-changed pairs surface too; self-matches drop."""
+    delta_b = banded_signatures(delta_df, id_col, text_col, n_hashes, bands, n)
+    return (
+        delta_b.selectExpr("doc AS probe_doc", "band", "bucket")
+        .join(
+            index_df.selectExpr("doc AS match_doc", "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("probe_doc") != F.col("match_doc"))
+        .select("probe_doc", "match_doc")
+        .distinct()
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str,

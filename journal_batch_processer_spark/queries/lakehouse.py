@@ -1578,6 +1578,105 @@ FROM tagged GROUP BY phase, event_type
 """
 
 
+
+def _materialize_docs_table(spark: SparkSession, sf_dir: str) -> str:
+    """Documents-corpus snapshot table (3 commits) for the incremental
+    dedup-index key: v1 create (doc_id, text) → v2 append the whole
+    `documents` corpus (range-clustered on doc_id) → v3 COW MERGE
+    (updates: doc_id%7==0 gets ``text || ' updated copy'``; inserts:
+    doc_id+1_000_000 with ``'copy of ' || text`` for doc_id%11==0 —
+    the inserts are built near-dups of their source docs, so the
+    incremental probe provably finds pairs)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"dix_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "docs_index", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 3:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    t = SnapshotTable.create(
+        root,
+        [("doc_id", "bigint"), ("text", "string")],
+        committed_at_us=1_000_000,
+    )
+    t.append(docs.repartitionByRange(4, "doc_id"), committed_at_us=2_000_000)
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated copy")).alias("text")
+    )
+    inserts = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("copy of "), F.col("text")).alias("text"),
+    )
+    t.merge(updates.unionByName(inserts), "doc_id", committed_at_us=3_000_000)
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def q_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup WITHOUT recomputing the corpus index: the
+    LSH band index built at v2 is maintained to v3 purely from the
+    change feed (apply_index_changes — delete old rows of updated
+    docs, band only the insert rows), then the CHANGED documents probe
+    the maintained index for candidate pairs. The corpus is never
+    re-signatured: maintenance + probe are O(changes + collisions).
+
+    The oracle recomputes the v3 head state and its FULL band index
+    from `documents` directly, then takes the same changed-doc probe —
+    so a maintenance bug (stale signature kept for an updated doc, a
+    dropped insert, a leaked delete) changes the candidate set and
+    hash-fails. The maintained-index == from-scratch-index identity is
+    additionally pinned row-for-row in tests/test_table_format.py."""
+    from journal_batch_processer_spark.operators.dedup import (
+        apply_index_changes,
+        banded_signatures,
+        probe_band_index,
+    )
+
+    root = _materialize_docs_table(spark, sf_dir)
+    t = SnapshotTable(root)
+    idx0 = banded_signatures(t.read(spark, version=2), "doc_id", "text")
+    ch = t.read_changes(spark, 2, 3)
+    idx = apply_index_changes(idx0, ch, "doc_id", "text")
+    delta = ch.filter(F.col("_change") == "insert").select("doc_id", "text")
+    return probe_band_index(idx, delta, "doc_id", "text")
+
+
+def _dedup_index_oracle_sql() -> str:
+    from journal_batch_processer_spark.queries.llmops import _minhash_band_cte
+
+    band = _minhash_band_cte(source="head")
+    head_cte = """
+WITH head AS (
+    SELECT doc_id, text || ' updated copy' AS text
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, 'copy of ' || text
+    FROM documents WHERE doc_id % 11 = 0
+),
+toks AS ("""
+    assert "\nWITH toks AS (" in band
+    band = band.replace("\nWITH toks AS (", head_cte, 1)
+    return band + """
+SELECT DISTINCT a.doc AS probe_doc, b.doc AS match_doc
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc <> b.doc
+WHERE a.doc % 7 = 0 OR a.doc >= 1000000
+"""
+
+
+SQL_DEDUP_INDEX_INCREMENTAL = _dedup_index_oracle_sql()
+
+
 QUERIES = {
     "table_snapshot_read": (q_table_snapshot_read, SQL_TABLE_SNAPSHOT_READ),
     "table_clone_read": (q_table_clone_read, SQL_TABLE_CLONE_READ),
@@ -1605,4 +1704,8 @@ QUERIES = {
     "stream_table_cdc": (q_stream_table_cdc, SQL_STREAM_TABLE_CDC),
     "stream_matview": (q_stream_matview, SQL_STREAM_MATVIEW),
     "table_wap_read": (q_table_wap_read, SQL_TABLE_WAP_READ),
+    "dedup_index_incremental": (
+        q_dedup_index_incremental,
+        SQL_DEDUP_INDEX_INCREMENTAL,
+    ),
 }

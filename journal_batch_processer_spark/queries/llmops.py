@@ -166,7 +166,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
 ),
 sh AS (
     SELECT doc_id,
@@ -220,7 +220,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_CONTAINMENT = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
 ),
 sh AS (
     SELECT doc_id,
@@ -297,7 +297,7 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM_T50 = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
 ),
 sh AS (
     SELECT doc_id,
@@ -346,7 +346,7 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM_CAPPED = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
 ),
 sh AS (
     SELECT doc_id,
@@ -479,7 +479,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DECONTAMINATE = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
 ),
 sh AS (
     SELECT doc_id,
@@ -521,7 +521,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NEAR = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
 ),
 sh AS (
     SELECT doc_id,
@@ -550,7 +550,9 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
-def _minhash_band_cte(n_hashes: int = 32, bands: int = 8) -> str:
+def _minhash_band_cte(
+    n_hashes: int = 32, bands: int = 8, source: str = "documents"
+) -> str:
     """Generated DuckDB CTE chain reproducing the LSH band table —
     md5-derived shingle hash, the same affine permutations, band
     buckets — shared by the self-join (dedup_minhash) and the
@@ -572,7 +574,7 @@ def _minhash_band_cte(n_hashes: int = 32, bands: int = 8) -> str:
     )
     return f"""
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
 ),
 sh AS (
     SELECT doc_id,
@@ -1658,7 +1660,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_SUBSTRING = """
 WITH d AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
 ),
 wins AS (
     SELECT doc_id, UNNEST(range(0, len(t) - 14)) AS o, t

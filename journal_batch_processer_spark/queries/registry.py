@@ -69,8 +69,10 @@ def _build() -> dict[str, QuerySpec]:
     # together they fill the ~50-key budget exactly, discharging the
     # stale tier in one round (VERDICT r07 item 2).
     priority = [
-        # NEW in r08 session 4 — write-audit-publish
+        # NEW in r08 session 4 — write-audit-publish, incremental
+        # dedup-index maintenance
         "table_wap_read",        # staged commits, audit view, publish/abort
+        "dedup_index_incremental",  # CDF-maintained LSH band index + probe
         # NEW in r08 session 3 — merge-on-read equality deletes,
         # h-index coreness
         "table_mor_read",        # stacked MOR deletes + re-insert rule

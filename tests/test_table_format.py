@@ -1151,3 +1151,48 @@ def test_wap_streaming_source_emits_only_published(spark, tmp_path):
     assert all(r._change == "insert" for r in rows)
     pub = [r for r in rows if r.k >= 20]
     assert {r.commit_version for r in pub} == {vp}
+
+
+def test_incremental_band_index_equals_scratch(spark, tmp_path):
+    """apply_index_changes over a multi-commit CDF window (COW merge
+    THEN range delete — including a doc updated in the merge and
+    deleted afterwards) reproduces the from-scratch band index of the
+    head snapshot row-for-row."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.dedup import (
+        apply_index_changes,
+        banded_signatures,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i} eta theta iota")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    t = SnapshotTable.create(
+        str(tmp_path / "docs"),
+        [("doc_id", "bigint"), ("text", "string")],
+        committed_at_us=1_000_000,
+    )
+    t.append(docs.repartitionByRange(2, "doc_id"), committed_at_us=2_000_000)
+    batch = spark.createDataFrame(
+        [
+            (2, "alpha beta gamma delta epsilon zeta CHANGED eta theta"),
+            (3, "alpha beta gamma delta epsilon zeta ALSO CHANGED theta"),
+            (10, "alpha beta gamma delta epsilon zeta token0 eta theta iota"),
+        ],
+        "doc_id bigint, text string",
+    )
+    t.merge(batch, "doc_id", committed_at_us=3_000_000)
+    # doc 3 (just updated) and doc 4 (untouched) now leave the table
+    t.delete_range(spark, "doc_id", 3, 4, committed_at_us=4_000_000)
+    idx0 = banded_signatures(t.read(spark, version=2), "doc_id", "text")
+    ch = t.read_changes(spark, 2, t.latest_version())
+    maintained = apply_index_changes(idx0, ch, "doc_id", "text")
+    scratch = banded_signatures(t.read(spark), "doc_id", "text")
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    # non-vacuous: the window really nets updated-then-deleted to gone
+    assert 3 not in {r.doc for r in maintained.collect()}
