@@ -1584,13 +1584,15 @@ def _materialize_docs_table(spark: SparkSession, sf_dir: str) -> str:
     dedup-index key: v1 create (doc_id, text) → v2 append the whole
     `documents` corpus (range-clustered on doc_id) → v3 COW MERGE
     (updates: doc_id%7==0 gets ``text || ' updated copy'``; inserts:
-    doc_id+1_000_000 with ``'copy of ' || text`` for doc_id%11==0 —
-    the inserts are built near-dups of their source docs, so the
+    doc_id + max_doc_id + 1 with ``'copy of ' || text`` for
+    doc_id%11==0 — the offset derives from the corpus, so inserted
+    ids never collide with existing docs at ANY scale, and the
+    inserts are built near-dups of their source docs, so the
     incremental probe provably finds pairs)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = table_fixture_root(f"dix_{tag}")
     marker = os.path.join(root, "_fixture.json")
-    want = {"rev": FIXTURE_REV, "op": "docs_index", "sf_dir": sf_dir}
+    want = {"rev": FIXTURE_REV, "op": "docs_index", "off": "max+1", "sf_dir": sf_dir}
     try:
         with open(marker) as fh:
             if json.load(fh) == want and SnapshotTable(root).latest_version() == 3:
@@ -1610,8 +1612,9 @@ def _materialize_docs_table(spark: SparkSession, sf_dir: str) -> str:
     updates = docs.filter(F.col("doc_id") % 7 == 0).select(
         "doc_id", F.concat(F.col("text"), F.lit(" updated copy")).alias("text")
     )
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]  # scalar: id offset
     inserts = docs.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + mx + 1).alias("doc_id"),
         F.concat(F.lit("copy of "), F.col("text")).alias("text"),
     )
     t.merge(updates.unionByName(inserts), "doc_id", committed_at_us=3_000_000)
@@ -1660,7 +1663,8 @@ WITH head AS (
     UNION ALL
     SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
     UNION ALL
-    SELECT doc_id + 1000000, 'copy of ' || text
+    SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+           'copy of ' || text
     FROM documents WHERE doc_id % 11 = 0
 ),
 toks AS ("""
@@ -1670,7 +1674,7 @@ toks AS ("""
 SELECT DISTINCT a.doc AS probe_doc, b.doc AS match_doc
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc <> b.doc
-WHERE a.doc % 7 = 0 OR a.doc >= 1000000
+WHERE a.doc % 7 = 0 OR a.doc > (SELECT MAX(doc_id) FROM documents)
 """
 
 
