@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     # that shuffles for the anti-join would triple this row)
     "graph_kcore",
     "table_mor_read",
+    # r08 session 4: incremental dedup-index maintenance — the CDF
+    # fold + changed-doc band probe; an index-maintenance regression
+    # that falls back to corpus re-signaturing would multiply this row
+    "dedup_index_incremental",
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is

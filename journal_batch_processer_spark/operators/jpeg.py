@@ -29,10 +29,12 @@ Scope — honest and loud:
   arithmetic (r08) — may declare HEIGHT 0 and define it via a DNL
   segment after the first scan (B.2.5, r07). LOSSLESS —
   Huffman (SOF3, Annex H, r07) AND arithmetic (SOF11, H.1.2.2 + QM
-  coder, r08) — decodes 1..4 interleaved 1×1 components — 2..16-bit,
-  all seven predictors, point transform, restarts, bit-exact
-  roundtrips; multi-component lossless reports PER-COMPONENT means
-  (no color transform is defined for it)
+  coder, r08) — decodes 1..4 components at ANY 1..4 sampling
+  (r08 s4: interleaved scans code h×v-sample MCUs on the padded
+  grid, per Annex A geometry) — 2..16-bit, all seven predictors,
+  point transform, restarts, bit-exact roundtrips; multi-component
+  lossless reports PER-COMPONENT means over each component's own
+  grid (no color transform is defined for it)
   (operators/jpeg_lossless.py). FRACTIONAL sampling ratios decode in
   sequential frames (r08 — nearest-sample upsampling; libjpeg rejects
   such files) AND progressive frames (r08 s3 — interleaved scans on
@@ -43,15 +45,17 @@ Scope — honest and loud:
   PROGRESSIVE (SOF6/14 — the jpeg.py scan decoders reused with
   PRED=0), and LOSSLESS (SOF7/15 — Ss=0 no-prediction corrections
   added modulo 2^16, so lossless pyramids reconstruct bit-exactly),
-  Huffman or QM-arithmetic throughout; differential DCT frames accept
-  ANY 1..4 sampling including fractional ratios (r08 s3 — per-
-  component reference planes, sampling pinned across pyramid frames).
-  Lossless scans may be interleaved OR one-per-component (r08 s3 —
-  the DICOM RGB multi-scan layout, per-scan predictor/Pt honored,
-  both entropy coders). Anything else raises
-  NotImplementedError/ValueError naming the feature: non-1×1
-  lossless sampling (including lossless differential over a
-  subsampled reference).
+  Huffman or QM-arithmetic throughout; differential frames — DCT
+  AND lossless (r08 s4) — accept ANY 1..4 sampling including
+  fractional ratios (per-component reference planes, sampling pinned
+  across pyramid frames). Lossless scans may be interleaved OR
+  one-per-component (r08 s3 — the DICOM RGB multi-scan layout,
+  per-scan predictor/Pt honored, both entropy coders). The
+  non-hierarchical T.81 matrix carries NO remaining gates; the only
+  named NotImplementedError sites left are hierarchical exotica —
+  non-interleaved differential scans and multi-band (second
+  non-differential frame) composition — plus the sampling-changed-
+  across-pyramid-frames consistency check.
   A production path could still swap in PIL behind the same Decoder
   interface (operators/multimodal.get_decoder).
 - encode: solid-gray images only (the fixture shape): for an
@@ -683,11 +687,13 @@ def _decode_jpeg_baseline(data: bytes) -> dict:
     if len(comps) > 1 and _frame_sof(data) in (0xC3, 0xCB):
         # LOSSLESS multi-component carries NO defined color transform
         # (T.81 Annex H says nothing about YCbCr): report the first
-        # three components' means directly, never BT.601
-        means = [
-            sum(sum(row) for row in planes[min(c, len(planes) - 1)]) / n
-            for c in range(3)
-        ]
+        # three components' means directly, never BT.601 — each over
+        # its OWN sample count (subsampled components return natural-
+        # size planes, r08 s4)
+        def _pmean(pl):
+            return sum(sum(row) for row in pl) / (len(pl) * len(pl[0]))
+
+        means = [_pmean(planes[min(c, len(planes) - 1)]) for c in range(3)]
         return {
             "width": w,
             "height": h,

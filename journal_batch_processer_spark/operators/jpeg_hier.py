@@ -19,7 +19,7 @@ Supported scope, honest and loud:
   frame + EOI — table state accumulates across frames per B.2/K.2);
 - EXP (0xDF) reference expansion, Eh/Ev ∈ {0,1};
 - differential SEQUENTIAL frames — Huffman (SOF5) or QM-arithmetic
-  (SOF13) — over 1×1-sampled components: DC coded with PRED=0
+  (SOF13): DC coded with PRED=0
   (F.2.1.3.1 — no predictor carry-over in differential frames), no
   level shift, IDCT output in [-maxval, maxval] added to the
   reference and clamped to the sample range (K.4); DRI/RSTn honored.
@@ -34,8 +34,10 @@ Supported scope, honest and loud:
   scan decoders of operators/jpeg.py reused with ``differential=True``
   (PRED=0 in the DC first pass), coefficients accumulated across
   scans and IDCT'd once at frame end into clamped corrections.
-- ANY 1..4 sampling in differential DCT frames, fractional ratios
-  included (r08 s3): references are kept PER COMPONENT at the
+- ANY 1..4 sampling in differential frames — DCT (r08 s3) AND
+  LOSSLESS (r08 s4: correction scans code h×v-sample MCUs on the
+  padded grid, cropped to natural dims, both entropy coders) —
+  fractional ratios included: references are kept PER COMPONENT at the
   component's own resolution (cropped from the padded block grid so
   EXP midpoints never see padding), corrections decode on the same
   per-component grids, and each component's sampling is pinned across
@@ -43,9 +45,9 @@ Supported scope, honest and loud:
   factors fails by name. The Hi×Vi data-unit raster inside each MCU
   is the exact loop convention of the libjpeg-cross-validated
   sequential decoder.
-- Gated by name: sampling changes across pyramid frames, and LOSSLESS
-  differential frames over a subsampled reference (lossless scans
-  are 1×1 throughout this engine).
+- Gated by name: sampling changes across pyramid frames,
+  non-interleaved differential scans, and multi-band composition (a
+  second non-differential frame).
 
 Validation: no system library decodes hierarchical JPEG (libjpeg has
 never implemented it), so — as for lossless — the proof is bit-exact
@@ -652,13 +654,17 @@ def _decode_diff_lossless_frame(
             f"jpeg hier: differential frame precision {fprec} != {prec}"
         )
     comps = []
+    csamp = {}
     for ci in range(nc):
         cid, samp, _tq = frame_seg[6 + 3 * ci : 9 + 3 * ci]
-        if samp != 0x11:
-            raise NotImplementedError(
-                "jpeg hier: non-1x1 sampling in a differential frame"
+        sh, sv = samp >> 4, samp & 0xF
+        if not (1 <= sh <= 4 and 1 <= sv <= 4):
+            raise ValueError(
+                f"jpeg hier: bad sampling factors {sh}x{sv} in a "
+                "differential lossless frame"
             )
         comps.append(cid)
+        csamp[cid] = (sh, sv)
     scan = None
     restart_interval = tables.get("dri", 0)
     while pos < len(data):
@@ -724,34 +730,69 @@ def _decode_diff_lossless_frame(
         if cid not in comps:
             raise ValueError(f"jpeg hier: scan component id {cid} not in frame")
         order.append((cid, tb))
-    planes = {cid: [[0] * w for _ in range(h)] for cid in comps}
+    # per-component natural + padded dims (r08 s4 — any 1..4 sampling
+    # in differential LOSSLESS frames, the last derivative gate): the
+    # interleaved correction scan codes the padded MCU grid, the
+    # result crops to the natural grid (same Annex-A geometry as the
+    # non-differential lossless decoder)
+    hmax = max(sh for sh, _sv in csamp.values())
+    vmax = max(sv for _sh, sv in csamp.values())
+    mcx, mcy = -(-w // hmax), -(-h // vmax)
+    dims = {
+        cid: (
+            -(-w * sh // hmax),   # cw (natural)
+            -(-h * sv // vmax),   # ch
+            mcx * sh,             # pw (padded)
+            mcy * sv,             # ph
+        )
+        for cid, (sh, sv) in csamp.items()
+    }
+    planes = {
+        cid: [[0] * dims[cid][2] for _ in range(dims[cid][3])]
+        for cid in comps
+    }
+
+    def cropped():
+        return [
+            (
+                cid,
+                [row[: dims[cid][0]] for row in planes[cid][: dims[cid][1]]],
+                csamp[cid],
+            )
+            for cid in comps
+        ]
 
     if not arith:
         end = _entropy_end(data, entropy_start, skip_restarts=True)
         br = _BitReader(data[entropy_start:end])
         count = 0
         rst = 0
-        for y in range(h):
-            for x in range(w):
-                if restart_interval and count and (
-                    count % restart_interval == 0
-                ):
-                    br.expect_restart(rst)
-                    rst = (rst + 1) & 7
-                count += 1
-                for cid, tb in order:
-                    table = tables.get(("huff", 0, tb))
-                    if table is None:
-                        raise ValueError("jpeg hier: missing DHT for scan")
-                    s = _read_huff(br, table)
-                    if s == 16:
-                        diff = 32768
-                    elif s:
-                        diff = _extend(br.bits(s), s)
-                    else:
-                        diff = 0
-                    planes[cid][y][x] = diff << pt
-        return w, h, [(cid, planes[cid]) for cid in comps], end, pt
+        for m in range(mcx * mcy):
+            if restart_interval and count and (
+                count % restart_interval == 0
+            ):
+                br.expect_restart(rst)
+                rst = (rst + 1) & 7
+            count += 1
+            my0, mx0 = divmod(m, mcx)
+            for cid, tb in order:
+                table = tables.get(("huff", 0, tb))
+                if table is None:
+                    raise ValueError("jpeg hier: missing DHT for scan")
+                sh, sv = csamp[cid]
+                plane = planes[cid]
+                for b in range(sv):
+                    row = plane[my0 * sv + b]
+                    for a in range(sh):
+                        s = _read_huff(br, table)
+                        if s == 16:
+                            diff = 32768
+                        elif s:
+                            diff = _extend(br.bits(s), s)
+                        else:
+                            diff = 0
+                        row[mx0 * sh + a] = diff << pt
+        return w, h, cropped(), end, pt
 
     from journal_batch_processer_spark.operators.jpeg_arith import (
         ArithDecoder,
@@ -768,46 +809,54 @@ def _decode_diff_lossless_frame(
     def fresh_stats():
         return {tb: Stats(LA_STAT_SLOTS) for _cid, tb in order}
 
+    def fresh_diffs():
+        # Da/Db conditioning as full per-component diff planes (the
+        # MCU order interleaves raster rows); restart clears them —
+        # pre-restart neighbors condition as zero
+        return {
+            cid: [[0] * dims[cid][2] for _ in range(dims[cid][3])]
+            for cid in comps
+        }
+
     dec = ArithDecoder(data, entropy_start)
     stats_by_tb = fresh_stats()
-    idx = {cid: i for i, cid in enumerate(comps)}
-    prev_diffs = [[0] * w for _ in comps]
-    cur_diffs = [[0] * w for _ in comps]
+    dplanes = fresh_diffs()
     count = 0
     rst = 0
-    fresh = True
-    for y in range(h):
-        for x in range(w):
-            if restart_interval and count and count % restart_interval == 0:
-                mp = dec.marker_pos
-                if mp is None or data[mp + 1] != 0xD0 + rst:
-                    raise ValueError(
-                        f"jpeg hier: expected restart marker RST{rst}"
-                    )
-                dec = ArithDecoder(data, mp + 2)
-                stats_by_tb = fresh_stats()
-                prev_diffs = [[0] * w for _ in comps]
-                cur_diffs = [[0] * w for _ in comps]
-                rst = (rst + 1) & 7
-                fresh = True
-            count += 1
-            for cid, tb in order:
-                ci = idx[cid]
-                ll, uu = tables.get(("dac_dc", tb), (0, 1))
-                da = cur_diffs[ci][x - 1] if x > 0 and not fresh else 0
-                db = prev_diffs[ci][x] if y > 0 and not fresh else 0
-                ca, cb = _la_classify(da, ll, uu), _la_classify(db, ll, uu)
-                mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
-                diff = _la_decode_diff(
-                    dec, stats_by_tb[tb], 4 * (5 * ca + cb), mag_base
+    for m in range(mcx * mcy):
+        if restart_interval and count and count % restart_interval == 0:
+            mp = dec.marker_pos
+            if mp is None or data[mp + 1] != 0xD0 + rst:
+                raise ValueError(
+                    f"jpeg hier: expected restart marker RST{rst}"
                 )
-                planes[cid][y][x] = diff << pt
-                cur_diffs[ci][x] = diff
-            fresh = False
-        for ci in range(len(comps)):
-            prev_diffs[ci], cur_diffs[ci] = cur_diffs[ci], [0] * w
+            dec = ArithDecoder(data, mp + 2)
+            stats_by_tb = fresh_stats()
+            dplanes = fresh_diffs()
+            rst = (rst + 1) & 7
+        count += 1
+        my0, mx0 = divmod(m, mcx)
+        for cid, tb in order:
+            ll, uu = tables.get(("dac_dc", tb), (0, 1))
+            sh, sv = csamp[cid]
+            dp = dplanes[cid]
+            plane = planes[cid]
+            for b in range(sv):
+                y = my0 * sv + b
+                for a in range(sh):
+                    x = mx0 * sh + a
+                    da = dp[y][x - 1] if x > 0 else 0
+                    db = dp[y - 1][x] if y > 0 else 0
+                    ca = _la_classify(da, ll, uu)
+                    cb = _la_classify(db, ll, uu)
+                    mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
+                    diff = _la_decode_diff(
+                        dec, stats_by_tb[tb], 4 * (5 * ca + cb), mag_base
+                    )
+                    plane[y][x] = diff << pt
+                    dp[y][x] = diff
     end = _entropy_end(data, entropy_start, skip_restarts=True)
-    return w, h, [(cid, planes[cid]) for cid in comps], end, pt
+    return w, h, cropped(), end, pt
 
 
 def decode_jpeg_hierarchical(data: bytes):
@@ -959,16 +1008,10 @@ def decode_jpeg_hierarchical(data: bytes):
                 pending_exp = None
             lossless = marker in (0xC7, 0xCF)
             if lossless:
-                if any(s != (1, 1) for s in ref_samp.values()):
-                    raise NotImplementedError(
-                        "jpeg hier: non-1x1 sampling with a LOSSLESS "
-                        "differential frame (lossless scans are 1x1)"
-                    )
                 fw, fh, diffs, pos, _pt = _decode_diff_lossless_frame(
                     data, seg, pos + seglen, tables, prec,
                     arith=(marker == 0xCF),
                 )
-                diffs = [(cid, pl, (1, 1)) for cid, pl in diffs]
             elif marker in (0xC6, 0xCE):
                 fw, fh, diffs, pos = _decode_diff_progressive_frame(
                     data, seg, pos + seglen, tables, prec,
@@ -1050,6 +1093,7 @@ def encode_jpeg_hierarchical_lossless(
     precision: int = 8,
     diff_arith: bool = False,
     restart_interval: int = 0,
+    sampling: "list[tuple[int, int]] | None" = None,
 ) -> bytes:
     """Two-stage LOSSLESS pyramid over 1..4 ARBITRARY sample grids:
     stage 1 is an SOF3 frame of the 2×-decimated image, then EXP(1,1)
@@ -1058,53 +1102,95 @@ def encode_jpeg_hierarchical_lossless(
     every stage is lossless the full pyramid reconstructs the input
     BIT-EXACTLY — random images round-trip, the strongest validation
     available for a mode no system library implements.  Requires even
-    dims (EXP doubles exactly)."""
+    dims (EXP doubles exactly).  ``sampling`` (r08 s4): per-component
+    (h, v) factors — planes at NATURAL dims for the full (w, h) of a
+    4*hmax/4*vmax-divisible image (so decimation and the MCU grid stay
+    exact); the correction scan codes the padded MCU grid like any
+    interleaved lossless scan."""
     nc = len(planes)
     if not 1 <= nc <= 4:
         raise ValueError(f"bad component count {nc}")
-    h = len(planes[0])
-    w = len(planes[0][0])
-    if w % 2 or h % 2:
-        raise ValueError("hierarchical lossless fixture requires even dims")
+    if sampling is None:
+        sampling = [(1, 1)] * nc
     from journal_batch_processer_spark.operators.jpeg_lossless import (
         _LL_BITS,
         _LL_VALS,
+        _comp_dims,
         encode_jpeg_lossless,
     )
 
+    hmax = max(sh for sh, _sv in sampling)
+    vmax = max(sv for _sh, sv in sampling)
+    if hmax == vmax == 1:
+        h = len(planes[0])
+        w = len(planes[0][0])
+        if w % 2 or h % 2:
+            raise ValueError(
+                "hierarchical lossless fixture requires even dims"
+            )
+    else:
+        # derive full dims from the first (max-sampled or not) plane:
+        # require divisibility so every grid in the pyramid is exact
+        sh0, sv0 = sampling[0]
+        w = len(planes[0][0]) * hmax // sh0
+        h = len(planes[0]) * vmax // sv0
+        if w % (4 * hmax) or h % (4 * vmax):
+            raise ValueError(
+                "subsampled hierarchical lossless fixture requires "
+                "dims divisible by 4*hmax / 4*vmax"
+            )
+    comps_t = [(ci + 1, 0, sh, sv) for ci, (sh, sv) in enumerate(sampling)]
+    _hm, _vm, mcx, mcy, dims = _comp_dims(w, h, comps_t)
+    for ci, ((cw, ch, _pw, _ph), pl) in enumerate(zip(dims, planes)):
+        if len(pl) != ch or len(pl[0]) != cw:
+            raise ValueError(
+                f"component {ci}: plane {len(pl[0])}x{len(pl)} != "
+                f"natural dims {cw}x{ch}"
+            )
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xde" + struct.pack(
         ">HBHHB", 8 + 3 * nc, precision, h, w, nc
     )
-    for ci in range(nc):
-        out += bytes([ci + 1, 0x11, 0])
+    for ci, (sh, sv) in enumerate(sampling):
+        out += bytes([ci + 1, (sh << 4) | sv, 0])
     # stage 1: SOF3 of the decimated image (strip the standalone
     # encoder's SOI/EOI; its DHT rides inside the frame region)
     stage1 = [
-        [[pl[2 * y][2 * x] for x in range(w // 2)] for y in range(h // 2)]
+        [[pl[2 * y][2 * x] for x in range(len(pl[0]) // 2)]
+         for y in range(len(pl) // 2)]
         for pl in planes
     ]
-    out += encode_jpeg_lossless(stage1, precision=precision)[2:-2]
+    out += encode_jpeg_lossless(
+        stage1, precision=precision, sampling=sampling,
+        size=(w // 2, h // 2),
+    )[2:-2]
     # EXP ×2 both directions; the reference the decoder will hold is
-    # exactly expand_plane(stage1) because stage 1 was lossless
+    # exactly expand_plane(stage1) per component because stage 1 was
+    # lossless
     out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
     refs = [expand_plane(pl, 1, 1) for pl in stage1]
 
     def _diffs(ci):
+        # corrections on the component's PADDED MCU grid (pad cells 0:
+        # they are coded, then cropped away by the decoder)
+        cw, ch, pw, ph = dims[ci]
         pl, rf = planes[ci], refs[ci]
-        return [
-            [(pl[y][x] - rf[y][x]) & 0xFFFF for x in range(w)]
-            for y in range(h)
-        ]
+        d = [[0] * pw for _ in range(ph)]
+        for y in range(ch):
+            drow, prow, rrow = d[y], pl[y], rf[y]
+            for x in range(cw):
+                drow[x] = (prow[x] - rrow[x]) & 0xFFFF
+        return d
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    diffs = [_diffs(ci) for ci in range(nc)]
     if not diff_arith:
         out += b"\xff\xc7" + struct.pack(
             ">HBHHB", 8 + 3 * nc, precision, h, w, nc
         )
-        for ci in range(nc):
-            out += bytes([ci + 1, 0x11, 0])
+        for ci, (sh, sv) in enumerate(sampling):
+            out += bytes([ci + 1, (sh << 4) | sv, 0])
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(_LL_VALS))
         out += bytes([0x00]) + bytes(_LL_BITS[1:17]) + bytes(_LL_VALS)
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
@@ -1112,38 +1198,41 @@ def encode_jpeg_hierarchical_lossless(
             out += bytes([ci + 1, 0x00])
         out += bytes([0, 0, 0])  # Ss=0: differential, no prediction
         codes = _huff_codes(_LL_BITS, _LL_VALS)
-        diffs = [_diffs(ci) for ci in range(nc)]
         bw = _BitWriter()
         count = 0
         rst = 0
-        for y in range(h):
-            for x in range(w):
-                if restart_interval and count and (
-                    count % restart_interval == 0
-                ):
-                    bw.flush()
-                    out += bw.buf
-                    out += bytes((0xFF, 0xD0 + rst))
-                    rst = (rst + 1) & 7
-                    bw = _BitWriter()
-                count += 1
-                for ci in range(nc):
-                    dd = diffs[ci][y][x]
-                    if dd >= 32768 and dd != 32768:
-                        dd -= 65536
-                    if dd == 32768:
-                        s = 16
-                    else:
-                        s = (
-                            dd.bit_length()
-                            if dd >= 0
-                            else (-dd).bit_length()
-                        )
-                    c, ln = codes[s]
-                    bw.put(c, ln)
-                    if 0 < s < 16:
-                        amp = dd if dd >= 0 else dd + (1 << s) - 1
-                        bw.put(amp, s)
+        for m in range(mcx * mcy):
+            if restart_interval and count and (
+                count % restart_interval == 0
+            ):
+                bw.flush()
+                out += bw.buf
+                out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) & 7
+                bw = _BitWriter()
+            count += 1
+            my0, mx0 = divmod(m, mcx)
+            for ci in range(nc):
+                sh, sv = sampling[ci]
+                for b in range(sv):
+                    drow = diffs[ci][my0 * sv + b]
+                    for a in range(sh):
+                        dd = drow[mx0 * sh + a]
+                        if dd >= 32768 and dd != 32768:
+                            dd -= 65536
+                        if dd == 32768:
+                            ssss = 16
+                        else:
+                            ssss = (
+                                dd.bit_length()
+                                if dd >= 0
+                                else (-dd).bit_length()
+                            )
+                        c, ln = codes[ssss]
+                        bw.put(c, ln)
+                        if 0 < ssss < 16:
+                            amp = dd if dd >= 0 else dd + (1 << ssss) - 1
+                            bw.put(amp, ssss)
         bw.flush()
         out += bw.buf
         out += b"\xff\xd9"
@@ -1164,52 +1253,58 @@ def encode_jpeg_hierarchical_lossless(
     out += b"\xff\xcf" + struct.pack(
         ">HBHHB", 8 + 3 * nc, precision, h, w, nc
     )
-    for ci in range(nc):
-        out += bytes([ci + 1, 0x11, 0])
+    for ci, (sh, sv) in enumerate(sampling):
+        out += bytes([ci + 1, (sh << 4) | sv, 0])
     out += b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x00, 0x10])
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for ci in range(nc):
         out += bytes([ci + 1, 0x00])
     out += bytes([0, 0, 0])
     ll, uu = 0, 1
-    diffs = [_diffs(ci) for ci in range(nc)]
+
+    def fresh_dp():
+        return [
+            [[0] * pw for _ in range(ph)] for (_cw, _ch, pw, ph) in dims
+        ]
+
     enc = ArithEncoder()
     stats = Stats(LA_STAT_SLOTS)
-    prev_diffs = [[0] * w for _ in range(nc)]
-    cur_diffs = [[0] * w for _ in range(nc)]
+    dplanes = fresh_dp()
     count = 0
     rst = 0
-    fresh = True
-    for y in range(h):
-        for x in range(w):
-            if restart_interval and count and count % restart_interval == 0:
-                out += enc.flush()
-                out += bytes((0xFF, 0xD0 + rst))
-                rst = (rst + 1) & 7
-                enc = ArithEncoder()
-                stats = Stats(LA_STAT_SLOTS)
-                prev_diffs = [[0] * w for _ in range(nc)]
-                cur_diffs = [[0] * w for _ in range(nc)]
-                fresh = True
-            count += 1
-            for ci in range(nc):
-                dd = diffs[ci][y][x]
-                if dd >= 32768:
-                    dd -= 65536
-                if dd == -32768:
-                    raise NotImplementedError(
-                        "jpeg hier: lossless-arithmetic |diff| >= 32768"
-                    )
-                da = cur_diffs[ci][x - 1] if x > 0 and not fresh else 0
-                db = prev_diffs[ci][x] if y > 0 and not fresh else 0
-                ca = _la_classify(da, ll, uu)
-                cb = _la_classify(db, ll, uu)
-                mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
-                _la_encode_diff(enc, stats, 4 * (5 * ca + cb), mag_base, dd)
-                cur_diffs[ci][x] = dd
-            fresh = False
+    for m in range(mcx * mcy):
+        if restart_interval and count and count % restart_interval == 0:
+            out += enc.flush()
+            out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) & 7
+            enc = ArithEncoder()
+            stats = Stats(LA_STAT_SLOTS)
+            dplanes = fresh_dp()
+        count += 1
+        my0, mx0 = divmod(m, mcx)
         for ci in range(nc):
-            prev_diffs[ci], cur_diffs[ci] = cur_diffs[ci], [0] * w
+            sh, sv = sampling[ci]
+            dp = dplanes[ci]
+            for b in range(sv):
+                y = my0 * sv + b
+                for a in range(sh):
+                    x = mx0 * sh + a
+                    dd = diffs[ci][y][x]
+                    if dd >= 32768:
+                        dd -= 65536
+                    if dd == -32768:
+                        raise NotImplementedError(
+                            "jpeg hier: lossless-arithmetic |diff| >= 32768"
+                        )
+                    da = dp[y][x - 1] if x > 0 else 0
+                    db = dp[y - 1][x] if y > 0 else 0
+                    ca = _la_classify(da, ll, uu)
+                    cb = _la_classify(db, ll, uu)
+                    mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
+                    _la_encode_diff(
+                        enc, stats, 4 * (5 * ca + cb), mag_base, dd
+                    )
+                    dp[y][x] = dd
     out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

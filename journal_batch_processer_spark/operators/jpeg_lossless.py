@@ -3,14 +3,18 @@
 The last named JPEG family: Huffman-coded DPCM over raw samples (no
 DCT, no quantization — decode reproduces the input EXACTLY), the
 format DICOM archives and film scanners emit. Supported scope, honest
-and loud: 1..4 components at 1×1 sampling, precision 2..16 bits, all
-seven predictors (H.1.2.1), point transform (Al), restart markers,
-and BOTH scan layouts (r08 s3): one interleaved scan (MCU = one
-sample per component, per-component predictor state) OR one scan per
-component (the multi-scan layout some DICOM RGB encoders emit), each
-scan honoring its own predictor/Pt with fresh restart/statistics
-state; a component coded twice or never fails loud. Non-1×1 sampling
-raises NotImplementedError. Multi-component lossless carries NO defined
+and loud: 1..4 components at ANY 1..4 sampling factors (r08 s4 — the
+last T.81 gate: interleaved scans code h×v-sample MCUs on the padded
+grid per Annex A geometry and crop to each component's natural dims;
+DICOM itself mandates 1×1, so this closes the spec rather than a
+real-world need), precision 2..16 bits, all seven predictors
+(H.1.2.1), point transform (Al), restart markers, and BOTH scan
+layouts (r08 s3): one interleaved scan OR one scan per component
+(the multi-scan layout some DICOM RGB encoders emit; single-
+component scans always code the component's own natural raster,
+A.2.2), each scan honoring its own predictor/Pt with fresh
+restart/statistics state; a component coded twice or never fails
+loud. Multi-component lossless carries NO defined
 color transform — the feature layer reports per-component means
 directly (operators/jpeg.py:_decode_jpeg_baseline).
 
@@ -74,9 +78,40 @@ def _predict(pred_sel, row, prev_row, x, y, default, fresh):
     raise ValueError(f"jpeg: bad lossless predictor {pred_sel}")
 
 
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _comp_dims(w: int, h: int, comps: list) -> tuple:
+    """(hmax, vmax, mcus_x, mcus_y, [(cw, ch, pw, ph)]) — each
+    component's NATURAL dims (A.1.1: ceil(X*h_i/hmax) x
+    ceil(Y*v_i/vmax)) and its PADDED dims on the MCU grid
+    (mcus_x*h_i x mcus_y*v_i; identical to natural for 1x1).
+    Interleaved lossless scans code the padded grid (edge MCUs carry
+    pad samples, A.2.3); single-component scans code the natural
+    raster (A.2.2). ceil(ceil(w*h_i/hmax)/h_i) == ceil(w/hmax), so
+    every component agrees on the MCU count."""
+    hmax = max(hh for _c, _t, hh, _v in comps)
+    vmax = max(vv for _c, _t, _h, vv in comps)
+    mcx, mcy = _ceil_div(w, hmax), _ceil_div(h, vmax)
+    dims = []
+    for _cid, _t, hh, vv in comps:
+        cw, ch = _ceil_div(w * hh, hmax), _ceil_div(h * vv, vmax)
+        dims.append((cw, ch, mcx * hh, mcy * vv))
+    return hmax, vmax, mcx, mcy, dims
+
+
+def _crop_planes(planes: list, dims: list) -> list:
+    return [
+        [row[:cw] for row in pl[:ch]]
+        for pl, (cw, ch, _pw, _ph) in zip(planes, dims)
+    ]
+
+
 def decode_jpeg_lossless(data: bytes):
     """(w, h, comps, [plane], prec) — same tuple shape as the DCT
-    paths so decode_jpeg_planes / the feature layer are agnostic."""
+    paths so decode_jpeg_planes / the feature layer are agnostic;
+    subsampled components return their NATURAL-size planes."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -118,26 +153,32 @@ def decode_jpeg_lossless(data: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, _tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "jpeg: lossless sampling factors must be 1x1"
+                sh, sv = samp >> 4, samp & 0xF
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(
+                        f"jpeg: bad lossless sampling factors {sh}x{sv}"
                     )
-                comps.append((cid, 0, 1, 1))
+                comps.append((cid, 0, sh, sv))
             frame = (w, h, comps, prec)
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
-            # A lossless frame may carry ONE interleaved scan (all
-            # components, the MCU = one sample of each) or SEVERAL
-            # non-interleaved scans — one per component, each a full
-            # raster over the shared w×h grid (1×1 factors), with its
+            # A lossless frame may carry ONE interleaved scan (MCU =
+            # h_i x v_i samples per component on the padded grid,
+            # A.2.3 — r08 s4: ANY 1..4 sampling, the last JPEG gate)
+            # or SEVERAL non-interleaved scans — one per component,
+            # each that component's NATURAL raster (A.2.2), with its
             # OWN predictor/Pt and fresh restart/predictor state
-            # (r08 s3: multi-scan was the last lossless-Huffman gate).
+            # (r08 s3: the DICOM RGB multi-scan layout).
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF3")
             w, h, comps, prec = frame
+            _hmax, _vmax, mcx, mcy, dims = _comp_dims(w, h, comps)
             if planes is None:
-                planes = [[[0] * w for _ in range(h)] for _ in comps]
+                planes = [
+                    [[0] * pw for _ in range(ph)]
+                    for (_cw, _ch, pw, ph) in dims
+                ]
                 frame_by_id = {
                     cid: i for i, (cid, _t, _h, _v) in enumerate(comps)
                 }
@@ -170,36 +211,71 @@ def decode_jpeg_lossless(data: bytes):
             entropy_start = pos + seglen
             end = _entropy_end(data, entropy_start, skip_restarts=True)
             br = _BitReader(data[entropy_start:end])
+
+            def read_diff(br, table):
+                s = _read_huff(br, table)
+                if s == 16:  # no appended bits (H.1.2.2.1)
+                    return 32768
+                if s:
+                    return _extend(br.bits(s), s)
+                return 0
+
             count = 0
             rst = 0
-            fresh = True
-            for y in range(h):
-                for x in range(w):
-                    # restart units count MCUs of THIS scan and reset
-                    # all predictor state
+            if ns > 1:
+                # interleaved: MCU order over the padded grid; restart
+                # units count MCUs; the first sample of each COMPONENT
+                # after scan start / restart predicts the default
+                fresh = {ci: True for ci, _t in order}
+                for m in range(mcx * mcy):
                     if restart_interval and count and (
                         count % restart_interval == 0
                     ):
                         br.expect_restart(rst)
                         rst = (rst + 1) & 7
-                        fresh = True
+                        fresh = {ci: True for ci, _t in order}
                     count += 1
+                    my0, mx0 = divmod(m, mcx)
                     for ci, table in order:
-                        s = _read_huff(br, table)
-                        if s == 16:  # no appended bits (H.1.2.2.1)
-                            diff = 32768
-                        elif s:
-                            diff = _extend(br.bits(s), s)
-                        else:
-                            diff = 0
+                        _cid, _t, sh, sv = comps[ci]
                         plane = planes[ci]
-                        row = plane[y]
-                        prev_row = plane[y - 1] if y > 0 else None
+                        for b in range(sv):
+                            y = my0 * sv + b
+                            row = plane[y]
+                            prev_row = plane[y - 1] if y > 0 else None
+                            for a in range(sh):
+                                x = mx0 * sh + a
+                                diff = read_diff(br, table)
+                                pred = _predict(
+                                    pred_sel, row, prev_row, x, y,
+                                    default, fresh[ci],
+                                )
+                                row[x] = (pred + diff) & 0xFFFF
+                                fresh[ci] = False
+            else:
+                # single-component scan: the component's own natural
+                # raster, no MCU padding; restart units count samples
+                ci, table = order[0]
+                cw, ch, _pw, _ph = dims[ci]
+                plane = planes[ci]
+                fresh1 = True
+                for y in range(ch):
+                    row = plane[y]
+                    prev_row = plane[y - 1] if y > 0 else None
+                    for x in range(cw):
+                        if restart_interval and count and (
+                            count % restart_interval == 0
+                        ):
+                            br.expect_restart(rst)
+                            rst = (rst + 1) & 7
+                            fresh1 = True
+                        count += 1
+                        diff = read_diff(br, table)
                         pred = _predict(
-                            pred_sel, row, prev_row, x, y, default, fresh
+                            pred_sel, row, prev_row, x, y, default, fresh1
                         )
                         row[x] = (pred + diff) & 0xFFFF
-                    fresh = False
+                        fresh1 = False
             pos = end
             continue
         pos += seglen
@@ -211,7 +287,8 @@ def decode_jpeg_lossless(data: bytes):
         raise ValueError(
             f"jpeg: lossless components never coded by any scan: {missing}"
         )
-    return w, h, comps, planes, prec
+    _hm, _vm, _mx, _my, dims = _comp_dims(w, h, comps)
+    return w, h, comps, _crop_planes(planes, dims), prec
 
 
 # standard-shaped DHT covering categories 0..16 (flat 5-bit canonical)
@@ -227,6 +304,8 @@ def encode_jpeg_lossless(
     pt: int = 0,
     restart_interval: int = 0,
     non_interleaved: bool = False,
+    sampling: "list[tuple[int, int]] | None" = None,
+    size: "tuple[int, int] | None" = None,
 ) -> bytes:
     """SOF3 encoder over 1..4 ARBITRARY sample grids (lossless means
     random-image fixtures round-trip bit-exactly — no solid-image
@@ -235,33 +314,110 @@ def encode_jpeg_lossless(
     one SCAN PER COMPONENT — the multi-scan layout some DICOM RGB
     encoders emit — with per-scan restart markers and predictor state,
     and (to prove per-scan parameter honoring) each scan's predictor
-    cycling ``predictor, predictor+1, ...`` wrapped into 1..7."""
+    cycling ``predictor, predictor+1, ...`` wrapped into 1..7.
+    ``sampling`` (r08 s4, the last JPEG gate): per-component (h, v)
+    factors with ``size`` = the full-image (X, Y); each plane must be
+    its component's NATURAL dims (ceil(X*h_i/hmax) x ceil(Y*v_i/vmax))
+    and interleaved scans code the padded MCU grid with edge-replicated
+    pad samples."""
     nc = len(planes)
     if not 1 <= nc <= 4:
         raise ValueError(f"bad component count {nc}")
-    h = len(planes[0])
-    w = len(planes[0][0])
     if not 1 <= predictor <= 7:
         raise ValueError(f"bad predictor {predictor}")
+    if sampling is None:
+        sampling = [(1, 1)] * nc
+    if size is None:
+        size = (len(planes[0][0]), len(planes[0]))
+    w, h = size
+    comps = [(ci + 1, 0, sh, sv) for ci, (sh, sv) in enumerate(sampling)]
+    _hm, _vm, mcx, mcy, dims = _comp_dims(w, h, comps)
+    for ci, ((cw, ch, _pw, _ph), pl) in enumerate(zip(dims, planes)):
+        if len(pl) != ch or len(pl[0]) != cw:
+            raise ValueError(
+                f"component {ci}: plane {len(pl[0])}x{len(pl)} != "
+                f"natural dims {cw}x{ch}"
+            )
+    # pad every plane to its MCU grid by edge replication (the pad
+    # samples are coded but cropped away by the decoder)
+    padded = []
+    for (cw, ch, pw, ph), pl in zip(dims, planes):
+        rows = [list(r) + [r[-1]] * (pw - cw) for r in pl]
+        rows += [list(rows[-1]) for _ in range(ph - ch)]
+        padded.append(rows)
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
-    for ci in range(nc):
-        out += bytes([ci + 1, 0x11, 0])
+    for ci, (sh, sv) in enumerate(sampling):
+        out += bytes([ci + 1, (sh << 4) | sv, 0])
     out += b"\xff\xc4" + struct.pack(">H", 19 + len(_LL_VALS)) + bytes([0x00])
     out += bytes(_LL_BITS[1:17]) + bytes(_LL_VALS)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     codes = _huff_codes(_LL_BITS, _LL_VALS)
+    default = 1 << (precision - 1 - pt) if precision - 1 - pt >= 0 else 0
 
-    def scan_body(scan_planes: list, pred_s: int) -> bytes:
-        default = 1 << (precision - 1 - pt) if precision - 1 - pt >= 0 else 0
+    def put_diff(bw, sample, pred):
+        dd = (sample - pred) & 0xFFFF
+        if dd >= 32768 and dd != 32768:
+            dd -= 65536  # mod-2^16 diff in [-32767, 32768]
+        if dd == 32768:
+            ssss = 16
+        else:
+            ssss = dd.bit_length() if dd >= 0 else (-dd).bit_length()
+        c, ln = codes[ssss]
+        bw.put(c, ln)
+        if 0 < ssss < 16:
+            amp = dd if dd >= 0 else dd + (1 << ssss) - 1
+            bw.put(amp, ssss)
+
+    def interleaved_body(pred_s: int) -> bytes:
+        chunks: list[bytes] = []
+        bw = _BitWriter()
+        count = 0
+        rst = 0
+        fresh = [True] * nc
+        for m in range(mcx * mcy):
+            if restart_interval and count and (
+                count % restart_interval == 0
+            ):
+                bw.flush()
+                chunks.append(bytes(bw.buf))
+                chunks.append(bytes((0xFF, 0xD0 + rst)))
+                rst = (rst + 1) & 7
+                bw = _BitWriter()
+                fresh = [True] * nc
+            count += 1
+            my0, mx0 = divmod(m, mcx)
+            for ci in range(nc):
+                sh, sv = sampling[ci]
+                plane = padded[ci]
+                for b in range(sv):
+                    y = my0 * sv + b
+                    row = plane[y]
+                    prev_row = plane[y - 1] if y > 0 else None
+                    for a in range(sh):
+                        x = mx0 * sh + a
+                        pred = _predict(
+                            pred_s, row, prev_row, x, y, default, fresh[ci]
+                        )
+                        put_diff(bw, row[x], pred)
+                        fresh[ci] = False
+        bw.flush()
+        chunks.append(bytes(bw.buf))
+        return b"".join(chunks)
+
+    def single_body(ci: int, pred_s: int) -> bytes:
+        cw, ch, _pw, _ph = dims[ci]
+        plane = planes[ci]
         chunks: list[bytes] = []
         bw = _BitWriter()
         count = 0
         rst = 0
         fresh = True
-        for y in range(h):
-            for x in range(w):
+        for y in range(ch):
+            row = plane[y]
+            prev_row = plane[y - 1] if y > 0 else None
+            for x in range(cw):
                 if restart_interval and count and (
                     count % restart_interval == 0
                 ):
@@ -272,41 +428,27 @@ def encode_jpeg_lossless(
                     bw = _BitWriter()
                     fresh = True
                 count += 1
-                for plane in scan_planes:
-                    row = plane[y]
-                    prev_row = plane[y - 1] if y > 0 else None
-                    pred = _predict(
-                        pred_s, row, prev_row, x, y, default, fresh
-                    )
-                    dd = (row[x] - pred) & 0xFFFF
-                    if dd >= 32768 and dd != 32768:
-                        dd -= 65536  # mod-2^16 diff in [-32767, 32768]
-                    if dd == 32768:
-                        s = 16
-                    else:
-                        s = dd.bit_length() if dd >= 0 else (-dd).bit_length()
-                    c, ln = codes[s]
-                    bw.put(c, ln)
-                    if 0 < s < 16:
-                        amp = dd if dd >= 0 else dd + (1 << s) - 1
-                        bw.put(amp, s)
+                pred = _predict(pred_s, row, prev_row, x, y, default, fresh)
+                put_diff(bw, row[x], pred)
                 fresh = False
         bw.flush()
         chunks.append(bytes(bw.buf))
         return b"".join(chunks)
 
-    if non_interleaved:
+    if non_interleaved or nc == 1:
         for ci in range(nc):
-            pred_s = (predictor - 1 + ci) % 7 + 1
+            pred_s = (
+                predictor if nc == 1 else (predictor - 1 + ci) % 7 + 1
+            )
             out += b"\xff\xda" + struct.pack(">HB", 8, 1)
             out += bytes([ci + 1, 0x00, pred_s, 0, pt])
-            out += scan_body([planes[ci]], pred_s)
+            out += single_body(ci, pred_s)
     else:
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
         for ci in range(nc):
             out += bytes([ci + 1, 0x00])
         out += bytes([predictor, 0, pt])
-        out += scan_body(planes, predictor)
+        out += interleaved_body(predictor)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -466,11 +608,12 @@ def decode_jpeg_lossless_arith(data: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, _tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "jpeg: lossless sampling factors must be 1x1"
+                sh, sv = samp >> 4, samp & 0xF
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(
+                        f"jpeg: bad lossless sampling factors {sh}x{sv}"
                     )
-                comps.append((cid, 0, 1, 1))
+                comps.append((cid, 0, sh, sv))
             frame = (w, h, comps, prec)
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -482,8 +625,12 @@ def decode_jpeg_lossless_arith(data: bytes):
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF11")
             w, h, comps, prec = frame
+            _hmax, _vmax, mcx, mcy, dims = _comp_dims(w, h, comps)
             if planes is None:
-                planes = [[[0] * w for _ in range(h)] for _ in comps]
+                planes = [
+                    [[0] * pw for _ in range(ph)]
+                    for (_cw, _ch, pw, ph) in dims
+                ]
                 frame_by_id = {
                     cid: i for i, (cid, _t, _h, _v) in enumerate(comps)
                 }
@@ -518,52 +665,91 @@ def decode_jpeg_lossless_arith(data: bytes):
             def fresh_stats():
                 return {tb: Stats(LA_STAT_SLOTS) for _ci, tb in order}
 
+            # Da/Db conditioning as full per-component diff PLANES
+            # (r08 s4 — MCU decode order interleaves raster rows, so
+            # rolling two-row state no longer suffices); a restart
+            # clears them: pre-restart neighbors condition as zero,
+            # the same convention their prediction uses
+            def fresh_diffs():
+                return {
+                    ci: [[0] * dims[ci][2] for _ in range(dims[ci][3])]
+                    for ci, _tb in order
+                }
+
+            def decode_one(dec, stats_by_tb, dplanes, ci, tb, x, y, fr):
+                ll, uu = cond.get(tb, (0, 1))
+                dp = dplanes[ci]
+                da = dp[y][x - 1] if x > 0 else 0
+                db = dp[y - 1][x] if y > 0 else 0
+                ca = _la_classify(da, ll, uu)
+                cb = _la_classify(db, ll, uu)
+                mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
+                diff = _la_decode_diff(
+                    dec, stats_by_tb[tb], 4 * (5 * ca + cb), mag_base
+                )
+                plane = planes[ci]
+                row = plane[y]
+                prev_row = plane[y - 1] if y > 0 else None
+                pred = _predict(pred_sel, row, prev_row, x, y, default, fr)
+                row[x] = (pred + diff) & 0xFFFF
+                dp[y][x] = diff
+
+            def expect_rst(dec, rst):
+                mp = dec.marker_pos
+                if mp is None or data[mp + 1] != 0xD0 + rst:
+                    raise ValueError(
+                        f"jpeg: expected restart marker RST{rst}"
+                    )
+                return ArithDecoder(data, mp + 2)
+
             dec = ArithDecoder(data, entropy_start)
             stats_by_tb = fresh_stats()
-            nsc = len(order)
-            prev_diffs = [[0] * w for _ in range(nsc)]  # Db (row above)
-            cur_diffs = [[0] * w for _ in range(nsc)]
+            dplanes = fresh_diffs()
             count = 0
             rst = 0
-            fresh = True
-            for y in range(h):
-                for x in range(w):
+            if ns > 1:
+                fresh = {ci: True for ci, _tb in order}
+                for m in range(mcx * mcy):
                     if restart_interval and count and (
                         count % restart_interval == 0
                     ):
-                        mp = dec.marker_pos
-                        if mp is None or data[mp + 1] != 0xD0 + rst:
-                            raise ValueError(
-                                f"jpeg: expected restart marker RST{rst}"
-                            )
-                        dec = ArithDecoder(data, mp + 2)
+                        dec = expect_rst(dec, rst)
                         stats_by_tb = fresh_stats()
-                        prev_diffs = [[0] * w for _ in range(nsc)]
-                        cur_diffs = [[0] * w for _ in range(nsc)]
+                        dplanes = fresh_diffs()
                         rst = (rst + 1) & 7
-                        fresh = True
+                        fresh = {ci: True for ci, _tb in order}
                     count += 1
-                    for si, (ci, tb) in enumerate(order):
-                        ll, uu = cond.get(tb, (0, 1))
-                        da = cur_diffs[si][x - 1] if x > 0 and not fresh else 0
-                        db = prev_diffs[si][x] if y > 0 and not fresh else 0
-                        ca = _la_classify(da, ll, uu)
-                        cb = _la_classify(db, ll, uu)
-                        mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
-                        diff = _la_decode_diff(
-                            dec, stats_by_tb[tb], 4 * (5 * ca + cb), mag_base
+                    my0, mx0 = divmod(m, mcx)
+                    for ci, tb in order:
+                        _cid, _t, sh, sv = comps[ci]
+                        for b in range(sv):
+                            y = my0 * sv + b
+                            for a in range(sh):
+                                x = mx0 * sh + a
+                                decode_one(
+                                    dec, stats_by_tb, dplanes, ci, tb,
+                                    x, y, fresh[ci],
+                                )
+                                fresh[ci] = False
+            else:
+                ci, tb = order[0]
+                cw, ch, _pw, _ph = dims[ci]
+                fresh1 = True
+                for y in range(ch):
+                    for x in range(cw):
+                        if restart_interval and count and (
+                            count % restart_interval == 0
+                        ):
+                            dec = expect_rst(dec, rst)
+                            stats_by_tb = fresh_stats()
+                            dplanes = fresh_diffs()
+                            rst = (rst + 1) & 7
+                            fresh1 = True
+                        count += 1
+                        decode_one(
+                            dec, stats_by_tb, dplanes, ci, tb, x, y, fresh1
                         )
-                        plane = planes[ci]
-                        row = plane[y]
-                        prev_row = plane[y - 1] if y > 0 else None
-                        pred = _predict(
-                            pred_sel, row, prev_row, x, y, default, fresh
-                        )
-                        row[x] = (pred + diff) & 0xFFFF
-                        cur_diffs[si][x] = diff
-                    fresh = False
-                for si in range(nsc):
-                    prev_diffs[si], cur_diffs[si] = cur_diffs[si], [0] * w
+                        fresh1 = False
             pos = _entropy_end(data, entropy_start, skip_restarts=True)
             continue
         pos += seglen
@@ -575,7 +761,8 @@ def decode_jpeg_lossless_arith(data: bytes):
         raise ValueError(
             f"jpeg: lossless components never coded by any scan: {missing}"
         )
-    return w, h, comps, planes, prec
+    _hm, _vm, _mx, _my, dims = _comp_dims(w, h, comps)
+    return w, h, comps, _crop_planes(planes, dims), prec
 
 
 def encode_jpeg_lossless_arith(
@@ -585,12 +772,16 @@ def encode_jpeg_lossless_arith(
     pt: int = 0,
     restart_interval: int = 0,
     non_interleaved: bool = False,
+    sampling: "list[tuple[int, int]] | None" = None,
+    size: "tuple[int, int] | None" = None,
 ) -> bytes:
     """SOF11 encoder — the exact mirror of the decoder above (same
     conditioning, same statistics layout, QM encoder).
     ``non_interleaved`` (r08 s3): one scan per component with per-scan
     coder/statistics state and predictor cycling, mirroring the
-    Huffman encoder's multi-scan layout."""
+    Huffman encoder's multi-scan layout. ``sampling``/``size``
+    (r08 s4): per-component factors over the full-image dims, same
+    natural-plane/padded-MCU contract as encode_jpeg_lossless."""
     from journal_batch_processer_spark.operators.jpeg_arith import (
         ArithEncoder,
         Stats,
@@ -599,16 +790,32 @@ def encode_jpeg_lossless_arith(
     nc = len(planes)
     if not 1 <= nc <= 4:
         raise ValueError(f"bad component count {nc}")
-    h = len(planes[0])
-    w = len(planes[0][0])
     if not 1 <= predictor <= 7:
         raise ValueError(f"bad predictor {predictor}")
+    if sampling is None:
+        sampling = [(1, 1)] * nc
+    if size is None:
+        size = (len(planes[0][0]), len(planes[0]))
+    w, h = size
+    comps = [(ci + 1, 0, sh, sv) for ci, (sh, sv) in enumerate(sampling)]
+    _hm, _vm, mcx, mcy, dims = _comp_dims(w, h, comps)
+    for ci, ((cw, ch, _pw, _ph), pl) in enumerate(zip(dims, planes)):
+        if len(pl) != ch or len(pl[0]) != cw:
+            raise ValueError(
+                f"component {ci}: plane {len(pl[0])}x{len(pl)} != "
+                f"natural dims {cw}x{ch}"
+            )
+    padded = []
+    for (cw, ch, pw, ph), pl in zip(dims, planes):
+        rows = [list(r) + [r[-1]] * (pw - cw) for r in pl]
+        rows += [list(rows[-1]) for _ in range(ph - ch)]
+        padded.append(rows)
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xcb" + struct.pack(
         ">HBHHB", 8 + 3 * nc, precision, h, w, nc
     )
-    for ci in range(nc):
-        out += bytes([ci + 1, 0x11, 0])
+    for ci, (sh, sv) in enumerate(sampling):
+        out += bytes([ci + 1, (sh << 4) | sv, 0])
     out += b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x00, 0x10])  # L=0,U=1
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
@@ -616,17 +823,76 @@ def encode_jpeg_lossless_arith(
     default = 1 << (precision - 1 - pt) if precision - 1 - pt >= 0 else 0
     ll, uu = 0, 1
 
-    def scan_body(scan_planes: list, pred_s: int) -> bytes:
+    def encode_one(enc, stats, dp, plane, x, y, pred_s, fr):
+        row = plane[y]
+        prev_row = plane[y - 1] if y > 0 else None
+        pred = _predict(pred_s, row, prev_row, x, y, default, fr)
+        dd = (row[x] - pred) & 0xFFFF
+        if dd >= 32768:
+            dd -= 65536  # mod-2^16 diff in [-32768, 32767]
+        if dd == -32768:
+            raise NotImplementedError(
+                "jpeg: lossless-arithmetic |diff| >= 32768"
+            )
+        da = dp[y][x - 1] if x > 0 else 0
+        db = dp[y - 1][x] if y > 0 else 0
+        ca = _la_classify(da, ll, uu)
+        cb = _la_classify(db, ll, uu)
+        mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
+        _la_encode_diff(enc, stats, 4 * (5 * ca + cb), mag_base, dd)
+        dp[y][x] = dd
+
+    def interleaved_body(pred_s: int) -> bytes:
         chunks: list[bytes] = []
         enc = ArithEncoder()
         stats = Stats(LA_STAT_SLOTS)
-        prev_diffs = [[0] * w for _ in scan_planes]
-        cur_diffs = [[0] * w for _ in scan_planes]
+        dplanes = [
+            [[0] * pw for _ in range(ph)] for (_cw, _ch, pw, ph) in dims
+        ]
+        count = 0
+        rst = 0
+        fresh = [True] * nc
+        for m in range(mcx * mcy):
+            if restart_interval and count and (
+                count % restart_interval == 0
+            ):
+                chunks.append(enc.flush())
+                chunks.append(bytes((0xFF, 0xD0 + rst)))
+                rst = (rst + 1) & 7
+                enc = ArithEncoder()
+                stats = Stats(LA_STAT_SLOTS)
+                dplanes = [
+                    [[0] * pw for _ in range(ph)]
+                    for (_cw, _ch, pw, ph) in dims
+                ]
+                fresh = [True] * nc
+            count += 1
+            my0, mx0 = divmod(m, mcx)
+            for ci in range(nc):
+                sh, sv = sampling[ci]
+                for b in range(sv):
+                    y = my0 * sv + b
+                    for a in range(sh):
+                        x = mx0 * sh + a
+                        encode_one(
+                            enc, stats, dplanes[ci], padded[ci],
+                            x, y, pred_s, fresh[ci],
+                        )
+                        fresh[ci] = False
+        chunks.append(enc.flush())
+        return b"".join(chunks)
+
+    def single_body(ci: int, pred_s: int) -> bytes:
+        cw, ch, _pw, _ph = dims[ci]
+        chunks: list[bytes] = []
+        enc = ArithEncoder()
+        stats = Stats(LA_STAT_SLOTS)
+        dp = [[0] * cw for _ in range(ch)]
         count = 0
         rst = 0
         fresh = True
-        for y in range(h):
-            for x in range(w):
+        for y in range(ch):
+            for x in range(cw):
                 if restart_interval and count and (
                     count % restart_interval == 0
                 ):
@@ -635,49 +901,27 @@ def encode_jpeg_lossless_arith(
                     rst = (rst + 1) & 7
                     enc = ArithEncoder()
                     stats = Stats(LA_STAT_SLOTS)
-                    prev_diffs = [[0] * w for _ in scan_planes]
-                    cur_diffs = [[0] * w for _ in scan_planes]
+                    dp = [[0] * cw for _ in range(ch)]
                     fresh = True
                 count += 1
-                for ci, plane in enumerate(scan_planes):
-                    row = plane[y]
-                    prev_row = plane[y - 1] if y > 0 else None
-                    pred = _predict(
-                        pred_s, row, prev_row, x, y, default, fresh
-                    )
-                    dd = (row[x] - pred) & 0xFFFF
-                    if dd >= 32768:
-                        dd -= 65536  # mod-2^16 diff in [-32768, 32767]
-                    if dd == -32768:
-                        raise NotImplementedError(
-                            "jpeg: lossless-arithmetic |diff| >= 32768"
-                        )
-                    da = cur_diffs[ci][x - 1] if x > 0 and not fresh else 0
-                    db = prev_diffs[ci][x] if y > 0 and not fresh else 0
-                    ca = _la_classify(da, ll, uu)
-                    cb = _la_classify(db, ll, uu)
-                    mag_base = _LA_TREE_B if cb >= 3 else _LA_TREE_A
-                    _la_encode_diff(
-                        enc, stats, 4 * (5 * ca + cb), mag_base, dd
-                    )
-                    cur_diffs[ci][x] = dd
+                encode_one(enc, stats, dp, planes[ci], x, y, pred_s, fresh)
                 fresh = False
-            for ci in range(len(scan_planes)):
-                prev_diffs[ci], cur_diffs[ci] = cur_diffs[ci], [0] * w
         chunks.append(enc.flush())
         return b"".join(chunks)
 
-    if non_interleaved:
+    if non_interleaved or nc == 1:
         for ci in range(nc):
-            pred_s = (predictor - 1 + ci) % 7 + 1
+            pred_s = (
+                predictor if nc == 1 else (predictor - 1 + ci) % 7 + 1
+            )
             out += b"\xff\xda" + struct.pack(">HB", 8, 1)
             out += bytes([ci + 1, 0x00, pred_s, 0, pt])
-            out += scan_body([planes[ci]], pred_s)
+            out += single_body(ci, pred_s)
     else:
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
         for ci in range(nc):
             out += bytes([ci + 1, 0x00])  # all components share table 0
         out += bytes([predictor, 0, pt])
-        out += scan_body(planes, predictor)
+        out += interleaved_body(predictor)
     out += b"\xff\xd9"
     return bytes(out)

@@ -227,11 +227,29 @@ def _materialize_media(sf_dir: str) -> str:
             # per-component means (no color transform), so all three
             # decoded means stay exactly jv — channels=3 like the
             # DCT branches
-            pls = [[[jv] * jw for _ in range(jh)] for _ in range(3)]
             pred = 1 + (i // 9) % 7
             ri = 3 if i % 18 == 8 else 0
             enc = _enc_lossless if i % 2 == 0 else _enc_lossless_arith
-            payload = enc(pls, predictor=pred, restart_interval=ri)
+            if (i // 9) % 3 == 2:
+                # every third lossless file is SUBSAMPLED (r08 s4 —
+                # the last T.81 gate): interleaved MCUs of h×v DPCM
+                # samples per component; solid planes keep every
+                # per-component mean exactly jv at any sampling
+                samp = [(2, 1), (1, 2), (1, 1)]
+                hmx = max(sh for sh, _sv in samp)
+                vmx = max(sv for _sh, sv in samp)
+                pls = [
+                    [[jv] * (-(-jw * sh // hmx))
+                     for _ in range(-(-jh * sv // vmx))]
+                    for sh, sv in samp
+                ]
+                payload = enc(
+                    pls, predictor=pred, restart_interval=ri,
+                    sampling=samp, size=(jw, jh),
+                )
+            else:
+                pls = [[[jv] * jw for _ in range(jh)] for _ in range(3)]
+                payload = enc(pls, predictor=pred, restart_interval=ri)
         with open(os.path.join(d, f"img_{i:05d}.jpg"), "wb") as f:
             f.write(payload)
         # animated GIF: full-canvas solid frames, one palette entry per

@@ -703,3 +703,118 @@ def test_lossless_non_interleaved_scans_roundtrip_exact():
     trunc = bytes(b[:j]) + b"\xff\xd9"  # drop component 2's scan
     with raises(ValueError, match="never coded"):
         decode_jpeg_lossless(trunc)
+
+
+def test_lossless_sampling_roundtrips_random_both_coders():
+    """Non-1x1 (incl. fractional-ratio) sampling in LOSSLESS frames —
+    the last T.81 gate (r08 s4): interleaved scans code h×v-sample
+    MCUs on the padded grid, single-component scans the natural
+    raster; random images round-trip bit-exactly through BOTH entropy
+    coders across sampling/precision/restart/layout."""
+    import random
+
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        _comp_dims,
+        decode_jpeg_lossless,
+        decode_jpeg_lossless_arith,
+        encode_jpeg_lossless,
+        encode_jpeg_lossless_arith,
+    )
+
+    rng = random.Random(77)
+    cases = [
+        ([(2, 2), (1, 1), (1, 1)], (13, 9)),
+        ([(3, 1), (2, 1), (1, 1)], (11, 5)),  # fractional-style ratios
+        ([(4, 4), (1, 1)], (10, 10)),
+        ([(2, 2), (2, 1), (1, 2), (1, 1)], (9, 7)),
+    ]
+    for samp, size in cases:
+        comps = [(i + 1, 0, sh, sv) for i, (sh, sv) in enumerate(samp)]
+        _h, _v, _x, _y, dims = _comp_dims(size[0], size[1], comps)
+        for prec, pred, ri, ni in (
+            (8, 1, 0, False),
+            (12, 4, 3, False),
+            (4, 7, 0, True),
+            (8, 2, 2, True),
+        ):
+            planes = [
+                [[rng.randrange(1 << prec) for _ in range(cw)]
+                 for _ in range(ch)]
+                for (cw, ch, _pw, _ph) in dims
+            ]
+            for enc, dec in (
+                (encode_jpeg_lossless, decode_jpeg_lossless),
+                (encode_jpeg_lossless_arith, decode_jpeg_lossless_arith),
+            ):
+                b = enc(
+                    planes, precision=prec, predictor=pred,
+                    restart_interval=ri, non_interleaved=ni,
+                    sampling=samp, size=size,
+                )
+                w, h, cc, out, pp = dec(b)
+                assert (w, h) == size and pp == prec
+                assert [(c[2], c[3]) for c in cc] == samp
+                assert out == planes
+
+
+def test_lossless_subsampled_pyramid_roundtrips():
+    """Differential-LOSSLESS frames (SOF7/SOF15) over a SUBSAMPLED
+    reference: per-component correction grids on the padded MCU
+    layout reconstruct random images bit-exactly through the whole
+    DHP pyramid — the last derivative of the lossless-sampling
+    gate."""
+    import random
+
+    from journal_batch_processer_spark.operators.jpeg_hier import (
+        decode_jpeg_hierarchical,
+        encode_jpeg_hierarchical_lossless,
+    )
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        _comp_dims,
+    )
+
+    rng = random.Random(31)
+    for samp, size, arith, ri in (
+        ([(2, 2), (1, 1), (1, 1)], (16, 8), False, 0),
+        ([(2, 1), (1, 1), (1, 2)], (16, 16), True, 5),
+        ([(4, 2), (2, 1), (1, 1)], (16, 8), True, 0),
+    ):
+        comps = [(i + 1, 0, sh, sv) for i, (sh, sv) in enumerate(samp)]
+        _h, _v, _x, _y, dims = _comp_dims(size[0], size[1], comps)
+        planes = [
+            [[rng.randrange(256) for _ in range(cw)] for _ in range(ch)]
+            for (cw, ch, _pw, _ph) in dims
+        ]
+        b = encode_jpeg_hierarchical_lossless(
+            planes, diff_arith=arith, restart_interval=ri, sampling=samp
+        )
+        w, h, _cc, out, _pp = decode_jpeg_hierarchical(b)
+        assert (w, h) == size
+        assert out == planes
+
+
+def test_lossless_subsampled_features_per_plane_means():
+    """The feature layer's multi-component lossless branch divides
+    each component's sum by ITS OWN sample count — a subsampled solid
+    image reports exactly the solid value on every channel."""
+    from journal_batch_processer_spark.operators.jpeg import (
+        _decode_jpeg_baseline,
+    )
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        _comp_dims,
+        encode_jpeg_lossless,
+    )
+
+    samp = [(2, 1), (1, 2), (1, 1)]
+    size = (12, 10)
+    comps = [(i + 1, 0, sh, sv) for i, (sh, sv) in enumerate(samp)]
+    _h, _v, _x, _y, dims = _comp_dims(size[0], size[1], comps)
+    planes = [
+        [[88] * cw for _ in range(ch)] for (cw, ch, _pw, _ph) in dims
+    ]
+    feat = _decode_jpeg_baseline(
+        encode_jpeg_lossless(planes, sampling=samp, size=size)
+    )
+    assert feat["width"] == 12 and feat["height"] == 10
+    assert feat["channels"] == 3
+    assert feat["mean_r"] == feat["mean_g"] == feat["mean_b"] == 88.0
