@@ -1482,6 +1482,45 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
+    def stats_summary(
+        self, columns: list[str], version: int | None = None
+    ) -> dict:
+        """METADATA-ONLY aggregate answering (the Delta/Iceberg
+        metadata-query optimization): COUNT(*) and per-column MIN/MAX
+        straight from the manifest — zero data IO, O(files) driver
+        math, at 100 TB the difference between instant and a full
+        scan. Exactness contract: row count is exact (manifest rows
+        come from parquet footers); MIN/MAX are exact for columns
+        whose every file carries footer stats, and a column missing
+        stats in ANY file that contains it reports None for safety
+        (the caller falls back to a scan — stats are an optimization,
+        never a correctness gate). Fails loud under pending equality
+        deletes: the logical state differs from the files, so
+        metadata answers would overcount."""
+        man = self.manifest(self._resolve(version, None))
+        if man.get("delete_files"):
+            raise NotImplementedError(
+                "stats_summary over pending equality deletes — the "
+                "manifest counts rows the MOR filter hides; run "
+                "apply_deletes() first or scan"
+            )
+        out: dict = {"n_rows": sum(f["rows"] for f in man["files"])}
+        for c in columns:
+            lo = hi = None
+            ok = True
+            for f in man["files"]:
+                if c not in f["columns"]:
+                    continue  # pre-evolution file: column is all-null
+                st = (f.get("stats") or {}).get(c)
+                if st is None:
+                    ok = False  # a file has the column but no stats
+                    break
+                lo = st[0] if lo is None else min(lo, st[0])
+                hi = st[1] if hi is None else max(hi, st[1])
+            out[f"min_{c}"] = lo if ok else None
+            out[f"max_{c}"] = hi if ok else None
+        return out
+
     def pruned_files(
         self, key: str, lo, hi, version: int | None = None
     ) -> tuple[list[dict], list[dict]]:

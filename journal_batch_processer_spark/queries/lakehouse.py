@@ -1681,6 +1681,59 @@ WHERE a.doc % 7 = 0 OR a.doc > (SELECT MAX(doc_id) FROM documents)
 SQL_DEDUP_INDEX_INCREMENTAL = _dedup_index_oracle_sql()
 
 
+
+def q_table_stats_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (the Delta/Iceberg metadata-query
+    optimization): COUNT(*) and numeric MIN/MAX for v5 AND the
+    compacted v6 head answered from the manifests alone — no data
+    file is opened, no Spark job scans (the DataFrame below is built
+    from driver-side dict math). The oracle recomputes the same
+    aggregates from the replayed logical states, so a manifest that
+    mis-carries a file, a compaction that drops/duplicates rows, or a
+    footer-stat ingestion bug all hash-fail. v6 == v5 numbers is the
+    compaction contract read a third way (rows, plans, now stats)."""
+    root = materialize_table(spark, sf_dir)
+    t = SnapshotTable(root)
+    cols = ["event_id", "user_id", "value"]
+    rows = []
+    for v in (5, 6):
+        st = t.stats_summary(cols, version=v)
+        rows.append(
+            (
+                v,
+                st["n_rows"],
+                st["min_event_id"],
+                st["max_event_id"],
+                st["min_user_id"],
+                st["max_user_id"],
+                float(st["min_value"]),
+                float(st["max_value"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, n_rows bigint, min_event_id bigint, "
+        "max_event_id bigint, min_user_id bigint, max_user_id bigint, "
+        "min_value double, max_value double",
+    )
+
+
+SQL_TABLE_STATS_READ = (
+    _STATE_CTES
+    + """
+SELECT 5 AS version, COUNT(*) AS n_rows,
+       MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
+       MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM s5
+UNION ALL
+SELECT 6, COUNT(*), MIN(event_id), MAX(event_id),
+       MIN(user_id), MAX(user_id), MIN(value), MAX(value)
+FROM s5
+"""
+)
+
+
 QUERIES = {
     "table_snapshot_read": (q_table_snapshot_read, SQL_TABLE_SNAPSHOT_READ),
     "table_clone_read": (q_table_clone_read, SQL_TABLE_CLONE_READ),
@@ -1712,4 +1765,5 @@ QUERIES = {
         q_dedup_index_incremental,
         SQL_DEDUP_INDEX_INCREMENTAL,
     ),
+    "table_stats_read": (q_table_stats_read, SQL_TABLE_STATS_READ),
 }

@@ -73,6 +73,7 @@ def _build() -> dict[str, QuerySpec]:
         # dedup-index maintenance
         "table_wap_read",        # staged commits, audit view, publish/abort
         "dedup_index_incremental",  # CDF-maintained LSH band index + probe
+        "table_stats_read",      # metadata-only COUNT/MIN/MAX answering
         # NEW in r08 session 3 — merge-on-read equality deletes,
         # h-index coreness
         "table_mor_read",        # stacked MOR deletes + re-insert rule

@@ -1196,3 +1196,37 @@ def test_incremental_band_index_equals_scratch(spark, tmp_path):
     )
     # non-vacuous: the window really nets updated-then-deleted to gone
     assert 3 not in {r.doc for r in maintained.collect()}
+
+
+def test_stats_summary_metadata_only_contracts(spark, tmp_path):
+    """stats_summary: exact counts/min/max from manifests; columns a
+    file carries without stats report None (never a wrong number);
+    pending MOR deletes fail loud (metadata would overcount)."""
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 10, 60), committed_at_us=2_000_000)
+    t.append(_df(spark, 0, 10), committed_at_us=3_000_000)
+    st = t.stats_summary(["k", "v"])
+    assert st == {
+        "n_rows": 60, "min_k": 0, "max_k": 59, "min_v": 0, "max_v": 590,
+    }
+    # a string column whose footer stats pyarrow reports are absent or
+    # truncated must never produce a wrong bound: simulate a file with
+    # the column but no stats entry
+    man = t.manifest()
+    man["files"][0]["stats"].pop("k")
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(t._manifest_dir, f"v{t.latest_version():05d}.json")
+    _os.unlink(path)
+    with open(path, "w") as fh:
+        _json.dump(man, fh)
+    st2 = t.stats_summary(["k", "v"])
+    assert st2["min_k"] is None and st2["max_k"] is None
+    assert st2["n_rows"] == 60 and st2["max_v"] == 590
+    keys = spark.range(5).select(F.col("id").alias("k"))
+    t.delete_mor(keys, "k", committed_at_us=4_000_000)
+    with pytest.raises(NotImplementedError, match="apply_deletes"):
+        t.stats_summary(["k"])
