@@ -166,7 +166,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ),
 sh AS (
     SELECT doc_id,
@@ -220,7 +220,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_CONTAINMENT = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ),
 sh AS (
     SELECT doc_id,
@@ -297,7 +297,7 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM_T50 = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ),
 sh AS (
     SELECT doc_id,
@@ -346,7 +346,7 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM_CAPPED = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ),
 sh AS (
     SELECT doc_id,
@@ -479,7 +479,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DECONTAMINATE = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ),
 sh AS (
     SELECT doc_id,
@@ -521,7 +521,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NEAR = """
 WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ),
 sh AS (
     SELECT doc_id,
@@ -1660,7 +1660,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_SUBSTRING = """
 WITH d AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ),
 wins AS (
     SELECT doc_id, UNNEST(range(0, len(t) - 14)) AS o, t

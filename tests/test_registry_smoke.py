@@ -137,3 +137,20 @@ def test_sink_requires_path_option():
 
     with _pytest.raises(ValueError, match="path"):
         ShardedLogWriter({})
+
+
+def test_no_unformatted_placeholders_in_oracles():
+    """Every oracle_sql() string must be final SQL — a `{name}`
+    placeholder that was meant for str.format survives module load
+    silently and only explodes in the driver's DuckDB parse (the r08
+    regression: 12 dedup-family oracles shipped with a raw `{source}`
+    after a half-applied template refactor)."""
+    import re
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    pat = re.compile(r"\{[A-Za-z_][A-Za-z0-9_]*\}")
+    hits = {k: pat.findall(v) for k, v in entry.oracle_sql().items() if pat.search(v)}
+    assert not hits, f"unformatted placeholders in oracle SQL: {hits}"
