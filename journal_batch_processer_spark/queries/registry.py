@@ -63,72 +63,18 @@ def _build() -> dict[str, QuerySpec]:
 
     # Verification-priority order: the driver sweeps the registry
     # serially under a budget (~50 entries/round), so emit the
-    # least-trusted queries FIRST. Round 8: (a) the NEW r08 lakehouse
-    # keys, then (b) the 49 keys whose freshest driver row is still
-    # r03/r04 tier (computed from the union of CORRECTNESS_r01–r07) —
-    # together they fill the ~50-key budget exactly, discharging the
-    # stale tier in one round (VERDICT r07 item 2).
+    # least-trusted queries FIRST. Round 10 (VERDICT r09 item 1):
+    # (a) NEW r10 keys (never driver-checked), then (b) the 36 keys
+    # whose freshest driver row is still r03/r04 (the r09 sweep
+    # discharged the first 13 of the old stale tier; these are the
+    # rest, computed from the union of CORRECTNESS_r01–r09), then
+    # (c) the oldest r05-tier keys to fill the ~50-key budget, so
+    # nothing older than r05 remains after this round.
     priority = [
-        # NEW in r08 session 4 — write-audit-publish, incremental
-        # dedup-index maintenance
-        "table_wap_read",        # staged commits, audit view, publish/abort
-        "dedup_index_incremental",  # CDF-maintained LSH band index + probe
-        "table_stats_read",      # metadata-only COUNT/MIN/MAX answering
-        # NEW in r08 session 3 — merge-on-read equality deletes,
-        # h-index coreness
-        "table_mor_read",        # stacked MOR deletes + re-insert rule
-        "table_mor_apply",       # rewrite-deletes content identity
-        "graph_kcore",           # coreness via h-index iteration
-        "table_partition_read",  # hidden bucket partitioning + evolution
-        "matview_join_incremental",  # delta-join view maintenance
-        # NEW in r08 session 2 — never driver-checked yet, front of
-        # the queue (supervised curation pair, shallow clone,
-        # streaming MERGE), plus the media key whose fixture mix
-        # changed (hierarchical slots now cycle SOF5/13/7/14)
-        "quality_classifier",
-        "dsir_select",
-        "table_clone_read",
-        "stream_table_merge",
-        "text_watermark",
-        "sim_recall_eval",
-        "graph_triangles",
-        "table_history_read",
-        "media_image_decode_jpeg",
-        # NEW in r08 — snapshot table format (operators/table_format.py)
-        "table_snapshot_read",   # time travel v1..v6, both resolvers
-        "table_merge_commit",    # copy-on-write MERGE, carried files
-        "table_evolution_read",  # additive schema evolution on read
-        "table_compact_read",    # compaction snapshot contract
-        "table_prune_read",      # min/max stats data skipping
-        "table_delete_commit",   # COW range delete + vacuum retention
-        "stream_table_append",   # exactly-once streaming table ingest
-        "table_cdc_read",        # change-data-feed between snapshots
-        "table_restore_read",    # RESTORE as a new history-keeping commit
-        "table_zorder_read",     # OPTIMIZE ZORDER maintenance commit
-        "table_stream_read",     # the table as a streaming source
-        "matview_incremental",   # CDC-applied materialized view
-        "text_ngramlm",          # NEW r08: corpus bigram-LM scoring
-        "dedup_substring",       # NEW r08: Lee-et-al substring spans
-        "split_leakage_safe",    # NEW r08: near-dup-closed split
-        "heavy_hitters",         # NEW r08: count-min top-k
-        "trainprep_pipeline",    # NEW r08: shard-manifest capstone
-        "table_cdf_read",        # NEW r08: write-time change feed
-        "stream_table_cdc",      # NEW r08: streaming CDF consumption
-        "stream_matview",        # NEW r08: streaming incremental view
+        # NEW in r10 — position deletes (Iceberg-v2 MOR completion)
+        "table_mor_pos_read",    # (file, row-ordinal) delete files on read
+        "table_mor_pos_apply",   # rewrite folds positional+equality deletes
         # stalest driver rows (freshest row <= r04), alphabetical
-        "array_functions",
-        "binary_ingest",
-        "cogroup_conversion",
-        "corpus_pipeline",
-        "corpus_quantiles",
-        "corpus_stats",
-        "decontaminate",
-        "dedup_cluster",
-        "dedup_editdist",
-        "dedup_embed",
-        "dedup_embed_lsh",
-        "dedup_simhash",
-        "hash_split",
         "json_extract",
         "json_roundtrip",
         "jsonl_scan",
@@ -165,6 +111,19 @@ def _build() -> dict[str, QuerySpec]:
         "window_session",
         "window_session_ids",
         "window_session_native",
+        # oldest r05-tier keys (fill the remaining sweep budget)
+        "anonymize_k",
+        "arrow_map",
+        "chunk_sliding",
+        "compact_plan",
+        "corpus_mix",
+        "curriculum_order",
+        "dedup_chunks",
+        "dedup_url",
+        "dq_checks",
+        "funnel_events",
+        "graph_pagerank",
+        "join_bloom",
         # r05+ tiers follow in registry order after this list
     ]
     ordered = {name: registry[name] for name in priority if name in registry}

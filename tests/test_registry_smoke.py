@@ -146,9 +146,8 @@ def test_no_unformatted_placeholders_in_oracles():
     regression: 12 dedup-family oracles shipped with a raw `{source}`
     after a half-applied template refactor)."""
     import re
-    import sys
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # repo root is on sys.path via tests/conftest.py
     import __spark_entry__ as entry
 
     pat = re.compile(r"\{[A-Za-z_][A-Za-z0-9_]*\}")
