@@ -269,8 +269,8 @@ class SnapshotTable:
         Iceberg enforces by rewrite-delete maintenance ordering."""
         if man.get("delete_files"):
             raise NotImplementedError(
-                f"{op} over pending equality deletes is not supported — "
-                "run apply_deletes() first"
+                f"{op} over pending (equality or positional) deletes is "
+                "not supported — run apply_deletes() first"
             )
 
     # ------------------------------------------------------------------
@@ -773,16 +773,129 @@ class SnapshotTable:
             }, man)
         )
 
+    def positions_where(
+        self,
+        spark: SparkSession,
+        condition,
+        version: int | None = None,
+        files_added_version: int | None = None,
+    ) -> DataFrame:
+        """Row ADDRESSES — ``(_file, _pos)`` pairs — of the logical
+        rows matching ``condition`` (a SQL string or Column) in a
+        snapshot: what an engine's row-level MERGE/DELETE emits as a
+        positional delete at scale. Addresses come from the parquet
+        scan's ``_metadata.file_path``/``row_index`` (zero extra IO,
+        zero shuffle) and rows already hidden by pending deletes are
+        excluded, so feeding the result to :meth:`delete_mor_pos`
+        deletes exactly the visible matches. ``files_added_version``
+        restricts the scan to files a specific commit added — the
+        "only the old copy" targeting that equality deletes cannot
+        express."""
+        v = self._resolve(version, None)
+        man = self.manifest(v)
+        files = man["files"]
+        if files_added_version is not None:
+            files = [
+                f for f in files
+                if f.get("added_version", 0) == files_added_version
+            ]
+        df = self._read_with_deletes(spark, man, files, keep_pos=True)
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        return df.filter(condition).select("_file", "_pos")
+
+    def delete_mor_pos(
+        self,
+        pos_df: DataFrame,
+        committed_at_us: int | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """MERGE-ON-READ positional delete (the Iceberg v2 position-
+        delete-file shape, completing :meth:`delete_mor`'s equality
+        half): ``pos_df`` is a set of ``(_file, _pos)`` row addresses
+        (root-relative data file path, row ordinal — see
+        :meth:`positions_where`); those exact physical rows leave the
+        LOGICAL table, no data file is rewritten. The commit stages
+        only the distinct address set as a delete file; readers apply
+        it as a broadcast anti-join on ``(_file, _pos)`` attached from
+        scan metadata; :meth:`apply_deletes` later folds it into the
+        files.
+
+        Applicability is by construction narrower than equality: a
+        positional delete names specific files (recorded as ``refs``
+        in its manifest entry), so files committed later — including
+        re-inserts of the same key values — are untouched, and readers
+        attach row addresses ONLY when scanning a referenced file.
+        This is the delete kind engines emit from row-level MERGE at
+        100 TB: O(deleted-rows) commit metadata now, rewrite amortized
+        into the next maintenance window, and — unlike equality — it
+        can drop ONE of two physically duplicate rows.
+
+        The write-time CDF contract is kept: the visible rows leaving
+        the logical state materialize as ``cdc_files``, so
+        :meth:`read_changes` and the streaming CDF treat this like any
+        delete."""
+        spark = pos_df.sparkSession
+        base_v = self.latest_version() if expected_version is None else expected_version
+        man = self.manifest(base_v)
+        pos = (
+            pos_df.select(
+                F.col("_file").cast("string").alias("_file"),
+                F.col("_pos").cast("long").alias("_pos"),
+            )
+            .distinct()
+            .coalesce(1)
+        )
+        # the referenced-file set is small by contract (≤ table file
+        # count); it becomes manifest metadata, so collect is O(files)
+        refs = sorted(r._file for r in pos.select("_file").distinct().collect())
+        known = {f["path"] for f in man["files"]}
+        unknown = [p for p in refs if p not in known]
+        if unknown:
+            raise ValueError(
+                f"positional delete references paths not in snapshot "
+                f"v{base_v}: {unknown[:3]}"
+            )
+        del_files = self._stage_files(pos, base_v + 1, prefix="delete")
+        for d in del_files:
+            d["kind"] = "pos"
+            d["refs"] = refs
+            d["applies_below"] = base_v + 1
+        ref_files = [f for f in man["files"] if f["path"] in set(refs)]
+        cdc_files: list[dict] = []
+        if del_files and ref_files:
+            cur = self._read_with_deletes(spark, man, ref_files, keep_pos=True)
+            changes = (
+                cur.join(F.broadcast(pos), ["_file", "_pos"], "semi")
+                .drop("_file", "_pos")
+                .withColumn("_change", F.lit("delete"))
+            )
+            cdc_files = self._stage_files(changes, base_v + 1, prefix="cdc")
+        return self._try_commit(
+            self._carry_staged({
+                "format_version": 1,
+                "version": base_v + 1,
+                "parent": base_v,
+                "operation": "delete_mor_pos",
+                "committed_at_us": self._now_us(committed_at_us),
+                "schema": man["schema"],
+                "files": man["files"],
+                "delete_files": (man.get("delete_files") or []) + del_files,
+                "cdc_files": cdc_files,
+            }, man)
+        )
+
     def apply_deletes(
         self,
         spark: SparkSession,
         committed_at_us: int | None = None,
         expected_version: int | None = None,
     ) -> int:
-        """Maintenance rewrite resolving pending equality deletes
-        (Iceberg's rewrite-deletes / Delta's PURGE): data files that
-        actually CONTAIN an applicable deleted key are rewritten with
-        the anti-join applied; every other file carries; the delete
+        """Maintenance rewrite resolving pending deletes — equality
+        AND positional — (Iceberg's rewrite-deletes / Delta's PURGE):
+        data files that actually CONTAIN an applicable deleted key or
+        are named by a positional delete are rewritten with the
+        anti-joins applied; every other file carries; the delete
         files drop from the manifest (vacuum reclaims them once their
         last referencing manifest expires). Content is identical to
         the MOR read by contract — this is a dataChange=false commit,
@@ -796,12 +909,18 @@ class SnapshotTable:
         man = self.manifest(base_v)
         dvs = man.get("delete_files") or []
         if not dvs:
-            raise ValueError("apply_deletes: no pending equality deletes")
+            raise ValueError("apply_deletes: no pending deletes")
+        eq_dvs, pos_dvs = self._split_deletes(man)
         files = man["files"]
-        # exact hit detection per delete file: which affected files'
-        # [min,max] ranges contain at least one of its keys
         hit: set[int] = set()
-        for d in dvs:
+        # positional deletes name their files outright: every
+        # referenced file is in the rewrite set, nothing else is
+        path_idx = {f["path"]: i for i, f in enumerate(files)}
+        for d in pos_dvs:
+            hit.update(path_idx[p] for p in d["refs"] if p in path_idx)
+        # exact hit detection per equality-delete file: which affected
+        # files' [min,max] ranges contain at least one of its keys
+        for d in eq_dvs:
             ranged: list[tuple[int, object, object]] = []
             for i, f in enumerate(files):
                 if f.get("added_version", 0) >= d["applies_below"]:
@@ -1326,12 +1445,19 @@ class SnapshotTable:
         man: dict,
         files: list[dict],
         null_fill: bool = True,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Read a list of manifest file entries as ONE DataFrame in the
         manifest's logical schema. Files are grouped by their recorded
         column set and each group gets an EXPLICIT schema — no footer
         merging (mergeSchema reads every footer; the manifest already
-        knows), old groups null-filled from metadata alone."""
+        knows), old groups null-filled from metadata alone.
+
+        ``with_pos`` appends ``_file`` (root-relative path) and
+        ``_pos`` (row ordinal within its file) from Spark's parquet
+        ``_metadata.file_path`` / ``row_index`` — the scan-time row
+        address positional delete files are keyed on. Pure scan
+        metadata: no shuffle, no extra IO."""
         cols = [c["name"] for c in man["schema"]]
         types = {c["name"]: c["type"] for c in man["schema"]}
         by_cols: dict[tuple[str, ...], list[str]] = {}
@@ -1343,52 +1469,107 @@ class SnapshotTable:
         for colset, paths in sorted(by_cols.items()):
             present = set(colset)
             df = spark.read.schema(self._ddl(man, present)).parquet(*paths)
+            if with_pos:
+                # relativize by the LAST TWO segments (prefix/name):
+                # staged paths are always one level deep (data/ cdc/
+                # delete/), and this stays correct however Spark
+                # normalizes the absolute file URI
+                seg = F.split(F.col("_metadata.file_path"), "/")
+                df = df.select(
+                    "*",
+                    F.concat_ws(
+                        "/", F.element_at(seg, -2), F.element_at(seg, -1)
+                    ).alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                )
             if null_fill:
                 for n in cols:
                     if n not in present:
                         df = df.withColumn(n, F.lit(None).cast(types[n]))
-                df = df.select(cols)
+                df = df.select(cols + (["_file", "_pos"] if with_pos else []))
             parts.append(df)
         if not parts:
-            return spark.createDataFrame([], self._ddl(man))
+            ddl = self._ddl(man) + (
+                ", `_file` string, `_pos` bigint" if with_pos else ""
+            )
+            return spark.createDataFrame([], ddl)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
-    def _read_with_deletes(
-        self, spark: SparkSession, man: dict, files: list[dict]
-    ) -> DataFrame:
-        """Read data files and apply the manifest's pending EQUALITY
-        DELETE files. Files are grouped by the subset of delete files
-        that apply to them (the added_version < applies_below rule), so
-        each group gets exactly the anti-joins it needs — a file added
-        after every delete reads with none. The delete key sets are
-        broadcast: they are small by the operator's contract (large
-        deletes go through delete_range/COW), so the read plan stays
-        shuffle-free — scan + broadcast anti-join per pending delete."""
+    @staticmethod
+    def _split_deletes(man: dict) -> tuple[list[dict], list[dict]]:
+        """Partition a manifest's pending delete files into
+        (equality, positional). Entries without a ``kind`` are
+        equality deletes (the pre-pos manifest format)."""
         dvs = man.get("delete_files") or []
-        if not dvs:
+        eq = [d for d in dvs if d.get("kind", "eq") != "pos"]
+        pos = [d for d in dvs if d.get("kind") == "pos"]
+        return eq, pos
+
+    def _read_with_deletes(
+        self,
+        spark: SparkSession,
+        man: dict,
+        files: list[dict],
+        keep_pos: bool = False,
+    ) -> DataFrame:
+        """Read data files and apply the manifest's pending delete
+        files — EQUALITY deletes (key sets) and POSITIONAL deletes
+        ((file, row-ordinal) pairs, the Iceberg v2 position-delete-file
+        shape). Files are grouped by the subset of deletes that apply
+        to them: equality by the added_version < applies_below rule,
+        positional by path membership in the delete's recorded refs —
+        so each group gets exactly the anti-joins it needs; a file no
+        delete touches reads bare. Both delete kinds are broadcast:
+        they are small by the operator's contract (large deletes go
+        through delete_range/COW), so the read plan stays shuffle-free
+        — scan + broadcast anti-join per pending delete.
+
+        ``keep_pos`` retains the ``_file``/``_pos`` address columns on
+        the result (for callers that go on to FORM positional deletes,
+        e.g. :meth:`positions_where`)."""
+        eq_dvs, pos_dvs = self._split_deletes(man)
+        if not eq_dvs and not pos_dvs and not keep_pos:
             return self._read_file_group(spark, man, files)
-        groups: dict[tuple[int, ...], list[dict]] = {}
+        pos_refs: set[str] = set()
+        for d in pos_dvs:
+            pos_refs.update(d["refs"])
+        pos_keys = None
+        if pos_dvs:
+            pos_keys = spark.read.schema("`_file` string, `_pos` bigint").parquet(
+                *[os.path.join(self.root, d["path"]) for d in pos_dvs]
+            )
+        groups: dict[tuple[tuple[int, ...], bool], list[dict]] = {}
         for f in files:
             av = f.get("added_version", 0)
             appl = tuple(
-                i for i, d in enumerate(dvs) if av < d["applies_below"]
+                i for i, d in enumerate(eq_dvs) if av < d["applies_below"]
             )
-            groups.setdefault(appl, []).append(f)
+            groups.setdefault((appl, f["path"] in pos_refs), []).append(f)
         parts = []
-        for appl, fs in sorted(groups.items()):
-            df = self._read_file_group(spark, man, fs)
+        for (appl, posref), fs in sorted(groups.items()):
+            with_pos = keep_pos or posref
+            df = self._read_file_group(spark, man, fs, with_pos=with_pos)
+            if posref:
+                df = df.join(
+                    F.broadcast(pos_keys), ["_file", "_pos"], "left_anti"
+                )
+            if with_pos and not keep_pos:
+                df = df.drop("_file", "_pos")
             for i in appl:
-                d = dvs[i]
+                d = eq_dvs[i]
                 keys = spark.read.schema(self._ddl(man, {d["key"]})).parquet(
                     os.path.join(self.root, d["path"])
                 )
                 df = df.join(F.broadcast(keys), d["key"], "left_anti")
             parts.append(df)
         if not parts:
-            return spark.createDataFrame([], self._ddl(man))
+            ddl = self._ddl(man) + (
+                ", `_file` string, `_pos` bigint" if keep_pos else ""
+            )
+            return spark.createDataFrame([], ddl)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1456,7 +1637,7 @@ class SnapshotTable:
                 df = self._read_file_group(spark, man_to, added).withColumn(
                     "_change", F.lit("insert")
                 )
-            elif op in ("merge", "delete", "delete_mor"):
+            elif op in ("merge", "delete", "delete_mor", "delete_mor_pos"):
                 cdc = man.get("cdc_files")
                 if cdc is None:
                     raise ValueError(

@@ -441,6 +441,103 @@ def q_table_mor_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TABLE_MOR_APPLY = SQL_TABLE_MOR_READ
 
 
+def _materialize_mor_pos_table(spark: SparkSession, sf_dir: str) -> str:
+    """POSITION-delete fixture chain (the Iceberg v2 shape equality
+    deletes can't express): create → append ALL events (copy 1) →
+    append ALL events again with value*10 (copy 2 — every event_id now
+    physically DUPLICATED) → positional delete of copy-1's
+    event_id % 10 == 3 rows, addressed as (file, row-ordinal) pairs
+    restricted to the files the copy-1 commit added, so the same keys
+    in copy 2 survive → a stacked EQUALITY delete (event_id % 8 == 1,
+    removing both copies of those keys) → apply_deletes folding both
+    delete kinds in one rewrite → vacuum keeping v4..v6 (must preserve
+    both pending delete files v5 still references)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"morpos_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "mor_pos", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 6:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _base_events(spark, sf_dir)
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema, committed_at_us=1_000_000)
+    t.append(ev.repartitionByRange(8, "event_id"), committed_at_us=2_000_000)
+    t.append(
+        ev.select(
+            "event_id",
+            "user_id",
+            (F.col("value") * 10).alias("value"),
+            "event_type",
+        ).repartitionByRange(8, "event_id"),
+        committed_at_us=3_000_000,
+    )
+    t.delete_mor_pos(
+        t.positions_where(spark, "event_id % 10 = 3", files_added_version=2),
+        committed_at_us=4_000_000,
+    )
+    t.delete_mor(
+        ev.filter(F.col("event_id") % 8 == 1).select("event_id"),
+        "event_id",
+        committed_at_us=5_000_000,
+    )
+    t.apply_deletes(spark, committed_at_us=6_000_000)
+    t.vacuum(retain_last=3)
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def q_table_mor_pos_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read state at v5 with a POSITIONAL delete and an
+    equality delete both pending, zero data files rewritten. The
+    positional delete removed exactly ONE of each duplicated row pair
+    (copy-1's event_id % 10 == 3 rows, addressed by (file, ordinal)) —
+    something no equality predicate over the duplicated table could
+    do; the stacked equality delete then removes event_id % 8 == 1
+    from both copies. Read AFTER the fixture's vacuum, so both delete
+    files' vacuum liveness is on this hook too. Reference analog: the
+    reference rewrites its whole CSV per stage (BatchUpdate.py:565) —
+    row-level deletes without a rewrite are the capability gap this
+    family closes."""
+    root = _materialize_mor_pos_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark, version=5)
+
+
+SQL_TABLE_MOR_POS_READ = """
+WITH ev AS (SELECT event_id, user_id, value, event_type FROM events)
+SELECT event_id, user_id, value, event_type FROM ev
+WHERE event_id % 10 <> 3 AND event_id % 8 <> 1
+UNION ALL
+SELECT event_id, user_id, value * 10 AS value, event_type FROM ev
+WHERE event_id % 8 <> 1
+"""
+
+
+def q_table_mor_pos_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head read after apply_deletes folded BOTH pending delete kinds
+    (positional + equality) in one maintenance rewrite: content
+    identical to the v5 MOR read by contract (same oracle text — the
+    compaction-identity pattern), served from rewritten files with no
+    anti-joins on the plan. A unit test pins the physical side (both
+    delete files dropped, only referenced/key-containing files
+    rewritten); this key pins the content."""
+    root = _materialize_mor_pos_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark)
+
+
+SQL_TABLE_MOR_POS_APPLY = SQL_TABLE_MOR_POS_READ
+
+
 def _materialize_bucket_table(spark: SparkSession, sf_dir: str) -> str:
     """Hidden-partitioning fixture with SPEC EVOLUTION: all events
     appended under bucket(user_id, 8), then a derived second
@@ -1744,6 +1841,8 @@ QUERIES = {
     "table_delete_commit": (q_table_delete_commit, SQL_TABLE_DELETE_COMMIT),
     "table_mor_read": (q_table_mor_read, SQL_TABLE_MOR_READ),
     "table_mor_apply": (q_table_mor_apply, SQL_TABLE_MOR_APPLY),
+    "table_mor_pos_read": (q_table_mor_pos_read, SQL_TABLE_MOR_POS_READ),
+    "table_mor_pos_apply": (q_table_mor_pos_apply, SQL_TABLE_MOR_POS_APPLY),
     "table_partition_read": (q_table_partition_read, SQL_TABLE_PARTITION_READ),
     "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
     "stream_table_merge": (q_stream_table_merge, SQL_STREAM_TABLE_MERGE),

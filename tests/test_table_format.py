@@ -1230,3 +1230,110 @@ def test_stats_summary_metadata_only_contracts(spark, tmp_path):
     t.delete_mor(keys, "k", committed_at_us=4_000_000)
     with pytest.raises(NotImplementedError, match="apply_deletes"):
         t.stats_summary(["k"])
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read POSITIONAL deletes (positions_where / delete_mor_pos)
+# ---------------------------------------------------------------------------
+def test_pos_delete_targets_one_physical_copy(spark, tmp_path):
+    """A positional delete removes exactly the addressed rows — with
+    every key physically duplicated, one copy dies and the other
+    survives, which no equality predicate could express."""
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 40), committed_at_us=2_000_000)          # copy 1
+    t.append(
+        _df(spark, 0, 40).withColumn("v", F.col("v") + 1),
+        committed_at_us=3_000_000,                                  # copy 2
+    )
+    pos = t.positions_where(spark, "k % 10 = 3", files_added_version=2)
+    assert pos.count() == 4  # 3,13,23,33 — copy-1 rows only
+    t.delete_mor_pos(pos, committed_at_us=4_000_000)
+    # zero data files rewritten: v4 carries v3's files verbatim
+    assert [f["path"] for f in t.manifest(4)["files"]] == [
+        f["path"] for f in t.manifest(3)["files"]
+    ]
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    for k in (3, 13, 23, 33):
+        assert (k, k * 10) not in got       # copy-1 row gone
+        assert (k, k * 10 + 1) in got       # duplicate copy-2 row lives
+    assert (7, 70) in got and (7, 71) in got
+    # manifest entry carries kind + named refs
+    d = t.manifest(4)["delete_files"][0]
+    assert d["kind"] == "pos" and set(d["refs"]) <= {
+        f["path"] for f in t.manifest(2)["files"]
+    }
+    # a later re-insert of a deleted address's key is untouched by the
+    # pending positional delete (it lives in an unreferenced new file)
+    t.append(
+        spark.createDataFrame([(3, 999)], "k bigint, v bigint"),
+        committed_at_us=5_000_000,
+    )
+    assert (3, 999) in {(r.k, r.v) for r in t.read(spark).collect()}
+
+
+def test_positions_where_excludes_hidden_rows_and_cdf_is_visible_only(
+    spark, tmp_path
+):
+    """positions_where addresses only LOGICALLY visible rows; a stale
+    address set aimed at a row an equality delete already hides emits
+    no CDF row for it (the feed reports rows actually leaving)."""
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    stale = t.positions_where(spark, "k = 20 or k = 21").collect()
+    assert len(stale) == 2
+    t.delete_mor(
+        spark.createDataFrame([(20,)], "k bigint"), "k",
+        committed_at_us=3_000_000,
+    )
+    # visible-only: the hidden k=20 row no longer has an address
+    assert t.positions_where(spark, "k = 20 or k = 21").count() == 1
+    stale_df = spark.createDataFrame(stale, "`_file` string, `_pos` bigint")
+    t.delete_mor_pos(stale_df, committed_at_us=4_000_000)
+    ch = [(r.k, r._change) for r in t.read_changes(spark, 3, 4).collect()]
+    assert ch == [(21, "delete")]
+    got = {r.k for r in t.read(spark).collect()}
+    assert 20 not in got and 21 not in got and 22 in got
+
+
+def test_pos_delete_unknown_path_fails_loud(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10), committed_at_us=2_000_000)
+    bad = spark.createDataFrame(
+        [("data/nope.parquet", 0)], "`_file` string, `_pos` bigint"
+    )
+    with pytest.raises(ValueError, match="not in snapshot"):
+        t.delete_mor_pos(bad)
+
+
+def test_apply_deletes_folds_both_kinds(spark, tmp_path):
+    """One maintenance rewrite resolves positional AND equality
+    deletes: referenced/key-containing files rewrite, younger files
+    carry, both delete files drop, content is identical."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)  # files [0,49],[50,99]
+    t.delete_mor_pos(
+        t.positions_where(spark, "k = 5"), committed_at_us=3_000_000
+    )
+    t.delete_mor(
+        spark.createDataFrame([(60,)], "k bigint"), "k",
+        committed_at_us=4_000_000,
+    )
+    t.append(_df(spark, 100, 110), committed_at_us=5_000_000)  # younger, untouched
+    before = sorted((r.k, r.v) for r in t.read(spark).collect())
+    v = t.apply_deletes(spark, committed_at_us=6_000_000)
+    man = t.manifest(v)
+    assert not man.get("delete_files")
+    assert man["rewrite_deletes"]["rewritten_files"] == 2
+    assert man["rewrite_deletes"]["carried_files"] == 2
+    assert before == sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert t.read_changes(spark, 5, v).count() == 0
+    # the guard held while deletes were pending
+    t2 = _mk(spark, tmp_path, name="t2")
+    t2.append(_df(spark, 0, 10), committed_at_us=2_000_000)
+    t2.delete_mor_pos(t2.positions_where(spark, "k = 1"), committed_at_us=3_000_000)
+    with pytest.raises(NotImplementedError, match="apply_deletes"):
+        t2.compact(spark, 10**6)
