@@ -838,29 +838,7 @@ class SnapshotTable:
         spark = pos_df.sparkSession
         base_v = self.latest_version() if expected_version is None else expected_version
         man = self.manifest(base_v)
-        pos = (
-            pos_df.select(
-                F.col("_file").cast("string").alias("_file"),
-                F.col("_pos").cast("long").alias("_pos"),
-            )
-            .distinct()
-            .coalesce(1)
-        )
-        # the referenced-file set is small by contract (≤ table file
-        # count); it becomes manifest metadata, so collect is O(files)
-        refs = sorted(r._file for r in pos.select("_file").distinct().collect())
-        known = {f["path"] for f in man["files"]}
-        unknown = [p for p in refs if p not in known]
-        if unknown:
-            raise ValueError(
-                f"positional delete references paths not in snapshot "
-                f"v{base_v}: {unknown[:3]}"
-            )
-        del_files = self._stage_files(pos, base_v + 1, prefix="delete")
-        for d in del_files:
-            d["kind"] = "pos"
-            d["refs"] = refs
-            d["applies_below"] = base_v + 1
+        pos, del_files, refs = self._stage_pos_delete(pos_df, base_v, man)
         ref_files = [f for f in man["files"] if f["path"] in set(refs)]
         cdc_files: list[dict] = []
         if del_files and ref_files:

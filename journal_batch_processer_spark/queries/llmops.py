@@ -1161,13 +1161,23 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_assignments(docs, "doc_id", pairs)
 
 
-SQL_DEDUP_CLUSTER = f"""
-WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM}),
-strong AS (
+# The connected-component fixpoint (min-label propagation as a
+# recursive CTE) is by far the most expensive oracle fragment in the
+# registry — at 10×-sf0.1 sweeps it dominated wall time. Two fixes:
+# (a) the non-recursive CTEs are AS MATERIALIZED — inside a WITH
+# RECURSIVE, DuckDB otherwise re-evaluates the inlined pair join every
+# fixpoint round (151 s → 11 s at 10×-sf0.1, same rows); (b) it is
+# factored out standalone so tools/check_oracle.py can materialize it
+# once into a temp table and serve both dependent keys from it
+# (ORACLE_PRECOMPUTE below); the driver-facing oracle strings stay
+# self-contained single statements.
+SQL_CC_FIXPOINT = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({SQL_DEDUP_NGRAM}),
+strong AS MATERIALIZED (
     SELECT doc_a, doc_b FROM pairs
     WHERE inter / (sz_a + sz_b - inter) >= 0.2
 ),
-e AS (
+e AS MATERIALIZED (
     SELECT doc_a AS s, doc_b AS d FROM strong
     UNION ALL SELECT doc_b, doc_a FROM strong
 ),
@@ -1175,13 +1185,25 @@ lab(n, l) AS (
     SELECT DISTINCT s, s FROM e
     UNION
     SELECT e.d, lab.l FROM lab JOIN e ON e.s = lab.n WHERE lab.l < e.d
-),
-cc AS (SELECT n, min(l) AS component FROM lab GROUP BY n)
+)
+SELECT n, min(l) AS component FROM lab GROUP BY n
+"""
+
+
+def _cluster_sql(cc_expr: str) -> str:
+    return f"""
+WITH cc AS {cc_expr}
 SELECT d.doc_id,
        coalesce(cc.component, d.doc_id) AS cluster_id,
        CAST(d.doc_id = coalesce(cc.component, d.doc_id) AS INT) AS is_rep
 FROM documents d LEFT JOIN cc ON cc.n = d.doc_id
 """
+
+
+_CC_INLINE = f"MATERIALIZED ({SQL_CC_FIXPOINT})"
+_CC_TABLE = "(SELECT n, component FROM _cc_fixpoint)"
+SQL_DEDUP_CLUSTER = _cluster_sql(_CC_INLINE)
+SQL_DEDUP_CLUSTER_CC = _cluster_sql(_CC_TABLE)
 
 
 # ---------------------------------------------------------------------------
@@ -1726,8 +1748,9 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SPLIT_LEAKAGE_SAFE = f"""
-WITH base AS ({SQL_DEDUP_CLUSTER})
+def _split_leakage_sql(cluster_sql: str) -> str:
+    return f"""
+WITH base AS ({cluster_sql})
 SELECT doc_id, cluster_id,
        CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
                 THEN 'train'
@@ -1736,6 +1759,25 @@ SELECT doc_id, cluster_id,
             ELSE 'test' END AS split
 FROM base
 """
+
+
+SQL_SPLIT_LEAKAGE_SAFE = _split_leakage_sql(SQL_DEDUP_CLUSTER)
+SQL_SPLIT_LEAKAGE_SAFE_CC = _split_leakage_sql(SQL_DEDUP_CLUSTER_CC)
+
+# tools/check_oracle.py sweep accelerator: materialize each listed
+# temp table ONCE per connection, then run the dependent keys' `_CC`
+# oracle variants against it. Equivalence with the driver-facing
+# self-contained strings is by construction (same fixpoint text,
+# referenced instead of inlined) and pinned by a registry smoke test.
+ORACLE_PRECOMPUTE = {
+    "_cc_fixpoint": {
+        "sql": SQL_CC_FIXPOINT,
+        "keys": {
+            "dedup_cluster": SQL_DEDUP_CLUSTER_CC,
+            "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE_CC,
+        },
+    },
+}
 
 
 # Curated-positive training label shared by the two supervised

@@ -153,3 +153,34 @@ def test_no_unformatted_placeholders_in_oracles():
     pat = re.compile(r"\{[A-Za-z_][A-Za-z0-9_]*\}")
     hits = {k: pat.findall(v) for k, v in entry.oracle_sql().items() if pat.search(v)}
     assert not hits, f"unformatted placeholders in oracle SQL: {hits}"
+
+
+def test_oracle_precompute_variants_match_selfcontained():
+    """The check_oracle sweep accelerator runs `_CC` oracle variants
+    against a materialized `_cc_fixpoint` temp table; the driver runs
+    the self-contained strings. Both forms must return the identical
+    multiset or local sweeps stop predicting driver verdicts."""
+    import duckdb
+
+    from journal_batch_processer_spark.queries.llmops import (
+        ORACLE_PRECOMPUTE,
+        SQL_DEDUP_CLUSTER,
+        SQL_SPLIT_LEAKAGE_SAFE,
+    )
+
+    selfcontained = {
+        "dedup_cluster": SQL_DEDUP_CLUSTER,
+        "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    for tbl, info in ORACLE_PRECOMPUTE.items():
+        con.execute(f"CREATE TEMP TABLE {tbl} AS {info['sql']}")
+        for key, variant_sql in info["keys"].items():
+            a = sorted(con.sql(selfcontained[key]).fetchall())
+            b = sorted(con.sql(variant_sql).fetchall())
+            assert a == b, f"{key}: variant diverges from self-contained"
+            assert len(a) > 0

@@ -93,6 +93,27 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    # Sweep accelerator: expensive shared oracle fragments (the
+    # connected-component fixpoint) are materialized ONCE per run and
+    # dependent keys run their table-referencing variants — identical
+    # verdicts (same fixpoint text), ~O(keys)× less recursive-CTE
+    # work. The driver still gets the self-contained strings.
+    from journal_batch_processer_spark.queries.llmops import ORACLE_PRECOMPUTE
+
+    pre_built: set[str] = set()
+
+    def oracle_for(name: str, spec) -> str | None:
+        for tbl, info in ORACLE_PRECOMPUTE.items():
+            if name in info["keys"]:
+                if tbl not in pre_built:
+                    t0 = time.perf_counter()
+                    con.execute(f"CREATE TEMP TABLE {tbl} AS {info['sql']}")
+                    print(f"      [{tbl} materialized in "
+                          f"{time.perf_counter()-t0:.1f}s]")
+                    pre_built.add(tbl)
+                return info["keys"][name]
+        return resolve_oracle(spec)
+
     n_pass = n_fail = n_skip = 0
     for name in names:
         spec = REGISTRY[name]
@@ -116,7 +137,7 @@ def main() -> int:
             n_skip += 1
             continue
         try:
-            rel = con.sql(resolve_oracle(spec))
+            rel = con.sql(oracle_for(name, spec))
             o_cols = list(rel.columns)
             o_types = [str(t).upper() for t in rel.types]
             o_rows = rel.fetchall()
