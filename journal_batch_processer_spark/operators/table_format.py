@@ -558,6 +558,122 @@ class SnapshotTable:
             batch_df, key, resolve=resolve, stream_batch_id=batch_id
         )
 
+    def merge_mor(
+        self,
+        batch_df: DataFrame,
+        key: str,
+        committed_at_us: int | None = None,
+        expected_version: int | None = None,
+        stream_batch_id: int | None = None,
+    ) -> int:
+        """MERGE-ON-READ upsert (the Iceberg v2 MERGE shape at scale):
+        same LOGICAL contract as :meth:`merge` — matched keys take the
+        batch row wholesale, unmatched batch rows insert — but ZERO
+        data files are rewritten. The commit stages (a) the matched
+        visible rows' addresses as a POSITIONAL delete file and (b)
+        the batch as new data files; readers resolve via the usual
+        broadcast anti-join, :meth:`apply_deletes` folds later.
+
+        This is the nightly-upsert shape at 100 TB: commit cost is
+        O(batch + matched-row addresses) regardless of how many
+        terabytes the touched files hold, where COW rewrites every
+        file whose key range overlaps the batch. The trade is read
+        amplification until maintenance — exactly Iceberg's MOR/COW
+        split, and why both verbs exist here.
+
+        Candidate files are stats-pruned exactly like COW MERGE (the
+        batch probes a broadcast file-range table), so the address
+        scan touches only files that can contain a batch key. Unlike
+        COW, pending deletes do NOT block (nothing is rewritten —
+        stacking is the read path's normal case). The write-time CDF
+        contract is kept: matched old rows materialize as deletes,
+        the full batch as inserts. Conflicts are not retried (the
+        plan is only valid against its snapshot — caller re-runs),
+        matching :meth:`merge`."""
+        spark = batch_df.sparkSession
+        base_v = self.latest_version() if expected_version is None else expected_version
+        man = self.manifest(base_v)
+        cols = [c["name"] for c in man["schema"]]
+        if set(batch_df.columns) != set(cols):
+            raise ValueError(
+                f"merge batch schema {sorted(batch_df.columns)} != table {sorted(cols)}"
+            )
+        files = man["files"]
+        batch = batch_df.select(cols)
+        keys_df = batch.select(key).distinct()
+        forced: list[int] = []
+        ranges: list[tuple[int, object, object]] = []
+        for i, f in enumerate(files):
+            st = (f.get("stats") or {}).get(key)
+            if st is None:
+                forced.append(i)
+            else:
+                ranges.append((i, st[0], st[1]))
+        touched: set[int] = set(forced)
+        if ranges:
+            rng = spark.createDataFrame(
+                [(i, lo, hi) for i, lo, hi in ranges], "fid int, lo long, hi long"
+            )
+            hits = (
+                batch.select(F.col(key).alias("_k"))
+                .join(
+                    F.broadcast(rng),
+                    (F.col("_k") >= F.col("lo")) & (F.col("_k") <= F.col("hi")),
+                )
+                .select("fid")
+                .distinct()
+                .collect()
+            )
+            touched |= {r.fid for r in hits}
+        cand = [files[i] for i in sorted(touched)]
+        del_files: list[dict] = []
+        deletes = None
+        if cand:
+            matched = (
+                self._read_with_deletes(spark, man, cand, keep_pos=True)
+                .join(F.broadcast(keys_df), key, "semi")
+            )
+            # matched feeds BOTH the address stage and the CDF — one
+            # scan, reused (it is at most batch-keys × candidate rows)
+            matched = matched.cache()
+            try:
+                _, del_files, _ = self._stage_pos_delete(
+                    matched.select("_file", "_pos"), base_v, man
+                )
+                deletes = (
+                    matched.drop("_file", "_pos")
+                    .withColumn("_change", F.lit("delete"))
+                )
+                changes = deletes.unionByName(
+                    batch.withColumn("_change", F.lit("insert"))
+                )
+                cdc_files = self._stage_files(changes, base_v + 1, prefix="cdc")
+            finally:
+                matched.unpersist()
+        else:
+            cdc_files = self._stage_files(
+                batch.withColumn("_change", F.lit("insert")),
+                base_v + 1,
+                prefix="cdc",
+            )
+        new_files = self._stage_files(
+            batch.repartitionByRange(max(1, len(cand) or 1), key), base_v + 1
+        )
+        man_out = {
+            "format_version": 1,
+            "version": base_v + 1,
+            "parent": base_v,
+            "operation": "merge_mor",
+            "committed_at_us": self._now_us(committed_at_us),
+            "schema": man["schema"],
+            "files": man["files"] + new_files,
+            "delete_files": (man.get("delete_files") or []) + del_files,
+            "cdc_files": cdc_files,
+        }
+        if stream_batch_id is not None:
+            man_out["stream_batch_id"] = stream_batch_id
+        return self._try_commit(self._carry_staged(man_out, man))
+
     def compact(
         self,
         spark: SparkSession,
@@ -803,6 +919,41 @@ class SnapshotTable:
         if isinstance(condition, str):
             condition = F.expr(condition)
         return df.filter(condition).select("_file", "_pos")
+
+    def _stage_pos_delete(
+        self, pos_df: DataFrame, base_v: int, man: dict
+    ) -> tuple[DataFrame, list[dict], list[str]]:
+        """Stage a distinct ``(_file, _pos)`` address set as a
+        positional delete file; returns (canonical address frame,
+        manifest delete entries tagged kind/refs/applies_below,
+        referenced paths). Validates every referenced path against the
+        snapshot — a stale address set (its file rewritten since
+        planning) fails loud so the caller replans, never silently
+        targets rows that no longer exist."""
+        pos = (
+            pos_df.select(
+                F.col("_file").cast("string").alias("_file"),
+                F.col("_pos").cast("long").alias("_pos"),
+            )
+            .distinct()
+            .coalesce(1)
+        )
+        # the referenced-file set is small by contract (≤ table file
+        # count); it becomes manifest metadata, so collect is O(files)
+        refs = sorted(r._file for r in pos.select("_file").distinct().collect())
+        known = {f["path"] for f in man["files"]}
+        unknown = [p for p in refs if p not in known]
+        if unknown:
+            raise ValueError(
+                f"positional delete references paths not in snapshot "
+                f"v{base_v}: {unknown[:3]}"
+            )
+        del_files = self._stage_files(pos, base_v + 1, prefix="delete")
+        for d in del_files:
+            d["kind"] = "pos"
+            d["refs"] = refs
+            d["applies_below"] = base_v + 1
+        return pos, del_files, refs
 
     def delete_mor_pos(
         self,
@@ -1615,7 +1766,7 @@ class SnapshotTable:
                 df = self._read_file_group(spark, man_to, added).withColumn(
                     "_change", F.lit("insert")
                 )
-            elif op in ("merge", "delete", "delete_mor", "delete_mor_pos"):
+            elif op in ("merge", "merge_mor", "delete", "delete_mor", "delete_mor_pos"):
                 cdc = man.get("cdc_files")
                 if cdc is None:
                     raise ValueError(

@@ -538,6 +538,88 @@ def q_table_mor_pos_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TABLE_MOR_POS_APPLY = SQL_TABLE_MOR_POS_READ
 
 
+def _materialize_merge_mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """MERGE-ON-READ upsert fixture chain: create → append ALL events
+    → MOR equality delete (event_id % 10 == 3) → merge_mor of the
+    standard merge batch (updates value*2 for [100,299]; inserts
+    event_id+10M for %1000==0) committed OVER the pending delete —
+    legal for MOR merge precisely because nothing rewrites (COW merge
+    guards here); the batch re-upserts the deleted keys in [100,299]
+    ending in %3. Then apply_deletes folds the equality delete AND the
+    merge's positional delete in one rewrite, and vacuum keeps
+    v3..v5."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"mergemor_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "merge_mor", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 5:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _base_events(spark, sf_dir)
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema, committed_at_us=1_000_000)
+    t.append(ev.repartitionByRange(8, "event_id"), committed_at_us=2_000_000)
+    t.delete_mor(
+        ev.filter(F.col("event_id") % 10 == 3).select("event_id"),
+        "event_id",
+        committed_at_us=3_000_000,
+    )
+    t.merge_mor(_merge_batch(ev), "event_id", committed_at_us=4_000_000)
+    t.apply_deletes(spark, committed_at_us=5_000_000)
+    t.vacuum(retain_last=3)
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def q_table_merge_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE state at v4: the upsert committed as a
+    positional delete file (matched visible rows' addresses) plus
+    appended batch files, stacked OVER a still-pending equality delete
+    — zero data files rewritten across the whole chain, and the batch
+    legally re-upserts keys the equality delete hides (matched =
+    visible only; unmatched batch rows insert — the logical contract
+    is identical to COW MERGE, pinned by a unit test). Read after the
+    fixture's vacuum, so both delete files' liveness is on this hook.
+    At 100 TB this is the nightly-upsert shape: commit cost O(batch),
+    not O(overlapping files)."""
+    root = _materialize_merge_mor_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark, version=4)
+
+
+SQL_TABLE_MERGE_MOR_READ = """
+WITH ev AS (SELECT event_id, user_id, value, event_type FROM events)
+SELECT event_id, user_id, value, event_type FROM ev
+WHERE event_id % 10 <> 3 AND event_id NOT BETWEEN 100 AND 299
+UNION ALL
+SELECT event_id, user_id, value * 2 AS value, event_type FROM ev
+WHERE event_id BETWEEN 100 AND 299
+UNION ALL
+SELECT event_id + 10000000 AS event_id, user_id, value, event_type FROM ev
+WHERE event_id % 1000 = 0
+"""
+
+
+def q_table_merge_mor_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head read after apply_deletes folded the MOR merge's positional
+    delete and the stacked equality delete: content identical to the
+    v4 MOR read by contract (same oracle text)."""
+    root = _materialize_merge_mor_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark)
+
+
+SQL_TABLE_MERGE_MOR_APPLY = SQL_TABLE_MERGE_MOR_READ
+
+
 def _materialize_bucket_table(spark: SparkSession, sf_dir: str) -> str:
     """Hidden-partitioning fixture with SPEC EVOLUTION: all events
     appended under bucket(user_id, 8), then a derived second
@@ -1843,6 +1925,8 @@ QUERIES = {
     "table_mor_apply": (q_table_mor_apply, SQL_TABLE_MOR_APPLY),
     "table_mor_pos_read": (q_table_mor_pos_read, SQL_TABLE_MOR_POS_READ),
     "table_mor_pos_apply": (q_table_mor_pos_apply, SQL_TABLE_MOR_POS_APPLY),
+    "table_merge_mor_read": (q_table_merge_mor_read, SQL_TABLE_MERGE_MOR_READ),
+    "table_merge_mor_apply": (q_table_merge_mor_apply, SQL_TABLE_MERGE_MOR_APPLY),
     "table_partition_read": (q_table_partition_read, SQL_TABLE_PARTITION_READ),
     "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
     "stream_table_merge": (q_stream_table_merge, SQL_STREAM_TABLE_MERGE),

@@ -74,6 +74,8 @@ def _build() -> dict[str, QuerySpec]:
         # NEW in r10 — position deletes (Iceberg-v2 MOR completion)
         "table_mor_pos_read",    # (file, row-ordinal) delete files on read
         "table_mor_pos_apply",   # rewrite folds positional+equality deletes
+        "table_merge_mor_read",  # MERGE as pos-delete + append, zero rewrite
+        "table_merge_mor_apply",  # fold identity after the MOR merge chain
         # stalest driver rows (freshest row <= r04), alphabetical
         "json_extract",
         "json_roundtrip",

@@ -1549,3 +1549,56 @@ def test_concurrent_interleaved_writers_model_equal(spark, tmp_path):
                 model.pop(k, None)
     got = sorted((r.k, r.v) for r in t0.read(spark).collect())
     assert got == sorted(model.items())
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read MERGE (merge_mor)
+# ---------------------------------------------------------------------------
+def test_merge_mor_equals_cow_rewrites_nothing_cdf_parity(spark, tmp_path):
+    """merge_mor and COW merge share one logical contract: same end
+    state, same change feed — but merge_mor carries every data file
+    verbatim (positional delete + appended batch only)."""
+    batch = spark.createDataFrame(
+        [(5, 999), (20, 888), (200, 777), (201, 666)], "k bigint, v bigint"
+    )
+    tm = _mk(spark, tmp_path, name="mor")
+    tm.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    tm.merge_mor(batch, "k", committed_at_us=3_000_000)
+    tc = _mk(spark, tmp_path, name="cow")
+    tc.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    tc.merge(batch, "k", committed_at_us=3_000_000)
+    assert sorted((r.k, r.v) for r in tm.read(spark).collect()) == sorted(
+        (r.k, r.v) for r in tc.read(spark).collect()
+    )
+    p2 = {f["path"] for f in tm.manifest(2)["files"]}
+    p3 = {f["path"] for f in tm.manifest(3)["files"]}
+    assert p2 <= p3  # zero rewrite
+    d = tm.manifest(3)["delete_files"][0]
+    assert d["kind"] == "pos" and set(d["refs"]) <= p2
+    assert sorted(
+        (r.k, r.v, r._change) for r in tm.read_changes(spark, 2, 3).collect()
+    ) == sorted(
+        (r.k, r.v, r._change) for r in tc.read_changes(spark, 2, 3).collect()
+    )
+
+
+def test_merge_mor_over_pending_deletes_and_fold(spark, tmp_path):
+    """merge_mor commits over pending deletes (COW merge guards
+    there): the batch re-upserts a hidden key (unmatched → insert),
+    and apply_deletes folds the whole stack content-identically."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    t.delete_mor(
+        spark.createDataFrame([(7,), (9,)], "k bigint"), "k",
+        committed_at_us=3_000_000,
+    )
+    batch = spark.createDataFrame([(7, 123), (8, 456)], "k bigint, v bigint")
+    with pytest.raises(NotImplementedError):
+        t.merge(batch, "k")  # COW guards over pending deletes
+    t.merge_mor(batch, "k", committed_at_us=4_000_000)
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got[7] == 123 and got[8] == 456 and 9 not in got and got[6] == 60
+    before = sorted(got.items())
+    t.apply_deletes(spark, committed_at_us=5_000_000)
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == before
+    assert not t.manifest().get("delete_files")
