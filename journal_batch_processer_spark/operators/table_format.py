@@ -558,12 +558,37 @@ class SnapshotTable:
             batch_df, key, resolve=resolve, stream_batch_id=batch_id
         )
 
+    def merge_mor_stream_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        key: str,
+        resolve: str | None = None,
+    ) -> int | None:
+        """foreachBatch sink body for STREAMING MERGE-ON-READ upserts:
+        one positional-delete + append commit per micro-batch, the
+        same manifest-recorded batch-id exactly-once protocol as
+        :meth:`merge_stream_batch` — but O(batch) commit cost with no
+        file rewrites, the continuous-ingest shape (Iceberg streaming
+        MOR). Maintenance (:meth:`apply_deletes`) amortizes the stack
+        on the caller's schedule. With ``resolve`` the upsert is
+        last-wins on that column, making the end state batching-
+        invariant — the same contract as :meth:`merge_stream_batch`."""
+        if batch_id <= self.last_stream_batch_id():
+            return None
+        if not batch_df.take(1):
+            return None
+        return self.merge_mor(
+            batch_df, key, resolve=resolve, stream_batch_id=batch_id
+        )
+
     def merge_mor(
         self,
         batch_df: DataFrame,
         key: str,
         committed_at_us: int | None = None,
         expected_version: int | None = None,
+        resolve: str | None = None,
         stream_batch_id: int | None = None,
     ) -> int:
         """MERGE-ON-READ upsert (the Iceberg v2 MERGE shape at scale):
@@ -589,7 +614,15 @@ class SnapshotTable:
         contract is kept: matched old rows materialize as deletes,
         the full batch as inserts. Conflicts are not retried (the
         plan is only valid against its snapshot — caller re-runs),
-        matching :meth:`merge`."""
+        matching :meth:`merge`.
+
+        ``resolve``: the same LAST-WINS conflict column as COW merge —
+        per key, the single highest-``resolve`` row across matched
+        visible rows ∪ batch survives. A surviving BASE row means no
+        delete and no insert for that key (the conditional-update
+        path); a surviving batch row positionally deletes the losing
+        base rows. Buys the same batching-invariance streaming MERGE
+        needs."""
         spark = batch_df.sparkSession
         base_v = self.latest_version() if expected_version is None else expected_version
         man = self.manifest(base_v)
@@ -626,39 +659,65 @@ class SnapshotTable:
             )
             touched |= {r.fid for r in hits}
         cand = [files[i] for i in sorted(touched)]
-        del_files: list[dict] = []
-        deletes = None
+        matched = None
         if cand:
             matched = (
                 self._read_with_deletes(spark, man, cand, keep_pos=True)
                 .join(F.broadcast(keys_df), key, "semi")
+                # feeds the address stage AND the CDF — one scan,
+                # reused (at most batch-keys × candidate rows)
+                .cache()
             )
-            # matched feeds BOTH the address stage and the CDF — one
-            # scan, reused (it is at most batch-keys × candidate rows)
-            matched = matched.cache()
-            try:
-                _, del_files, _ = self._stage_pos_delete(
-                    matched.select("_file", "_pos"), base_v, man
-                )
-                deletes = (
-                    matched.drop("_file", "_pos")
-                    .withColumn("_change", F.lit("delete"))
-                )
-                changes = deletes.unionByName(
-                    batch.withColumn("_change", F.lit("insert"))
-                )
-                cdc_files = self._stage_files(changes, base_v + 1, prefix="cdc")
-            finally:
-                matched.unpersist()
+        if resolve is None:
+            to_insert = batch
+            addr = matched.select("_file", "_pos") if matched is not None else None
+            old_out = matched.drop("_file", "_pos") if matched is not None else None
         else:
-            cdc_files = self._stage_files(
-                batch.withColumn("_change", F.lit("insert")),
-                base_v + 1,
-                prefix="cdc",
+            from pyspark.sql import Window
+
+            u = batch.select(
+                *cols,
+                F.lit(None).cast("string").alias("_file"),
+                F.lit(None).cast("long").alias("_pos"),
             )
-        new_files = self._stage_files(
-            batch.repartitionByRange(max(1, len(cand) or 1), key), base_v + 1
-        )
+            if matched is not None:
+                u = matched.select(*cols, "_file", "_pos").unionByName(u)
+            ranked = u.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(F.col(resolve).desc())
+                ),
+            ).cache()
+            # winner from the batch → insert; losing BASE rows → the
+            # positional delete; a winning base row touches nothing
+            to_insert = (
+                ranked.filter((F.col("__rn") == 1) & F.col("_file").isNull())
+                .select(cols)
+            )
+            losers = ranked.filter(
+                (F.col("__rn") > 1) & F.col("_file").isNotNull()
+            )
+            addr = losers.select("_file", "_pos")
+            old_out = losers.select(cols)
+        del_files: list[dict] = []
+        try:
+            if addr is not None:
+                _, del_files, _ = self._stage_pos_delete(addr, base_v, man)
+            changes = to_insert.withColumn("_change", F.lit("insert"))
+            if old_out is not None:
+                changes = old_out.withColumn(
+                    "_change", F.lit("delete")
+                ).unionByName(changes)
+            cdc_files = self._stage_files(changes, base_v + 1, prefix="cdc")
+            new_files = self._stage_files(
+                to_insert.repartitionByRange(max(1, len(cand) or 1), key),
+                base_v + 1,
+            )
+        finally:
+            if matched is not None:
+                matched.unpersist()
+            if resolve is not None:
+                ranked.unpersist()
         man_out = {
             "format_version": 1,
             "version": base_v + 1,

@@ -1551,6 +1551,81 @@ FROM (SELECT UNNEST(range(1000, 1010)) AS k)
 """
 
 
+def q_stream_table_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MERGE-ON-READ upserts: the same last-wins upsert
+    stream as ``stream_table_merge`` — identical seeds, identical
+    oracle — but every micro-batch commits as a POSITIONAL delete of
+    the losing visible rows plus the winning batch rows appended:
+    zero file rewrites across the whole drain, the continuous-ingest
+    shape (Iceberg streaming MOR vs Delta's COW foreachBatch). The
+    end state being byte-identical to the COW stream IS the
+    contract; the read here resolves a stack of one delete file per
+    micro-batch, so broadcast-anti-join stacking depth is on this
+    hook too."""
+    import tempfile as _tf
+
+    from journal_batch_processer_spark.queries.streaming_q import (
+        _events_stream_dir,
+    )
+    from journal_batch_processer_spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    root = _tf.mkdtemp(prefix="jbp_snapmergemor_")
+    ckpt = _tf.mkdtemp(prefix="jbp_snapmergemor_ckpt_")
+    schema = [
+        ("k", "bigint"),
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema)
+    seeds = (
+        spark.range(0, 10)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") + 1_000_000_000).alias("event_id"),
+        )
+        .unionByName(
+            spark.range(1000, 1010).select(
+                F.col("id").alias("k"), F.lit(-1).cast("long").alias("event_id")
+            )
+        )
+        .select(
+            "k",
+            "event_id",
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(0.5).alias("value"),
+            F.lit("seed").alias("event_type"),
+        )
+    )
+    t.append(seeds.coalesce(1))
+    stream = read_events_stream(spark, _events_stream_dir(sf_dir)).select(
+        (F.col("event_id") % 1000).alias("k"),
+        "event_id",
+        "user_id",
+        "value",
+        "event_type",
+    )
+
+    def sink(batch_df, batch_id):
+        t.merge_mor_stream_batch(batch_df, batch_id, key="k", resolve="event_id")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return t.read(spark)
+
+
+# end state byte-identical to the COW streaming merge by contract
+SQL_STREAM_TABLE_MERGE_MOR = SQL_STREAM_TABLE_MERGE
+
+
 def _materialize_clone_table(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str]:
@@ -1927,6 +2002,7 @@ QUERIES = {
     "table_mor_pos_apply": (q_table_mor_pos_apply, SQL_TABLE_MOR_POS_APPLY),
     "table_merge_mor_read": (q_table_merge_mor_read, SQL_TABLE_MERGE_MOR_READ),
     "table_merge_mor_apply": (q_table_merge_mor_apply, SQL_TABLE_MERGE_MOR_APPLY),
+    "stream_table_merge_mor": (q_stream_table_merge_mor, SQL_STREAM_TABLE_MERGE_MOR),
     "table_partition_read": (q_table_partition_read, SQL_TABLE_PARTITION_READ),
     "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
     "stream_table_merge": (q_stream_table_merge, SQL_STREAM_TABLE_MERGE),

@@ -76,6 +76,7 @@ def _build() -> dict[str, QuerySpec]:
         "table_mor_pos_apply",   # rewrite folds positional+equality deletes
         "table_merge_mor_read",  # MERGE as pos-delete + append, zero rewrite
         "table_merge_mor_apply",  # fold identity after the MOR merge chain
+        "stream_table_merge_mor",  # streaming MOR upserts, COW-identical state
         # stalest driver rows (freshest row <= r04), alphabetical
         "json_extract",
         "json_roundtrip",

@@ -1602,3 +1602,46 @@ def test_merge_mor_over_pending_deletes_and_fold(spark, tmp_path):
     t.apply_deletes(spark, committed_at_us=5_000_000)
     assert sorted((r.k, r.v) for r in t.read(spark).collect()) == before
     assert not t.manifest().get("delete_files")
+
+
+def test_merge_mor_stream_batching_invariance_and_replay(spark, tmp_path):
+    """The same upsert stream split into different micro-batch
+    boundaries must produce the identical end state through
+    merge_mor_stream_batch (the `resolve` contract), and a replayed
+    batch id must be a no-op (exactly-once)."""
+    rows = [(k % 7, 10 * i + k, (10 * i + k) * 100) for i, k in enumerate(range(20))]
+
+    def run(splits, name):
+        t = SnapshotTable.create(
+            str(tmp_path / name),
+            [("k", "bigint"), ("v", "bigint"), ("seq", "bigint")],
+            committed_at_us=1_000_000,
+        )
+        bid = 0
+        for lo, hi in splits:
+            df = spark.createDataFrame(
+                rows[lo:hi], "k bigint, v bigint, seq bigint"
+            )
+            t.merge_mor_stream_batch(df, bid, key="k", resolve="seq")
+            bid += 1
+        return t
+
+    ta = run([(0, 5), (5, 12), (12, 20)], "a")
+    tb = run([(0, 14), (14, 20)], "b")
+    got_a = sorted((r.k, r.v, r.seq) for r in ta.read(spark).collect())
+    got_b = sorted((r.k, r.v, r.seq) for r in tb.read(spark).collect())
+    assert got_a == got_b and len(got_a) == 7
+    # replay of an already-committed batch id is a no-op
+    head = ta.latest_version()
+    assert ta.merge_mor_stream_batch(
+        spark.createDataFrame([(0, 1, 2)], "k bigint, v bigint, seq bigint"),
+        1,
+        key="k",
+        resolve="seq",
+    ) is None
+    assert ta.latest_version() == head
+    # zero rewrites across the whole drain: every commit carries all
+    # prior data files
+    for v in range(3, head + 1):
+        prev = {f["path"] for f in ta.manifest(v - 1)["files"]}
+        assert prev <= {f["path"] for f in ta.manifest(v)["files"]}

@@ -10,7 +10,11 @@ copy-tag token appended, so exact-dup logic sees singletons while
 shingle/minhash paths see dense near-dup clusters, 10× the corpus and
 ~100× the candidate-pair pressure of sf0.1).
 
-    python tools/make_scale10.py [/tmp/jbp_sf10x]
+    python tools/make_scale10.py [/tmp/jbp_sf10x] [factor=10]
+
+A factor of 100 gives the "sf1-equivalent" corpus (~10M events /
+500k docs / 1M vectors) used for the 100x heavy-tail sweep
+(SWEEP_r10.md).
 """
 
 from __future__ import annotations
@@ -27,13 +31,14 @@ SMALL = ["region", "nation", "customer", "supplier", "part", "lineitem"]
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jbp_sf10x"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
     def src(t: str) -> str:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
-    copies = "UNNEST(generate_series(0, 9)) AS c"
+    copies = f"UNNEST(generate_series(0, {factor - 1})) AS c"
 
     jobs = {
         # copy 0 verbatim; other copies append a copy-tag token so the
