@@ -1484,6 +1484,11 @@ def test_concurrent_interleaved_writers_model_equal(spark, tmp_path):
             record(
                 retry(lambda: t.merge(mk_df(p2), "k"), t), "upsert", p2
             )
+            # 2b. MOR merge: zero-rewrite upsert racing the COW merges
+            p2b = rows(B + 40, B + 50, mul=3) + rows(B + 240, B + 250)
+            record(
+                retry(lambda: t.merge_mor(mk_df(p2b), "k"), t), "upsert", p2b
+            )
             # 3. MOR equality delete
             d3 = list(range(B + 50, B + 58))
             record(
