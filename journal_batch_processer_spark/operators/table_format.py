@@ -115,9 +115,13 @@ class SnapshotTable:
     # sharded path at fixture scale.
     shard_threshold = 1000
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, branch: str | None = None):
         self.root = root
-        self._manifest_dir = os.path.join(root, "_manifest")
+        self.branch = branch
+        base = os.path.join(root, "_manifest")
+        self._manifest_dir = (
+            base if branch is None else os.path.join(base, "branches", branch)
+        )
         self._data_dir = os.path.join(root, "data")
 
     # ------------------------------------------------------------------
@@ -198,6 +202,133 @@ class SnapshotTable:
                 }
             )
         return out
+
+    # ------------------------------------------------------------------
+    # branches (the Iceberg branch / fast-forward shape)
+    # ------------------------------------------------------------------
+    def _raw_manifest_files(self, version: int) -> list[str]:
+        """Relative names of a version's on-disk manifest artifacts
+        (the v-file plus any shard chunks), WITHOUT inlining — what a
+        branch fork or fast-forward hard-links."""
+        rel = [f"v{version:05d}.json"]
+        with open(os.path.join(self._manifest_dir, rel[0])) as fh:
+            rel += json.load(fh).get("file_shards", [])
+        return rel
+
+    def branches(self) -> list[str]:
+        d = os.path.join(self.root, "_manifest", "branches")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "SnapshotTable":
+        """Fork a BRANCH at ``version`` (default head): an independent
+        commit log seeded by hard-linking the fork manifest — zero
+        data copied, and every table operation works on the branch
+        handle unchanged (same data tree, own log). Main and branch
+        then evolve independently; an audited branch comes back via
+        :meth:`fast_forward`. This is the Iceberg branch ref shape
+        (WAP generalized from one staged batch to a whole line of
+        commits); branch-referenced files are vacuum-protected until
+        :meth:`drop_branch`."""
+        if self.branch is not None:
+            raise ValueError("create_branch from the main handle only")
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", name):
+            raise ValueError(f"bad branch name {name!r}")
+        v = self.latest_version() if version is None else version
+        rels = self._raw_manifest_files(v)  # raises if v was vacuumed
+        bdir = os.path.join(self.root, "_manifest", "branches", name)
+        if os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(bdir)
+        for rel in rels:
+            dst = os.path.join(bdir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(os.path.join(self._manifest_dir, rel), dst)
+        return SnapshotTable(self.root, branch=name)
+
+    @staticmethod
+    def _all_refs(man: dict) -> list[dict]:
+        return (
+            man["files"]
+            + man.get("cdc_files", [])
+            + man.get("delete_files", [])
+            + man.get("staged_files", [])
+        )
+
+    def drop_branch(self, name: str) -> dict:
+        """Delete a branch's commit log AND reclaim its exclusive data
+        files — the ones no main snapshot and no other branch
+        references (branch-only files live in no main manifest, so
+        ordinary vacuum can never see them; the drop is their only
+        reclamation point, exactly Iceberg's remove-ref + expire).
+        Shared (forked / fast-forwarded) files survive as main's hard
+        links. Returns {files_removed, bytes_reclaimed}."""
+        if name not in self.branches():
+            raise LookupError(f"no branch {name!r}")
+        bt = SnapshotTable(self.root, branch=name)
+        branch_refs = set()
+        for v in bt.versions():
+            branch_refs |= {f["path"] for f in self._all_refs(bt.manifest(v))}
+        live = set()
+        for v in self.versions():
+            live |= {f["path"] for f in self._all_refs(self.manifest(v))}
+        for other in self.branches():
+            if other == name:
+                continue
+            ot = SnapshotTable(self.root, branch=other)
+            for v in ot.versions():
+                live |= {f["path"] for f in self._all_refs(ot.manifest(v))}
+        removed = reclaimed = 0
+        own_root = os.path.realpath(self.root) + os.sep
+        for p in sorted(branch_refs - live):
+            ap = os.path.join(self.root, p)
+            if not os.path.realpath(ap).startswith(own_root):
+                continue  # shallow-clone guard: never touch another table
+            try:
+                reclaimed += os.path.getsize(ap)
+                os.unlink(ap)
+                removed += 1
+            except FileNotFoundError:
+                pass
+        shutil.rmtree(os.path.join(self.root, "_manifest", "branches", name))
+        return {"files_removed": removed, "bytes_reclaimed": reclaimed}
+
+    def fast_forward(self, name: str) -> int:
+        """Move MAIN to ``name``'s head — allowed only while main is
+        an ancestor of the branch head (no main commits since the
+        fork), Iceberg's fast-forward publish. Each branch manifest
+        hard-links into main's log in order, under the same link(2)
+        arbitration as any commit: a main writer racing the
+        fast-forward loses exactly one of the two, never both —
+        whichever links the contested version first wins and the
+        loser surfaces :class:`CommitConflictError`."""
+        if self.branch is not None:
+            raise ValueError("fast_forward from the main handle only")
+        b = SnapshotTable(self.root, branch=name)
+        bvs = b.versions()
+        if not bvs:
+            raise LookupError(f"no branch {name!r}")
+        fork = bvs[0]
+        head = self.latest_version()
+        if head != fork:
+            raise CommitConflictError(
+                f"main advanced past the fork (v{fork} → v{head}); "
+                "rebase the branch instead of fast-forwarding"
+            )
+        for v in bvs[1:]:
+            for rel in b._raw_manifest_files(v):
+                dst = os.path.join(self._manifest_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(os.path.join(b._manifest_dir, rel), dst)
+                except FileExistsError:
+                    raise CommitConflictError(
+                        f"version {v} committed on main during fast-forward"
+                    ) from None
+        return self.latest_version()
 
     def _try_commit(self, man: dict) -> int:
         """Atomically publish ``man`` as v{N}. The temp manifest is
@@ -1319,19 +1450,24 @@ class SnapshotTable:
         bytes_reclaimed}."""
         if retain_last < 1:
             raise ValueError("vacuum must retain at least the head snapshot")
+        if self.branch is not None:
+            raise ValueError(
+                "vacuum from the main handle only — a branch handle "
+                "cannot see every snapshot that references a file"
+            )
         versions = self.versions()
         keep_v = set(versions[-retain_last:])
-        def _all_refs(man: dict) -> list[dict]:
-            return (
-                man["files"]
-                + man.get("cdc_files", [])
-                + man.get("delete_files", [])
-                + man.get("staged_files", [])
-            )
-
+        _all_refs = self._all_refs
         live = set()
         for v in keep_v:
             live |= {f["path"] for f in _all_refs(self.manifest(v))}
+        # branch protection (the Iceberg ref-retention rule): every
+        # snapshot reachable from ANY branch keeps its files until
+        # drop_branch — a branch is a live ref, not history
+        for name in self.branches():
+            bt = SnapshotTable(self.root, branch=name)
+            for v in bt.versions():
+                live |= {f["path"] for f in _all_refs(bt.manifest(v))}
         removed = reclaimed = 0
         own_root = os.path.realpath(self.root) + os.sep
         for v in versions:

@@ -1626,6 +1626,98 @@ def q_stream_table_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_TABLE_MERGE_MOR = SQL_STREAM_TABLE_MERGE
 
 
+def _materialize_branch_table(spark: SparkSession, sf_dir: str) -> str:
+    """BRANCH fixture chain (the Iceberg branch / fast-forward shape,
+    WAP generalized to a line of commits): create → append evens →
+    append odds → fork branch ``etl`` → ON THE BRANCH: the standard
+    COW merge batch, then the gen-2 append WITH the additive
+    ``priority`` column (schema evolution on a branch) → main vacuumed
+    down to its head while the branch is live (branch-referenced
+    files must survive) → fast_forward publishes the audited line
+    back to main."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"branch_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "branch", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 5:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _base_events(spark, sf_dir)
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema, committed_at_us=1_000_000)
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(8, "event_id"),
+        committed_at_us=2_000_000,
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 1).repartitionByRange(8, "event_id"),
+        committed_at_us=3_000_000,
+    )
+    b = t.create_branch("etl")
+    b.merge(_merge_batch(ev), "event_id", committed_at_us=4_000_000)
+    b.append(
+        _gen2(ev), committed_at_us=5_000_000, new_columns=[("priority", "bigint")]
+    )
+    # main is still at the fork; its vacuum must protect the branch
+    t.vacuum(retain_last=1)
+    t.fast_forward("etl")
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+def q_table_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-head read: two commits (COW merge + schema-evolving
+    append) made on the ``etl`` branch while main stayed at the fork
+    — same data tree, independent log. The fixture vacuums MAIN down
+    to its head while the branch is live, so branch-ref vacuum
+    protection is on this hook: reclaiming a branch-referenced file
+    hash-fails here."""
+    root = _materialize_branch_table(spark, sf_dir)
+    return SnapshotTable(root, branch="etl").read(spark)
+
+
+SQL_TABLE_BRANCH_READ = """
+WITH ev AS (SELECT event_id, user_id, value, event_type FROM events)
+SELECT event_id, user_id,
+       CASE WHEN event_id BETWEEN 100 AND 299 THEN value * 2
+            ELSE value END AS value,
+       event_type, CAST(NULL AS BIGINT) AS priority
+FROM ev
+UNION ALL
+SELECT event_id + 10000000 AS event_id, user_id, value, event_type,
+       CAST(NULL AS BIGINT) AS priority
+FROM ev WHERE event_id % 1000 = 0
+UNION ALL
+SELECT event_id + 20000000 AS event_id, user_id, value, event_type,
+       user_id % 5 AS priority
+FROM ev WHERE event_id % 1000 = 1
+"""
+
+
+def q_table_branch_ff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAIN-head read after fast_forward published the audited branch
+    line: content identical to the branch head by contract (same
+    oracle text); the publish is metadata-only hard-links, each under
+    the commit protocol's link(2) arbitration. A unit test pins the
+    divergent case (main advanced past the fork → CommitConflictError,
+    never a silent overwrite)."""
+    root = _materialize_branch_table(spark, sf_dir)
+    return SnapshotTable(root).read(spark)
+
+
+SQL_TABLE_BRANCH_FF_READ = SQL_TABLE_BRANCH_READ
+
+
 def _materialize_clone_table(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str]:
@@ -2003,6 +2095,8 @@ QUERIES = {
     "table_merge_mor_read": (q_table_merge_mor_read, SQL_TABLE_MERGE_MOR_READ),
     "table_merge_mor_apply": (q_table_merge_mor_apply, SQL_TABLE_MERGE_MOR_APPLY),
     "stream_table_merge_mor": (q_stream_table_merge_mor, SQL_STREAM_TABLE_MERGE_MOR),
+    "table_branch_read": (q_table_branch_read, SQL_TABLE_BRANCH_READ),
+    "table_branch_ff_read": (q_table_branch_ff_read, SQL_TABLE_BRANCH_FF_READ),
     "table_partition_read": (q_table_partition_read, SQL_TABLE_PARTITION_READ),
     "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
     "stream_table_merge": (q_stream_table_merge, SQL_STREAM_TABLE_MERGE),

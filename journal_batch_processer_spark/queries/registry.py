@@ -77,6 +77,8 @@ def _build() -> dict[str, QuerySpec]:
         "table_merge_mor_read",  # MERGE as pos-delete + append, zero rewrite
         "table_merge_mor_apply",  # fold identity after the MOR merge chain
         "stream_table_merge_mor",  # streaming MOR upserts, COW-identical state
+        "table_branch_read",     # branch fork: independent log, shared data
+        "table_branch_ff_read",  # fast-forward publish back to main
         # stalest driver rows (freshest row <= r04), alphabetical
         "json_extract",
         "json_roundtrip",

@@ -1650,3 +1650,72 @@ def test_merge_mor_stream_batching_invariance_and_replay(spark, tmp_path):
     for v in range(3, head + 1):
         prev = {f["path"] for f in ta.manifest(v - 1)["files"]}
         assert prev <= {f["path"] for f in ta.manifest(v)["files"]}
+
+
+# ---------------------------------------------------------------------------
+# branches (create_branch / fast_forward / drop_branch)
+# ---------------------------------------------------------------------------
+def test_branch_isolation_vacuum_protection_and_ff(spark, tmp_path):
+    import glob as _glob
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    b = t.create_branch("audit")
+    b.merge(
+        spark.createDataFrame([(5, 999), (200, 777)], "k bigint, v bigint"),
+        "k", committed_at_us=3_000_000,
+    )
+    b.append(_df(spark, 300, 310), committed_at_us=4_000_000)
+    # isolation both ways: main blind to branch commits, branch sees its own
+    assert t.latest_version() == 2 and b.latest_version() == 4
+    assert t.read(spark).count() == 100 and b.read(spark).count() == 111
+    # vacuum on main keeps every branch-referenced file (the merge
+    # rewrote a main file: without protection it would be reclaimed)
+    t.vacuum(retain_last=1)
+    assert b.read(spark).count() == 111
+    # fast-forward: main takes the branch line, metadata-only
+    assert t.fast_forward("audit") == 4
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == sorted(
+        (r.k, r.v) for r in b.read(spark).collect()
+    )
+    # time travel on main now resolves the branch-made commits
+    assert t.read(spark, version=3).count() == 101
+    # drop_branch reclaims what only the branch referenced (vacuum
+    # can never see those files — they are in no main manifest)
+    t2 = _mk(spark, tmp_path, name="t2")
+    t2.append(_df(spark, 0, 10), committed_at_us=2_000_000)
+    b2 = t2.create_branch("tmp")
+    b2.append(_df(spark, 50, 60), committed_at_us=3_000_000)
+    n_before = len(_glob.glob(os.path.join(t2.root, "data", "*")))
+    t2.vacuum(retain_last=1)
+    assert len(_glob.glob(os.path.join(t2.root, "data", "*"))) == n_before
+    out = t2.drop_branch("tmp")
+    assert out["files_removed"] > 0
+    assert len(_glob.glob(os.path.join(t2.root, "data", "*"))) < n_before
+    assert t2.read(spark).count() == 10
+
+
+def test_branch_divergent_ff_and_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10), committed_at_us=2_000_000)
+    b = t.create_branch("x")
+    b.append(_df(spark, 20, 30), committed_at_us=3_000_000)
+    t.append(_df(spark, 40, 50), committed_at_us=3_500_000)  # main diverges
+    with pytest.raises(CommitConflictError, match="rebase"):
+        t.fast_forward("x")
+    # main state untouched by the refused fast-forward
+    assert {r.k for r in t.read(spark).collect()} == set(range(10)) | set(
+        range(40, 50)
+    )
+    with pytest.raises(ValueError, match="main handle"):
+        b.create_branch("y")
+    with pytest.raises(ValueError, match="main handle"):
+        b.vacuum(retain_last=1)
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("x")
+    with pytest.raises(ValueError, match="bad branch name"):
+        t.create_branch("a/b")
+    with pytest.raises(LookupError):
+        t.fast_forward("nope")
+    with pytest.raises(LookupError):
+        t.drop_branch("nope")
