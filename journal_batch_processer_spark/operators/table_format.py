@@ -470,12 +470,106 @@ class SnapshotTable:
         shutil.rmtree(staging, ignore_errors=True)
         return [e for e in entries if e["rows"] > 0]
 
+    # bloom sizing: bits per distinct value and probe count. ~10 bits/
+    # key + 7 probes ≈ 1% false-positive rate — a skipped file is
+    # PROVEN absent; a false positive only costs a scan, never a row.
+    BLOOM_BITS_PER_KEY = 10
+    BLOOM_PROBES = 7
+
+    @staticmethod
+    def _bloom_hashes(value, m: int) -> list[int]:
+        """Deterministic double hashing off one md5: bit positions for
+        ``value`` in an m-bit bloom. Pure-stdlib, identical on writer
+        and reader by construction."""
+        import hashlib
+
+        d = hashlib.md5(str(value).encode()).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        return [(h1 + i * h2) % m for i in range(SnapshotTable.BLOOM_PROBES)]
+
+    def _attach_blooms(self, entries: list[dict], columns: list[str]) -> None:
+        """WRITE-TIME bloom filters per staged file (the Delta/Parquet
+        bloom-index shape): for each column, the file's distinct value
+        set folds into an ndv-sized bitset stored base64 in the
+        manifest entry. Point lookups on hash-scattered keys — where
+        every file spans the whole [min,max] range and stats prune
+        NOTHING — drop to the few files whose bloom admits the value.
+        Cost is one local columnar read per staged file at write time
+        (pyarrow, driver-side; the file was just written and is hot),
+        ~1.25 bytes of metadata per distinct key."""
+        import base64
+
+        import pyarrow.parquet as pq
+
+        for e in entries:
+            blooms = {}
+            table = pq.read_table(
+                os.path.join(self.root, e["path"]),
+                columns=[c for c in columns if c in e["columns"]],
+            )
+            for c in table.column_names:
+                vals = set(table.column(c).to_pylist()) - {None}
+                if not vals:
+                    continue
+                m = max(64, self.BLOOM_BITS_PER_KEY * len(vals))
+                bits = bytearray((m + 7) // 8)
+                for v in vals:
+                    for pos in self._bloom_hashes(v, m):
+                        bits[pos >> 3] |= 1 << (pos & 7)
+                blooms[c] = {
+                    "m": m,
+                    "b64": base64.b64encode(bytes(bits)).decode(),
+                }
+            if blooms:
+                e["blooms"] = blooms
+
+    def bloom_files(
+        self, field: str, value, version: int | None = None
+    ) -> tuple[list[dict], list[dict]]:
+        """Split a snapshot's files into (kept, skipped) for a point
+        lookup using every pruning source the manifest offers: the
+        hidden-partition transform, min/max stats, AND per-file bloom
+        filters. Files carrying none are kept — pruning is an
+        optimization, never a correctness gate."""
+        import base64
+
+        kept, skipped = self.eq_files(field, value, version=version) if (
+            isinstance(value, int)
+        ) else (list(self.manifest(self._resolve(version, None))["files"]), [])
+        out_kept = []
+        for f in kept:
+            bl = (f.get("blooms") or {}).get(field)
+            if bl is not None:
+                bits = base64.b64decode(bl["b64"])
+                if not all(
+                    bits[p >> 3] & (1 << (p & 7))
+                    for p in self._bloom_hashes(value, bl["m"])
+                ):
+                    skipped.append(f)
+                    continue
+            out_kept.append(f)
+        return out_kept, skipped
+
+    def read_bloom_point(
+        self, spark: SparkSession, field: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Bloom-accelerated point lookup: files proven not to contain
+        ``value`` are dropped before Spark lists them; the row filter
+        does the rest."""
+        v = self._resolve(version, None)
+        man = self.manifest(v)
+        kept, _ = self.bloom_files(field, value, version=v)
+        df = self._read_with_deletes(spark, man, kept)
+        return df.filter(F.col(field) == F.lit(value))
+
     def append(
         self,
         df: DataFrame,
         committed_at_us: int | None = None,
         new_columns: list[tuple[str, str]] | None = None,
         bucket_by: tuple[str, int] | None = None,
+        bloom_for: list[str] | None = None,
         _max_retries: int = 10,
     ) -> int:
         """Append ``df`` as a new snapshot. Additive schema evolution:
@@ -490,7 +584,12 @@ class SnapshotTable:
         it can evolve freely between appends — Iceberg partition-spec
         evolution: each file prunes under the spec it was written
         with, files without one (or rewritten by COW) just never
-        bucket-prune."""
+        bucket-prune.
+
+        ``bloom_for=[col, ...]`` attaches write-time per-file bloom
+        filters for point-lookup skipping (see :meth:`_attach_blooms`
+        / :meth:`read_bloom_point`); like the partition spec it is per
+        file and freely evolvable."""
         base_v = self.latest_version()
         man = self.manifest(base_v)
         schema = list(man["schema"])
@@ -508,6 +607,8 @@ class SnapshotTable:
             )
         else:
             new_files = self._stage_files(df, base_v + 1)
+        if bloom_for:
+            self._attach_blooms(new_files, bloom_for)
         for _ in range(_max_retries):
             try:
                 return self._try_commit(

@@ -1704,6 +1704,65 @@ FROM ev WHERE event_id % 1000 = 1
 """
 
 
+def _materialize_bloom_table(spark: SparkSession, sf_dir: str) -> str:
+    """Bloom-index fixture: all events appended ROUND-ROBIN into 8
+    files (every file spans the whole event_id range — min/max stats
+    provably prune nothing) with write-time bloom filters on
+    event_id."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = table_fixture_root(f"bloom_{tag}")
+    marker = os.path.join(root, "_fixture.json")
+    want = {"rev": FIXTURE_REV, "op": "bloom", "sf_dir": sf_dir}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want and SnapshotTable(root).latest_version() == 2:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _base_events(spark, sf_dir)
+    schema = [
+        ("event_id", "bigint"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("event_type", "string"),
+    ]
+    t = SnapshotTable.create(root, schema, committed_at_us=1_000_000)
+    t.append(
+        ev.repartition(8), committed_at_us=2_000_000, bloom_for=["event_id"]
+    )
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return root
+
+
+BLOOM_PROBE_IDS = (7, 123, 321, 555, 808, 123456789)  # last one absent
+
+
+def q_table_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated point lookups where stats CANNOT prune: the
+    fixture's files are round-robin (every file's [min,max] spans the
+    whole event_id domain), so min/max skipping keeps everything and
+    only the per-file bloom drops files. Six probes union (one absent
+    — bloom skips every file, zero IO). A unit test pins the pruning
+    effect (files actually skipped, stats alone skip zero); this key
+    pins that pruning never loses a row. At 100 TB this is the
+    needle-in-haystack id lookup: O(matching files), not O(table)."""
+    root = _materialize_bloom_table(spark, sf_dir)
+    t = SnapshotTable(root)
+    out = None
+    for pid in BLOOM_PROBE_IDS:
+        part = t.read_bloom_point(spark, "event_id", pid)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+SQL_TABLE_BLOOM_READ = f"""
+SELECT event_id, user_id, value, event_type FROM events
+WHERE event_id IN {BLOOM_PROBE_IDS}
+"""
+
+
 def q_table_branch_ff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAIN-head read after fast_forward published the audited branch
     line: content identical to the branch head by contract (same
@@ -2097,6 +2156,7 @@ QUERIES = {
     "stream_table_merge_mor": (q_stream_table_merge_mor, SQL_STREAM_TABLE_MERGE_MOR),
     "table_branch_read": (q_table_branch_read, SQL_TABLE_BRANCH_READ),
     "table_branch_ff_read": (q_table_branch_ff_read, SQL_TABLE_BRANCH_FF_READ),
+    "table_bloom_read": (q_table_bloom_read, SQL_TABLE_BLOOM_READ),
     "table_partition_read": (q_table_partition_read, SQL_TABLE_PARTITION_READ),
     "stream_table_append": (q_stream_table_append, SQL_STREAM_TABLE_APPEND),
     "stream_table_merge": (q_stream_table_merge, SQL_STREAM_TABLE_MERGE),

@@ -79,6 +79,7 @@ def _build() -> dict[str, QuerySpec]:
         "stream_table_merge_mor",  # streaming MOR upserts, COW-identical state
         "table_branch_read",     # branch fork: independent log, shared data
         "table_branch_ff_read",  # fast-forward publish back to main
+        "table_bloom_read",      # bloom file-skipping point lookups
         # stalest driver rows (freshest row <= r04), alphabetical
         "json_extract",
         "json_roundtrip",

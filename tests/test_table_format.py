@@ -1719,3 +1719,45 @@ def test_branch_divergent_ff_and_guards(spark, tmp_path):
         t.fast_forward("nope")
     with pytest.raises(LookupError):
         t.drop_branch("nope")
+
+
+# ---------------------------------------------------------------------------
+# bloom file skipping (append bloom_for / read_bloom_point)
+# ---------------------------------------------------------------------------
+def test_bloom_skips_where_stats_cannot(spark, tmp_path):
+    """Round-robin layout: every file spans the whole key range, so
+    min/max stats keep ALL files; the bloom must still prune to the
+    few files that really contain the probe — and never lose a row."""
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path)
+    base = spark.range(4000).select(
+        (F.col("id") * 2654435761 % 100000).alias("k"), F.col("id").alias("v")
+    )
+    t.append(base.repartition(8), committed_at_us=2_000_000, bloom_for=["k"])
+    man = t.manifest()
+    assert all("k" in (f.get("blooms") or {}) for f in man["files"])
+    # probe a MID-RANGE value (closest to 50000): inside every file's
+    # [min,max] by construction, so stats alone cannot skip anything
+    probe = int(
+        base.orderBy(F.abs(F.col("k") - 50000)).limit(1).collect()[0].k
+    )
+    kept_stats, skipped_stats = t.eq_files("k", probe)
+    assert len(skipped_stats) == 0
+    kept, skipped = t.bloom_files("k", probe)
+    assert len(skipped) >= 6  # bloom does the real pruning
+    got = sorted(r.v for r in t.read_bloom_point(spark, "k", probe).collect())
+    want = sorted(
+        r.v for r in t.read(spark).filter(F.col("k") == probe).collect()
+    )
+    assert got == want and got
+    # absent key: every file skipped, zero rows — and a value that
+    # hashes outside every file's set can't resurrect
+    kept2, _ = t.bloom_files("k", 999_999_999)
+    assert kept2 == []
+    assert t.read_bloom_point(spark, "k", 999_999_999).count() == 0
+    # files without blooms are conservatively kept (probe inside the
+    # new file's stats range so only the missing bloom is in play)
+    t.append(_df(spark, 0, 10), committed_at_us=3_000_000)  # no bloom_for
+    kept3, _ = t.bloom_files("k", 5)
+    assert any("blooms" not in f for f in kept3)
