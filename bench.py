@@ -109,6 +109,13 @@ BENCH_QUERIES = [
     # fold + changed-doc band probe; an index-maintenance regression
     # that falls back to corpus re-signaturing would multiply this row
     "dedup_index_incremental",
+    # r10: the MOR MERGE read path (stacked positional + equality
+    # delete anti-joins over the merge chain — a plan that shuffles
+    # for either anti-join kind would multiply this row), and the
+    # bloom point-lookup path (manifest bloom probes + pruned scan —
+    # a pruning regression turns O(matching files) into O(table))
+    "table_merge_mor_read",
+    "table_bloom_read",
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is
