@@ -1106,3 +1106,86 @@ def kmeans_integer_distributed(
         cents = new_cents
 
     return assign(cents).select("vec_id", "cluster", "dist")
+
+
+def sign_code_words(vec: F.Column, dim: int, word_bits: int = 32) -> list[F.Column]:
+    """BINARY QUANTIZATION code: sign bit per dimension (v[d] > 0),
+    packed little-endian into ``ceil(dim/word_bits)``-word BIGINTs —
+    32 bits/word so the identical packing is expressible in signed-
+    int SQL dialects without 1<<63 overflow. 64 floats → 8 bytes: the
+    32× compression every vector DB's BQ tier ships."""
+    words = []
+    for lo in range(0, dim, word_bits):
+        w = F.lit(0).cast("long")
+        for d in range(lo, min(lo + word_bits, dim)):
+            w = w + F.when(
+                F.element_at(vec, d + 1) > 0, F.lit(1 << (d - lo)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(w)
+    return words
+
+
+def binary_sign_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 32,
+) -> DataFrame:
+    """Binary-quantization ANN (the faiss/qdrant BQ serving shape):
+    Hamming distance over sign-bit codes shortlists ``shortlist``
+    candidates per query — XOR + popcount on packed words, ~32× less
+    memory traffic than float dot products — then exact cosine
+    re-ranks the shortlist to top-``k``. Both stages are deterministic
+    (ties break on neighbor id), so the whole pipeline carries a full
+    value oracle, unlike sketch-style ANN.
+
+    Plan shape: corpus codes are a per-row expression (no shuffle);
+    queries broadcast; the only wide op is the per-query top-shortlist
+    window. At 100 TB the code column is table-resident (8 bytes/row)
+    and the scan is the bandwidth-bound brute force every BQ tier
+    runs — the IVF keys are the sublinear path."""
+    n_words = (dim + 31) // 32
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    )
+    cw = sign_code_words(F.col("cvec"), dim)
+    for i, w in enumerate(cw):
+        c = c.withColumn(f"cw{i}", w)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    )
+    qw = sign_code_words(F.col("qvec"), dim)
+    for i, w in enumerate(qw):
+        q = q.withColumn(f"qw{i}", w)
+    ham = F.lit(0)
+    for i in range(n_words):
+        ham = ham + F.bit_count(F.col(f"cw{i}").bitwiseXOR(F.col(f"qw{i}")))
+    cand = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("ham", ham)
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("ham").asc(), F.col("neighbor_id")
+    )
+    short = (
+        cand.withColumn("hrank", F.row_number().over(ws))
+        .filter(F.col("hrank") <= shortlist)
+        .withColumn(
+            "cosine",
+            dot_expr("qvec", "cvec", dim)
+            / (norm_expr("qvec", dim) * norm_expr("cvec", dim)),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -846,6 +846,68 @@ SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
 
 SQL_SIM_SEARCH_ANN = _ann_oracle_sql()
 
+_BQ_SHORTLIST = 32
+
+
+def q_sim_search_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (the vector-DB BQ tier): sign-bit
+    codes packed 32 bits/word, Hamming XOR+popcount shortlist of 32,
+    exact cosine re-rank to top-5 — 32× less memory traffic than the
+    float brute force on the first pass, fully deterministic, so the
+    ENTIRE two-stage pipeline carries a value oracle (DuckDB packs
+    the identical words and ranks with the identical tie-breaks)."""
+    from journal_batch_processer_spark.operators.similarity import (
+        binary_sign_topk,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return binary_sign_topk(
+        embs, queries, dim=EMB_DIM, k=5, shortlist=_BQ_SHORTLIST
+    ).select(
+        "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _bq_oracle_sql(k: int = 5, shortlist: int = _BQ_SHORTLIST) -> str:
+    words = []
+    for lo in range(0, EMB_DIM, 32):
+        bits = " + ".join(
+            f"(CASE WHEN v[{d + 1}] > 0 THEN {1 << (d - lo)} ELSE 0 END)"
+            for d in range(lo, min(lo + 32, EMB_DIM))
+        )
+        words.append(f"CAST({bits} AS BIGINT) AS w{lo // 32}")
+    n_words = (EMB_DIM + 31) // 32
+    ham = " + ".join(
+        f"bit_count(xor(q.w{i}, c.w{i}))" for i in range(n_words)
+    )
+    dot = _DOT_SQL.replace("a.", "q.").replace("b.", "c.")
+    return f"""
+WITH {_NORM_CTE},
+b AS (SELECT vec_id, v, nrm, {', '.join(words)} FROM e),
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {ham} AS ham,
+           {dot} / (q.nrm * c.nrm) AS cosine
+    FROM b q JOIN b c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+short AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY ham, neighbor_id) AS hrank
+    FROM cand
+)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS rank
+    FROM short WHERE hrank <= {shortlist}
+) WHERE rank <= {k}
+"""
+
+
+SQL_SIM_SEARCH_BINARY = _bq_oracle_sql()
+
 
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN with TRAINED coarse centroids: deterministic
@@ -3266,6 +3328,7 @@ QUERIES = {
     "dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
     "sim_search": (q_sim_search, SQL_SIM_SEARCH),
     "sim_search_ann": (q_sim_search_ann, SQL_SIM_SEARCH_ANN),
+    "sim_search_binary": (q_sim_search_binary, SQL_SIM_SEARCH_BINARY),
     "sim_search_ivf": (q_sim_search_ivf, SQL_SIM_SEARCH_IVF),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
