@@ -1305,6 +1305,22 @@ class SnapshotTable:
             }, man)
         )
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        committed_at_us: int | None = None,
+    ) -> int:
+        """Predicate MOR delete in one call: address the visible rows
+        matching ``condition`` (:meth:`positions_where`) and commit
+        them as a positional delete — the row-level DELETE an engine
+        plans at scale (O(matching rows) commit, zero rewrites),
+        without the caller touching addresses."""
+        return self.delete_mor_pos(
+            self.positions_where(spark, condition),
+            committed_at_us=committed_at_us,
+        )
+
     def apply_deletes(
         self,
         spark: SparkSession,
@@ -2100,17 +2116,48 @@ class SnapshotTable:
         whose every file carries footer stats, and a column missing
         stats in ANY file that contains it reports None for safety
         (the caller falls back to a scan — stats are an optimization,
-        never a correctness gate). Fails loud under pending equality
-        deletes: the logical state differs from the files, so
-        metadata answers would overcount."""
+        never a correctness gate).
+
+        Pending deletes: POSITIONAL deletes subtract EXACTLY from the
+        row count metadata-side — addresses are physical (file, pos)
+        pairs, so the count of distinct live-file addresses is the
+        count of hidden rows, no scan of DATA files needed (the
+        delete files themselves are read driver-side; they are small
+        by the operator's contract). Per-column MIN/MAX go None under
+        any pending delete (a hidden row may hold the extremum).
+        EQUALITY deletes still fail loud: how many rows a key set
+        hides is not knowable from metadata."""
         man = self.manifest(self._resolve(version, None))
-        if man.get("delete_files"):
+        eq_dvs, pos_dvs = self._split_deletes(man)
+        if eq_dvs:
             raise NotImplementedError(
                 "stats_summary over pending equality deletes — the "
                 "manifest counts rows the MOR filter hides; run "
                 "apply_deletes() first or scan"
             )
-        out: dict = {"n_rows": sum(f["rows"] for f in man["files"])}
+        n_hidden = 0
+        if pos_dvs:
+            import pyarrow.parquet as pq
+
+            live = {f["path"] for f in man["files"]}
+            addrs: set[tuple[str, int]] = set()
+            for d in pos_dvs:
+                t = pq.read_table(os.path.join(self.root, d["path"]))
+                for fp, p in zip(
+                    t.column("_file").to_pylist(), t.column("_pos").to_pylist()
+                ):
+                    if fp in live:
+                        addrs.add((fp, p))
+            n_hidden = len(addrs)
+        out: dict = {
+            "n_rows": sum(f["rows"] for f in man["files"]) - n_hidden
+        }
+        if pos_dvs:
+            # a hidden row may hold any extremum: min/max are unknowable
+            for c in columns:
+                out[f"min_{c}"] = None
+                out[f"max_{c}"] = None
+            return out
         for c in columns:
             lo = hi = None
             ok = True

@@ -1761,3 +1761,33 @@ def test_bloom_skips_where_stats_cannot(spark, tmp_path):
     t.append(_df(spark, 0, 10), committed_at_us=3_000_000)  # no bloom_for
     kept3, _ = t.bloom_files("k", 5)
     assert any("blooms" not in f for f in kept3)
+
+
+def test_delete_where_and_stats_under_pos_deletes(spark, tmp_path):
+    """delete_where commits a predicate as a positional delete in one
+    call; stats_summary stays EXACT on row count under pure-positional
+    pending deletes (physical addresses count metadata-side), reports
+    min/max as unknowable, and still fails loud once an equality
+    delete stacks."""
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    t.delete_where(spark, "k % 10 = 3", committed_at_us=3_000_000)
+    assert {r.k for r in t.read(spark).collect()} == {
+        i for i in range(100) if i % 10 != 3
+    }
+    st = t.stats_summary(["k"])
+    assert st["n_rows"] == 90
+    assert st["min_k"] is None and st["max_k"] is None
+    # overlapping second predicate: shared addresses must not
+    # double-subtract (distinct across delete files)
+    t.delete_where(spark, "k >= 30 and k < 40", committed_at_us=4_000_000)
+    assert t.stats_summary([])["n_rows"] == 81  # 90 - 9 (33 already gone)
+    assert t.read(spark).count() == 81
+    t.delete_mor(
+        spark.createDataFrame([(7,)], "k bigint"), "k",
+        committed_at_us=5_000_000,
+    )
+    with pytest.raises(NotImplementedError, match="apply_deletes"):
+        t.stats_summary(["k"])
