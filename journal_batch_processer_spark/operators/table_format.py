@@ -1624,6 +1624,49 @@ class SnapshotTable:
             "bytes_reclaimed": reclaimed,
         }
 
+    def gc_orphans(self, older_than_s: float = 3600.0) -> dict:
+        """Remove ORPHAN files — on-disk data/cdc/delete/wap files no
+        manifest of ANY ref (main, every branch, every version)
+        mentions (Iceberg's remove_orphan_files / Delta VACUUM's
+        untracked-file sweep). Orphans come from crashed writers:
+        files staged and renamed into place whose commit never landed
+        (the commit protocol makes them invisible, not free). The
+        ``older_than_s`` grace window protects writers mid-commit —
+        a file younger than it is assumed in-flight and kept, the
+        same race guard Iceberg documents. In-progress ``_staging-*``
+        directories are never touched. Main handle only."""
+        if self.branch is not None:
+            raise ValueError("gc_orphans from the main handle only")
+        referenced: set[str] = set()
+        for v in self.versions():
+            referenced |= {f["path"] for f in self._all_refs(self.manifest(v))}
+        for name in self.branches():
+            bt = SnapshotTable(self.root, branch=name)
+            for v in bt.versions():
+                referenced |= {
+                    f["path"] for f in self._all_refs(bt.manifest(v))
+                }
+        now = time.time()
+        removed = reclaimed = 0
+        for prefix in ("data", "cdc", "delete", "wap"):
+            d = os.path.join(self.root, prefix)
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                rel = f"{prefix}/{fn}"
+                if rel in referenced:
+                    continue
+                ap = os.path.join(d, fn)
+                try:
+                    if now - os.path.getmtime(ap) < older_than_s:
+                        continue  # possibly a commit in flight
+                    reclaimed += os.path.getsize(ap)
+                    os.unlink(ap)
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        return {"files_removed": removed, "bytes_reclaimed": reclaimed}
+
     # ------------------------------------------------------------------
     # streaming ingest
     # ------------------------------------------------------------------

@@ -1791,3 +1791,30 @@ def test_delete_where_and_stats_under_pos_deletes(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="apply_deletes"):
         t.stats_summary(["k"])
+
+
+def test_gc_orphans_removes_uncommitted_keeps_referenced(spark, tmp_path):
+    """A crashed writer's renamed-but-never-committed file is an
+    orphan: invisible to readers but not free. gc_orphans reclaims it
+    (after the in-flight grace window), never touching referenced
+    files — including ones only a BRANCH references."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    b = t.create_branch("wip")
+    b.append(_df(spark, 100, 110), committed_at_us=3_000_000)
+    # simulate the crash: a staged file renamed into data/ whose
+    # commit never landed
+    orphan = os.path.join(t.root, "data", "v99999-0000-deadbeef.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    before = t.read(spark).count()
+    # inside the grace window: kept (possibly in-flight)
+    assert t.gc_orphans(older_than_s=3600)["files_removed"] == 0
+    assert os.path.exists(orphan)
+    out = t.gc_orphans(older_than_s=0)
+    assert out["files_removed"] == 1 and not os.path.exists(orphan)
+    # everything referenced survives — main and branch alike
+    assert t.read(spark).count() == before
+    assert b.read(spark).count() == 60
+    with pytest.raises(ValueError, match="main handle"):
+        b.gc_orphans()
