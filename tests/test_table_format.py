@@ -1818,3 +1818,48 @@ def test_gc_orphans_removes_uncommitted_keeps_referenced(spark, tmp_path):
     assert b.read(spark).count() == 60
     with pytest.raises(ValueError, match="main handle"):
         b.gc_orphans()
+
+
+def test_matview_incremental_over_merge_mor_cdf(spark, tmp_path):
+    """A CDF-maintained aggregate view folds a merge_mor commit
+    exactly like a COW merge: apply the signed change feed (+insert /
+    -delete) to the pre-merge base aggregate and match the direct
+    post-merge aggregate — the Delta-Live-Tables loop over the new
+    commit kind."""
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100), committed_at_us=2_000_000)
+    base = (
+        t.read(spark, version=2)
+        .groupBy((F.col("k") % 5).alias("g"))
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    batch = spark.createDataFrame(
+        [(5, 999), (20, 888), (200, 777)], "k bigint, v bigint"
+    )
+    t.merge_mor(batch, "k", committed_at_us=3_000_000)
+    ch = t.read_changes(spark, 2, 3).withColumn(
+        "sgn", F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    )
+    delta = ch.groupBy((F.col("k") % 5).alias("g")).agg(
+        F.sum(F.col("v") * F.col("sgn")).alias("ds"),
+        F.sum("sgn").alias("dn"),
+    )
+    folded = (
+        base.join(delta, "g", "full")
+        .select(
+            "g",
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("s"),
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    direct = (
+        t.read(spark)
+        .groupBy((F.col("k") % 5).alias("g"))
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
