@@ -935,11 +935,19 @@ class SnapshotTable:
         try:
             if addr is not None:
                 _, del_files, _ = self._stage_pos_delete(addr, base_v, man)
-            changes = to_insert.withColumn("_change", F.lit("insert"))
+            # CDF as the symmetric difference (exceptAll both ways),
+            # exactly like COW merge's rewritten-group diff: an upsert
+            # that rewrites a row to the identical value emits nothing
             if old_out is not None:
-                changes = old_out.withColumn(
-                    "_change", F.lit("delete")
-                ).unionByName(changes)
+                changes = to_insert.exceptAll(old_out).withColumn(
+                    "_change", F.lit("insert")
+                ).unionByName(
+                    old_out.exceptAll(to_insert).withColumn(
+                        "_change", F.lit("delete")
+                    )
+                )
+            else:
+                changes = to_insert.withColumn("_change", F.lit("insert"))
             cdc_files = self._stage_files(changes, base_v + 1, prefix="cdc")
             new_files = self._stage_files(
                 to_insert.repartitionByRange(max(1, len(cand) or 1), key),

@@ -381,24 +381,27 @@ def test_cdf_restore_fails_loud_and_vacuum_keeps_live_cdc(spark, tmp_path):
     assert _g.glob(_os.path.join(t.root, "cdc", "v00003-*")) == []
 
 
-def test_table_format_random_ops_match_python_model(spark, tmp_path):
+@pytest.mark.parametrize("seed", [88, 1234, 777])
+def test_table_format_random_ops_match_python_model(spark, tmp_path, seed):
     """Model-based randomized check: a seeded random sequence of
-    append / COW-merge / range-delete / compact / MOR-equality-delete /
+    append / COW-merge / MOR-merge / range-delete / compact /
+    MOR-equality-delete / positional-delete (delete_where) /
     apply-deletes commits is mirrored into a plain Python dict-of-rows
     model (merge_resolve = last-wins max(old, new) per key; appends
     are randomly hidden-bucketed and may RE-INSERT tombstoned keys —
-    the applies_below visibility rule on a random walk). After every
+    the applies_below visibility rule on a random walk; merge_mor and
+    delete_pos legally stack OVER pending deletes). After every
     commit: head read == model; after the run: every historical
     version == its recorded model state (time travel), and every
     consecutive CDC window == the model diff (write-time feed ==
-    logical diff, compact/apply windows empty). One seed, ~14 ops —
+    logical diff, compact/apply windows empty). One seed, ~18 ops —
     small but it walks op INTERLEAVINGS none of the targeted tests
     cover."""
     import random
 
     from pyspark.sql import functions as F
 
-    rng = random.Random(88)
+    rng = random.Random(seed)
     t = SnapshotTable.create(
         str(tmp_path / "rt"),
         [("k", "bigint"), ("v", "bigint")],
@@ -419,7 +422,7 @@ def test_table_format_random_ops_match_python_model(spark, tmp_path):
     ts = 1_000_000
     pending = False  # MOR delete files awaiting apply_deletes
     tombstoned: list = []  # keys removed by delete_mor, re-insertable
-    for step in range(14):
+    for step in range(18):
         ts += 1_000_000
         op = rng.choice(
             [
@@ -427,16 +430,20 @@ def test_table_format_random_ops_match_python_model(spark, tmp_path):
                 "merge",
                 "merge",
                 "merge_resolve",
+                "merge_mor",
+                "merge_mor",
                 "delete",
                 "compact",
                 "delete_mor",
                 "delete_mor",
+                "delete_pos",
                 "apply_deletes",
             ]
         )
         if pending and op in ("merge", "merge_resolve", "delete", "compact"):
-            # guarded while equality deletes are pending (targeted
-            # tests pin the guard itself) — resolve instead
+            # guarded while deletes are pending (targeted tests pin
+            # the guard itself) — resolve instead; merge_mor and
+            # delete_pos legally stack OVER pending deletes
             op = "apply_deletes"
         if op == "append":
             lo = rng.randrange(0, 500) * 10 + 100000 * step
@@ -503,6 +510,45 @@ def test_table_format_random_ops_match_python_model(spark, tmp_path):
             t.merge(mk_df(pairs), "k", committed_at_us=ts, resolve="v")
             for k, v_ in pairs:
                 model[k] = max(model.get(k, v_), v_)
+        elif op == "merge_mor":
+            # MOR upsert: same logical contract as COW merge, commits
+            # a positional delete + appended batch (stacks over any
+            # pending deletes); matched rows make the delete pending
+            keys = list(model)
+            upd = rng.sample(keys, min(len(keys), rng.randrange(0, 8)))
+            ins = [
+                (100000 * step + 333 + i, rng.randrange(1000))
+                for i in range(rng.randrange(0, 4))
+            ]
+            revive = [
+                (k, rng.randrange(1000))
+                for k in rng.sample(
+                    tombstoned, min(len(tombstoned), rng.randrange(0, 2))
+                )
+            ]
+            pairs = [(k, model[k] + 1 + rng.randrange(5)) for k in upd] + [
+                (k, v) for k, v in ins + revive if k not in model
+            ]
+            if not pairs:
+                continue
+            t.merge_mor(mk_df(pairs), "k", committed_at_us=ts)
+            model.update(dict(pairs))
+            tombstoned = [k for k in tombstoned if k not in model]
+            if upd:
+                pending = True
+        elif op == "delete_pos":
+            if not model:
+                continue
+            ks = rng.sample(sorted(model), min(len(model), rng.randrange(1, 6)))
+            t.delete_where(
+                spark,
+                "k in (" + ", ".join(str(k) for k in ks) + ")",
+                committed_at_us=ts,
+            )
+            for k in ks:
+                model.pop(k, None)
+            tombstoned.extend(ks)
+            pending = True
         elif op == "delete":
             if not model:
                 continue
@@ -1585,6 +1631,13 @@ def test_merge_mor_equals_cow_rewrites_nothing_cdf_parity(spark, tmp_path):
     ) == sorted(
         (r.k, r.v, r._change) for r in tc.read_changes(spark, 2, 3).collect()
     )
+    # a same-value upsert emits NOTHING on either path (the exceptAll
+    # symmetric-difference CDF contract both verbs share)
+    noop = spark.createDataFrame([(30, 300)], "k bigint, v bigint")
+    tm.merge_mor(noop, "k", committed_at_us=4_000_000)
+    tc.merge(noop, "k", committed_at_us=4_000_000)
+    assert tm.read_changes(spark, 3, 4).count() == 0
+    assert tc.read_changes(spark, 3, 4).count() == 0
 
 
 def test_merge_mor_over_pending_deletes_and_fold(spark, tmp_path):
