@@ -258,6 +258,51 @@ class SnapshotTable:
             + man.get("staged_files", [])
         )
 
+    # -- tags: named immutable version pins (Iceberg tag refs) --------
+    def _tags_path(self) -> str:
+        return os.path.join(self.root, "_manifest", "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        try:
+            with open(self._tags_path()) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a TAG — a named immutable reference to one snapshot
+        (Iceberg tags: release/audit pins). Tagged versions survive
+        vacuum (their manifests and every file they reference are
+        live until :meth:`drop_tag`), so `read(version=tags()[name])`
+        keeps working years after ordinary retention expired it."""
+        import re as _re
+
+        if self.branch is not None:
+            raise ValueError("create_tag from the main handle only")
+        if not _re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", name):
+            raise ValueError(f"bad tag name {name!r}")
+        v = self.latest_version() if version is None else version
+        self.manifest(v)  # raises if vacuumed / never committed
+        tags = self.tags()
+        if name in tags:
+            raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+        tags[name] = v
+        _fsync_write(self._tags_path(), json.dumps(tags, sort_keys=True))
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        if name not in tags:
+            raise LookupError(f"no tag {name!r}")
+        del tags[name]
+        _fsync_write(self._tags_path(), json.dumps(tags, sort_keys=True))
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise LookupError(f"no tag {name!r}")
+        return self.read(spark, version=tags[name])
+
     def drop_branch(self, name: str) -> dict:
         """Delete a branch's commit log AND reclaim its exclusive data
         files — the ones no main snapshot and no other branch
@@ -1565,11 +1610,18 @@ class SnapshotTable:
         )
         return t
 
-    def vacuum(self, retain_last: int = 2) -> dict:
+    def vacuum(
+        self, retain_last: int = 2, older_than_us: int | None = None
+    ) -> dict:
         """Physically remove data files referenced ONLY by snapshots
         older than the ``retain_last`` newest, and the expired
         manifests themselves — the retention pass that reclaims what
-        copy-on-write leaves behind. Time travel into vacuumed
+        copy-on-write leaves behind. ``older_than_us`` adds the
+        TIME-based retention every engine ships (VACUUM RETAIN N
+        HOURS): snapshots committed at or after it are kept however
+        many there are, so the two knobs compose as keep =
+        newest-``retain_last`` ∪ young ∪ tagged. TAGGED versions
+        (:meth:`create_tag`) never expire. Time travel into vacuumed
         versions fails loud (manifest gone); the retained snapshots
         are untouched. Returns {files_removed, manifests_removed,
         bytes_reclaimed}."""
@@ -1582,6 +1634,13 @@ class SnapshotTable:
             )
         versions = self.versions()
         keep_v = set(versions[-retain_last:])
+        if older_than_us is not None:
+            keep_v |= {
+                v
+                for v in versions
+                if self.manifest(v)["committed_at_us"] >= older_than_us
+            }
+        keep_v |= set(self.tags().values())  # tag refs never expire
         _all_refs = self._all_refs
         live = set()
         for v in keep_v:

@@ -1972,3 +1972,35 @@ def test_two_process_spark_writers_race(spark, tmp_path):
                 model.pop(k, None)
     got = sorted((r.k, r.v) for r in t.read(spark).collect())
     assert got == sorted(model.items())
+
+
+def test_tags_pin_versions_through_vacuum_and_time_retention(spark, tmp_path):
+    """Tags are immutable version pins that survive vacuum; the
+    older_than_us knob keeps young snapshots regardless of count —
+    the two retention rules compose with tag protection."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 50), committed_at_us=2_000_000)
+    t.merge(
+        spark.createDataFrame([(5, 999)], "k bigint, v bigint"), "k",
+        committed_at_us=3_000_000,
+    )
+    t.append(_df(spark, 100, 110), committed_at_us=9_000_000)
+    assert t.create_tag("rel-1", 2) == 2
+    with pytest.raises(ValueError, match="immutable"):
+        t.create_tag("rel-1", 3)
+    # time-based retention keeps v3/v4 (young) + v2 (tagged); v1 expires
+    t.vacuum(retain_last=1, older_than_us=2_500_000)
+    assert t.versions() == [2, 3, 4]
+    assert sorted(r.k for r in t.read_tag(spark, "rel-1").collect()) == list(
+        range(50)
+    )
+    # drop the tag: the next count-based vacuum expires v2
+    t.drop_tag("rel-1")
+    t.vacuum(retain_last=1)
+    assert t.versions() == [4]
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=2)
+    with pytest.raises(LookupError):
+        t.read_tag(spark, "rel-1")
+    with pytest.raises(ValueError, match="bad tag name"):
+        t.create_tag("a b")
