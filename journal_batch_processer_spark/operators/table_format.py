@@ -259,22 +259,28 @@ class SnapshotTable:
         )
 
     # -- tags: named immutable version pins (Iceberg tag refs) --------
-    def _tags_path(self) -> str:
-        return os.path.join(self.root, "_manifest", "tags.json")
+    def _tags_dir(self) -> str:
+        return os.path.join(self.root, "_manifest", "tags")
 
     def tags(self) -> dict[str, int]:
-        try:
-            with open(self._tags_path()) as fh:
-                return json.load(fh)
-        except (OSError, ValueError):
-            return {}
+        d = self._tags_dir()
+        out: dict[str, int] = {}
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".json"):
+                    with open(os.path.join(d, fn)) as fh:
+                        out[fn[:-5]] = json.load(fh)["version"]
+        return out
 
     def create_tag(self, name: str, version: int | None = None) -> int:
         """Pin a TAG — a named immutable reference to one snapshot
         (Iceberg tags: release/audit pins). Tagged versions survive
         vacuum (their manifests and every file they reference are
         live until :meth:`drop_tag`), so `read(version=tags()[name])`
-        keeps working years after ordinary retention expired it."""
+        keeps working years after ordinary retention expired it.
+        One file per tag, published by the same exclusive ``link(2)``
+        as commits — two writers racing the same name: exactly one
+        wins, no read-modify-write window."""
         import re as _re
 
         if self.branch is not None:
@@ -283,19 +289,25 @@ class SnapshotTable:
             raise ValueError(f"bad tag name {name!r}")
         v = self.latest_version() if version is None else version
         self.manifest(v)  # raises if vacuumed / never committed
-        tags = self.tags()
-        if name in tags:
-            raise ValueError(f"tag {name!r} already exists (tags are immutable)")
-        tags[name] = v
-        _fsync_write(self._tags_path(), json.dumps(tags, sort_keys=True))
+        d = self._tags_dir()
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+        _fsync_write(tmp, json.dumps({"version": v}))
+        try:
+            os.link(tmp, os.path.join(d, f"{name}.json"))
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists (tags are immutable)"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return v
 
     def drop_tag(self, name: str) -> None:
-        tags = self.tags()
-        if name not in tags:
-            raise LookupError(f"no tag {name!r}")
-        del tags[name]
-        _fsync_write(self._tags_path(), json.dumps(tags, sort_keys=True))
+        try:
+            os.unlink(os.path.join(self._tags_dir(), f"{name}.json"))
+        except FileNotFoundError:
+            raise LookupError(f"no tag {name!r}") from None
 
     def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
         tags = self.tags()

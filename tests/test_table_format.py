@@ -2004,3 +2004,40 @@ def test_tags_pin_versions_through_vacuum_and_time_retention(spark, tmp_path):
         t.read_tag(spark, "rel-1")
     with pytest.raises(ValueError, match="bad tag name"):
         t.create_tag("a b")
+
+
+def test_tag_create_race_exactly_one_winner(spark, tmp_path):
+    """Two processes racing create_tag on one name: exactly one wins
+    (exclusive link, no read-modify-write window), and concurrent
+    DIFFERENT names never clobber each other."""
+    import multiprocessing as mp
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10), committed_at_us=2_000_000)
+    ctx = mp.get_context("fork")
+    with ctx.Pool(4) as pool:
+        results = pool.map(
+            _tag_race_worker, [(t.root, w) for w in range(4)]
+        )
+    # same-name race: exactly one of the 4 workers won "rel"
+    assert sum(r[0] for r in results) == 1
+    # per-worker unique names: all landed
+    assert t.tags()["rel"] in (2,)
+    for w in range(4):
+        assert t.tags()[f"w{w}"] == 2
+
+
+def _tag_race_worker(args):
+    root, wid = args
+    from journal_batch_processer_spark.operators.table_format import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(root)
+    won = 1
+    try:
+        t.create_tag("rel", 2)
+    except ValueError:
+        won = 0
+    t.create_tag(f"w{wid}", 2)
+    return (won, wid)
