@@ -96,8 +96,10 @@ class TableStreamReader(DataSourceStreamReader):
         skip_change_commits: bool,
         schema: tuple,
         change_feed: bool = False,
+        branch: str | None = None,
     ):
         self.root = root
+        self.branch = branch
         self.skip_change_commits = skip_change_commits
         # the DECLARED stream schema (fixed at load time, commit_version
         # excluded) — files from any commit are projected/null-filled to
@@ -111,21 +113,52 @@ class TableStreamReader(DataSourceStreamReader):
             SnapshotTable,
         )
 
-        return SnapshotTable(self.root)
+        return SnapshotTable(self.root, branch=self.branch)
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        # main logs start at v1 → offset 0; a BRANCH log starts at its
+        # fork version → offset fork-1 (the fork snapshot becomes the
+        # stream's initial load, Delta startingVersion-style)
+        return {"version": self._table().versions()[0] - 1}
 
     def latestOffset(self) -> dict:
         return {"version": self._table().latest_version()}
 
     def partitions(self, start: dict, end: dict):
         t = self._table()
+        log_versions = set(t.versions())
         parts: list[TableFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             man = t.manifest(v)
             op = man["operation"]
             if op in NO_DATA_OPS:
+                continue
+            if man["parent"] is not None and man["parent"] not in log_versions:
+                # BRANCH FORK commit: its parent lives in main's log,
+                # not this one — emit the whole fork snapshot as the
+                # initial load (op checks don't apply to a baseline;
+                # pending deletes would silently resurrect hidden
+                # rows, so refuse those loudly)
+                if man.get("delete_files"):
+                    raise RuntimeError(
+                        "table stream: branch forked at a snapshot "
+                        "with pending delete files — apply_deletes "
+                        "before forking a streamed branch"
+                    )
+                for f in man["files"]:
+                    parts.append(
+                        TableFilePartition(
+                            abspath=f"{self.root}/{f['path']}",
+                            file_columns=tuple(f["columns"]),
+                            schema=self.schema,
+                            commit_version=v,
+                            constants=(
+                                (("_change", "insert"),)
+                                if self.change_feed
+                                else ()
+                            ),
+                        )
+                    )
                 continue
             if self.change_feed:
                 # CDF mode (Delta readChangeFeed): appends emit added
@@ -135,7 +168,7 @@ class TableStreamReader(DataSourceStreamReader):
                 # restore has no materialized diff — fail loud.
                 if op in ("create", "compact", "cluster", "rewrite_deletes"):
                     continue
-                if op in ("merge", "delete", "delete_mor"):
+                if op in ("merge", "merge_mor", "delete", "delete_mor", "delete_mor_pos"):
                     cdc = man.get("cdc_files")
                     if cdc is None:
                         raise RuntimeError(
@@ -225,7 +258,8 @@ class TableStreamSource(DataSource):
     ``readChangeFeed`` ("true"/"false", default false — emit the
     CHANGE feed instead of table rows: appends as tagged inserts,
     merge/delete commits from their write-time cdc_files, with a
-    ``_change`` column)."""
+    ``_change`` column), ``branch`` (follow a BRANCH's commit log
+    instead of main — the audit/ETL line as a live stream)."""
 
     @classmethod
     def name(cls) -> str:
@@ -245,7 +279,9 @@ class TableStreamSource(DataSource):
             SnapshotTable,
         )
 
-        man = SnapshotTable(self._root()).manifest()
+        man = SnapshotTable(
+            self._root(), branch=self.options.get("branch")
+        ).manifest()
         ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in man["schema"])
         if self._flag("readChangeFeed"):
             ddl += ", `_change` string"
@@ -262,4 +298,5 @@ class TableStreamSource(DataSource):
             self._flag("skipChangeCommits"),
             declared,
             change_feed=self._flag("readChangeFeed"),
+            branch=self.options.get("branch"),
         )

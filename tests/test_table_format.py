@@ -2041,3 +2041,90 @@ def _tag_race_worker(args):
         won = 0
     t.create_tag(f"w{wid}", 2)
     return (won, wid)
+
+
+def test_table_stream_follows_branch(spark, tmp_path):
+    """The streaming source with .option('branch', name) follows the
+    BRANCH commit log: branch appends arrive, main's post-fork append
+    does not; the main stream sees the inverse."""
+    from journal_batch_processer_spark.queries.streaming_q import _await_drain
+    from journal_batch_processer_spark.sources.python_source import register_once
+    from journal_batch_processer_spark.sources.table_stream import (
+        TableStreamSource,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10), committed_at_us=2_000_000)   # shared fork line
+    b = t.create_branch("etl")
+    b.append(_df(spark, 100, 105), committed_at_us=3_000_000)  # branch-only
+    t.append(_df(spark, 200, 205), committed_at_us=3_500_000)  # main-only
+
+    register_once(spark, TableStreamSource)
+
+    def drain(branch):
+        out = str(tmp_path / f"out-{branch or 'main'}")
+        ckpt = str(tmp_path / f"ckpt-{branch or 'main'}")
+        r = spark.readStream.format("jbp_table_stream").option("path", t.root)
+        if branch:
+            r = r.option("branch", branch)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q, "branch_stream_test")
+        return {r.k for r in spark.read.parquet(out).collect()}
+
+    got_branch = drain("etl")
+    got_main = drain(None)
+    shared = set(range(10))
+    assert got_branch == shared | set(range(100, 105))
+    assert got_main == shared | set(range(200, 205))
+
+
+def test_table_stream_cdf_over_merge_mor_and_pos_delete(spark, tmp_path):
+    """The readChangeFeed stream consumes merge_mor and positional-
+    delete commits from their write-time cdc_files — tagged rows,
+    correct commit versions, nothing doubled."""
+    from journal_batch_processer_spark.queries.streaming_q import _await_drain
+    from journal_batch_processer_spark.sources.python_source import register_once
+    from journal_batch_processer_spark.sources.table_stream import (
+        TableStreamSource,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 20), committed_at_us=2_000_000)
+    t.merge_mor(
+        spark.createDataFrame([(5, 999), (100, 111)], "k bigint, v bigint"),
+        "k", committed_at_us=3_000_000,
+    )
+    t.delete_where(spark, "k = 7", committed_at_us=4_000_000)
+    register_once(spark, TableStreamSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("jbp_table_stream")
+        .option("path", t.root)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drain(q, "cdf_mor_test")
+    got = sorted(
+        (r.k, r.v, r._change, r.commit_version)
+        for r in spark.read.parquet(out).filter("commit_version > 2").collect()
+    )
+    assert got == [
+        (5, 50, "delete", 3),
+        (5, 999, "insert", 3),
+        (7, 70, "delete", 4),
+        (100, 111, "insert", 3),
+    ]
