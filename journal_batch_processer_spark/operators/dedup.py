@@ -851,3 +851,59 @@ def duplicated_substring_spans(
             "n_dup_windows",
         )
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRS via block probing (Manku, Jain & Das
+    Sarma, WWW'07 — the web-crawl dedup method): split the b-bit
+    fingerprint into ``max_hamming + 1`` equal blocks; by pigeonhole,
+    two fingerprints within Hamming distance k must agree EXACTLY on
+    at least one block, so candidates come from an equi-join on
+    (block_idx, block_value) — never all-pairs — and one popcount
+    verifies. At 100 TB this is (k+1) shuffle-light self-joins on
+    8-bit-block keys vs the quadratic sweep; the fingerprint itself is
+    the existing one-shuffle :func:`simhash_fingerprint` (portable
+    md5 bit votes, so the WHOLE pipeline keeps a full value oracle).
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ k."""
+    n_blocks = max_hamming + 1
+    if bits % n_blocks:
+        raise ValueError(f"bits={bits} not divisible into {n_blocks} blocks")
+    width = bits // n_blocks
+    fp = simhash_fingerprint(df, id_col, text_col, bits=bits)
+    block_vals = F.array(
+        *[
+            (F.shiftright(F.col("simhash"), i * width) % (1 << width)).cast(
+                "long"
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    b = fp.select("doc", "simhash", F.posexplode(block_vals).alias("blk", "bv"))
+    a, c = b.alias("a"), b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.doc") < F.col("c.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("c.doc").alias("doc_b"),
+            F.col("a.simhash").alias("fa"),
+            F.col("c.simhash").alias("fb"),
+        )
+        .distinct()  # agreement on several blocks yields one pair
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -633,6 +633,51 @@ SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM votes
 
 SQL_DEDUP_SIMHASH = _simhash_oracle_sql()
 
+_SIMHASH_K = 3
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via Manku block probing (WWW'07): the
+    32-bit fingerprints split into k+1=4 8-bit blocks; pigeonhole
+    makes the (block_idx, value) equi-join a complete candidate
+    generator for Hamming ≤ 3, one popcount verifies — the web-crawl
+    dedup shape, never all-pairs. Full oracle: fingerprint votes,
+    block packing, candidate join and popcount all replayed in SQL."""
+    from journal_batch_processer_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return simhash_near_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=_SIMHASH_K
+    )
+
+
+def _simhash_pairs_oracle_sql(bits: int = 32, k: int = _SIMHASH_K) -> str:
+    width = bits // (k + 1)
+    bvs = ", ".join(
+        f"(simhash >> {i * width}) % {1 << width}" for i in range(k + 1)
+    )
+    return f"""
+WITH fp AS ({_simhash_oracle_sql(bits)}),
+b AS (
+    SELECT doc, simhash,
+           UNNEST(range(0, {k + 1})) AS blk,
+           UNNEST([{bvs}]) AS bv
+    FROM fp
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, c.doc AS doc_b,
+           a.simhash AS fa, c.simhash AS fb
+    FROM b a JOIN b c ON a.blk = c.blk AND a.bv = c.bv AND a.doc < c.doc
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {k}
+"""
+
+
+SQL_DEDUP_SIMHASH_PAIRS = _simhash_pairs_oracle_sql()
+
 
 # embedding near-dup + similarity search ------------------------------------
 
@@ -3316,6 +3361,7 @@ QUERIES = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_near": (q_dedup_near, SQL_DEDUP_NEAR),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_editdist": (q_dedup_editdist, SQL_DEDUP_EDITDIST),
     "outlier_zscore": (q_outlier_zscore, SQL_OUTLIER_ZSCORE),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),

@@ -81,6 +81,7 @@ def _build() -> dict[str, QuerySpec]:
         "table_branch_ff_read",  # fast-forward publish back to main
         "table_bloom_read",      # bloom file-skipping point lookups
         "sim_search_binary",     # sign-bit Hamming shortlist + exact re-rank
+        "dedup_simhash_pairs",   # Manku block-probe near-dup pairs
         # stalest driver rows (freshest row <= r04), alphabetical
         "json_extract",
         "json_roundtrip",

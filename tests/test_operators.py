@@ -702,3 +702,45 @@ def test_pq_refine_beats_adc_only(spark):
     ref = recall(pq_topk(embs, qs, books, dim=64, k=5, refine=20))
     assert ref >= adc
     assert adc >= 0.2  # far above chance (5/49) on this corpus
+
+
+def test_simhash_block_probe_equals_all_pairs(spark):
+    """Pigeonhole completeness: the Manku block-probe candidate
+    generator finds EXACTLY the pairs the quadratic all-pairs Hamming
+    sweep finds at k=3 — no candidate is missed by block agreement,
+    none survives the popcount verify wrongly."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.dedup import (
+        simhash_fingerprint,
+        simhash_near_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(
+            docs, "doc_id", "text", bits=32, max_hamming=3
+        ).collect()
+    )
+    fp = simhash_fingerprint(docs, "doc_id", "text", bits=32)
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    )
+    assert got == brute and got
