@@ -795,3 +795,82 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(sample, schema)
+
+
+def decode_ppm_pixels(data: bytes):
+    """Pixel-returning variant of :func:`decode_ppm_bytes`: same
+    strict P6 header parsing, returns ``(width, height, ndarray
+    (h, w, 3) uint8)`` for feature extractors that need the raster
+    (perceptual hashing), not just channel means."""
+    import numpy as np
+
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated PPM header")
+        c = data[pos:pos + 1]
+        if c == b"#":
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end:end + 1].isspace():
+                end += 1
+            tokens.append(data[pos:end])
+            pos = end
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    if not data[pos:pos + 1].isspace():
+        raise ValueError("PPM header not terminated by a whitespace byte")
+    if data[pos:pos + 2] == b"\r\n":
+        raise ValueError("PPM header terminated by CRLF")
+    pos += 1
+    need = w * h * 3
+    px = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+    if px.size < need:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, px.reshape(h, w, 3)
+
+
+def dhash64_words(rgb) -> tuple[int, int]:
+    """64-bit difference hash (dHash — the perceptual-hash standard
+    for image near-dup detection) as two exact-integer 32-bit words:
+    integer BT.601 luma ``(299r + 587g + 114b) // 1000``, area-mean
+    downsample to a 9×8 grid (integer floor box boundaries, integer
+    mean), bit k = (cell right of k) > (cell k), k = row*8 + col.
+    Every step is integer arithmetic, so the identical hash is
+    computable in SQL from a pixel formula — the property that gives
+    the media dedup keys full value oracles. Returns (w1, w0): bits
+    32..63 and 0..31."""
+    import numpy as np
+
+    h, w = rgb.shape[0], rgb.shape[1]
+    if h < 8 or w < 9:
+        raise ValueError(f"image too small for dHash: {w}x{h}")
+    px = rgb.astype(np.int64)
+    luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    xs = [w * cx // 9 for cx in range(10)]
+    ys = [h * cy // 8 for cy in range(9)]
+    m = [
+        [
+            int(luma[ys[cy]:ys[cy + 1], xs[cx]:xs[cx + 1]].sum())
+            // ((ys[cy + 1] - ys[cy]) * (xs[cx + 1] - xs[cx]))
+            for cx in range(9)
+        ]
+        for cy in range(8)
+    ]
+    w0 = w1 = 0
+    for cy in range(8):
+        for cx in range(8):
+            if m[cy][cx + 1] > m[cy][cx]:
+                k = cy * 8 + cx
+                if k < 32:
+                    w0 |= 1 << k
+                else:
+                    w1 |= 1 << (k - 32)
+    return w1, w0

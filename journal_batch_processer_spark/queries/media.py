@@ -799,3 +799,183 @@ FROM manifest m JOIN documents d ON d.doc_id = m.doc_id
 
 # defined below the QUERIES literal — registered here
 QUERIES["multimodal_manifest"] = (q_multimodal_manifest, SQL_MULTIMODAL_MANIFEST)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup (dHash)
+# ---------------------------------------------------------------------------
+_N_PHASH = 64
+_PHASH_W, _PHASH_H = 18, 16  # 9x8 grid of exact 2x2 boxes
+
+
+def _phash_byte(base: int, x: int, y: int) -> int:
+    import hashlib
+
+    return hashlib.md5(f"{base}:{x}:{y}".encode()).digest()[0]
+
+
+def _materialize_phash_media(sf_dir: str) -> str:
+    """64 gray 18×16 PPMs whose pixels are portable md5 bytes of
+    (doc_id % 32, x, y) — images i and i+32 share a base raster and
+    i ≥ 32 perturbs ~10 scattered pixels by +1 (mod 256), so each
+    low/high pair is a planted NEAR-DUP (small Hamming distance
+    between dHashes) while unrelated images sit near the random
+    ~32-bit distance. Every pixel is recomputable in SQL (md5 is the
+    shared portable primitive), so decode → luma → box means → bits
+    all carry a full value oracle."""
+    d = os.path.join(_media_dir(sf_dir), "phash")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(src):
+        return d
+    fp = _fc.source_fingerprint(src) + ":phash-v1"
+    if _fc.is_fresh(d, fp):
+        return d
+    import duckdb
+
+    os.makedirs(d, exist_ok=True)
+    for old in os.listdir(d):
+        if old.endswith(".ppm"):
+            os.unlink(os.path.join(d, old))
+    doc_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{src}') "
+            f"WHERE doc_id < {_N_PHASH} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    for i in doc_ids:
+        raster = bytearray()
+        for y in range(_PHASH_H):
+            for x in range(_PHASH_W):
+                v = _phash_byte(i % 32, x, y)
+                if i >= 32 and (x + 3 * y + i) % 29 == 0:
+                    v = (v + 1) % 256
+                raster += bytes((v, v, v))
+        with open(os.path.join(d, f"phash_{i:05d}.ppm"), "wb") as f:
+            f.write(f"P6\n{_PHASH_W} {_PHASH_H}\n255\n".encode())
+            f.write(bytes(raster))
+    _fc.mark_fresh(d, fp)
+    return d
+
+
+def _dhash_words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fname, w1, w0) via real decode: binaryFile scan → strict PPM
+    pixel decode → integer dHash, Arrow-batched, zero shuffle."""
+    import pandas as pd
+
+    from journal_batch_processer_spark.operators.multimodal import (
+        decode_ppm_pixels,
+        dhash64_words,
+    )
+
+    d = _materialize_phash_media(sf_dir)
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for p, b in zip(pdf["path"], pdf["content"]):
+                _, _, rgb = decode_ppm_pixels(bytes(b))
+                w1, w0 = dhash64_words(rgb)
+                rows.append((p.rsplit("/", 1)[-1], w1, w0))
+            yield pd.DataFrame(rows, columns=["fname", "w1", "w0"])
+
+    scan = spark.read.format("binaryFile").load(
+        os.path.join(d, "*.ppm")
+    ).select("path", "content")
+    return scan.mapInPandas(decode, "fname string, w1 long, w0 long")
+
+
+def q_media_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash over REAL decoded images: 64-bit dHash (the
+    image near-dup standard) computed from actual PPM rasters —
+    integer luma, 9×8 integer box means, 64 comparison bits — emitted
+    as a 16-hex-digit string. The multimodal-dedup signature column a
+    training pipeline joins on; at 100 TB the hash is a per-row
+    mapInPandas expression over the binary column, zero shuffle, and
+    pair search is `dedup_simhash_pairs`-style block probing."""
+    df = _dhash_words_df(spark, sf_dir)
+    return df.select(
+        "fname", F.format_string("%08x%08x", F.col("w1"), F.col("w0")).alias("dhash")
+    )
+
+
+_PHASH_PX_CTE = f"""
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {_N_PHASH}),
+px AS (
+    SELECT i, x, y,
+           CASE WHEN i >= 32 AND (x + 3 * y + i) % 29 = 0
+                THEN (b + 1) % 256 ELSE b END AS v
+    FROM (
+        SELECT i, x, y,
+               ('0x' || substring(md5((i % 32) || ':' || x || ':' || y), 1, 2))::INT AS b
+        FROM ids,
+             (SELECT UNNEST(range({_PHASH_W})) AS x),
+             (SELECT UNNEST(range({_PHASH_H})) AS y)
+    )
+),
+cells AS (
+    SELECT i, x // 2 AS cx, y // 2 AS cy,
+           CAST(SUM(v) // 4 AS BIGINT) AS m
+    FROM px GROUP BY i, x // 2, y // 2
+),
+bits AS (
+    SELECT a.i, a.cy * 8 + a.cx AS k,
+           CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+    FROM cells a
+    JOIN cells b ON b.i = a.i AND b.cy = a.cy AND b.cx = a.cx + 1
+    WHERE a.cx < 8
+),
+words AS (
+    SELECT i,
+           CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY i
+)
+"""
+
+SQL_MEDIA_IMAGE_DHASH = f"""
+WITH {_PHASH_PX_CTE}
+SELECT printf('phash_%05d.ppm', i) AS fname,
+       printf('%08x%08x', w1, w0) AS dhash
+FROM words
+"""
+
+_PHASH_PAIR_MAX_HAMMING = 12
+
+
+def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup PAIRS by dHash Hamming distance ≤ 12 over the
+    real decoded corpus — finds exactly the planted (i, i+32)
+    perturbed twins; unrelated images sit near the random ~32-bit
+    distance. 64 images → broadcast self-join here; the corpus-scale
+    path is the Manku block probe (`dedup_simhash_pairs`) over this
+    hash column."""
+    df = _dhash_words_df(spark, sf_dir)
+    a, b = df.alias("a"), df.alias("b")
+    ham = (
+        F.bit_count(F.col("a.w0").bitwiseXOR(F.col("b.w0")))
+        + F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
+    ).cast("long")
+    return (
+        a.join(F.broadcast(b), F.col("a.fname") < F.col("b.fname"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _PHASH_PAIR_MAX_HAMMING)
+        .select(
+            F.col("a.fname").alias("fname_a"),
+            F.col("b.fname").alias("fname_b"),
+            "hamming",
+        )
+    )
+
+
+SQL_MEDIA_DHASH_PAIRS = f"""
+WITH {_PHASH_PX_CTE}
+SELECT printf('phash_%05d.ppm', a.i) AS fname_a,
+       printf('phash_%05d.ppm', b.i) AS fname_b,
+       CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+FROM words a JOIN words b ON a.i < b.i
+WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= {_PHASH_PAIR_MAX_HAMMING}
+"""
+
+QUERIES["media_image_dhash"] = (q_media_image_dhash, SQL_MEDIA_IMAGE_DHASH)
+QUERIES["media_dhash_pairs"] = (q_media_dhash_pairs, SQL_MEDIA_DHASH_PAIRS)

@@ -82,6 +82,8 @@ def _build() -> dict[str, QuerySpec]:
         "table_bloom_read",      # bloom file-skipping point lookups
         "sim_search_binary",     # sign-bit Hamming shortlist + exact re-rank
         "dedup_simhash_pairs",   # Manku block-probe near-dup pairs
+        "media_image_dhash",     # perceptual hash from real decoded pixels
+        "media_dhash_pairs",     # image near-dup pairs by dHash Hamming
         # stalest driver rows (freshest row <= r04), alphabetical
         "json_extract",
         "json_roundtrip",
