@@ -874,3 +874,47 @@ def dhash64_words(rgb) -> tuple[int, int]:
                 else:
                     w1 |= 1 << (k - 32)
     return w1, w0
+
+
+def decode_wav_samples(data: bytes):
+    """Sample-returning variant of :func:`decode_wav_bytes`: stdlib
+    RIFF/WAV PCM decode that hands back ``(sample_rate, ndarray
+    int64)`` of raw interleaved samples (unsigned 8-bit kept on its
+    0..255 scale) for feature extractors that need the waveform
+    (audio fingerprinting), not just the RMS."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    else:
+        raise ValueError(f"unsupported sample width for fingerprint: {width}")
+    return rate, samples
+
+
+def audio_energy_blocks(
+    samples, n_blocks: int = 16, midpoint: int = 128
+) -> list[int]:
+    """Block energy fingerprint: the waveform split into ``n_blocks``
+    equal runs (floor boundaries), each summarized by its EXACT
+    integer sum of absolute deviation from the PCM midpoint — the
+    audio analog of the dHash cell means: every step integer, so the
+    identical signature is computable in SQL and the whole pipeline
+    (decode included) carries a value oracle. Near-dup audio =
+    small L1 distance between signatures."""
+    n = len(samples)
+    if n < n_blocks:
+        raise ValueError(f"waveform too short: {n} < {n_blocks} blocks")
+    bounds = [n * b // n_blocks for b in range(n_blocks + 1)]
+    return [
+        int(abs(samples[bounds[b]:bounds[b + 1]] - midpoint).sum())
+        for b in range(n_blocks)
+    ]

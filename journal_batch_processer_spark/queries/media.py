@@ -979,3 +979,165 @@ WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= {_PHASH_PAIR_MA
 
 QUERIES["media_image_dhash"] = (q_media_image_dhash, SQL_MEDIA_IMAGE_DHASH)
 QUERIES["media_dhash_pairs"] = (q_media_dhash_pairs, SQL_MEDIA_DHASH_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint near-dup (block-energy signature)
+# ---------------------------------------------------------------------------
+_N_AFP = 64
+_AFP_SAMPLES = 1600
+_AFP_BLOCKS = 16
+_AFP_PAIR_MAX_L1 = 200
+
+
+def _materialize_afp_media(sf_dir: str) -> str:
+    """64 mono PCM8 WAVs (8 kHz, 1600 samples) whose samples are
+    portable md5 bytes of (doc_id % 32, t) — files i and i+32 share a
+    base waveform and i ≥ 32 perturbs ~16 scattered samples by +1
+    (mod 256): planted near-dup twins under the block-energy L1
+    metric, while unrelated files sit at large random distance. Every
+    sample is SQL-recomputable, so decode → block energies → pairs
+    all carry full value oracles."""
+    import hashlib
+    import wave
+
+    d = os.path.join(_media_dir(sf_dir), "afp")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(src):
+        return d
+    fp = _fc.source_fingerprint(src) + ":afp-v1"
+    if _fc.is_fresh(d, fp):
+        return d
+    import duckdb
+
+    os.makedirs(d, exist_ok=True)
+    for old in os.listdir(d):
+        if old.endswith(".wav"):
+            os.unlink(os.path.join(d, old))
+    doc_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{src}') "
+            f"WHERE doc_id < {_N_AFP} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    for i in doc_ids:
+        buf = bytearray()
+        for t in range(_AFP_SAMPLES):
+            v = hashlib.md5(f"{i % 32}:{t}".encode()).digest()[0]
+            if i >= 32 and (t + i) % 97 == 0:
+                v = (v + 1) % 256
+            buf.append(v)
+        with wave.open(os.path.join(d, f"afp_{i:05d}.wav"), "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(1)
+            wf.setframerate(8000)
+            wf.writeframes(bytes(buf))
+    _fc.mark_fresh(d, fp)
+    return d
+
+
+def _afp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fname, block, energy) via real decode: binaryFile scan →
+    stdlib WAV decode → exact-integer block energies, Arrow-batched,
+    zero shuffle."""
+    import pandas as pd
+
+    from journal_batch_processer_spark.operators.multimodal import (
+        audio_energy_blocks,
+        decode_wav_samples,
+    )
+
+    d = _materialize_afp_media(sf_dir)
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for p, b in zip(pdf["path"], pdf["content"]):
+                _, samples = decode_wav_samples(bytes(b))
+                for blk, e in enumerate(
+                    audio_energy_blocks(samples, n_blocks=_AFP_BLOCKS)
+                ):
+                    rows.append((p.rsplit("/", 1)[-1], blk, e))
+            yield pd.DataFrame(rows, columns=["fname", "block", "energy"])
+
+    scan = spark.read.format("binaryFile").load(
+        os.path.join(d, "*.wav")
+    ).select("path", "content")
+    return scan.mapInPandas(decode, "fname string, block int, energy long")
+
+
+def q_media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint over REAL decoded waveforms: 16 exact-integer
+    block energies (sum |sample − 128| per equal run) from stdlib WAV
+    PCM decode — the audio analog of the dHash signature; at scale a
+    per-row mapInPandas expression over the binary column, zero
+    shuffle, joined for near-dup by L1 distance."""
+    return _afp_df(spark, sf_dir)
+
+
+_AFP_PX_CTE = f"""
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {_N_AFP}),
+sm AS (
+    SELECT i, t,
+           CASE WHEN i >= 32 AND (t + i) % 97 = 0
+                THEN (b + 1) % 256 ELSE b END AS v
+    FROM (
+        SELECT i, t,
+               ('0x' || substring(md5((i % 32) || ':' || t), 1, 2))::INT AS b
+        FROM ids, (SELECT UNNEST(range({_AFP_SAMPLES})) AS t)
+    )
+),
+eb AS (
+    SELECT i, t * {_AFP_BLOCKS} // {_AFP_SAMPLES} AS block,
+           CAST(SUM(abs(v - 128)) AS BIGINT) AS energy
+    FROM sm GROUP BY 1, 2
+)
+"""
+
+SQL_MEDIA_AUDIO_FINGERPRINT = f"""
+WITH {_AFP_PX_CTE}
+SELECT printf('afp_%05d.wav', i) AS fname,
+       CAST(block AS INT) AS block, energy
+FROM eb
+"""
+
+
+def q_media_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup PAIRS: L1 distance between block-energy
+    signatures ≤ 200 — recovers exactly the planted (i, i+32)
+    perturbed twins (≈16 samples moved by 1 → L1 ≤ 16); unrelated
+    waveforms differ by thousands. 64 files → broadcast self-join;
+    the corpus-scale candidate path is banding on quantized energy
+    prefixes (the minhash-band shape)."""
+    sig = _afp_df(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.fname") < F.col("b.fname")),
+        )
+        .groupBy(
+            F.col("a.fname").alias("fname_a"),
+            F.col("b.fname").alias("fname_b"),
+        )
+        .agg(F.sum(F.abs(F.col("a.energy") - F.col("b.energy"))).alias("l1"))
+        .filter(F.col("l1") <= _AFP_PAIR_MAX_L1)
+    )
+
+
+SQL_MEDIA_AUDIO_PAIRS = f"""
+WITH {_AFP_PX_CTE}
+SELECT printf('afp_%05d.wav', a.i) AS fname_a,
+       printf('afp_%05d.wav', b.i) AS fname_b,
+       CAST(SUM(abs(a.energy - b.energy)) AS BIGINT) AS l1
+FROM eb a JOIN eb b ON a.block = b.block AND a.i < b.i
+GROUP BY 1, 2
+HAVING SUM(abs(a.energy - b.energy)) <= {_AFP_PAIR_MAX_L1}
+"""
+
+QUERIES["media_audio_fingerprint"] = (
+    q_media_audio_fingerprint, SQL_MEDIA_AUDIO_FINGERPRINT,
+)
+QUERIES["media_audio_pairs"] = (q_media_audio_pairs, SQL_MEDIA_AUDIO_PAIRS)

@@ -84,6 +84,8 @@ def _build() -> dict[str, QuerySpec]:
         "dedup_simhash_pairs",   # Manku block-probe near-dup pairs
         "media_image_dhash",     # perceptual hash from real decoded pixels
         "media_dhash_pairs",     # image near-dup pairs by dHash Hamming
+        "media_audio_fingerprint",  # block-energy signature from WAV decode
+        "media_audio_pairs",     # audio near-dup pairs by signature L1
         # stalest driver rows (freshest row <= r04), alphabetical
         "json_extract",
         "json_roundtrip",

@@ -1089,3 +1089,34 @@ def test_gif_disposal_3_restore_previous():
     # frame 3 is fully transparent: the disposal-3 restore means frame
     # 1's color shows through (disposal 2 would show background 8.0)
     assert g["frames"][2]["mean_r"] == 200.0
+
+
+def test_dhash64_words_integer_contract():
+    """dHash: exact-integer luma/box pipeline, floor box boundaries on
+    non-divisible dims, gradient sanity (monotone-brighter-rightward
+    image → all 64 bits set), and the too-small guard."""
+    import numpy as np
+    import pytest as _pytest
+
+    from journal_batch_processer_spark.operators.multimodal import (
+        dhash64_words,
+    )
+
+    # strictly increasing luma left->right: every right cell beats its
+    # left neighbour -> all bits set in both words
+    w, h = 18, 16
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for x in range(w):
+        img[:, x, :] = 10 + 13 * x
+    w1, w0 = dhash64_words(img)
+    assert w0 == 0xFFFFFFFF and w1 == 0xFFFFFFFF
+    # constant image: no strict increase anywhere -> zero hash
+    flat = np.full((h, w, 3), 77, dtype=np.uint8)
+    assert dhash64_words(flat) == (0, 0)
+    # non-divisible dims still hash (floor boundaries), deterministic
+    odd = np.zeros((11, 13, 3), dtype=np.uint8)
+    for x in range(13):
+        odd[:, x, :] = 255 - 19 * x  # darker rightward -> zero hash
+    assert dhash64_words(odd) == (0, 0)
+    with _pytest.raises(ValueError, match="too small"):
+        dhash64_words(np.zeros((4, 4, 3), dtype=np.uint8))
