@@ -167,3 +167,37 @@ def decode_avi_mjpeg(data: bytes) -> dict:
         "us_per_frame": int(us_per_frame),
         "frames": decoded,
     }
+
+
+def avi_frame_payloads(data: bytes):
+    """Container-only parse: returns ``(us_per_frame, width, height,
+    [jpeg_frame_bytes])`` without decoding the frames — for feature
+    extractors that decode each frame themselves (per-frame
+    perceptual hashing)."""
+    if data[:4] != b"RIFF":
+        raise ValueError("avi: missing RIFF magic")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if data[8:12] != b"AVI ":
+        raise ValueError("avi: not an AVI RIFF form")
+    end = min(len(data), 8 + riff_size)
+    avih = None
+    frames: list[bytes] = []
+    for fourcc, body, size in _walk_chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue
+        list_type = data[body : body + 4]
+        if list_type == b"hdrl":
+            for f2, b2, s2 in _walk_chunks(data, body + 4, body + size):
+                if f2 == b"avih":
+                    avih = struct.unpack("<14I", data[b2 : b2 + 56])
+        elif list_type == b"movi":
+            for f2, b2, s2 in _walk_chunks(data, body + 4, body + size):
+                if f2 == b"00dc":
+                    frames.append(data[b2 : b2 + s2])
+    if avih is None:
+        raise ValueError("avi: missing avih header")
+    if len(frames) != avih[4]:
+        raise ValueError(
+            f"avi: frame count mismatch: header {avih[4]}, found {len(frames)}"
+        )
+    return avih[0], avih[8], avih[9], frames

@@ -1141,3 +1141,206 @@ QUERIES["media_audio_fingerprint"] = (
     q_media_audio_fingerprint, SQL_MEDIA_AUDIO_FINGERPRINT,
 )
 QUERIES["media_audio_pairs"] = (q_media_audio_pairs, SQL_MEDIA_AUDIO_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# video near-dup: per-frame dHash over lossless MJPEG-AVI
+# ---------------------------------------------------------------------------
+_N_VFP = 64
+_VFP_FRAMES = 6
+_VFP_PAIR_MAX_HAMMING = 40  # total over aligned frames
+
+
+def _materialize_vfp_media(sf_dir: str) -> str:
+    """64 MJPEG-AVIs of 6 LOSSLESS-JPEG (SOF3) 18×16 gray frames whose
+    samples are portable md5 bytes of (doc_id % 32, frame, x, y) —
+    lossless coding means the decoded planes are bit-exactly the md5
+    rasters, so per-frame dHash carries a full SQL oracle through a
+    REAL video container + codec path. Files i and i+32 share base
+    frames with ~6 scattered +1 perturbations per video: planted
+    near-dup twins under summed frame-Hamming."""
+    import hashlib
+
+    from journal_batch_processer_spark.operators.avi import encode_avi_mjpeg
+    from journal_batch_processer_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    d = os.path.join(_media_dir(sf_dir), "vfp")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(src):
+        return d
+    fp = _fc.source_fingerprint(src) + ":vfp-v1"
+    if _fc.is_fresh(d, fp):
+        return d
+    import duckdb
+
+    os.makedirs(d, exist_ok=True)
+    for old in os.listdir(d):
+        if old.endswith(".avi"):
+            os.unlink(os.path.join(d, old))
+    doc_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{src}') "
+            f"WHERE doc_id < {_N_VFP} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    for i in doc_ids:
+        frames = []
+        for fno in range(_VFP_FRAMES):
+            plane = []
+            for y in range(_PHASH_H):
+                row = []
+                for x in range(_PHASH_W):
+                    v = hashlib.md5(
+                        f"{i % 32}:{fno}:{x}:{y}".encode()
+                    ).digest()[0]
+                    if i >= 32 and (x + 3 * y + fno + i) % 53 == 0:
+                        v = (v + 1) % 256
+                    row.append(v)
+                plane.append(row)
+            frames.append(encode_jpeg_lossless([plane]))
+        with open(os.path.join(d, f"vfp_{i:05d}.avi"), "wb") as f:
+            f.write(encode_avi_mjpeg(_PHASH_W, _PHASH_H, frames))
+    _fc.mark_fresh(d, fp)
+    return d
+
+
+def _vfp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fname, frame, w1, w0): binaryFile scan → RIFF container parse
+    → per-frame lossless JPEG decode → integer dHash per frame."""
+    import numpy as np
+    import pandas as pd
+
+    from journal_batch_processer_spark.operators.avi import (
+        avi_frame_payloads,
+    )
+    from journal_batch_processer_spark.operators.jpeg import (
+        decode_jpeg_planes,
+    )
+    from journal_batch_processer_spark.operators.multimodal import (
+        dhash64_words,
+    )
+
+    d = _materialize_vfp_media(sf_dir)
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for p, b in zip(pdf["path"], pdf["content"]):
+                _, w, h, frames = avi_frame_payloads(bytes(b))
+                for fno, payload in enumerate(frames):
+                    fw, fh, planes = decode_jpeg_planes(payload)
+                    g = np.array(planes[0], dtype=np.uint8)[:fh, :fw]
+                    rgb = np.stack([g, g, g], axis=-1)
+                    w1, w0 = dhash64_words(rgb)
+                    rows.append((p.rsplit("/", 1)[-1], fno, w1, w0))
+            yield pd.DataFrame(rows, columns=["fname", "frame", "w1", "w0"])
+
+    scan = spark.read.format("binaryFile").load(
+        os.path.join(d, "*.avi")
+    ).select("path", "content")
+    return scan.mapInPandas(decode, "fname string, frame int, w1 long, w0 long")
+
+
+def q_media_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual hash over a REAL video path: RIFF/AVI
+    container parse → per-frame LOSSLESS JPEG decode (bit-exact
+    planes) → integer dHash per frame, emitted as hex — the
+    frame-level signature video dedup joins on. Zero shuffle; the
+    whole decode chain (container → codec → hash) is value-oracled
+    because the lossless frames ARE the md5 rasters the SQL
+    recomputes."""
+    return _vfp_df(spark, sf_dir).select(
+        "fname",
+        "frame",
+        F.format_string("%08x%08x", F.col("w1"), F.col("w0")).alias("dhash"),
+    )
+
+
+_VFP_PX_CTE = f"""
+ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < {_N_VFP}),
+px AS (
+    SELECT i, f, x, y,
+           CASE WHEN i >= 32 AND (x + 3 * y + f + i) % 53 = 0
+                THEN (b + 1) % 256 ELSE b END AS v
+    FROM (
+        SELECT i, f, x, y,
+               ('0x' || substring(md5((i % 32) || ':' || f || ':' || x || ':' || y), 1, 2))::INT AS b
+        FROM ids,
+             (SELECT UNNEST(range({_VFP_FRAMES})) AS f),
+             (SELECT UNNEST(range({_PHASH_W})) AS x),
+             (SELECT UNNEST(range({_PHASH_H})) AS y)
+    )
+),
+cells AS (
+    SELECT i, f, x // 2 AS cx, y // 2 AS cy,
+           CAST(SUM(v) // 4 AS BIGINT) AS m
+    FROM px GROUP BY i, f, x // 2, y // 2
+),
+bits AS (
+    SELECT a.i, a.f, a.cy * 8 + a.cx AS k,
+           CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+    FROM cells a
+    JOIN cells b ON b.i = a.i AND b.f = a.f AND b.cy = a.cy AND b.cx = a.cx + 1
+    WHERE a.cx < 8
+),
+words AS (
+    SELECT i, f,
+           CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY i, f
+)
+"""
+
+SQL_MEDIA_VIDEO_FINGERPRINT = f"""
+WITH {_VFP_PX_CTE}
+SELECT printf('vfp_%05d.avi', i) AS fname,
+       CAST(f AS INT) AS frame,
+       printf('%08x%08x', w1, w0) AS dhash
+FROM words
+"""
+
+
+def q_media_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup PAIRS: summed frame-aligned dHash Hamming ≤ 40
+    — recovers exactly the planted (i, i+32) perturbed twins;
+    unrelated videos sit near 6 frames × ~32 random bits. Broadcast
+    self-join at fixture scale; the corpus path is block probing per
+    frame hash then aggregating matches per video pair."""
+    sig = _vfp_df(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = (
+        F.bit_count(F.col("a.w0").bitwiseXOR(F.col("b.w0")))
+        + F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
+    ).cast("long")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.frame") == F.col("b.frame"))
+            & (F.col("a.fname") < F.col("b.fname")),
+        )
+        .groupBy(
+            F.col("a.fname").alias("fname_a"),
+            F.col("b.fname").alias("fname_b"),
+        )
+        .agg(F.sum(ham).alias("hamming"))
+        .filter(F.col("hamming") <= _VFP_PAIR_MAX_HAMMING)
+    )
+
+
+SQL_MEDIA_VIDEO_PAIRS = f"""
+WITH {_VFP_PX_CTE}
+SELECT printf('vfp_%05d.avi', a.i) AS fname_a,
+       printf('vfp_%05d.avi', b.i) AS fname_b,
+       CAST(SUM(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))) AS BIGINT) AS hamming
+FROM words a JOIN words b ON a.f = b.f AND a.i < b.i
+GROUP BY 1, 2
+HAVING SUM(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))) <= {_VFP_PAIR_MAX_HAMMING}
+"""
+
+QUERIES["media_video_fingerprint"] = (
+    q_media_video_fingerprint, SQL_MEDIA_VIDEO_FINGERPRINT,
+)
+QUERIES["media_video_pairs"] = (q_media_video_pairs, SQL_MEDIA_VIDEO_PAIRS)

@@ -86,6 +86,8 @@ def _build() -> dict[str, QuerySpec]:
         "media_dhash_pairs",     # image near-dup pairs by dHash Hamming
         "media_audio_fingerprint",  # block-energy signature from WAV decode
         "media_audio_pairs",     # audio near-dup pairs by signature L1
+        "media_video_fingerprint",  # per-frame dHash via AVI+lossless JPEG
+        "media_video_pairs",     # video near-dup by summed frame Hamming
         # stalest driver rows (freshest row <= r04), alphabetical
         "json_extract",
         "json_roundtrip",
