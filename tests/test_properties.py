@@ -475,3 +475,29 @@ def test_corpus_mix_matches_python_model(spark, raw_shares):
     assert got == expected
     for s, p in got_ppm.items():
         assert expected_ppm[s] == p
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    w=st.integers(9, 40),
+    h=st.integers(8, 32),
+    shift=st.integers(1, 60),
+)
+def test_dhash_brightness_invariant_and_deterministic(seed, w, h, shift):
+    """dHash properties that hold EXACTLY under the integer pipeline:
+    (a) a global brightness offset never changes the hash (every box
+    mean shifts by the same integer, comparisons are unchanged);
+    (b) the hash is a pure function of pixels (determinism)."""
+    import numpy as np
+
+    from journal_batch_processer_spark.operators.multimodal import (
+        dhash64_words,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256 - shift, size=(h, w, 3)).astype(np.uint8)
+    base = dhash64_words(img)
+    assert dhash64_words(img.copy()) == base
+    brighter = (img.astype(np.int64) + shift).astype(np.uint8)
+    assert dhash64_words(brighter) == base
