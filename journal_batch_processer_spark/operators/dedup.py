@@ -907,3 +907,72 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """WINNOWING fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    — the MOSS plagiarism-detection selection rule): hash every
+    k-token gram, slide a w-gram window, keep each window's MINIMUM
+    hash — guaranteeing any shared run of ≥ w+k-1 tokens between two
+    documents shares a fingerprint, with selection density ~2/(w+1)
+    instead of every position. The local selection is what
+    distinguishes it from `duplicated_substring_spans` (global df≥2)
+    and `dedup_chunks` (boundary-aligned): fingerprints are chosen
+    per document with NO corpus-wide state, so the signature of a doc
+    never changes as the corpus grows — the stable sharding property
+    index builders rely on.
+
+    Tie-break (paper's "rightmost minimal") is made exact and
+    engine-portable by ranking on the 21-char string
+    ``%015x(hash) || %06d(999999 - idx)`` — unique per position, so
+    "distinct window minima" identifies exactly one gram per window
+    and a plain join recovers (position, hash). Plan shape: gram
+    hashing is a per-row expression, window minima one partitioned
+    window pass, the recover join an equi-join on the unique key —
+    nothing pairwise, nothing corpus-global. Output: (doc, pos, fp)
+    distinct selected fingerprints, 0-based gram positions."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                ),
+            ).otherwise(F.array())
+        ).alias("idx", "gram"),
+    )
+    g = grams.select(
+        "doc",
+        "idx",
+        portable_hash64(F.col("gram")).alias("fp"),
+    ).withColumn(
+        "key",
+        F.format_string("%015x%06d", F.col("fp"), F.lit(999999) - F.col("idx")),
+    )
+    win = Window.partitionBy("doc").orderBy("idx").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy("doc")
+    wm = (
+        g.withColumn("wmin", F.min("key").over(win))
+        .withColumn("__n", F.count("*").over(cnt))
+        # only FULL windows select (the paper's definition)
+        .filter(F.col("idx") <= F.col("__n") - w)
+        .select(F.col("doc").alias("wdoc"), "wmin")
+        .distinct()
+    )
+    return (
+        wm.join(
+            g,
+            (F.col("wdoc") == F.col("doc")) & (F.col("wmin") == F.col("key")),
+        )
+        .select("doc", F.col("idx").alias("pos"), "fp")
+    )

@@ -679,6 +679,56 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= {k}
 SQL_DEDUP_SIMHASH_PAIRS = _simhash_pairs_oracle_sql()
 
 
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. SIGMOD'03,
+    the MOSS rule): k=4-token gram hashes, w=5 windows, each window's
+    rightmost-minimal hash kept — any shared run of >= w+k-1 tokens
+    between documents shares a fingerprint at ~2/(w+1) density, and a
+    doc's signature is corpus-independent (the stable-sharding
+    property global-df methods lack). Full oracle: gram hashing,
+    the unique rank key, window minima, full-window gating and the
+    recover join are all replayed in SQL."""
+    from journal_batch_processer_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return winnow_fingerprints(docs, "doc_id", "text", k=4, w=5)
+
+
+SQL_TEXT_WINNOWING = """
+WITH toks AS (
+    SELECT doc_id AS doc, string_split(lower(text), ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc, UNNEST(range(1, len(t) - 2)) AS i, t
+    FROM toks WHERE len(t) >= 4
+),
+g AS (
+    SELECT doc, i - 1 AS idx,
+           ('0x' || substring(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT AS fp
+    FROM grams
+),
+gk AS (
+    SELECT doc, idx, fp,
+           printf('%015x%06d', fp, 999999 - idx) AS key
+    FROM g
+),
+wm AS (
+    SELECT DISTINCT doc, wmin FROM (
+        SELECT doc, idx,
+               MIN(key) OVER (PARTITION BY doc ORDER BY idx
+                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+               COUNT(*) OVER (PARTITION BY doc) AS n
+        FROM gk
+    ) WHERE idx <= n - 5
+)
+SELECT gk.doc AS doc, gk.idx AS pos, gk.fp AS fp
+FROM wm JOIN gk ON wm.doc = gk.doc AND wm.wmin = gk.key
+"""
+
+
+
 # embedding near-dup + similarity search ------------------------------------
 
 _NORM_CTE = f"""
@@ -3362,6 +3412,7 @@ QUERIES = {
     "dedup_near": (q_dedup_near, SQL_DEDUP_NEAR),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "text_winnowing": (q_text_winnowing, SQL_TEXT_WINNOWING),
     "dedup_editdist": (q_dedup_editdist, SQL_DEDUP_EDITDIST),
     "outlier_zscore": (q_outlier_zscore, SQL_OUTLIER_ZSCORE),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),

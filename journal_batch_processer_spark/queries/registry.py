@@ -128,6 +128,7 @@ def _build() -> dict[str, QuerySpec]:
         "media_audio_pairs",     # audio near-dup pairs by signature L1
         "media_video_fingerprint",  # per-frame dHash via AVI+lossless JPEG
         "media_video_pairs",     # video near-dup by summed frame Hamming
+        "text_winnowing",        # MOSS winnowing fingerprint selection
         # oldest r05-tier keys (fill the remaining sweep budget)
         "anonymize_k",
         "arrow_map",

@@ -744,3 +744,37 @@ def test_simhash_block_probe_equals_all_pairs(spark):
         .collect()
     )
     assert got == brute and got
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The Schleimer guarantee: two documents sharing a run of at
+    least w+k-1 tokens share at least one fingerprint; and selection
+    density is far below one-per-position (that is winnowing's
+    point). Also: a doc's fingerprints are corpus-independent."""
+    from journal_batch_processer_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + shared + " tail one"),
+            (2, "completely different opening " + shared),
+            (3, "no overlap here at all just filler tokens everywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=4, w=5).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared w+k-1 run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density: far fewer fingerprints than gram positions
+    n_grams_1 = len(docs.filter("doc_id = 1").collect()[0].text.split()) - 3
+    assert len(by_doc[1]) < n_grams_1
+    # corpus independence: doc 1 alone selects the same set
+    solo = winnow_fingerprints(
+        docs.filter("doc_id = 1"), "doc_id", "text", k=4, w=5
+    ).collect()
+    assert {r.fp for r in solo} == by_doc[1]
