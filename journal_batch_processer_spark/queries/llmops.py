@@ -727,6 +727,53 @@ SELECT gk.doc AS doc, gk.idx AS pos, gk.fp AS fp
 FROM wm JOIN gk ON wm.doc = gk.doc AND wm.wmin = gk.key
 """
 
+_WINNOW_MIN_SHARED = 2
+
+
+def q_text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates from winnowed fingerprints: documents
+    sharing >= 2 selected fingerprints, with the shared count — the
+    equi-join-on-fingerprint candidate generator winnowing exists
+    for (MOSS's match step): density ~2/(w+1) makes the join input a
+    fraction of the gram stream, and the guarantee bounds what the
+    selection can miss (any shared run >= w+k-1 tokens IS a shared
+    fingerprint)."""
+    from journal_batch_processer_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir)
+    fp = winnow_fingerprints(docs, "doc_id", "text", k=4, w=5)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.fp").alias("fp"),
+        )
+        .distinct()  # a fingerprint selected at several positions counts once
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+
+
+SQL_TEXT_WINNOWING_PAIRS = f"""
+WITH base AS ({SQL_TEXT_WINNOWING})
+SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared FROM (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.fp
+    FROM base a JOIN base b ON a.fp = b.fp AND a.doc < b.doc
+)
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+"""
+
+
 
 
 # embedding near-dup + similarity search ------------------------------------
@@ -3413,6 +3460,7 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "text_winnowing": (q_text_winnowing, SQL_TEXT_WINNOWING),
+    "text_winnowing_pairs": (q_text_winnowing_pairs, SQL_TEXT_WINNOWING_PAIRS),
     "dedup_editdist": (q_dedup_editdist, SQL_DEDUP_EDITDIST),
     "outlier_zscore": (q_outlier_zscore, SQL_OUTLIER_ZSCORE),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),

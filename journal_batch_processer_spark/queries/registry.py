@@ -129,6 +129,7 @@ def _build() -> dict[str, QuerySpec]:
         "media_video_fingerprint",  # per-frame dHash via AVI+lossless JPEG
         "media_video_pairs",     # video near-dup by summed frame Hamming
         "text_winnowing",        # MOSS winnowing fingerprint selection
+        "text_winnowing_pairs",  # shared-fingerprint near-dup candidates
         # oldest r05-tier keys (fill the remaining sweep budget)
         "anonymize_k",
         "arrow_map",
