@@ -2128,3 +2128,28 @@ def test_table_stream_cdf_over_merge_mor_and_pos_delete(spark, tmp_path):
         (7, 70, "delete", 4),
         (100, 111, "insert", 3),
     ]
+
+
+def test_pos_delete_across_schema_evolution(spark, tmp_path):
+    """A positional delete addressing rows in a PRE-EVOLUTION file:
+    the reader must null-fill the old file's missing column AND apply
+    the (file, pos) anti-join in the same pass; apply_deletes folds it
+    with the evolved schema intact."""
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 20), committed_at_us=2_000_000)  # pre-evolution
+    t.append(
+        spark.createDataFrame([(100, 1000, 7)], "k bigint, v bigint, extra bigint"),
+        committed_at_us=3_000_000,
+        new_columns=[("extra", "bigint")],
+    )
+    t.delete_where(spark, "k >= 5 and k < 8", committed_at_us=4_000_000)
+    got = t.read(spark)
+    assert set(got.columns) == {"k", "v", "extra"}
+    rows = {r.k: (r.v, r.extra) for r in got.collect()}
+    assert 5 not in rows and 6 not in rows and 7 not in rows
+    assert rows[4] == (40, None) and rows[100] == (1000, 7)
+    t.apply_deletes(spark, committed_at_us=5_000_000)
+    rows2 = {r.k: (r.v, r.extra) for r in t.read(spark).collect()}
+    assert rows2 == rows

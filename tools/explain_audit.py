@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
 
-DEFAULT = [
+# quick 9-key spine for `--quick`; the no-arg default audits the
+# WHOLE registry (the r10 lesson: a 9-key silent default read as a
+# full audit)
+QUICK = [
     "pipeline_chain",
     "group_agg",
     "enrich_fetch",
@@ -40,7 +43,11 @@ def main() -> None:
 
     spark = get_spark("explain-audit", master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
-    names = sys.argv[1:] or DEFAULT
+    args = [a for a in sys.argv[1:] if a != "-v"]
+    if args == ["--quick"]:
+        names = QUICK
+    else:
+        names = args or sorted(REGISTRY)
     for name in names:
         df = REGISTRY[name].fn(spark, SF_DIR)
         buf = io.StringIO()
