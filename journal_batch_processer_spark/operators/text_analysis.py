@@ -9,7 +9,7 @@ codegen; no Python in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "in")
@@ -452,3 +452,116 @@ def bpe_train(
         old, new = sep + l + sep + r + sep, sep + l + r + sep
         vocab = [(freq, s.replace(old, new)) for freq, s in vocab]
     return merges
+
+
+def train_langid_profiles(
+    parquet_path: str, top_n: int = 20
+) -> dict[str, list[str]]:
+    """Cavnar–Trenkle (1994, "N-Gram-Based Text Categorization")
+    language profiles: per language, the ``top_n`` most frequent
+    character TRIGRAMS of the lowercased text, rank-ordered by
+    (count desc, trigram asc) — fully deterministic, so the profiles
+    inline as literals into BOTH the Spark plan and the DuckDB oracle
+    (the IVF-centroid training pattern). Training reads the labeled
+    corpus driver-side once and is memoized per file identity."""
+    from journal_batch_processer_spark.operators.similarity import _train_memo
+
+    def compute():
+        from collections import Counter
+
+        import duckdb
+
+        rows = duckdb.sql(
+            f"SELECT lang, lower(text) FROM read_parquet('{parquet_path}') "
+            f"WHERE length(text) >= 3 ORDER BY lang"
+        ).fetchall()
+        by_lang: dict[str, Counter] = {}
+        for lang, t in rows:
+            c = by_lang.setdefault(lang, Counter())
+            for i in range(len(t) - 2):
+                c[t[i:i + 3]] += 1
+        return {
+            lang: [
+                g
+                for g, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[
+                    :top_n
+                ]
+            ]
+            for lang, c in sorted(by_lang.items())
+        }
+
+    return _train_memo(parquet_path, "langid", (top_n,), compute)
+
+
+def langid_ngram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: dict[str, list[str]],
+    top_n: int = 20,
+) -> DataFrame:
+    """Cavnar–Trenkle out-of-place language classification: rank the
+    document's own top-``top_n`` trigrams, compare against each
+    language profile — a profiled trigram contributes |doc_rank −
+    profile_rank|, an unprofiled one the max penalty ``top_n + 1`` —
+    and the smallest total distance wins (ties to the alphabetically
+    first language). All-integer and deterministic, so the whole
+    classifier carries a value oracle. Plan: trigram explode is a
+    per-row expression, doc ranking one window over (doc, count),
+    profiles a broadcast literal table, distance one aggregation."""
+    t = F.lower(F.col(text_col))
+    # substring with a lambda start index needs the SQL form
+    grams = df.filter(F.length(t) >= 3).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(lower({text_col})) - 2), "
+                f"i -> substring(lower({text_col}), i, 3))"
+            )
+        ).alias("g"),
+    )
+    w_rank = Window.partitionBy("doc").orderBy(
+        F.col("n").desc(), F.col("g").asc()
+    )
+    doc_ranks = (
+        grams.groupBy("doc", "g")
+        .agg(F.count("*").alias("n"))
+        .withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= top_n)
+        .select("doc", "g", "r")
+    )
+    spark = df.sparkSession
+    prof_rows = [
+        (lang, g, rp + 1)
+        for lang, grams_ in profiles.items()
+        for rp, g in enumerate(grams_)
+    ]
+    prof = spark.createDataFrame(prof_rows, "lang string, g string, rp int")
+    langs = spark.createDataFrame(
+        [(lang,) for lang in sorted(profiles)], "lang string"
+    )
+    penalty = F.lit(top_n + 1)
+    scored = (
+        doc_ranks.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["lang", "g"], "left")
+        .withColumn(
+            "d",
+            F.when(
+                F.col("rp").isNotNull(), F.abs(F.col("r") - F.col("rp"))
+            ).otherwise(penalty),
+        )
+        .groupBy("doc", "lang")
+        .agg(F.sum("d").alias("dist"))
+    )
+    w_best = Window.partitionBy("doc").orderBy(
+        F.col("dist").asc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("lang").alias("pred_lang"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )

@@ -773,6 +773,87 @@ GROUP BY doc_a, doc_b
 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
 """
 
+def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle n-gram language ID (1994, the rank-order
+    out-of-place method — a REAL langid upgrade over the en-marker
+    heuristic of `text_langid`): per-language top-20 character-trigram
+    profiles trained once driver-side from the labeled corpus and
+    inlined as literals into BOTH engines (the IVF-training pattern);
+    each document's own top-20 trigram ranking is compared
+    out-of-place against every profile and the smallest distance
+    wins. All-integer and deterministic end to end."""
+    from journal_batch_processer_spark.operators.text_analysis import (
+        langid_ngram,
+        train_langid_profiles,
+    )
+
+    profiles = train_langid_profiles(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
+    return langid_ngram(docs, "doc_id", "text", profiles)
+
+
+def _langid_oracle_sql() -> str:
+    """LAZY oracle: trains the identical profiles from the oracle sf
+    dir and inlines them as VALUES literals; doc ranking, penalty and
+    argmin replayed relationally with the same tie-breaks."""
+    import os as _os
+
+    from journal_batch_processer_spark.operators.text_analysis import (
+        train_langid_profiles,
+    )
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    profiles = train_langid_profiles(f"{sf_dir}/documents.parquet")
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    prof_vals = ", ".join(
+        f"('{q(lang)}', '{q(g)}', {rp + 1})"
+        for lang, grams in profiles.items()
+        for rp, g in enumerate(grams)
+    )
+    lang_vals = ", ".join(f"('{q(lang)}')" for lang in sorted(profiles))
+    return f"""
+WITH d AS (
+    SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 3
+),
+grams AS (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, length(t) - 1),
+                                 i -> substring(t, i, 3))) AS g
+    FROM d
+),
+cnt AS (SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY 1, 2),
+top AS (
+    SELECT doc_id, g, r FROM (
+        SELECT doc_id, g,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, g) AS r
+        FROM cnt
+    ) WHERE r <= 20
+),
+prof(lang, g, rp) AS (VALUES {prof_vals}),
+langs(lang) AS (VALUES {lang_vals}),
+sc AS (
+    SELECT t.doc_id, l.lang,
+           CAST(SUM(CASE WHEN p.rp IS NOT NULL THEN abs(t.r - p.rp)
+                         ELSE 21 END) AS BIGINT) AS dist
+    FROM top t
+    CROSS JOIN langs l
+    LEFT JOIN prof p ON p.lang = l.lang AND p.g = t.g
+    GROUP BY 1, 2
+)
+SELECT doc_id, lang AS pred_lang, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY dist, lang) AS rn
+    FROM sc
+) WHERE rn = 1
+"""
+
+
+SQL_TEXT_LANGID_NGRAM = _langid_oracle_sql
+
+
 
 
 
@@ -3461,6 +3542,7 @@ QUERIES = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "text_winnowing": (q_text_winnowing, SQL_TEXT_WINNOWING),
     "text_winnowing_pairs": (q_text_winnowing_pairs, SQL_TEXT_WINNOWING_PAIRS),
+    "text_langid_ngram": (q_text_langid_ngram, SQL_TEXT_LANGID_NGRAM),
     "dedup_editdist": (q_dedup_editdist, SQL_DEDUP_EDITDIST),
     "outlier_zscore": (q_outlier_zscore, SQL_OUTLIER_ZSCORE),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),

@@ -130,6 +130,7 @@ def _build() -> dict[str, QuerySpec]:
         "media_video_pairs",     # video near-dup by summed frame Hamming
         "text_winnowing",        # MOSS winnowing fingerprint selection
         "text_winnowing_pairs",  # shared-fingerprint near-dup candidates
+        "text_langid_ngram",     # Cavnar-Trenkle rank-order language ID
         # oldest r05-tier keys (fill the remaining sweep budget)
         "anonymize_k",
         "arrow_map",

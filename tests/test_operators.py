@@ -778,3 +778,60 @@ def test_winnowing_guarantee_and_density(spark):
         docs.filter("doc_id = 1"), "doc_id", "text", k=4, w=5
     ).collect()
     assert {r.fp for r in solo} == by_doc[1]
+
+
+def test_langid_ngram_mechanism_and_corpus_coverage(spark):
+    """Cavnar-Trenkle mechanism on documents with genuinely distinct
+    character distributions: perfect classification, including docs
+    the profiles never saw; on the real corpus (synthetic word salad
+    whose lang label carries only weak character signal — measured
+    ~0.26-0.31 accuracy at any profile depth) the classifier must
+    still cover every >=3-char doc exactly once and beat the
+    5-language chance floor."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.text_analysis import (
+        langid_ngram,
+        train_langid_profiles,
+    )
+    from tests.conftest import SF_DIR
+
+    synth = {
+        "aa": "alpha apple area aroma banana salad mango",
+        "zz": "zigzag puzzle fuzzy buzz quiz jazzy dizzy",
+        "oo": "moon soon spoon cocoon booboo voodoo igloo",
+    }
+    profiles = {
+        lang: [
+            g
+            for g, _ in sorted(
+                __import__("collections").Counter(
+                    t[i:i + 3] for i in range(len(t) - 2)
+                ).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:20]
+        ]
+        for lang, t in synth.items()
+    }
+    unseen = spark.createDataFrame(
+        [
+            (1, "apple aroma banana area mango alpha"),
+            (2, "fuzzy quiz buzz jazzy zigzag puzzle"),
+            (3, "spoon cocoon moon voodoo igloo soon"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.pred_lang
+        for r in langid_ngram(unseen, "doc_id", "text", profiles).collect()
+    }
+    assert got == {1: "aa", 2: "zz", 3: "oo"}
+    # corpus: full coverage + above the chance floor
+    src = f"{SF_DIR}/documents.parquet"
+    docs = spark.read.parquet(src)
+    pred = langid_ngram(docs, "doc_id", "text", train_langid_profiles(src))
+    n_docs = docs.filter(F.length("text") >= 3).count()
+    assert pred.count() == n_docs
+    joined = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    acc = joined.filter(F.col("pred_lang") == F.col("lang")).count() / n_docs
+    assert acc > 0.22, f"accuracy {acc:.2f} at or below the 0.2 chance floor"
