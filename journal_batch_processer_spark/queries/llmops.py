@@ -634,26 +634,33 @@ SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM votes
 SQL_DEDUP_SIMHASH = _simhash_oracle_sql()
 
 _SIMHASH_K = 3
+_SIMHASH_BITS = 60  # 4 blocks x 15 bits — the at-scale block width
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via Manku block probing (WWW'07): the
-    32-bit fingerprints split into k+1=4 8-bit blocks; pigeonhole
-    makes the (block_idx, value) equi-join a complete candidate
-    generator for Hamming ≤ 3, one popcount verifies — the web-crawl
-    dedup shape, never all-pairs. Full oracle: fingerprint votes,
-    block packing, candidate join and popcount all replayed in SQL."""
+    """SimHash near-dup pairs via Manku block probing (WWW'07): 60-bit
+    fingerprints split into k+1=4 15-bit blocks; pigeonhole makes the
+    (block_idx, value) equi-join a complete candidate generator for
+    Hamming ≤ 3, one popcount verifies — the web-crawl dedup shape,
+    never all-pairs. Block WIDTH is the scale knob (Manku's table):
+    8-bit blocks (256 cells) measured fine to ~50k docs but OOM'd the
+    candidate join at 500k docs on the dup-dense 100× corpus; 15-bit
+    blocks (32768 cells) keep per-cell membership — and so candidate
+    pressure — ~128× lower at identical recall. Full oracle:
+    fingerprint votes, block packing, candidate join and popcount all
+    replayed in SQL."""
     from journal_batch_processer_spark.operators.dedup import (
         simhash_near_pairs,
     )
 
     docs = _docs(spark, sf_dir)
     return simhash_near_pairs(
-        docs, "doc_id", "text", bits=32, max_hamming=_SIMHASH_K
+        docs, "doc_id", "text", bits=_SIMHASH_BITS, max_hamming=_SIMHASH_K
     )
 
 
-def _simhash_pairs_oracle_sql(bits: int = 32, k: int = _SIMHASH_K) -> str:
+def _simhash_pairs_oracle_sql(bits: int = None, k: int = _SIMHASH_K) -> str:
+    bits = _SIMHASH_BITS if bits is None else bits
     width = bits // (k + 1)
     bvs = ", ".join(
         f"(simhash >> {i * width}) % {1 << width}" for i in range(k + 1)
