@@ -116,6 +116,15 @@ BENCH_QUERIES = [
     # a pruning regression turns O(matching files) into O(table))
     "table_merge_mor_read",
     "table_bloom_read",
+    # r11 (VERDICT r10 item 8): the 5 late-r10 keys join the timed
+    # set — mapInPandas decode→fingerprint shapes (video triple) and
+    # window/broadcast shapes (winnowing, langid) with no timing
+    # history yet; a decode or selection-rule regression shows here
+    "media_video_fingerprint",
+    "media_video_pairs",
+    "text_winnowing",
+    "text_winnowing_pairs",
+    "text_langid_ngram",
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is

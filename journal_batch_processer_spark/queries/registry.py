@@ -63,88 +63,78 @@ def _build() -> dict[str, QuerySpec]:
 
     # Verification-priority order: the driver sweeps the registry
     # serially under a budget (~50 entries/round), so emit the
-    # least-trusted queries FIRST. Round 10 (VERDICT r09 item 1):
-    # (a) the 36 keys whose freshest driver row is still r03/r04 —
-    # the judge's done-bar for the round, so they lead (the r09 sweep
-    # discharged the first 13 of the old stale tier; these are the
-    # rest, computed from the union of CORRECTNESS_r01–r09), then
-    # (b) the 17 NEW r10 keys (never driver-checked; each verified
-    # locally at sf0.01 this round — the overflow past the ~50 budget
-    # fronts next round), then (c) the oldest r05-tier keys.
+    # least-trusted queries FIRST. Round 11 (VERDICT r10 items 1+3):
+    # (a) the 5 late-r10 keys that have NEVER had a driver row
+    # (judge-verified green in the r10 review, but the hard driver
+    # signal is still missing), then (b) the ENTIRE 43-key r05
+    # freshness tier — 5+43 = 48 fits the budget, so after the r11
+    # sweep nothing older than r06 remains — then (c) the oldest
+    # r06-tier keys as overflow in case the budget runs past 48.
     priority = [
-        # stalest driver rows (freshest row <= r04), alphabetical
-        "json_extract",
-        "json_roundtrip",
-        "jsonl_scan",
-        "map_functions",
-        "media_image_decode",
-        "multimodal_cols",
-        "multimodal_frames",
-        "multimodal_resize",
-        "outlier_zscore",
-        "pandas_udf_stats",
-        "quality_filter",
-        "sample_stable",
-        "sample_stratified",
-        "set_ops",
-        "sim_search",
-        "sim_search_ann",
-        "sim_search_ivf",
-        "stream_dedup",
-        "stream_dedup_watermarked",
-        "stream_join",
-        "stream_session",
-        "stream_slide",
-        "string_agg",
-        "text_analysis",
-        "text_fingerprint",
-        "text_langid",
-        "text_pii_scrub",
-        "text_quality",
-        "text_repetition",
-        "text_tokens",
-        "text_tokens_bpe",
-        "time_gap_fill",
-        "udtf_paragraphs",
-        "window_session",
-        "window_session_ids",
-        "window_session_native",
-        # NEW in r10 — MOR position deletes / MOR MERGE / branches /
-        # bloom skipping / BQ ANN / block-probe simhash / multimodal
-        # perceptual near-dup (image, audio, video)
-        "table_mor_pos_read",    # (file, row-ordinal) delete files on read
-        "table_mor_pos_apply",   # rewrite folds positional+equality deletes
-        "table_merge_mor_read",  # MERGE as pos-delete + append, zero rewrite
-        "table_merge_mor_apply",  # fold identity after the MOR merge chain
-        "stream_table_merge_mor",  # streaming MOR upserts, COW-identical state
-        "table_branch_read",     # branch fork: independent log, shared data
-        "table_branch_ff_read",  # fast-forward publish back to main
-        "table_bloom_read",      # bloom file-skipping point lookups
-        "sim_search_binary",     # sign-bit Hamming shortlist + exact re-rank
-        "dedup_simhash_pairs",   # Manku block-probe near-dup pairs
-        "media_image_dhash",     # perceptual hash from real decoded pixels
-        "media_dhash_pairs",     # image near-dup pairs by dHash Hamming
-        "media_audio_fingerprint",  # block-energy signature from WAV decode
-        "media_audio_pairs",     # audio near-dup pairs by signature L1
-        "media_video_fingerprint",  # per-frame dHash via AVI+lossless JPEG
-        "media_video_pairs",     # video near-dup by summed frame Hamming
+        # never driver-checked (landed after the r10 sweep sealed)
         "text_winnowing",        # MOSS winnowing fingerprint selection
         "text_winnowing_pairs",  # shared-fingerprint near-dup candidates
         "text_langid_ngram",     # Cavnar-Trenkle rank-order language ID
-        # oldest r05-tier keys (fill the remaining sweep budget)
-        "anonymize_k",
-        "arrow_map",
-        "chunk_sliding",
-        "compact_plan",
+        "media_video_fingerprint",  # per-frame dHash via AVI+lossless JPEG
+        "media_video_pairs",     # video near-dup by summed frame Hamming
+        # full r05 freshness tier (retires the oldest driver rows)
         "corpus_mix",
-        "curriculum_order",
-        "dedup_chunks",
-        "dedup_url",
-        "dq_checks",
-        "funnel_events",
-        "graph_pagerank",
+        "sample_reservoir",
         "join_bloom",
-        # r05+ tiers follow in registry order after this list
+        "stream_stats",
+        "outlier_mad",
+        "compact_plan",
+        "join_interval",
+        "stream_enrich",
+        "tokenizer_train",
+        "tokenizer_encode",
+        "stream_session_native",
+        "schema_evolution",
+        "anonymize_k",
+        "variant_extract",
+        "lateral_join",
+        "python_datasource",
+        "curriculum_order",
+        "python_stream_source",
+        "xml_native",
+        "dq_checks",
+        "kmeans_distributed",
+        "stream_stream_join",
+        "python_datasink",
+        "observe_metrics",
+        "arrow_map",
+        "pandas_api",
+        "layout_zorder",
+        "sim_search_pq",
+        "stream_upsert",
+        "orc_roundtrip",
+        "partitioned_prune",
+        "upsert_merge",
+        "scd2_dim",
+        "chunk_sliding",
+        "seq_pack",
+        "tfidf_topk",
+        "text_bigrams",
+        "graph_pagerank",
+        "funnel_events",
+        "dedup_chunks",
+        "jsonl_scan_gz",
+        "text_entropy",
+        "dedup_url",
+        # r06 overflow (oldest reference-surface keys)
+        "desc_extract",
+        "nomatch_count",
+        "row_count",
+        "project_columns",
+        "numeric_guard",
+        "strip_guard_quote",
+        "ensure_columns",
+        "dependent_columns",
+        "fill_blank_default",
+        "overwrite_constant",
+        "code_lookup",
+        "code_validate",
+        # r06+ tiers follow in registry order after this list
     ]
     ordered = {name: registry[name] for name in priority if name in registry}
     ordered.update({n: s for n, s in registry.items() if n not in ordered})

@@ -6,6 +6,26 @@ column names, and the order-insensitive multiset of rows.
 
     python tools/check_oracle.py                 # all
     python tools/check_oracle.py desc_extract …  # subset
+    python tools/check_oracle.py --hash …        # engine-side hash
+
+--hash (VERDICT r10 item 2): at 100× scale the sweep wall is ~90%
+THIS SCRIPT's Python multiset normalization of 10M+ row results (672 s
+for table_mor_pos_read's 16.75M rows — SWEEP_r10.md), not the engines.
+With --hash, any key whose output schema is hash-safe on BOTH sides is
+reduced engine-side to (count, sum(h1), sum(h2)) where h1/h2 are two
+60-bit slices of a per-row md5 over type-tagged canonical cell
+renderings (sorted by column name; string cells are themselves md5'd
+so no separator ambiguity exists) — a Spark global aggregate and a
+DuckDB relation aggregate, so only 1 row crosses into Python per side.
+SUM is multiset-sensitive (unlike XOR, multiplicities count), and the
+type tags keep the compare as type-strict as the driver's hash.
+Renderings were probed equal across engines for every tagged type
+(bool/int/decimal/date/timestamp incl. trimmed fractions/binary-hex);
+any divergence surfaces as a hash mismatch which FALLS BACK to the
+strict multiset path, so an imperfect rendering can cost time, never a
+wrong verdict. Keys with float/double/array/map/struct outputs always
+take the strict path. tests/test_check_oracle_hash.py pins hash-vs-
+strict verdict agreement and mismatch detection.
 """
 
 from __future__ import annotations
@@ -75,6 +95,105 @@ def rows_to_multiset(cols, rows, strict: bool = False):
     )
 
 
+# ---------------------------------------------------------------------------
+# Engine-side multiset hash (--hash fast path)
+# ---------------------------------------------------------------------------
+
+# Spark typeName() → type tag shared with the DuckDB mapping below.
+# A tag distinguishes the same classes the strict compare does: all
+# integer widths collapse to 'i' (Python ints compare equal), decimals
+# stay distinct from ints ('n' — strict keeps ("dec", str)), etc.
+_SPARK_TAG = {
+    "string": "s",
+    "byte": "i",
+    "short": "i",
+    "integer": "i",
+    "long": "i",
+    "boolean": "b",
+    "date": "d",
+    "timestamp": "t",
+    "timestamp_ntz": "t",
+    "binary": "x",
+}
+
+
+def _duck_tag(duck_type: str) -> str | None:
+    t = duck_type.upper()
+    if t.startswith("DECIMAL"):
+        return "n"
+    return {
+        "VARCHAR": "s",
+        "TINYINT": "i",
+        "SMALLINT": "i",
+        "INTEGER": "i",
+        "BIGINT": "i",
+        "UTINYINT": "i",
+        "USMALLINT": "i",
+        "UINTEGER": "i",
+        "BOOLEAN": "b",
+        "DATE": "d",
+        "TIMESTAMP": "t",
+        "TIMESTAMP_NS": "t",
+        "BLOB": "x",
+    }.get(t)
+
+
+def _cell_spark(col: str, tag: str) -> str:
+    q = f"`{col}`"
+    if tag == "s":
+        body = f"md5({q})"
+    elif tag == "x":
+        body = f"lower(hex({q}))"
+    else:
+        body = f"CAST({q} AS STRING)"
+    return f"coalesce(concat('{tag}:', {body}), '{tag}:NULL')"
+
+
+def _cell_duck(col: str, tag: str) -> str:
+    q = f'"{col}"'
+    if tag == "s":
+        body = f"md5({q})"
+    elif tag == "x":
+        body = f"lower(hex({q}))"
+    else:
+        body = f"CAST({q} AS VARCHAR)"
+    return f"coalesce('{tag}:' || {body}, '{tag}:NULL')"
+
+
+def spark_hash_exprs(schema) -> list[str] | None:
+    """Global-aggregate selectExpr list for a hash-safe schema, else None."""
+    tags = {}
+    for f in schema.fields:
+        tag = _SPARK_TAG.get(f.dataType.typeName())
+        if tag is None:
+            return None
+        tags[f.name] = tag
+    cells = [_cell_spark(c, tags[c]) for c in sorted(tags, key=str.lower)]
+    row = f"md5(concat_ws(char(31), {', '.join(cells)}))"
+    return [
+        "count(*) AS c",
+        f"sum(CAST(conv(substr({row}, 1, 15), 16, 10) AS DECIMAL(38,0))) AS h1",
+        f"sum(CAST(conv(substr({row}, 17, 15), 16, 10) AS DECIMAL(38,0))) AS h2",
+    ]
+
+
+def duck_hash_expr(cols: list[str], types: list[str]) -> str | None:
+    """DuckDB relation .aggregate() expression, else None if unsafe."""
+    tags = {}
+    for c, t in zip(cols, types):
+        tag = _duck_tag(str(t))
+        if tag is None:
+            return None
+        tags[c] = tag
+    cells = [_cell_duck(c, tags[c]) for c in sorted(tags, key=str.lower)]
+    row = f"md5(concat_ws(chr(31), {', '.join(cells)}))"
+    return (
+        "count(*) AS c, "
+        f"sum(('0x' || substr({row}, 1, 15))::BIGINT)::HUGEINT AS h1, "
+        f"sum(('0x' || substr({row}, 17, 15))::BIGINT)::HUGEINT AS h2"
+    )
+
+
 def main() -> int:
     import duckdb
 
@@ -83,7 +202,9 @@ def main() -> int:
     from journal_batch_processer_spark.queries.registry import resolve_oracle
     from journal_batch_processer_spark.session import get_spark
 
-    names = sys.argv[1:] or sorted(REGISTRY)
+    argv = sys.argv[1:]
+    use_hash = "--hash" in argv
+    names = [a for a in argv if not a.startswith("--")] or sorted(REGISTRY)
     spark = get_spark("check-oracle", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -119,32 +240,73 @@ def main() -> int:
         spec = REGISTRY[name]
         t0 = time.perf_counter()
         try:
-            sdf = spec.fn(spark, SF_DIR)
-            s_rows = sdf.collect()
-            s_cols = sdf.columns
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {exc}")
-            n_fail += 1
-            continue
+            try:
+                sdf = spec.fn(spark, SF_DIR)
+                s_cols = sdf.columns
+                if spec.oracle is None:
+                    n = sdf.count()
+                    print(f"skip  {name}: rows-only ({n} rows, "
+                          f"{time.perf_counter()-t0:.1f}s)")
+                    n_skip += 1
+                    continue
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL  {name}: spark error: {exc}")
+                n_fail += 1
+                continue
+            try:
+                rel = con.sql(oracle_for(name, spec))
+                o_cols = list(rel.columns)
+                o_types = [str(t).upper() for t in rel.types]
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL  {name}: duckdb error: {exc}")
+                n_fail += 1
+                continue
+
+            # --hash fast path: engine-side multiset hash; only 1 row
+            # per side reaches Python. Mismatch falls back to strict.
+            hash_note = ""
+            if use_hash:
+                s_exprs = spark_hash_exprs(sdf.schema)
+                d_expr = duck_hash_expr(o_cols, o_types)
+                if (
+                    s_exprs is not None
+                    and d_expr is not None
+                    and sorted(c.lower() for c in s_cols)
+                    == sorted(c.lower() for c in o_cols)
+                ):
+                    try:
+                        sa = sdf.selectExpr(*s_exprs).collect()[0]
+                        oa = rel.aggregate(d_expr).fetchall()[0]
+                    except Exception as exc:  # noqa: BLE001
+                        print(f"FAIL  {name}: hash-path error: {exc}")
+                        n_fail += 1
+                        continue
+                    s_sig = (int(sa[0]), int(sa[1] or 0), int(sa[2] or 0))
+                    o_sig = (int(oa[0]), int(oa[1] or 0), int(oa[2] or 0))
+                    if s_sig == o_sig:
+                        print(f"ok    {name} (hash, {s_sig[0]} rows, "
+                              f"{time.perf_counter()-t0:.1f}s)")
+                        n_pass += 1
+                        continue
+                    hash_note = (
+                        f"  [HASH MISMATCH spark={s_sig} oracle={o_sig} — "
+                        f"strict fallback]"
+                    )
+                    if s_sig[0] == o_sig[0]:
+                        print(f"      {name}:{hash_note}")
+
+            try:
+                s_rows = sdf.collect()
+                o_rows = rel.fetchall()
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL  {name}: fetch error: {exc}")
+                n_fail += 1
+                continue
         finally:
             # scoped caches (ADVICE r06): operators pin shared
             # relations; the checker is the action driver, so it
             # releases them once the key's output is materialized
             release_all()
-        if spec.oracle is None:
-            print(f"skip  {name}: rows-only ({len(s_rows)} rows, "
-                  f"{time.perf_counter()-t0:.1f}s)")
-            n_skip += 1
-            continue
-        try:
-            rel = con.sql(oracle_for(name, spec))
-            o_cols = list(rel.columns)
-            o_types = [str(t).upper() for t in rel.types]
-            o_rows = rel.fetchall()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {exc}")
-            n_fail += 1
-            continue
 
         problems = []
         # The driver's pandas canonicalizer sort_values()-es every
@@ -212,7 +374,7 @@ def main() -> int:
         else:
             print(
                 f"ok    {name} ({len(s_rows)} rows, "
-                f"{time.perf_counter()-t0:.1f}s){normalized_note}"
+                f"{time.perf_counter()-t0:.1f}s){normalized_note}{hash_note}"
             )
             n_pass += 1
 
