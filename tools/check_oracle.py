@@ -114,6 +114,7 @@ _SPARK_TAG = {
     "timestamp": "t",
     "timestamp_ntz": "t",
     "binary": "x",
+    "decimal": "n",
 }
 
 
@@ -203,7 +204,12 @@ def main() -> int:
     from journal_batch_processer_spark.session import get_spark
 
     argv = sys.argv[1:]
-    use_hash = "--hash" in argv
+    flags = {a for a in argv if a.startswith("--")}
+    unknown = flags - {"--hash"}
+    if unknown:
+        print(f"unknown flag(s): {sorted(unknown)} (supported: --hash)")
+        return 2
+    use_hash = "--hash" in flags
     names = [a for a in argv if not a.startswith("--")] or sorted(REGISTRY)
     spark = get_spark("check-oracle", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -369,7 +375,7 @@ def main() -> int:
                     else:
                         problems.append("length equal but content diff at tail")
         if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems))
+            print(f"FAIL  {name}: " + "; ".join(problems) + hash_note)
             n_fail += 1
         else:
             print(
