@@ -63,78 +63,71 @@ def _build() -> dict[str, QuerySpec]:
 
     # Verification-priority order: the driver sweeps the registry
     # serially under a budget (~50 entries/round), so emit the
-    # least-trusted queries FIRST. Round 11 (VERDICT r10 items 1+3):
-    # (a) the 5 late-r10 keys that have NEVER had a driver row
-    # (judge-verified green in the r10 review, but the hard driver
-    # signal is still missing), then (b) the ENTIRE 43-key r05
-    # freshness tier — 5+43 = 48 fits the budget, so after the r11
-    # sweep nothing older than r06 remains — then (c) the oldest
-    # r06-tier keys as overflow in case the budget runs past 48.
+    # least-trusted queries FIRST. Round 12 (VERDICT r11 item 5):
+    # freshness rotation — (a) the full 41-key r06 tier (now the
+    # oldest driver rows anywhere), then (b) 9 r07-tier keys chosen
+    # for code weight (dedup/join/pipeline/media hot paths) to fill
+    # the 50-key budget, so after the r12 sweep nothing older than
+    # r07 remains in the merged freshness map.
     priority = [
-        # never driver-checked (landed after the r10 sweep sealed)
-        "text_winnowing",        # MOSS winnowing fingerprint selection
-        "text_winnowing_pairs",  # shared-fingerprint near-dup candidates
-        "text_langid_ngram",     # Cavnar-Trenkle rank-order language ID
-        "media_video_fingerprint",  # per-frame dHash via AVI+lossless JPEG
-        "media_video_pairs",     # video near-dup by summed frame Hamming
-        # full r05 freshness tier (retires the oldest driver rows)
-        "corpus_mix",
-        "sample_reservoir",
-        "join_bloom",
-        "stream_stats",
-        "outlier_mad",
-        "compact_plan",
-        "join_interval",
-        "stream_enrich",
-        "tokenizer_train",
-        "tokenizer_encode",
-        "stream_session_native",
-        "schema_evolution",
-        "anonymize_k",
-        "variant_extract",
-        "lateral_join",
-        "python_datasource",
-        "curriculum_order",
-        "python_stream_source",
-        "xml_native",
-        "dq_checks",
-        "kmeans_distributed",
-        "stream_stream_join",
-        "python_datasink",
-        "observe_metrics",
-        "arrow_map",
-        "pandas_api",
-        "layout_zorder",
-        "sim_search_pq",
-        "stream_upsert",
-        "orc_roundtrip",
-        "partitioned_prune",
-        "upsert_merge",
-        "scd2_dim",
-        "chunk_sliding",
-        "seq_pack",
-        "tfidf_topk",
-        "text_bigrams",
-        "graph_pagerank",
-        "funnel_events",
-        "dedup_chunks",
-        "jsonl_scan_gz",
-        "text_entropy",
-        "dedup_url",
-        # r06 overflow (oldest reference-surface keys)
-        "desc_extract",
-        "nomatch_count",
-        "row_count",
-        "project_columns",
-        "numeric_guard",
-        "strip_guard_quote",
-        "ensure_columns",
-        "dependent_columns",
-        "fill_blank_default",
-        "overwrite_constant",
+        # full r06 freshness tier (oldest driver rows)
+        "agg_cube",
+        "agg_grouping_sets",
+        "agg_rollup",
+        "agg_salted",
         "code_lookup",
         "code_validate",
-        # r06+ tiers follow in registry order after this list
+        "dedup_exact",
+        "dedup_exact_hash",
+        "dedup_semantic",
+        "dependent_columns",
+        "dim_join_broadcast",
+        "distinct_count",
+        "embed_kmeans",
+        "embed_quantize",
+        "enrich_fetch",
+        "ensure_columns",
+        "error_route",
+        "field_merge",
+        "fill_blank_default",
+        "flag_i_barcode",
+        "flag_missing_barcode",
+        "group_agg",
+        "join_anti",
+        "join_colocated",
+        "join_range",
+        "join_semi",
+        "month_normalize",
+        "natural_sort",
+        "notes_append",
+        "numeric_guard",
+        "overwrite_constant",
+        "project_columns",
+        "python_udtf",
+        "rest_fetch_source",
+        "rest_push_sink",
+        "row_count",
+        "sample_temperature",
+        "scalar_functions",
+        "strip_guard_quote",
+        "year_impute",
+        "year_impute_window",
+        # r07 overflow (heaviest code paths of that tier first)
+        "dedup_minhash",
+        "dedup_ngram",
+        "pipeline_chain",
+        "join_asof",
+        "sim_search_ivfpq",
+        "media_audio_decode",
+        "window_rank",
+        "xml_parse",
+        "csv_scan",
+        # further r07 overflow if the budget runs past 50
+        "dedup_near",
+        "join_asof_nearest",
+        "window_running",
+        "agg_pivot",
+        # r07+ tiers follow in registry order after this list
     ]
     ordered = {name: registry[name] for name in priority if name in registry}
     ordered.update({n: s for n, s in registry.items() if n not in ordered})
