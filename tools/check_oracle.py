@@ -115,6 +115,14 @@ _SPARK_TAG = {
     "timestamp_ntz": "t",
     "binary": "x",
     "decimal": "n",
+    # float/double: rendered as the IEEE-754 bit pattern of the
+    # value widened to double (float32→float64 is exact), so the
+    # compare is BIT-exact — probed identical across engines for
+    # ±0, ±inf, denormals, and 10M real values (NOTES_r12). Spark
+    # side uses reflect(doubleToRawLongBits); DuckDB side a
+    # vectorized Arrow UDF (register_duck_hash_fns).
+    "double": "f",
+    "float": "f",
 }
 
 
@@ -136,7 +144,36 @@ def _duck_tag(duck_type: str) -> str | None:
         "TIMESTAMP": "t",
         "TIMESTAMP_NS": "t",
         "BLOB": "x",
+        "DOUBLE": "f",
+        "FLOAT": "f",
+        "REAL": "f",
     }.get(t)
+
+
+def register_duck_hash_fns(con) -> None:
+    """Register the vectorized double→IEEE-bits UDF the 'f' cell
+    rendering needs. Idempotent per connection."""
+    import numpy as np
+    import pyarrow as pa
+
+    import duckdb as _duckdb
+
+    def dbits64(a):
+        v = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        bits = v.to_numpy(zero_copy_only=False).view(np.int64)
+        mask = v.is_null().to_numpy(zero_copy_only=False)
+        return pa.array(bits, mask=mask)
+
+    try:
+        con.create_function(
+            "dbits64",
+            dbits64,
+            [_duckdb.typing.DOUBLE],
+            _duckdb.typing.BIGINT,
+            type="arrow",
+        )
+    except _duckdb.CatalogException:
+        pass  # already registered on this connection
 
 
 def _cell_spark(col: str, tag: str) -> str:
@@ -145,6 +182,13 @@ def _cell_spark(col: str, tag: str) -> str:
         body = f"md5({q})"
     elif tag == "x":
         body = f"lower(hex({q}))"
+    elif tag == "f":
+        # reflect() rejects a null argument, hence the CASE guard
+        body = (
+            f"CASE WHEN {q} IS NULL THEN NULL ELSE "
+            f"reflect('java.lang.Double', 'doubleToRawLongBits', "
+            f"CAST({q} AS DOUBLE)) END"
+        )
     else:
         body = f"CAST({q} AS STRING)"
     return f"coalesce(concat('{tag}:', {body}), '{tag}:NULL')"
@@ -156,13 +200,21 @@ def _cell_duck(col: str, tag: str) -> str:
         body = f"md5({q})"
     elif tag == "x":
         body = f"lower(hex({q}))"
+    elif tag == "f":
+        body = f"CAST(dbits64(CAST({q} AS DOUBLE)) AS VARCHAR)"
     else:
         body = f"CAST({q} AS VARCHAR)"
     return f"coalesce('{tag}:' || {body}, '{tag}:NULL')"
 
 
-def spark_hash_exprs(schema) -> list[str] | None:
-    """Global-aggregate selectExpr list for a hash-safe schema, else None."""
+def spark_hash_row_expr(schema) -> str | None:
+    """Per-row hash expression for a hash-safe schema, else None.
+
+    Returned as a PROJECTION expression, not an aggregate argument:
+    Spark classifies reflect() (the 'f' bit rendering) as
+    nondeterministic and rejects it inside aggregate functions, so
+    the caller projects the row hash first and aggregates the
+    projected column (see spark_hash_agg_exprs)."""
     tags = {}
     for f in schema.fields:
         tag = _SPARK_TAG.get(f.dataType.typeName())
@@ -170,12 +222,29 @@ def spark_hash_exprs(schema) -> list[str] | None:
             return None
         tags[f.name] = tag
     cells = [_cell_spark(c, tags[c]) for c in sorted(tags, key=str.lower)]
-    row = f"md5(concat_ws(char(31), {', '.join(cells)}))"
-    return [
-        "count(*) AS c",
-        f"sum(CAST(conv(substr({row}, 1, 15), 16, 10) AS DECIMAL(38,0))) AS h1",
-        f"sum(CAST(conv(substr({row}, 17, 15), 16, 10) AS DECIMAL(38,0))) AS h2",
-    ]
+    return f"md5(concat_ws(char(31), {', '.join(cells)}))"
+
+
+SPARK_HASH_AGG_EXPRS = [
+    "count(*) AS c",
+    "sum(CAST(conv(substr(__ms_row_hash, 1, 15), 16, 10) "
+    "AS DECIMAL(38,0))) AS h1",
+    "sum(CAST(conv(substr(__ms_row_hash, 17, 15), 16, 10) "
+    "AS DECIMAL(38,0))) AS h2",
+]
+
+
+def spark_hash_signature(sdf):
+    """(count, h1, h2) for a hash-safe DataFrame, else None."""
+    row = spark_hash_row_expr(sdf.schema)
+    if row is None:
+        return None
+    r = (
+        sdf.selectExpr(f"{row} AS __ms_row_hash")
+        .selectExpr(*SPARK_HASH_AGG_EXPRS)
+        .collect()[0]
+    )
+    return (int(r[0]), int(r[1] or 0), int(r[2] or 0))
 
 
 def duck_hash_expr(cols: list[str], types: list[str]) -> str | None:
@@ -215,6 +284,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    register_duck_hash_fns(con)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
@@ -272,22 +342,21 @@ def main() -> int:
             # per side reaches Python. Mismatch falls back to strict.
             hash_note = ""
             if use_hash:
-                s_exprs = spark_hash_exprs(sdf.schema)
+                s_row = spark_hash_row_expr(sdf.schema)
                 d_expr = duck_hash_expr(o_cols, o_types)
                 if (
-                    s_exprs is not None
+                    s_row is not None
                     and d_expr is not None
                     and sorted(c.lower() for c in s_cols)
                     == sorted(c.lower() for c in o_cols)
                 ):
                     try:
-                        sa = sdf.selectExpr(*s_exprs).collect()[0]
+                        s_sig = spark_hash_signature(sdf)
                         oa = rel.aggregate(d_expr).fetchall()[0]
                     except Exception as exc:  # noqa: BLE001
                         print(f"FAIL  {name}: hash-path error: {exc}")
                         n_fail += 1
                         continue
-                    s_sig = (int(sa[0]), int(sa[1] or 0), int(sa[2] or 0))
                     o_sig = (int(oa[0]), int(oa[1] or 0), int(oa[2] or 0))
                     if s_sig == o_sig:
                         print(f"ok    {name} (hash, {s_sig[0]} rows, "
