@@ -230,7 +230,13 @@ class SnapshotTable:
         :meth:`fast_forward`. This is the Iceberg branch ref shape
         (WAP generalized from one staged batch to a whole line of
         commits); branch-referenced files are vacuum-protected until
-        :meth:`drop_branch`."""
+        :meth:`drop_branch`. Concurrency: publication is one atomic
+        rename, so racing writers/maintenance can fail this call loud
+        but never observe a half-created branch. Forking a version
+        OLDER than the vacuum retention while a vacuum is mid-pass is
+        the one window file-level arbitration cannot close (the same
+        expire-vs-ref caveat Iceberg handles with a central catalog)
+        — fork from a retained version (the default: head)."""
         if self.branch is not None:
             raise ValueError("create_branch from the main handle only")
         import re as _re
@@ -242,11 +248,31 @@ class SnapshotTable:
         bdir = os.path.join(self.root, "_manifest", "branches", name)
         if os.path.isdir(bdir):
             raise ValueError(f"branch {name!r} already exists")
-        os.makedirs(bdir)
-        for rel in rels:
-            dst = os.path.join(bdir, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.link(os.path.join(self._manifest_dir, rel), dst)
+        # Build in a temp dir and publish with one atomic rename: a
+        # concurrent vacuum expiring the fork version mid-link fails
+        # THIS call loud (FileNotFoundError) but can never leave a
+        # half-linked branch dir that blocks retries and confuses
+        # branches()/vacuum protection scans.
+        tmp = os.path.join(
+            self.root,
+            "_manifest",
+            f".branch-tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+        )
+        os.makedirs(tmp)
+        try:
+            for rel in rels:
+                dst = os.path.join(tmp, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(os.path.join(self._manifest_dir, rel), dst)
+            os.makedirs(os.path.dirname(bdir), exist_ok=True)
+            try:
+                os.rename(tmp, bdir)
+            except OSError:
+                # lost a same-name creation race after the isdir check
+                raise ValueError(f"branch {name!r} already exists") from None
+        finally:
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
         return SnapshotTable(self.root, branch=name)
 
     @staticmethod
@@ -257,6 +283,23 @@ class SnapshotTable:
             + man.get("delete_files", [])
             + man.get("staged_files", [])
         )
+
+    @classmethod
+    def _live_refs(cls, handle: "SnapshotTable") -> set[str]:
+        """Union of file paths referenced by every readable version of
+        ``handle``. A manifest that vanishes between the versions()
+        listing and its read (a concurrent vacuum expiring it, or a
+        concurrent drop_branch removing the ref) is SKIPPED: the
+        remover owned its refs' liveness decision, so treating them
+        as absent matches the post-race state instead of crashing a
+        maintenance pass halfway through."""
+        refs: set[str] = set()
+        for v in handle.versions():
+            try:
+                refs |= {f["path"] for f in cls._all_refs(handle.manifest(v))}
+            except FileNotFoundError:
+                continue
+        return refs
 
     # -- tags: named immutable version pins (Iceberg tag refs) --------
     def _tags_dir(self) -> str:
@@ -326,18 +369,25 @@ class SnapshotTable:
         if name not in self.branches():
             raise LookupError(f"no branch {name!r}")
         bt = SnapshotTable(self.root, branch=name)
-        branch_refs = set()
-        for v in bt.versions():
-            branch_refs |= {f["path"] for f in self._all_refs(bt.manifest(v))}
-        live = set()
-        for v in self.versions():
-            live |= {f["path"] for f in self._all_refs(self.manifest(v))}
+        branch_refs = self._live_refs(bt)
+        # Remove the REF first, then compute liveness, then reclaim:
+        # a fast_forward racing this drop either finished before the
+        # rmtree (its links are in main's log, so the recompute below
+        # sees them live) or fails loud mid-link on the vanished
+        # branch dir — in neither case can main end up referencing a
+        # reclaimed file. (With the old reclaim-then-rmtree order, an
+        # ff completing inside that window published manifests whose
+        # data files this drop had already unlinked.)
+        try:
+            shutil.rmtree(
+                os.path.join(self.root, "_manifest", "branches", name)
+            )
+        except FileNotFoundError:
+            raise LookupError(f"no branch {name!r}") from None
+        live = self._live_refs(self)
         for other in self.branches():
-            if other == name:
-                continue
             ot = SnapshotTable(self.root, branch=other)
-            for v in ot.versions():
-                live |= {f["path"] for f in self._all_refs(ot.manifest(v))}
+            live |= self._live_refs(ot)
         removed = reclaimed = 0
         own_root = os.path.realpath(self.root) + os.sep
         for p in sorted(branch_refs - live):
@@ -350,7 +400,6 @@ class SnapshotTable:
                 removed += 1
             except FileNotFoundError:
                 pass
-        shutil.rmtree(os.path.join(self.root, "_manifest", "branches", name))
         return {"files_removed": removed, "bytes_reclaimed": reclaimed}
 
     def fast_forward(self, name: str) -> int:
@@ -376,7 +425,17 @@ class SnapshotTable:
                 "rebase the branch instead of fast-forwarding"
             )
         for v in bvs[1:]:
-            for rel in b._raw_manifest_files(v):
+            try:
+                rels = b._raw_manifest_files(v)
+            except FileNotFoundError:
+                # drop_branch won the race mid-publish: the prefix
+                # already linked is a consistent main history; surface
+                # the partial publish loud rather than silently "done"
+                raise LookupError(
+                    f"branch {name!r} dropped during fast-forward "
+                    f"(published up to v{v - 1})"
+                ) from None
+            for rel in rels:
                 dst = os.path.join(self._manifest_dir, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 try:
@@ -384,6 +443,11 @@ class SnapshotTable:
                 except FileExistsError:
                     raise CommitConflictError(
                         f"version {v} committed on main during fast-forward"
+                    ) from None
+                except FileNotFoundError:
+                    raise LookupError(
+                        f"branch {name!r} dropped during fast-forward "
+                        f"(published up to v{v - 1})"
                     ) from None
         return self.latest_version()
 
@@ -1647,29 +1711,39 @@ class SnapshotTable:
         versions = self.versions()
         keep_v = set(versions[-retain_last:])
         if older_than_us is not None:
-            keep_v |= {
-                v
-                for v in versions
-                if self.manifest(v)["committed_at_us"] >= older_than_us
-            }
+            for v in versions:
+                # a manifest already expired by a CONCURRENT vacuum is
+                # simply not young — skip, don't crash the pass
+                try:
+                    young = self.manifest(v)["committed_at_us"] >= older_than_us
+                except FileNotFoundError:
+                    continue
+                if young:
+                    keep_v.add(v)
         keep_v |= set(self.tags().values())  # tag refs never expire
         _all_refs = self._all_refs
         live = set()
         for v in keep_v:
-            live |= {f["path"] for f in _all_refs(self.manifest(v))}
+            try:
+                live |= {f["path"] for f in _all_refs(self.manifest(v))}
+            except FileNotFoundError:
+                continue  # expired under us by another maintenance pass
         # branch protection (the Iceberg ref-retention rule): every
         # snapshot reachable from ANY branch keeps its files until
         # drop_branch — a branch is a live ref, not history
+        # (_live_refs tolerates a branch being dropped mid-scan)
         for name in self.branches():
-            bt = SnapshotTable(self.root, branch=name)
-            for v in bt.versions():
-                live |= {f["path"] for f in _all_refs(bt.manifest(v))}
+            live |= self._live_refs(SnapshotTable(self.root, branch=name))
         removed = reclaimed = 0
         own_root = os.path.realpath(self.root) + os.sep
         for v in versions:
             if v in keep_v:
                 continue
-            for f in _all_refs(self.manifest(v)):
+            try:
+                expired_refs = _all_refs(self.manifest(v))
+            except FileNotFoundError:
+                continue  # another vacuum already expired it
+            for f in expired_refs:
                 p = f["path"]
                 if p in live:
                     continue
@@ -1690,13 +1764,22 @@ class SnapshotTable:
         n_manifests = 0
         for v in versions:
             if v not in keep_v:
-                for rel in self.manifest(v).get("file_shards", []):
+                try:
+                    shards = self.manifest(v).get("file_shards", [])
+                except FileNotFoundError:
+                    continue  # concurrent vacuum won this version
+                for rel in shards:
                     try:
                         os.unlink(os.path.join(self._manifest_dir, rel))
                     except FileNotFoundError:
                         pass
-                os.unlink(os.path.join(self._manifest_dir, f"v{v:05d}.json"))
-                n_manifests += 1
+                try:
+                    os.unlink(
+                        os.path.join(self._manifest_dir, f"v{v:05d}.json")
+                    )
+                    n_manifests += 1
+                except FileNotFoundError:
+                    pass
         return {
             "files_removed": removed,
             "manifests_removed": n_manifests,
@@ -1716,15 +1799,13 @@ class SnapshotTable:
         directories are never touched. Main handle only."""
         if self.branch is not None:
             raise ValueError("gc_orphans from the main handle only")
-        referenced: set[str] = set()
-        for v in self.versions():
-            referenced |= {f["path"] for f in self._all_refs(self.manifest(v))}
+        # _live_refs tolerates manifests/branches vanishing mid-scan
+        # (concurrent vacuum / drop_branch): the remover owned those
+        # refs' liveness, and every file still referenced by a
+        # RETAINED snapshot stays in `referenced` via that snapshot.
+        referenced: set[str] = self._live_refs(self)
         for name in self.branches():
-            bt = SnapshotTable(self.root, branch=name)
-            for v in bt.versions():
-                referenced |= {
-                    f["path"] for f in self._all_refs(bt.manifest(v))
-                }
+            referenced |= self._live_refs(SnapshotTable(self.root, branch=name))
         now = time.time()
         removed = reclaimed = 0
         for prefix in ("data", "cdc", "delete", "wap"):

@@ -2153,3 +2153,99 @@ def test_pos_delete_across_schema_evolution(spark, tmp_path):
     t.apply_deletes(spark, committed_at_us=5_000_000)
     rows2 = {r.k: (r.v, r.extra) for r in t.read(spark).collect()}
     assert rows2 == rows
+
+
+def test_branch_and_maintenance_race_model(spark, tmp_path):
+    """Randomized MULTI-PROCESS ref + maintenance race (VERDICT r11
+    item 4): two writer JVMs (append / MOR upsert / predicate delete),
+    one brancher JVM (create_branch → branch appends → fast_forward or
+    drop_branch), and one maintenance process (gc_orphans + count- and
+    time-based vacuum) all race one table, across 3 seeds. The parent
+    replays the union of the committed-op logs in version order
+    through a dict model; the final table read must match exactly —
+    a lost update, a double apply, a vacuum/gc reclaiming a live file,
+    or a fast-forward/drop corrupting main all surface as a mismatch
+    (or a worker traceback). A planted pre-aged orphan file must be
+    reclaimed by gc, proving maintenance really ran."""
+    import json
+    import subprocess
+    import sys
+    import time as _time
+
+    worker = os.path.join(os.path.dirname(__file__), "branch_race_worker.py")
+    for seed in (1, 2, 3):
+        t = _mk(spark, tmp_path, name=f"race{seed}")
+        seed_v = t.append(_df(spark, 0, 10), committed_at_us=2_000_000)
+        # planted orphan: on disk, referenced by no manifest, old
+        # enough to clear the gc grace window
+        orphan = os.path.join(t.root, "data", "orphan-planted.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"junk")
+        os.utime(orphan, (_time.time() - 3600, _time.time() - 3600))
+
+        roles = ["writer0", "writer1", "brancher", "maint"]
+        procs, logs = [], {}
+        for role in roles:
+            lp = str(tmp_path / f"race{seed}-{role}.jsonl")
+            logs[role] = lp
+            procs.append(
+                (
+                    role,
+                    subprocess.Popen(
+                        [sys.executable, worker, t.root, role, str(seed), lp],
+                        stdout=subprocess.PIPE,
+                        stderr=subprocess.PIPE,
+                    ),
+                )
+            )
+        for role, p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, f"{role}: {err.decode()[-3000:]}"
+
+        committed: dict[int, tuple] = {}
+        for role in ("writer0", "writer1", "brancher"):
+            with open(logs[role]) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    assert rec["v"] not in committed, (
+                        f"seed {seed}: two ops claim v{rec['v']}"
+                    )
+                    committed[rec["v"]] = (rec["op"], rec["p"])
+
+        # retained manifest suffix is contiguous with intact parents
+        vs = t.versions()
+        head = vs[-1]
+        assert vs == list(range(vs[0], head + 1))
+        for v in vs[1:]:
+            assert t.manifest(v)["parent"] == v - 1
+        # every committed op at or after the retained floor has a log
+        # row (version numbers the logs never claimed would mean an
+        # unlogged commit — e.g. a double-published fast-forward)
+        for v in vs:
+            if v > seed_v:
+                assert v in committed, f"seed {seed}: v{v} has no log row"
+
+        model: dict[int, int] = {}
+        for v in sorted(committed):
+            op, payload = committed[v]
+            if op == "insert":
+                for k, val in payload:
+                    model[k] = val
+            elif op == "upsert":
+                model.update((k, val) for k, val in payload)
+            elif op == "delete":
+                for k in payload:
+                    model.pop(k, None)
+            # "noop" (apply_deletes maintenance commits): no change
+        for k in range(10):  # the parent's seed append
+            model.setdefault(k, k * 10)
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == sorted(model.items()), f"seed {seed}: model mismatch"
+
+        assert t.branches() == [], f"seed {seed}: leftover branch refs"
+        assert not os.path.exists(orphan), (
+            f"seed {seed}: planted orphan survived gc"
+        )
+        with open(logs["maint"]) as fh:
+            stats = json.loads(fh.read())["stats"]
+        assert stats["gc_files"] >= 1  # at least the planted orphan
