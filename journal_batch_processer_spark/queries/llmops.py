@@ -2633,7 +2633,17 @@ def q_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, partitioned by the same key). The aggregate itself is
     SQL-expressible (FULL JOIN of per-side counts — the oracle), so
     the Python path is value-checked; a real pipeline would put
-    model-feature logic in the body. One shuffle per side."""
+    model-feature logic in the body. One shuffle per side.
+
+    SELF-COGROUP GUARD: both sides derive from ONE scan, and Spark's
+    plan deduplication then binds the Python function's right-side
+    arguments to the LEFT side's expression ids — any downstream
+    column-subset projection prunes the right child to its keys and
+    the function receives a COLUMN-LESS right frame (observed on
+    PySpark 4.1.2: collect() was correct while .select("spend")
+    returned 0.0 for every row). Fresh aliases on the right side mint
+    new expression ids, which blocks the bad rebinding; pinned by
+    tests/test_registry_smoke.py::test_cogroup_survives_projection."""
     import pandas as pd
 
     events = load_events(spark, sf_dir)
@@ -2641,7 +2651,7 @@ def q_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "value"
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "value"
+        F.col("user_id").alias("user_id"), F.col("value").alias("value")
     )
 
     def stats(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

@@ -184,3 +184,24 @@ def test_oracle_precompute_variants_match_selfcontained():
             b = sorted(con.sql(variant_sql).fetchall())
             assert a == b, f"{key}: variant diverges from self-contained"
             assert len(a) > 0
+
+
+def test_cogroup_survives_projection(spark):
+    """Regression for the PySpark 4.1.2 self-cogroup pruning bug: with
+    both cogroup children derived from one scan, plan deduplication
+    bound the Python function's right-side arguments to the left
+    side's expression ids, so a downstream column-subset projection
+    pruned the right child to its keys and the function saw a
+    COLUMN-LESS right frame (spend silently 0.0 for every row, while
+    collect() of the full output was correct). The fresh right-side
+    aliases in q_cogroup_conversion block the rebinding; this pins
+    projection-vs-collect agreement so a regression cannot hide
+    behind the full-row oracle sweep."""
+    from journal_batch_processer_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    sdf = REGISTRY["cogroup_conversion"].fn(spark, SF_DIR)
+    full = sum(r.spend for r in sdf.collect())
+    projected = sdf.selectExpr("sum(spend) AS s").collect()[0].s
+    assert full > 0
+    assert abs(full - projected) < 1e-6

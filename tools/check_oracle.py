@@ -36,6 +36,9 @@ import os
 import sys
 import time
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
@@ -118,9 +121,9 @@ _SPARK_TAG = {
     # float/double: rendered as the IEEE-754 bit pattern of the
     # value widened to double (float32→float64 is exact), so the
     # compare is BIT-exact — probed identical across engines for
-    # ±0, ±inf, denormals, and 10M real values (NOTES_r12). Spark
-    # side uses reflect(doubleToRawLongBits); DuckDB side a
-    # vectorized Arrow UDF (register_duck_hash_fns).
+    # ±0, ±inf, denormals, and 10M real values (NOTES_r12). Both
+    # sides use a vectorized Arrow/pandas UDF over the float64
+    # buffer (register_spark_hash_fns / register_duck_hash_fns).
     "double": "f",
     "float": "f",
 }
@@ -150,10 +153,36 @@ def _duck_tag(duck_type: str) -> str | None:
     }.get(t)
 
 
+def register_spark_hash_fns(spark) -> None:
+    """Register the vectorized double→IEEE-bits pandas UDF the 'f'
+    cell rendering needs. Idempotent per session.
+
+    A pandas UDF, NOT reflect('java.lang.Double','doubleToRawLongBits',
+    …): reflect is classified nondeterministic (banned in aggregates)
+    and was observed returning 0 for every row when projected over a
+    cogroup-applyInPandas plan (cogroup_conversion, r12) — the
+    mismatch-fallback kept the verdict right, but the fast path never
+    fired. The Arrow-batched UDF is deterministic, plan-independent,
+    and bit-exact, mirroring the DuckDB side's dbits64. NULL and NaN
+    both surface as NaN in the float64 batch, so genuine NaN cells
+    render as NULL here — a divergence from the DuckDB side that only
+    forces the strict fallback, where NaN never compares equal anyway."""
+    if getattr(spark, "_ms_dbits64_registered", False):
+        return
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _dbits64(s: pd.Series) -> pd.Series:
+        arr = s.to_numpy(dtype=np.float64, copy=False)
+        return pd.Series(arr.view(np.int64)).astype("Int64").mask(s.isna())
+
+    spark.udf.register("ms_dbits64", _dbits64)
+    spark._ms_dbits64_registered = True
+
+
 def register_duck_hash_fns(con) -> None:
     """Register the vectorized double→IEEE-bits UDF the 'f' cell
     rendering needs. Idempotent per connection."""
-    import numpy as np
     import pyarrow as pa
 
     import duckdb as _duckdb
@@ -183,12 +212,7 @@ def _cell_spark(col: str, tag: str) -> str:
     elif tag == "x":
         body = f"lower(hex({q}))"
     elif tag == "f":
-        # reflect() rejects a null argument, hence the CASE guard
-        body = (
-            f"CASE WHEN {q} IS NULL THEN NULL ELSE "
-            f"reflect('java.lang.Double', 'doubleToRawLongBits', "
-            f"CAST({q} AS DOUBLE)) END"
-        )
+        body = f"CAST(ms_dbits64(CAST({q} AS DOUBLE)) AS STRING)"
     else:
         body = f"CAST({q} AS STRING)"
     return f"coalesce(concat('{tag}:', {body}), '{tag}:NULL')"
@@ -211,10 +235,11 @@ def spark_hash_row_expr(schema) -> str | None:
     """Per-row hash expression for a hash-safe schema, else None.
 
     Returned as a PROJECTION expression, not an aggregate argument:
-    Spark classifies reflect() (the 'f' bit rendering) as
-    nondeterministic and rejects it inside aggregate functions, so
-    the caller projects the row hash first and aggregates the
-    projected column (see spark_hash_agg_exprs)."""
+    the 'f' bit rendering is a pandas UDF, and projecting it first
+    keeps the aggregate stage a plain whole-stage-codegen sum over
+    the already-materialized row hashes (see SPARK_HASH_AGG_EXPRS).
+    Requires register_spark_hash_fns on the session when any 'f'
+    column is present (spark_hash_signature does both)."""
     tags = {}
     for f in schema.fields:
         tag = _SPARK_TAG.get(f.dataType.typeName())
@@ -239,6 +264,7 @@ def spark_hash_signature(sdf):
     row = spark_hash_row_expr(sdf.schema)
     if row is None:
         return None
+    register_spark_hash_fns(sdf.sparkSession)
     r = (
         sdf.selectExpr(f"{row} AS __ms_row_hash")
         .selectExpr(*SPARK_HASH_AGG_EXPRS)
