@@ -23,7 +23,8 @@ Renderings were probed equal across engines for every tagged type
 (bool/int/decimal/date/timestamp incl. trimmed fractions/binary-hex);
 any divergence surfaces as a hash mismatch which FALLS BACK to the
 strict multiset path, so an imperfect rendering can cost time, never a
-wrong verdict. Keys with float/double/array/map/struct outputs always
+wrong verdict. Hash-machinery ERRORS (not just mismatches) take the
+same fallback: the fast path is an accelerator, never a verdict gate. Keys with float/double/array/map/struct outputs always
 take the strict path. tests/test_check_oracle_hash.py pins hash-vs-
 strict verdict agreement and mismatch detection.
 """
@@ -310,6 +311,16 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # Cap oracle-side parallelism: with the default threads=32 the
+    # bundled jemalloc's per-thread arenas + decay madvise()s split
+    # VMAs so fast during big aggregate-state teardown (the 100×
+    # text_entropy oracle: 500k ORDER BY'd list() states) that the
+    # process hits vm.max_map_count (65530) and every later malloc
+    # fails ENOMEM with >100 GB of RAM free — measured maps 4.3k →
+    # 65.5k in 6 s while RSS FELL. 8 threads peaks at ~53k maps on
+    # the same query (and the oracle is the referee, not the engine
+    # under test — it does not need to race Spark).
+    con.execute("SET threads=8")
     register_duck_hash_fns(con)
     for t in TABLES:
         con.execute(
@@ -376,25 +387,31 @@ def main() -> int:
                     and sorted(c.lower() for c in s_cols)
                     == sorted(c.lower() for c in o_cols)
                 ):
+                    s_sig = o_sig = None
                     try:
                         s_sig = spark_hash_signature(sdf)
                         oa = rel.aggregate(d_expr).fetchall()[0]
+                        o_sig = (int(oa[0]), int(oa[1] or 0), int(oa[2] or 0))
                     except Exception as exc:  # noqa: BLE001
-                        print(f"FAIL  {name}: hash-path error: {exc}")
-                        n_fail += 1
-                        continue
-                    o_sig = (int(oa[0]), int(oa[1] or 0), int(oa[2] or 0))
-                    if s_sig == o_sig:
-                        print(f"ok    {name} (hash, {s_sig[0]} rows, "
-                              f"{time.perf_counter()-t0:.1f}s)")
-                        n_pass += 1
-                        continue
-                    hash_note = (
-                        f"  [HASH MISMATCH spark={s_sig} oracle={o_sig} — "
-                        f"strict fallback]"
-                    )
-                    if s_sig[0] == o_sig[0]:
+                        # An ERROR in the hash machinery is not a
+                        # verdict — fall back to the strict path the
+                        # same way a mismatch does (r12: a jemalloc
+                        # VMA-exhaustion ENOMEM here FAILed the key
+                        # and poisoned the rest of the sweep).
+                        hash_note = f"  [hash-path error: {exc} — strict fallback]"
                         print(f"      {name}:{hash_note}")
+                    if o_sig is not None:
+                        if s_sig == o_sig:
+                            print(f"ok    {name} (hash, {s_sig[0]} rows, "
+                                  f"{time.perf_counter()-t0:.1f}s)")
+                            n_pass += 1
+                            continue
+                        hash_note = (
+                            f"  [HASH MISMATCH spark={s_sig} oracle={o_sig} — "
+                            f"strict fallback]"
+                        )
+                        if s_sig[0] == o_sig[0]:
+                            print(f"      {name}:{hash_note}")
 
             try:
                 s_rows = sdf.collect()
