@@ -2061,12 +2061,66 @@ SQL_SPLIT_LEAKAGE_SAFE_CC = _split_leakage_sql(SQL_DEDUP_CLUSTER_CC)
 # oracle variants against it. Equivalence with the driver-facing
 # self-contained strings is by construction (same fixpoint text,
 # referenced instead of inlined) and pinned by a registry smoke test.
+# Scale-sweep variant of SQL_DEDUP_EDITDIST: the brute O(n²) spec
+# above is the driver-facing semantic definition (fine at sf0.01 =
+# 5000 docs) but unrunnable at 100× (4e9 same-lang candidate pairs).
+# This is the same pigeonhole blocking q_dedup_editdist uses —
+# identical result multiset, pinned by test_registry_smoke.py::
+# test_oracle_precompute_variants_match_selfcontained.
+SQL_EDITDIST_PIGEONHOLE = """
+WITH d AS (
+    SELECT doc_id, lang, substr(text, 1, 40) AS p, length(text) AS n
+    FROM documents
+),
+longd AS (SELECT * FROM d WHERE n >= 40),
+chunks AS (
+    SELECT doc_id, lang, p, n, i,
+           substr(p, 8 * i + 1, 8) AS ch,
+           CAST(n / 8 AS INT) + db AS bk
+    FROM longd,
+         UNNEST([0, 1, 2, 3, 4]) AS ti(i),
+         UNNEST([-1, 0, 1]) AS tb(db)
+),
+wins AS (
+    SELECT doc_id AS doc_b, lang, p AS p_b, n AS n_b, i,
+           substr(p, 8 * i + 1 + dl, 8) AS ch,
+           CAST(n / 8 AS INT) AS bk
+    FROM longd,
+         UNNEST([0, 1, 2, 3, 4]) AS ti(i),
+         UNNEST([-4, -3, -2, -1, 0, 1, 2, 3, 4]) AS tw(dl)
+    WHERE 8 * i + 1 + dl >= 1 AND 8 * i + 8 + dl <= 40
+),
+cand AS (
+    SELECT DISTINCT c.doc_id, w.doc_b, c.p, w.p_b
+    FROM chunks c JOIN wins w
+      ON c.i = w.i AND c.ch = w.ch AND c.lang = w.lang AND c.bk = w.bk
+    WHERE c.doc_id < w.doc_b AND abs(c.n - w.n_b) <= 8
+),
+shortd AS (SELECT * FROM d WHERE n < 48)
+SELECT doc_id AS doc_a, doc_b, CAST(levenshtein(p, p_b) AS INT) AS dist
+FROM cand
+WHERE levenshtein(p, p_b) <= 4
+UNION
+SELECT a.doc_id, b.doc_id, CAST(levenshtein(a.p, b.p) AS INT)
+FROM shortd a JOIN shortd b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.n - b.n) <= 8
+WHERE levenshtein(a.p, b.p) <= 4
+"""
+
+
 ORACLE_PRECOMPUTE = {
     "_cc_fixpoint": {
         "sql": SQL_CC_FIXPOINT,
         "keys": {
             "dedup_cluster": SQL_DEDUP_CLUSTER_CC,
             "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE_CC,
+        },
+    },
+    "_edp_pairs": {
+        "sql": SQL_EDITDIST_PIGEONHOLE,
+        "keys": {
+            "dedup_editdist": "SELECT doc_a, doc_b, dist FROM _edp_pairs",
         },
     },
 }
@@ -2903,15 +2957,38 @@ FROM documents, UNNEST(range(0, length(text) // 16, 2)) AS t(f)
 
 def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance (fuzzy) near-dup pairs: Levenshtein ≤ 4 over a
-    40-char prefix, candidates blocked by (lang, length band ±8).
+    40-char prefix; lang must match and |len diff| ≤ 8.
 
-    The blocking is the scale story: each doc emits 3 band keys
-    (len//8 − 1 … +1), candidates come from a bucket-equi join —
-    never an all-pairs cross — and the |len diff| ≤ 8 predicate makes
-    the banding semantically invisible (any pair it admits is within
-    one band of its neighbor). Levenshtein runs JVM-side
-    (``F.levenshtein``), only on the blocked candidates. At 100 TB the
-    same plan holds: band keys partition-prune the join.
+    Blocking is PIGEONHOLE (PassJoin-style partition signatures) —
+    rewritten in r12 after the first 100× sweep exposed the r09
+    version as quadratic: it equi-joined on the length band ALONE
+    (lang and |Δn| ≤ 8 were post-join filters), and at the
+    sf1-equivalent corpus 500k docs fall into just 68 bands =
+    4.06e9 same-band ordered pairs (12e9 join rows after the 3-band
+    explode); the key ran >30 min before being killed. The fix: with
+    ≤ 4 edits over a 40-char prefix split into 5 chunks of 8, at
+    least one chunk of `a` is untouched by any edit (del/sub each
+    damage ≤ 1 chunk, insertions damage none), and its image in `b`
+    is the IDENTICAL 8-gram displaced only by the net indels before
+    it — at most ±4, and always fully inside b's 40-char prefix
+    (else its tail chars would have been deleted, touching it). So
+    candidates = equi-join of a's 5 aligned chunks against b's ≤ 37
+    shifted 8-char windows on (chunk idx, 8-gram, lang, band):
+    volume collapses from band-density² to true-near-dup density
+    plus aligned 8-gram collisions (measured ≈ 5e7 per chunk index
+    at 100×, vs 4e9). Docs shorter than 48 chars (ragged chunks —
+    none exist at the shipped SFs) pair among themselves through the
+    old band join: any pair with a side < 40 has BOTH sides < 48 by
+    |Δn| ≤ 8, and the [40, 48) overlap is merged by the final
+    distinct. Candidate pairs are deduplicated BEFORE the
+    Levenshtein so each survivor is scored exactly once; the
+    distance itself stays JVM-side (``F.levenshtein``).
+
+    Oracle: SQL_DEDUP_EDITDIST stays the brute O(n²) semantic spec
+    (the driver runs it at sf0.01); scale sweeps use the _edp_pairs
+    ORACLE_PRECOMPUTE pigeonhole variant, pinned equivalent by
+    tests/test_registry_smoke.py::
+    test_oracle_precompute_variants_match_selfcontained.
     """
     docs = _docs(spark, sf_dir).select(
         "doc_id",
@@ -2919,32 +2996,79 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 40).alias("prefix"),
         F.length("text").alias("n"),
     )
+
     band = (F.col("n") / F.lit(8)).cast("int")
-    cand = docs.select(
-        "*", F.explode(F.array(band - 1, band, band + 1)).alias("bk")
+    longd = docs.filter(F.col("n") >= 40)
+    idx = F.explode(F.array(*[F.lit(i) for i in range(5)])).alias("i")
+    chunks = (
+        longd.select("doc_id", "lang", "prefix", "n", idx)
+        .select(
+            "*",
+            F.expr("substring(prefix, i * 8 + 1, 8)").alias("ch"),
+            F.explode(F.array(band - 1, band, band + 1)).alias("bk"),
+        )
     )
-    right = docs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("prefix").alias("prefix_b"),
-        F.col("n").alias("n_b"),
-        (F.col("n") / F.lit(8)).cast("int").alias("bk"),
+    wins = (
+        longd.select(
+            F.col("doc_id").alias("doc_b"),
+            "lang",
+            F.col("prefix").alias("prefix_b"),
+            F.col("n").alias("n_b"),
+            idx,
+        )
+        .select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(d) for d in range(-4, 5)])
+            ).alias("dl"),
+        )
+        .filter("i * 8 + 1 + dl >= 1 AND i * 8 + 8 + dl <= 40")
+        .select(
+            "doc_b",
+            "lang",
+            "prefix_b",
+            "n_b",
+            "i",
+            F.expr("substring(prefix_b, i * 8 + 1 + dl, 8)").alias("ch"),
+            (F.col("n_b") / F.lit(8)).cast("int").alias("bk"),
+        )
     )
-    pairs = (
-        cand.join(right, ["bk"])
+    long_pairs = (
+        chunks.join(wins, ["i", "ch", "lang", "bk"])
         .filter(
             (F.col("doc_id") < F.col("doc_b"))
-            & (F.col("lang") == F.col("lang_b"))
             & (F.abs(F.col("n") - F.col("n_b")) <= 8)
         )
+        .select("doc_id", "doc_b", "prefix", "prefix_b")
+        .dropDuplicates(["doc_id", "doc_b"])
         .select(
             "doc_id",
             "doc_b",
             F.levenshtein("prefix", "prefix_b").alias("dist"),
         )
         .filter(F.col("dist") <= 4)
-        .distinct()
     )
+
+    short = docs.filter(F.col("n") < 48)
+    short_b = short.select(
+        *(F.col(c).alias(f"{c}_b") for c in short.columns)
+    )
+    short_pairs = (
+        short.join(
+            short_b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("doc_id") < F.col("doc_id_b"))
+            & (F.abs(F.col("n") - F.col("n_b")) <= 8),
+        )
+        .select(
+            "doc_id",
+            F.col("doc_id_b").alias("doc_b"),
+            F.levenshtein("prefix", "prefix_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+    )
+
+    pairs = long_pairs.unionByName(short_pairs).distinct()
     return pairs.select(
         F.col("doc_id").alias("doc_a"), "doc_b", "dist"
     )
@@ -2960,6 +3084,7 @@ FROM documents a JOIN documents b
  AND abs(length(a.text) - length(b.text)) <= 8
 WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 4
 """
+
 
 
 def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:

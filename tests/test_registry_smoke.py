@@ -165,11 +165,13 @@ def test_oracle_precompute_variants_match_selfcontained():
     from journal_batch_processer_spark.queries.llmops import (
         ORACLE_PRECOMPUTE,
         SQL_DEDUP_CLUSTER,
+        SQL_DEDUP_EDITDIST,
         SQL_SPLIT_LEAKAGE_SAFE,
     )
 
     selfcontained = {
         "dedup_cluster": SQL_DEDUP_CLUSTER,
+        "dedup_editdist": SQL_DEDUP_EDITDIST,
         "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,
     }
     con = duckdb.connect()
