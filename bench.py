@@ -125,6 +125,12 @@ BENCH_QUERIES = [
     "text_winnowing",
     "text_winnowing_pairs",
     "text_langid_ngram",
+    # r12: rewritten candidate generator joins the timed set — the
+    # pigeonhole chunk/window equi-join replaced the band-only join
+    # the first 100x sweep exposed as quadratic; a blocking
+    # regression (key dropped from the join, window legs widened)
+    # shows here as a superlinear jump
+    "dedup_editdist",
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is

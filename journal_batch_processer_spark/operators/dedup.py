@@ -736,17 +736,26 @@ def near_dup_pairs(
 
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    # shuffle_hash hints, NOT the optimizer's choice (r12, found by
+    # the 100× sweep): cand sits behind the minhash band self-join,
+    # and Catalyst's size estimate for it is derived from the
+    # pre-explode scan — at 100× it estimated the ~2e7-pair relation
+    # under the broadcast threshold and died building the broadcast
+    # table (notEnoughMemoryToBuildAndBroadcastTable). The hinted
+    # side is the per-partition build side; every shape here is the
+    # one that holds at web scale (nothing pair- or shingle-sized is
+    # ever a global table).
     inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        cand.hint("shuffle_hash").join(a, "doc_a")
+        .join(b.hint("shuffle_hash"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),

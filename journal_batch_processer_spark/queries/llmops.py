@@ -2076,7 +2076,13 @@ longd AS (SELECT * FROM d WHERE n >= 40),
 chunks AS (
     SELECT doc_id, lang, p, n, i,
            substr(p, 8 * i + 1, 8) AS ch,
-           CAST(n / 8 AS INT) + db AS bk
+           -- n // 8, NOT CAST(n/8 AS INT): DuckDB's double->int cast
+           -- rounds HALF-TO-EVEN, so n=452 -> 56 but n_b=460 -> 58
+           -- (both land on .5 with opposite parities) - a band gap
+           -- of 2 that escapes the +-1 explode and silently dropped
+           -- 360 dist-0 pairs at 100x. Floor division matches
+           -- Spark's cast truncation for the positive lengths here.
+           n // 8 + db AS bk
     FROM longd,
          UNNEST([0, 1, 2, 3, 4]) AS ti(i),
          UNNEST([-1, 0, 1]) AS tb(db)
@@ -2084,22 +2090,28 @@ chunks AS (
 wins AS (
     SELECT doc_id AS doc_b, lang, p AS p_b, n AS n_b, i,
            substr(p, 8 * i + 1 + dl, 8) AS ch,
-           CAST(n / 8 AS INT) AS bk
+           n // 8 AS bk
     FROM longd,
          UNNEST([0, 1, 2, 3, 4]) AS ti(i),
          UNNEST([-4, -3, -2, -1, 0, 1, 2, 3, 4]) AS tw(dl)
     WHERE 8 * i + 1 + dl >= 1 AND 8 * i + 8 + dl <= 40
 ),
 cand AS (
-    SELECT DISTINCT c.doc_id, w.doc_b, c.p, w.p_b
+    -- dedupe on the id pair ALONE (16 bytes/row through the 1.5e8-row
+    -- distinct), then join the two 40-char prefixes back: carrying
+    -- them through the distinct made the hash table ~10× wider
+    SELECT DISTINCT c.doc_id, w.doc_b
     FROM chunks c JOIN wins w
       ON c.i = w.i AND c.ch = w.ch AND c.lang = w.lang AND c.bk = w.bk
     WHERE c.doc_id < w.doc_b AND abs(c.n - w.n_b) <= 8
 ),
 shortd AS (SELECT * FROM d WHERE n < 48)
-SELECT doc_id AS doc_a, doc_b, CAST(levenshtein(p, p_b) AS INT) AS dist
+SELECT cand.doc_id AS doc_a, cand.doc_b,
+       CAST(levenshtein(da.p, db.p) AS INT) AS dist
 FROM cand
-WHERE levenshtein(p, p_b) <= 4
+JOIN d da ON da.doc_id = cand.doc_id
+JOIN d db ON db.doc_id = cand.doc_b
+WHERE levenshtein(da.p, db.p) <= 4
 UNION
 SELECT a.doc_id, b.doc_id, CAST(levenshtein(a.p, b.p) AS INT)
 FROM shortd a JOIN shortd b
@@ -3033,18 +3045,38 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_b") / F.lit(8)).cast("int").alias("bk"),
         )
     )
-    long_pairs = (
-        chunks.join(wins, ["i", "ch", "lang", "bk"])
+    # shuffle_hash, NOT the optimizer's choice: both join inputs sit
+    # behind explodes, and Spark's size estimate for an exploded
+    # relation is the pre-explode scan size — at 100× it estimated
+    # the 18.5M-row window side under the 64 MB broadcast threshold
+    # and built a multi-GB broadcast hash table in the driver (GC
+    # death). A shuffled hash join on the (i, ch, lang, bk) key is
+    # the right plan at every scale and never builds a global table.
+    cand = (
+        chunks.hint("shuffle_hash").join(wins, ["i", "ch", "lang", "bk"])
         .filter(
             (F.col("doc_id") < F.col("doc_b"))
             & (F.abs(F.col("n") - F.col("n_b")) <= 8)
         )
-        .select("doc_id", "doc_b", "prefix", "prefix_b")
+        # dedupe on the id pair ALONE (16 bytes/row through the
+        # ~1.5e8-row distinct at 100×), then join the 40-char
+        # prefixes back from the scan-derived docs relation — whose
+        # size Catalyst estimates correctly, unlike the exploded
+        # sides above
+        .select("doc_id", "doc_b")
         .dropDuplicates(["doc_id", "doc_b"])
+    )
+    pa = docs.select("doc_id", F.col("prefix").alias("pa"))
+    pb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
+    )
+    long_pairs = (
+        cand.join(pa, "doc_id")
+        .join(pb, "doc_b")
         .select(
             "doc_id",
             "doc_b",
-            F.levenshtein("prefix", "prefix_b").alias("dist"),
+            F.levenshtein("pa", "pb").alias("dist"),
         )
         .filter(F.col("dist") <= 4)
     )
