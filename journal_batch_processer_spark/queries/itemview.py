@@ -50,7 +50,7 @@ def base_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mon_arr, ((F.col("g") * 5 + F.col("k") + 7) % 12).cast("int") + 1
             ),
         )
-        .withColumn("y4", (F.lit(1985) + F.col("g") % 15 + F.col("k")).cast("int"))
+        .withColumn("y4", (F.lit(1985) + F.col("g") % 15 + F.col("k") % 120).cast("int"))  # k % 120: years stay 4-digit at ANY corpus scale - unbounded k made 5-digit "years" at 100x, which the regex battery (correctly, per the reference) refuses to parse while the arithmetic oracle still expected extractions (SWEEP_r12 section 6)
         .withColumn("style", ((F.col("g") + F.col("k")) % 7).cast("int"))
     )
 
@@ -118,7 +118,7 @@ iv AS (
         CAST(k % 9 + 1 AS INT) AS m,
         ({MONTHS_SQL})[CAST((g * 3 + k) % 12 AS INT) + 1] AS mon1,
         ({MONTHS_SQL})[CAST((g * 5 + k + 7) % 12 AS INT) + 1] AS mon2,
-        CAST(1985 + g % 15 + k AS INT) AS y4,
+        CAST(1985 + g % 15 + k % 120 AS INT) AS y4,
         CAST((g + k) % 7 AS INT) AS style
     FROM base
 )
