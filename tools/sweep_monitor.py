@@ -1,0 +1,146 @@
+"""Monitored multi-key 100x oracle sweep (SWEEP_r12.md process note).
+
+Runs tools/check_oracle.py --hash over an ordered key list in ONE
+child process (per-key fresh processes pay ~20 s Spark startup each;
+concurrent sessions produce spurious worker crashes). The monitor
+tails the child's log; if the in-flight key produces no verdict line
+within --timeout seconds, the child is killed and a new child resumes
+from the NEXT key, recording the killed key as "timeout". Per-key
+(status, note) rows are merged into --rows-json incrementally so a
+crash never loses completed verdicts.
+
+    python tools/sweep_monitor.py --keys keys.txt \
+        --rows-json SWEEP_r12_rows.json --log /tmp/sweep.log
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+VERDICT_RE = re.compile(r"^(ok|FAIL|skip) +(\S+?):? (.*)$")
+
+
+def load_rows(path: str) -> dict:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def save_rows(path: str, rows: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rows, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", required=True, help="file with one key per line")
+    ap.add_argument("--rows-json", required=True)
+    ap.add_argument("--log", required=True)
+    ap.add_argument("--timeout", type=float, default=900.0)
+    ap.add_argument("--checker", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "check_oracle.py"))
+    args = ap.parse_args()
+
+    with open(args.keys) as f:
+        keys = [k.strip() for k in f if k.strip() and not k.startswith("#")]
+    rows = load_rows(args.rows_json)
+    pending = [k for k in keys if k not in rows]
+    logf = open(args.log, "a", buffering=1)
+
+    while pending:
+        cmd = [sys.executable, args.checker, "--hash", *pending]
+        logf.write(f"\n=== monitor: launching {len(pending)} keys ===\n")
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            bufsize=1, cwd=os.path.dirname(os.path.dirname(args.checker)) or ".",
+        )
+        key_start = time.monotonic()
+        done_in_run: list[str] = []
+        killed = False
+        import selectors
+
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        buf = ""
+        while True:
+            if proc.poll() is not None and not sel.select(0):
+                break
+            events = sel.select(timeout=5.0)
+            for key_ev, _ in events:
+                chunk = os.read(key_ev.fileobj.fileno(), 65536).decode(
+                    errors="replace")
+                if not chunk:
+                    sel.unregister(key_ev.fileobj)
+                    continue
+                # Spark's console progress bar shares the line with
+                # the verdict via bare \r — treat \r as a newline so
+                # "…(7 + 1) / 8]   ok    key (hash, …)" still matches.
+                buf += chunk.replace("\r", "\n")
+                while "\n" in buf:
+                    line, buf = buf.split("\n", 1)
+                    line = line.strip()
+                    logf.write(line + "\n")
+                    m = VERDICT_RE.match(line)
+                    if m:
+                        status, name, note = m.groups()
+                        wall = time.monotonic() - key_start
+                        key_start = time.monotonic()
+                        if name in pending:
+                            rows[name] = [
+                                "ok" if status == "ok" else
+                                ("skip" if status == "skip" else "FAIL"),
+                                note.strip(),
+                            ]
+                            save_rows(args.rows_json, rows)
+                            done_in_run.append(name)
+                            print(f"[monitor] {status:4s} {name} "
+                                  f"({wall:.0f}s) — {note.strip()[:90]}",
+                                  flush=True)
+            if proc.poll() is None and time.monotonic() - key_start > args.timeout:
+                in_flight = next(
+                    (k for k in pending if k not in done_in_run), None)
+                print(f"[monitor] TIMEOUT on {in_flight} after "
+                      f"{args.timeout:.0f}s — killing child, resuming past it",
+                      flush=True)
+                logf.write(f"=== monitor: TIMEOUT {in_flight} ===\n")
+                if in_flight:
+                    rows[in_flight] = [
+                        "timeout", f">{args.timeout:.0f}s, killed by monitor"]
+                    save_rows(args.rows_json, rows)
+                    done_in_run.append(in_flight)
+                proc.kill()
+                proc.wait()
+                killed = True
+                break
+        if not killed:
+            proc.wait()
+        pending = [k for k in pending if k not in done_in_run]
+        if not killed and pending:
+            # child exited without verdicts for the rest (crash):
+            # mark the first pending key as the poison and move on
+            poison = pending[0]
+            print(f"[monitor] child exited rc={proc.returncode} mid-sweep; "
+                  f"marking {poison} as error and resuming", flush=True)
+            rows[poison] = ["error", f"child exited rc={proc.returncode}"]
+            save_rows(args.rows_json, rows)
+            pending = pending[1:]
+
+    counts: dict[str, int] = {}
+    for k in keys:
+        st = rows.get(k, ["missing"])[0]
+        counts[st] = counts.get(st, 0) + 1
+    print(f"[monitor] done: {counts}", flush=True)
+    return 0 if set(counts) <= {"ok", "skip"} else 1
+
+
+if __name__ == "__main__":
+    main()
