@@ -108,19 +108,29 @@ def asof_join_nearest(
         .orderBy(F.col("__ts"), F.col("__side"), F.col("__cand.id").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # forward: earliest right at/after; first() takes the first row,
-    # so ids ASCENDING — and left rows must sort BEFORE equal-ts
-    # rights here (side desc) so an equal-ts right is visible to
-    # first() as well (|dt| = 0 also reaches the backward pass; either
-    # way the same row wins)
-    w_fwd = (
+    # forward: earliest right at/after. NOT first() over a
+    # (0, unboundedFollowing) frame — Spark evaluates unbounded-
+    # following frames by re-scanning to the partition end for every
+    # row, O(n²) per key partition (the year_impute_window 100×
+    # lesson). Instead run the SAME pass backward: sort every key
+    # inverted (ts desc, side asc, id desc) and take last(ignorenulls)
+    # over the running (unboundedPreceding, 0) frame, which Spark
+    # computes incrementally in O(n). In the inverted order, rows
+    # at/preceding the current one are exactly the forward-order rows
+    # at/after it; among equal-ts rights, id desc makes the SMALLEST
+    # id the nearest preceding row, so last() keeps the same winner
+    # first() picked, and left rows still sort after equal-ts rights
+    # (side asc inverted from side desc) so an equal-ts right stays
+    # visible. Left rows carry NULL __cand, so the flipped NULL
+    # placement under desc ordering is invisible to ignorenulls.
+    w_fwd_rev = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts"), F.col("__side").desc(), F.col("__cand.id"))
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("__ts").desc(), F.col("__side"), F.col("__cand.id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = merged.withColumn(
         "__prev", F.last("__cand", ignorenulls=True).over(w_back)
-    ).withColumn("__next", F.first("__cand", ignorenulls=True).over(w_fwd))
+    ).withColumn("__next", F.last("__cand", ignorenulls=True).over(w_fwd_rev))
     # microsecond distances: cast-to-long would TRUNCATE to seconds
     # and mis-resolve sub-second ties
     d_prev = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__prev.ts"))

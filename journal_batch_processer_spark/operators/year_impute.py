@@ -160,23 +160,34 @@ def year_impute_window(
     anchor is itself a repaired 2-digit row (and agrees even then
     unless the chain straddles a century in the avg-century branch).
     """
-    order = [F.col(c) for c in order_cols if c in df.columns]
+    present = [c for c in order_cols if c in df.columns]
+    order = [F.col(c) for c in present]
     w_prev = (
         Window.partitionBy(group_col)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_next = (
+    # The forward anchor must NOT use a (1, unboundedFollowing) frame:
+    # Spark's UnboundedFollowingWindowFunctionFrame re-scans from the
+    # current row to the partition end for EVERY row — O(n²) per
+    # group. At 150 groups × 100k rows (the 100× corpus) that frame
+    # never finishes while the exact applyInPandas path takes 27 s.
+    # Reversing the sort turns it into a running (unboundedPreceding,
+    # -1) frame, which Spark evaluates incrementally in O(n): in
+    # descending order, "rows before the current one" are exactly the
+    # rows AFTER it in ascending order, and last(ignorenulls) over
+    # that running frame is the nearest following anchor.
+    w_next_rev = (
         Window.partitionBy(group_col)
-        .orderBy(*order)
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(*[F.col(c).desc() for c in present])
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
 
     chron = F.coalesce(F.col(chron_col), F.lit(""))
     lead_digits = F.regexp_extract(chron, r"^(\d+)", 1)
     anchor = F.when(F.length(lead_digits) == 4, lead_digits)  # else NULL
     prev_y = F.last(anchor, ignorenulls=True).over(w_prev)
-    next_y = F.first(anchor, ignorenulls=True).over(w_next)
+    next_y = F.last(anchor, ignorenulls=True).over(w_next_rev)
 
     needs = (lead_digits != "") & (F.length(lead_digits) < 4)
     year = lead_digits
