@@ -436,7 +436,16 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist over order totals per priority — one window, one
     shuffle. The orderBy includes the key for deterministic tie-break
     (percent_rank/cume_dist are tie-sensitive; o_orderkey is unique so
-    every rank is reproducible)."""
+    every rank is reproducible).
+
+    pct_rank/cume are emitted RAW, not round()ed: both engines compute
+    them as IEEE divisions of identical integers ((rank-1)/(n-1),
+    n_le/n), which are bit-identical by the standard — while
+    round-to-6-decimals→double is NOT portable (Spark rounds the
+    shortest decimal repr via BigDecimal HALF_UP, DuckDB rounds the
+    binary value; at 100× ~thousands of the 15M rows disagreed in the
+    last ulp and the key fell off the hash fast path into a 15-minute
+    strict compare that diverged the same way)."""
     orders = _orders(spark, sf_dir)
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice"), F.col("o_orderkey")
@@ -445,16 +454,16 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
 SQL_WINDOW_NTILE = """
 SELECT o_orderkey, o_orderpriority,
        CAST(NTILE(4) OVER w AS INT) AS quartile,
-       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-       ROUND(CUME_DIST() OVER w, 6) AS cume
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey)

@@ -364,3 +364,20 @@ def test_graph_kcore_plan_and_convergence(spark):
     finally:
         trainprep.KCORE_ITERS = old
     assert rows6 == rows7
+
+
+def test_no_unbounded_following_window_frames(spark):
+    """No operator plan may contain an UNBOUNDED FOLLOWING window
+    frame: Spark's UnboundedFollowingWindowFunctionFrame re-scans from
+    the current row to the partition end for EVERY row — O(n^2) per
+    partition. At the 100x corpus (150 groups x 100k rows) the
+    year_impute_window forward-anchor pass never finished, while the
+    equivalent reverse-ordered running frame takes 120 s (545fa8c).
+    Pin the two rewritten operators here; tools/explain_audit.py
+    flags the frame across the whole registry."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for key in ("year_impute_window", "join_asof_nearest"):
+        plan = qs[key](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "UNBOUNDED FOLLOWING" not in plan.upper(), (key, plan)

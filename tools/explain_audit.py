@@ -66,6 +66,12 @@ def main() -> None:
         # WholeStageCodegen spans — don't flag it; check pushdown instead.
         if "PushedFilters: []" in plan and "Filter" in plan:
             flags.append("NO-PUSHDOWN")
+        # Unbounded-following frames are evaluated by re-scanning to
+        # the partition end per row — O(n^2) per partition (545fa8c:
+        # year_impute_window never finished at 100x). Rewrite as a
+        # reverse-ordered running frame instead.
+        if "UNBOUNDED FOLLOWING" in plan.upper():
+            flags.append("UNBOUNDED-FOLLOWING-FRAME")
         n_smj = plan.count("SortMergeJoin")
         n_bhj = plan.count("BroadcastHashJoin")
         n_shuffle = plan.count("Exchange (")
