@@ -309,15 +309,33 @@ def ivf_topk(
         # name-form dot/norm (parsed expr strings) need the cast as a
         # named column — one extra projection, thousands fewer py4j
         # calls at plan-construction time (see dot_expr docstring)
-        scored = (
-            df.withColumn("__vd", _as_double(F.col(vec_col)))
-            .join(F.broadcast(cents))
-            .withColumn(
-                "__sim",
-                dot_expr("__vd", "cvec", dim)
-                / (norm_expr("__vd", dim) * norm_expr("cvec", dim)),
-            )
+        vd = df.withColumn("__vd", _as_double(F.col(vec_col)))
+        sim = dot_expr("__vd", "cvec", dim) / (
+            norm_expr("__vd", dim) * norm_expr("cvec", dim)
         )
+        if keep_n == 1:
+            # corpus side: map-side-combined argmax, NOT a row_number
+            # window — the window's sort shuffle would carry the full
+            # vector through |corpus|·k wide rows (the
+            # assign_nearest_centroid 100× lesson); the groupBy ships
+            # one narrow partial row per vector
+            best = (
+                vd.join(F.broadcast(cents))
+                .select(
+                    id_col,
+                    F.struct(
+                        sim.alias("sim"), (-F.col("cent_id")).alias("negc")
+                    ).alias("__sc"),
+                )
+                .groupBy(id_col)
+                .agg(F.max("__sc").alias("__b"))
+                .select(id_col, (-F.col("__b.negc")).alias(out_col))
+            )
+            return best.join(df.select(id_col, vec_col), id_col).select(
+                id_col, vec_col, out_col
+            )
+        # query side (n_probe > 1): small relation, window top-n is fine
+        scored = vd.join(F.broadcast(cents)).withColumn("__sim", sim)
         w = Window.partitionBy(id_col).orderBy(
             F.col("__sim").desc(), F.col("cent_id")
         )
@@ -373,31 +391,93 @@ def assign_nearest_centroid(
     and its norm (``v``, ``nrm``) so downstream ops (SemDeDup's exact
     pair verify) reuse them without a second scan.
 
-    One broadcast join + one per-id window; at 100 TB the assignment
-    is the partition-key computation of the cell-partitioned layout.
+    One Arrow-batched mapInPandas projection — zero joins, zero
+    shuffles; at 100 TB the assignment is the partition-key
+    computation of the cell-partitioned layout, embarrassingly
+    parallel over the corpus scan.
+
+    Why not the declarative forms (both were built and measured at the
+    100× sweep's 200k vectors × k=400):
+    - row_number window over corpus × broadcast(centroids): the sort
+      shuffle materializes |corpus|·k rows each carrying the full
+      ``dim``-double vector — 80 GB of shuffle write; never finished.
+    - max(struct(csim, -cell)) groupBy over the same cross join: the
+      shuffle shrinks to narrow partials, but the 2·dim-term unrolled
+      element_at expression defeats whole-stage codegen at this width
+      and evaluates at ~26k rows/s/thread — ~380 s for the 8e7
+      scored rows, 40× slower than this numpy path.
+
+    Bit-exactness contract (what lets the SQL oracle stay exact): the
+    per-dim python loop applies ``acc = acc + V[:, i] * c[i]`` — each
+    ROW's fold is strictly left-to-right over dims, elementwise IEEE
+    ops with no reassociation — so every dot, norm, and csim is
+    bit-identical to the unrolled ``element_at`` chain and to DuckDB's
+    sequential ``list_sum(list_transform(...))``. Centroid norms fold
+    the same way driver-side. Ties: ``sim > best_sim`` is strict, so
+    the first (lowest-cell) winner is kept — the window's
+    (csim DESC, cell ASC) rule.
     """
-    spark = df.sparkSession
-    cents = spark.createDataFrame(
-        [(i, list(c)) for i, c in enumerate(centroids)],
-        "cell long, cvec array<double>",
+    import numpy as np
+    import math
+
+    from pyspark.sql import types as T
+
+    C = [[float(x) for x in c] for c in centroids]
+    cnrms = []
+    for c in C:
+        s = 0.0
+        for x in c:
+            s = s + x * x
+        cnrms.append(math.sqrt(s))
+    k = len(C)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", id_type),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("nrm", T.DoubleType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("csim", T.DoubleType()),
+        ]
     )
-    e = df.select(
-        F.col(id_col).alias("vec_id"),
-        _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("nrm", norm_expr("v", dim))
-    scored = e.join(F.broadcast(cents)).withColumn(
-        "csim",
-        dot_expr("v", "cvec", dim)
-        / (F.col("nrm") * norm_expr("cvec", dim)),
+
+    def assign_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+            acc = np.zeros(n)
+            for i in range(dim):
+                acc = acc + V[:, i] * V[:, i]
+            nrm = np.sqrt(acc)
+            best_sim = np.full(n, -np.inf)
+            best_cell = np.zeros(n, dtype=np.int64)
+            for j in range(k):
+                cj = C[j]
+                accj = np.zeros(n)
+                for i in range(dim):
+                    accj = accj + V[:, i] * cj[i]
+                sim = accj / (nrm * cnrms[j])
+                better = sim > best_sim
+                best_sim = np.where(better, sim, best_sim)
+                best_cell = np.where(better, j, best_cell)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["__id"],
+                    "v": V.tolist(),
+                    "nrm": nrm,
+                    "cell": best_cell,
+                    "csim": best_sim,
+                }
+            )
+
+    inp = df.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__vec")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cell")
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "v", "nrm", "cell", "csim")
-    )
+    return inp.mapInPandas(assign_batches, schema)
 
 
 def semantic_dedup(
@@ -426,60 +506,66 @@ def semantic_dedup(
     policy. Output: ``vec_id, cell, kept`` (kept = 1/0) for every
     input vector.
     """
-    # the assignment feeds BOTH pair-join sides and the final verdict
-    # join — localCheckpoint materializes it once (3 scans + 3 assign
-    # windows collapse to 1; the graph.py lineage-truncation pattern).
-    # At 100 TB this is the cell-partitioned assignment table WRITTEN
-    # once and read by every downstream curation pass.
-    a = assign_nearest_centroid(
-        df, centroids, dim, id_col, vec_col
-    ).localCheckpoint()
-    x = a.select(
-        F.col("vec_id").alias("xa_id"),
-        F.col("v").alias("xa_v"),
-        F.col("nrm").alias("xa_nrm"),
-        F.col("cell").alias("xa_cell"),
-        F.col("csim").alias("xa_csim"),
+    # One assignment pass, then ONE grouped Arrow pass per cell: the
+    # previous declarative cell-equi self-join computed the pair
+    # cosine with the 2·dim-term unrolled expression, which defeats
+    # whole-stage codegen at this width (~26k pair-rows/s/thread — the
+    # 100× sweep's 1e8 in-cell pairs would take ~8 minutes; the
+    # per-dim numpy loop below does them in seconds). Each cell's pair
+    # matrix is built blocked (B×|cell|) so memory stays bounded even
+    # for an unbalanced cell. Bit-exactness: the blocked
+    # `acc += V[blk, i, None] * V[None, :, i]` folds every pair dot
+    # strictly left-to-right over dims — bit-identical to the unrolled
+    # element_at chain and DuckDB's sequential list_sum — and the
+    # dominance tests are exact float compares on values the
+    # assignment already pinned bit-exact. At 100 TB this is the
+    # cell-partitioned layout: each cell is one independent task.
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    a = assign_nearest_centroid(df, centroids, dim, id_col, vec_col)
+    id_type = a.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", id_type),
+            T.StructField("cell", T.LongType()),
+            T.StructField("kept", T.IntegerType()),
+        ]
     )
-    y = a.select(
-        F.col("vec_id").alias("yb_id"),
-        F.col("v").alias("yb_v"),
-        F.col("nrm").alias("yb_nrm"),
-        F.col("cell").alias("yb_cell"),
-        F.col("csim").alias("yb_csim"),
-    )
-    pair_cos = dot_expr("xa_v", "yb_v", dim) / (
-        F.col("xa_nrm") * F.col("yb_nrm")
-    )
-    dominated = (
-        x.join(
-            y,
-            (F.col("xa_cell") == F.col("yb_cell"))
-            & (F.col("xa_id") != F.col("yb_id")),
-        )
-        .filter(
-            (pair_cos >= tau)
-            & (
-                (F.col("yb_csim") > F.col("xa_csim"))
-                | (
-                    (F.col("yb_csim") == F.col("xa_csim"))
-                    & (F.col("yb_id") < F.col("xa_id"))
-                )
+
+    def dedup_cell(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy()
+        cs = pdf["csim"].to_numpy()
+        nrm = pdf["nrm"].to_numpy()
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        drop = np.zeros(n, dtype=bool)
+        B = 2048
+        for s0 in range(0, n, B):
+            s1 = min(s0 + B, n)
+            acc = np.zeros((s1 - s0, n))
+            for i in range(dim):
+                acc += V[s0:s1, i][:, None] * V[:, i][None, :]
+            S = acc / (nrm[s0:s1][:, None] * nrm[None, :])
+            near = S >= tau
+            near[np.arange(s1 - s0), np.arange(s0, s1)] = False  # y != x
+            closer = (cs[None, :] > cs[s0:s1][:, None]) | (
+                (cs[None, :] == cs[s0:s1][:, None])
+                & (ids[None, :] < ids[s0:s1][:, None])
             )
+            drop[s0:s1] = (near & closer).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy(),
+                "kept": (~drop).astype("int32"),
+            }
         )
-        .select(F.col("xa_id").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        a.join(dominated.withColumn("__drop", F.lit(1)), "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.when(F.col("__drop").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("kept"),
-        )
-    )
+
+    return a.groupBy("cell").applyInPandas(dedup_cell, out_schema)
 
 
 def plane_sign(p: int, d: int) -> float:

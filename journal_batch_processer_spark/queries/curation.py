@@ -246,7 +246,16 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assigned_cte(cents: list[list[float]]) -> str:
     """Shared oracle CTE: nearest-centroid assignment with the trained
-    literals (the _ivf_oracle_sql pattern — llmops.py:800)."""
+    literals (the _ivf_oracle_sql pattern — llmops.py:800).
+
+    The winner is picked with max(struct(sim, -cell)) + join-back, not
+    ROW_NUMBER over the scored cross join: the window sort carries the
+    full DOUBLE[128] vector through |corpus|·k rows (80 GB of sort
+    input at the 100× sweep's 200k×400 — the query never finished),
+    while the narrow aggregate + one equi join runs the same
+    assignment in ~130 s. Tie rule identical (sim DESC, cell ASC);
+    the sim expression text is unchanged, so the winning float is the
+    bit-same value the Spark side computes."""
     vals = ",\n        ".join(
         f"({i}, [{', '.join(repr(v) for v in c)}])"
         for i, c in enumerate(cents)
@@ -262,16 +271,19 @@ cents AS (
         FROM (VALUES {vals}) t(cell, v)
     )
 ),
+__scored AS (
+    SELECT e.vec_id, c2.cell, ({dot_ec} / (e.nrm * c2.nrm)) AS sim
+    FROM e CROSS JOIN cents c2
+),
+__best AS (
+    SELECT vec_id, max(struct_pack(s := sim, c := -cell)) AS b
+    FROM __scored GROUP BY vec_id
+),
 assigned AS (
-    SELECT vec_id, v, nrm, cell, sim FROM (
-        SELECT e.vec_id, e.v, e.nrm, c2.cell,
-               ({dot_ec} / (e.nrm * c2.nrm)) AS sim,
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY ({dot_ec} / (e.nrm * c2.nrm)) DESC, c2.cell
-               ) AS rn
-        FROM e CROSS JOIN cents c2
-    ) WHERE rn = 1
+    SELECT e.vec_id, e.v, e.nrm,
+           -struct_extract(__best.b, 'c') AS cell,
+           struct_extract(__best.b, 's') AS sim
+    FROM e JOIN __best ON e.vec_id = __best.vec_id
 )"""
 
 
