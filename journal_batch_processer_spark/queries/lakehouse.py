@@ -723,7 +723,11 @@ def q_stream_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    from journal_batch_processer_spark.queries.streaming_q import (
+        _await_drain,
+    )
+
+    _await_drain(q, t.root)
     return t.read(spark)
 
 
@@ -1464,8 +1468,12 @@ def q_stream_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert pattern): events keyed by ``event_id % 1000`` upsert into a
     pre-seeded table with LAST-WINS resolution on ``event_id``. The
     seeds pin all three MERGE outcomes end-to-end: keys 0..9 are
-    seeded with a HIGHER resolve value than any stream row (matched
-    but older → the seed must survive, the conditional-update path),
+    seeded with a HIGHER resolve value than any stream row (1e18 —
+    above any event_id at any corpus scale, so the "matched but
+    older → the seed must survive" conditional-update path holds at
+    100× too; the 1e9 seed of earlier rounds lost to real ~9.9e9
+    event_ids in the ×100 corpus while the oracle still assumed it
+    won),
     keys 1000..1009 never match a stream key (they ride the rewritten
     file group untouched), and every other key takes its latest
     stream row. The end state is invariant to how the stream was
@@ -1495,7 +1503,7 @@ def q_stream_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(0, 10)
         .select(
             F.col("id").alias("k"),
-            (F.col("id") + 1_000_000_000).alias("event_id"),
+            (F.col("id") + 1_000_000_000_000_000_000).alias("event_id"),
         )
         .unionByName(
             spark.range(1000, 1010).select(
@@ -1528,7 +1536,11 @@ def q_stream_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    from journal_batch_processer_spark.queries.streaming_q import (
+        _await_drain,
+    )
+
+    _await_drain(q, t.root)
     return t.read(spark)
 
 
@@ -1543,7 +1555,7 @@ w AS (
 )
 SELECT k, event_id, user_id, value, event_type FROM w WHERE rn = 1 AND k >= 10
 UNION ALL
-SELECT k, 1000000000 + k, CAST(-1 AS BIGINT), 0.5e0, 'seed'
+SELECT k, 1000000000000000000 + k, CAST(-1 AS BIGINT), 0.5e0, 'seed'
 FROM (SELECT UNNEST(range(0, 10)) AS k)
 UNION ALL
 SELECT k, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.5e0, 'seed'
@@ -1585,7 +1597,7 @@ def q_stream_table_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(0, 10)
         .select(
             F.col("id").alias("k"),
-            (F.col("id") + 1_000_000_000).alias("event_id"),
+            (F.col("id") + 1_000_000_000_000_000_000).alias("event_id"),
         )
         .unionByName(
             spark.range(1000, 1010).select(
@@ -1618,7 +1630,11 @@ def q_stream_table_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    from journal_batch_processer_spark.queries.streaming_q import (
+        _await_drain,
+    )
+
+    _await_drain(q, t.root)
     return t.read(spark)
 
 

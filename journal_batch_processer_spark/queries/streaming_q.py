@@ -70,9 +70,16 @@ def _events_stream_dir(sf_dir: str) -> str:
     return _stream_dir(sf_dir, "events", "jbp_stream_events")
 
 
-def _await_drain(q, name: str, timeout: int = 180) -> None:
+def _await_drain(q, name: str, timeout: int | None = None) -> None:
     """Fail-LOUD drain wait (a partial sink/snapshot would be silently
-    wrong) — the one copy of the protocol every streaming key uses."""
+    wrong) — the one copy of the protocol every streaming key uses.
+
+    The bound scales with the corpus: 180 s catches a hung drain fast
+    at test SFs, but a 100× availableNow drain legitimately needs
+    minutes — SPARK_GRAFT_STREAM_DRAIN_TIMEOUT overrides (sweeps set
+    it; the fail-loud semantics are unchanged, only the bound)."""
+    if timeout is None:
+        timeout = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_TIMEOUT", "180"))
     q.awaitTermination(timeout=timeout)
     if q.isActive:  # pragma: no cover - defensive against a hung drain
         q.stop()

@@ -19,6 +19,8 @@ shuffle partitioning is per window/user key exactly as in batch.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -119,12 +121,14 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         last_ts, n = state.get if state.exists else (0, 0)
         out = []
         # sort across ALL Arrow chunks — a heavy user's batch arrives
-        # as several pdfs, and per-chunk sorting would interleave time
-        all_ts = sorted(
-            int(t.timestamp())
-            for pdf in pdfs
-            for t in pd.to_datetime(pdf["ts"])
-        )
+        # as several pdfs, and per-chunk sorting would interleave time.
+        # Vectorized ns→s conversion: the per-element .timestamp()
+        # Python call was the per-group hot spot at 100× (150k groups).
+        all_ts: list[int] = []
+        for pdf in pdfs:
+            ts_ns = pd.to_datetime(pdf["ts"]).astype("int64")
+            all_ts.extend((ts_ns // 1_000_000_000).tolist())
+        all_ts.sort()
         for ts in all_ts:
             if last_ts and ts - last_ts > gap_seconds:
                 out.append((user_id, last_ts, n))
@@ -136,11 +140,10 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         state.setTimeoutTimestamp(
             max((last_ts + gap_seconds) * 1000, wm_ms + 1)
         )
-        yield pd.DataFrame(
-            out, columns=["user_id", "session_end", "n_events"]
-        ) if out else pd.DataFrame(
-            {"user_id": [], "session_end": [], "n_events": []}
-        )
+        if out:  # an empty per-group DataFrame is pure overhead
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_end", "n_events"]
+            )
 
     return (
         events.withWatermark("ts", "2 hours")
@@ -203,12 +206,14 @@ def run_available_now(
         .start()
     )
     # bounded wait: stateful queries with processing-time timeouts can
-    # otherwise idle past the drained input
-    q.awaitTermination(timeout=180)
+    # otherwise idle past the drained input; the bound is env-tunable
+    # because a 100× availableNow drain legitimately needs minutes
+    timeout = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_TIMEOUT", "180"))
+    q.awaitTermination(timeout=timeout)
     if q.isActive:
         q.stop()
         raise TimeoutError(
-            f"stream {query_name!r} did not drain within 180s; "
+            f"stream {query_name!r} did not drain within {timeout}s; "
             "refusing to return a partially-filled sink"
         )
     spark = stream_df.sparkSession
