@@ -65,6 +65,20 @@ def get_spark(
         # 128 MB splits are the classic sweet spot for parquet scans.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Large streaming state (session_window over a 100×-scale drain
+        # holds millions of pre-merge sessions) overflows the default
+        # in-heap HDFSBackedStateStore; RocksDB is the disk-backed
+        # provider built for exactly that. Opt-in via env because the
+        # in-heap store is faster for fixture-sized tests.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+            if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+            == "rocksdb"
+            else "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
         # The driver's events table carries TIMESTAMP(NANOS) parquet,
         # which Spark rejects by default; read as long and convert at
         # the source (see load_events).
