@@ -591,6 +591,91 @@ def hyperplane_sign_bits(vec: F.Column, dim: int, n_planes: int = 12) -> F.Colum
     return bucket
 
 
+def bucket_cosine_pairs(
+    embs: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    threshold: float = 0.4,
+    row_block: int = 1024,
+    col_block: int = 8192,
+) -> DataFrame:
+    """All same-bucket vector pairs (``id_a < id_b``) with cosine ≥
+    ``threshold``: hyperplane-LSH bucketing (equi-partition, never
+    all-pairs) + per-bucket pairwise verify as tiled BLAS GEMMs inside
+    ``applyInPandas``.
+
+    Why not the expression-path join (``a.join(b, "bucket")`` +
+    unrolled ``dot_expr``): every matched pair copies BOTH 64-double
+    vectors into the joined row — at the ×100 corpus (200k vectors,
+    8-bit buckets → 103M in-bucket pairs) that is ~100 GB of row
+    traffic before one cosine is computed, and the bare join without
+    payloads already measures 9.5 s vs >900 s with them. Grouping by
+    bucket moves each vector across the shuffle ONCE; the n²/2 work
+    happens in-core as ``M @ M.T`` tiles (row_block × col_block
+    float64 ≈ 64 MB per tile), and only pairs over the threshold cross
+    Arrow back. Same rewrite family as ``assign_nearest_centroid``.
+
+    Scale contract: one GROUP (bucket) must fit one executor's memory
+    — at corpus scale raise ``n_planes`` so bucket occupancy stays
+    bounded, and write the corpus partitioned by bucket so this
+    becomes a partition-pruned scan (no shuffle at all). Cosine sums
+    are BLAS-ordered, not left-to-right — callers round before
+    value-comparing across engines (the ulp story of
+    ``cosine_topk_numpy``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = embs.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", hyperplane_sign_bits(F.col("v"), dim, n_planes))
+    thr = float(threshold)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        n = len(ids)
+        outs = []
+        for rlo in range(0, n, row_block):
+            rhi = min(rlo + row_block, n)
+            # columns start at rlo: global j > i pairs only ever sit
+            # at or right of the diagonal tile
+            for clo in range(rlo, n, col_block):
+                chi = min(clo + col_block, n)
+                sims = (mat[rlo:rhi] @ mat[clo:chi].T) / np.outer(
+                    nrm[rlo:rhi], nrm[clo:chi]
+                )
+                ii, jj = np.nonzero(sims >= thr)
+                gi, gj = ii + rlo, jj + clo
+                keep = gj > gi  # ids sorted asc → position order is id order
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "vec_a": ids[gi[keep]],
+                                "vec_b": ids[gj[keep]],
+                                "cosine": sims[ii[keep], jj[keep]],
+                            }
+                        )
+                    )
+        if not outs:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return e.groupBy("bucket").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, cosine double"
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -295,6 +295,17 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Prefix-filtered oracle (r12): the naive flat self-join is
+# Σ_shingle C(df,2) = 1.39e10 rows at the ×100 corpus (measured) —
+# hours in any engine. Prefix filtering is LOSSLESS under ANY global
+# rarest-first total order (two sets with J ≥ t must share a token in
+# each one's (sz - ceil(t·sz) + 1)-prefix of that order), and the
+# verify step computes exact Jaccard over the FULL sets via
+# list_intersect, so the output is identical to the naive join row
+# for row — the same argument that makes the Spark operator
+# (dedup.py ngram_jaccard_pairs_prefix) output-equal to the plain
+# join. The oracle's tie order is (df, shingle string); the engine's
+# is (df, xxhash64) — candidate SETS differ, outputs cannot.
 SQL_DEDUP_NGRAM_T50 = """
 WITH toks AS (
     SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
@@ -310,19 +321,39 @@ sh AS (
 flat AS (
     SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh
 ),
-sizes AS (SELECT doc, COUNT(*) AS sz FROM flat GROUP BY doc),
-inter AS (
-    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-    FROM flat a JOIN flat b USING (shingle)
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM flat GROUP BY 1),
+ann AS (
+    SELECT doc, shingle,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc ORDER BY d.df, shingle) AS rnk,
+           COUNT(*) OVER (PARTITION BY doc) AS sz
+    FROM flat JOIN dfreq d USING (shingle)
+),
+pref AS (
+    SELECT doc, shingle, rnk, sz FROM ann
+    WHERE rnk <= sz - CEIL(0.5 * sz - 1e-9) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM pref a JOIN pref b USING (shingle)
     WHERE a.doc < b.doc
-    GROUP BY 1, 2
+      AND b.sz >= 0.5 * a.sz - 1e-9
+      AND a.sz >= 0.5 * b.sz - 1e-9
+      AND 1 + LEAST(a.sz - a.rnk, b.sz - b.rnk)
+          >= CEIL((a.sz + b.sz) / 3.0 - 1e-9)
+),
+scored AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+           len(sa.shingles) AS sz_a, len(sb.shingles) AS sz_b
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
 )
-SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
-       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc = doc_a
-JOIN sizes sb ON sb.doc = doc_b
-WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+SELECT doc_a, doc_b, inter, sz_a, sz_b,
+       ROUND(inter / (sz_a + sz_b - inter), 6) AS jaccard
+FROM scored
+WHERE inter / (sz_a + sz_b - inter) >= 0.5
 """
 
 
@@ -344,6 +375,11 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Prefix-filtered like SQL_DEDUP_NGRAM_T50 above (same losslessness
+# argument, over the CAPPED rarest-40 sets): df ranks come from the
+# full pre-cap flat table, the cap keeps rnk <= 40 (so rnk is also
+# the within-capped rank), and exact Jaccard is verified over the
+# capped lists.
 SQL_DEDUP_NGRAM_CAPPED = """
 WITH toks AS (
     SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
@@ -366,20 +402,35 @@ ranked AS (
                PARTITION BY doc ORDER BY d.df, shingle) AS rnk
     FROM flat JOIN dfreq d USING (shingle)
 ),
-capped AS (SELECT doc, shingle FROM ranked WHERE rnk <= 40),
-sizes AS (SELECT doc, COUNT(*) AS sz FROM capped GROUP BY doc),
-inter AS (
-    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-    FROM capped a JOIN capped b USING (shingle)
+capped AS (SELECT doc, shingle, rnk FROM ranked WHERE rnk <= 40),
+csz AS (SELECT doc, COUNT(*) AS sz FROM capped GROUP BY doc),
+pref AS (
+    SELECT c.doc, c.shingle, c.rnk, s.sz
+    FROM capped c JOIN csz s USING (doc)
+    WHERE c.rnk <= s.sz - CEIL(0.5 * s.sz - 1e-9) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM pref a JOIN pref b USING (shingle)
     WHERE a.doc < b.doc
-    GROUP BY 1, 2
+      AND b.sz >= 0.5 * a.sz - 1e-9
+      AND a.sz >= 0.5 * b.sz - 1e-9
+      AND 1 + LEAST(a.sz - a.rnk, b.sz - b.rnk)
+          >= CEIL((a.sz + b.sz) / 3.0 - 1e-9)
+),
+clist AS (SELECT doc, list(shingle) AS s FROM capped GROUP BY doc),
+scored AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.s, sb.s)) AS inter,
+           len(sa.s) AS sz_a, len(sb.s) AS sz_b
+    FROM cand
+    JOIN clist sa ON sa.doc = doc_a
+    JOIN clist sb ON sb.doc = doc_b
 )
-SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
-       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc = doc_a
-JOIN sizes sb ON sb.doc = doc_b
-WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+SELECT doc_a, doc_b, inter, sz_a, sz_b,
+       ROUND(inter / (sz_a + sz_b - inter), 6) AS jaccard
+FROM scored
+WHERE inter / (sz_a + sz_b - inter) >= 0.5
 """
 
 
@@ -904,36 +955,22 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for embedding near-dup: candidates restricted to
-    one shared hyperplane bucket (equi-join, linear in corpus +
-    collisions — never all-pairs), exact cosine verify at ≥ 0.4.
-    Full oracle via the same Python-inlined ±1 plane literals as
-    sim_search_ann; at 100 TB the corpus is written partitioned by
-    bucket, making this a partition-pruned self-join."""
+    one shared hyperplane bucket (equi-partition, linear in corpus +
+    collisions — never all-pairs), exact cosine verify at ≥ 0.4 as
+    per-bucket BLAS tiles (bucket_cosine_pairs — the vector-carrying
+    bucket JOIN moved ~100 GB of row payload at the ×100 corpus and
+    never finished; grouping ships each vector once). Full oracle via
+    the same Python-inlined ±1 plane literals as sim_search_ann; at
+    100 TB the corpus is written partitioned by bucket, making this a
+    partition-pruned scan."""
     from journal_batch_processer_spark.operators.similarity import (
-        hyperplane_sign_bits,
+        bucket_cosine_pairs,
     )
 
     embs = _embs(spark, sf_dir)
-    e = embs.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", F.sqrt(dot_expr("v", "v", EMB_DIM)))
-    e = e.withColumn(
-        "bucket", hyperplane_sign_bits(F.col("v"), EMB_DIM, n_planes=8)
-    )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "bucket",
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "bucket",
-    )
-    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = dot_expr("va", "vb", EMB_DIM) / (F.col("na") * F.col("nb"))
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    out = bucket_cosine_pairs(embs, EMB_DIM, n_planes=8, threshold=0.4)
+    return out.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
     )
 
 

@@ -82,3 +82,112 @@ def test_dedup_editdist_pigeonhole_finds_shifted_edits(spark):
     assert (1, 4) in pairs and pairs[(1, 4)] == 4
     assert (1, 5) not in pairs
     assert all(6 not in p for p in pairs)
+
+
+def test_bucket_cosine_pairs_matches_expression_join(spark):
+    """bucket_cosine_pairs (per-bucket BLAS tiles) must emit exactly
+    the pairs of the vector-carrying bucket join + unrolled dot_expr
+    it replaced (the join shape moved ~100 GB of row payload at the
+    ×100 corpus and never finished): same pair set, cosines equal to
+    float-ulp tolerance."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.similarity import (
+        bucket_cosine_pairs,
+        dot_expr,
+        hyperplane_sign_bits,
+    )
+
+    dim, planes, thr = 64, 8, 0.4
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in bucket_cosine_pairs(
+            embs, dim, n_planes=planes, threshold=thr,
+            # tiny tiles so the tiling seams are exercised at test scale
+            row_block=16, col_block=32,
+        ).collect()
+    }
+
+    e = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(dot_expr("v", "v", dim)))
+    e = e.withColumn("bucket", hyperplane_sign_bits(F.col("v"), dim, planes))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"), "bucket")
+    cos = dot_expr("va", "vb", dim) / (F.col("na") * F.col("nb"))
+    want = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= thr)
+        .select("vec_a", "vec_b", "cosine")
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_prefix_ngram_oracles_match_naive_join(sf_dir):
+    """The r12 prefix-filtered DuckDB oracles (the naive flat
+    self-join is Σ C(df,2) = 1.39e10 rows at the ×100 corpus) must be
+    row-identical to the naive formulation they replaced — prefix
+    filtering is lossless under any global rarest-first order, and
+    the verify leg recomputes exact Jaccard over the full sets."""
+    from journal_batch_processer_spark.queries.llmops import (
+        SQL_DEDUP_NGRAM_CAPPED,
+        SQL_DEDUP_NGRAM_T50,
+    )
+
+    naive_t50 = """
+WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t)>=3 THEN
+       list_transform(range(1,len(t)-1), i->array_to_string(t[i:i+2],' '))
+       ELSE [] END) AS shingles FROM toks),
+flat AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM flat GROUP BY doc),
+inter AS (SELECT a.doc doc_a, b.doc doc_b, COUNT(*) inter FROM flat a
+          JOIN flat b USING (shingle) WHERE a.doc < b.doc GROUP BY 1,2)
+SELECT doc_a, doc_b, inter, sa.sz sz_a, sb.sz sz_b,
+       ROUND(inter/(sa.sz+sb.sz-inter),6) jaccard
+FROM inter JOIN sizes sa ON sa.doc=doc_a JOIN sizes sb ON sb.doc=doc_b
+WHERE inter/(sa.sz+sb.sz-inter) >= 0.5
+"""
+    naive_capped = """
+WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t)>=3 THEN
+       list_transform(range(1,len(t)-1), i->array_to_string(t[i:i+2],' '))
+       ELSE [] END) AS shingles FROM toks),
+flat AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+dfreq AS (SELECT shingle, COUNT(*) df FROM flat GROUP BY 1),
+ranked AS (SELECT doc, shingle, ROW_NUMBER() OVER (
+           PARTITION BY doc ORDER BY d.df, shingle) rnk
+           FROM flat JOIN dfreq d USING (shingle)),
+capped AS (SELECT doc, shingle FROM ranked WHERE rnk <= 40),
+sizes AS (SELECT doc, COUNT(*) sz FROM capped GROUP BY doc),
+inter AS (SELECT a.doc doc_a, b.doc doc_b, COUNT(*) inter FROM capped a
+          JOIN capped b USING (shingle) WHERE a.doc < b.doc GROUP BY 1,2)
+SELECT doc_a, doc_b, inter, sa.sz sz_a, sb.sz sz_b,
+       ROUND(inter/(sa.sz+sb.sz-inter),6) jaccard
+FROM inter JOIN sizes sa ON sa.doc=doc_a JOIN sizes sb ON sb.doc=doc_b
+WHERE inter/(sa.sz+sb.sz-inter) >= 0.5
+"""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for naive, pref in ((naive_t50, SQL_DEDUP_NGRAM_T50),
+                        (naive_capped, SQL_DEDUP_NGRAM_CAPPED)):
+        n = con.sql(f"SELECT count(*) FROM ({pref})").fetchone()[0]
+        assert n > 0
+        d = con.sql(
+            f"SELECT count(*) FROM ((({naive}) EXCEPT ({pref})) "
+            f"UNION ALL (({pref}) EXCEPT ({naive})))"
+        ).fetchone()[0]
+        assert d == 0

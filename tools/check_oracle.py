@@ -307,7 +307,16 @@ def main() -> int:
         return 2
     use_hash = "--hash" in flags
     names = [a for a in argv if not a.startswith("--")] or sorted(REGISTRY)
-    spark = get_spark("check-oracle", master="local[8]", shuffle_partitions=8)
+    # local[8]/8 matches the per-round driver budget; the env overrides
+    # exist for HEAVY-TAIL 100× keys whose shuffles carry 1e9+ rows —
+    # 8 reduce partitions puts ~600M rows in one partial-distinct map
+    # and GC-thrashes, which no real deployment would do (a cluster
+    # runs hundreds of reducers; AQE coalesces when small).
+    spark = get_spark(
+        "check-oracle",
+        master=os.environ.get("SPARK_GRAFT_CHECK_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CHECK_SHUFFLE", "8")),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
