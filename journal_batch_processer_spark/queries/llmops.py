@@ -334,7 +334,12 @@ pref AS (
     WHERE rnk <= sz - CEIL(0.5 * sz - 1e-9) + 1
 ),
 cand AS (
-    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    -- DISTINCT over ONE packed BIGINT, not a 2-column tuple: the
+    -- ×100 corpus feeds 1.67e9 candidate rows into this distinct and
+    -- the tuple form's out-of-core partitioning exhausted 77 GB of
+    -- spill; the packed key (valid while doc_id < 1e9) halves the
+    -- materialized row. Unpacked right back in cpair.
+    SELECT DISTINCT a.doc * 1000000000 + b.doc AS pk
     FROM pref a JOIN pref b USING (shingle)
     WHERE a.doc < b.doc
       AND b.sz >= 0.5 * a.sz - 1e-9
@@ -342,11 +347,14 @@ cand AS (
       AND 1 + LEAST(a.sz - a.rnk, b.sz - b.rnk)
           >= CEIL((a.sz + b.sz) / 3.0 - 1e-9)
 ),
+cpair AS (
+    SELECT pk // 1000000000 AS doc_a, pk % 1000000000 AS doc_b FROM cand
+),
 scored AS (
     SELECT doc_a, doc_b,
            len(list_intersect(sa.shingles, sb.shingles)) AS inter,
            len(sa.shingles) AS sz_a, len(sb.shingles) AS sz_b
-    FROM cand
+    FROM cpair
     JOIN sh sa ON sa.doc_id = doc_a
     JOIN sh sb ON sb.doc_id = doc_b
 )
@@ -410,7 +418,10 @@ pref AS (
     WHERE c.rnk <= s.sz - CEIL(0.5 * s.sz - 1e-9) + 1
 ),
 cand AS (
-    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    -- packed-BIGINT distinct: see SQL_DEDUP_NGRAM_T50 (1.26e9
+    -- candidate rows at the ×100 corpus; tuple-distinct spill
+    -- exhausted the disk). Valid while doc_id < 1e9.
+    SELECT DISTINCT a.doc * 1000000000 + b.doc AS pk
     FROM pref a JOIN pref b USING (shingle)
     WHERE a.doc < b.doc
       AND b.sz >= 0.5 * a.sz - 1e-9
@@ -418,12 +429,15 @@ cand AS (
       AND 1 + LEAST(a.sz - a.rnk, b.sz - b.rnk)
           >= CEIL((a.sz + b.sz) / 3.0 - 1e-9)
 ),
+cpair AS (
+    SELECT pk // 1000000000 AS doc_a, pk % 1000000000 AS doc_b FROM cand
+),
 clist AS (SELECT doc, list(shingle) AS s FROM capped GROUP BY doc),
 scored AS (
     SELECT doc_a, doc_b,
            len(list_intersect(sa.s, sb.s)) AS inter,
            len(sa.s) AS sz_a, len(sb.s) AS sz_b
-    FROM cand
+    FROM cpair
     JOIN clist sa ON sa.doc = doc_a
     JOIN clist sb ON sb.doc = doc_b
 )
@@ -2158,6 +2172,112 @@ WHERE levenshtein(a.p, b.p) <= 4
 """
 
 
+def _ngram_precompute_stmts(n_slices: int = 16) -> list[str]:
+    """Staged build of the two prefix-ngram candidate tables for the
+    100× sweep (check_oracle ORACLE_PRECOMPUTE "stmts" form).
+
+    Why staged: the single-statement oracles feed 1.3–1.7e9 candidate
+    rows (measured at the ×100 corpus) into one DISTINCT sink, and
+    DuckDB 1.0's out-of-core grouped distinct materializes ~the whole
+    duplicated input across RAM + temp spill (~130 GB observed — disk
+    exhaustion, twice; a sliced UNION ALL stacks its child sinks
+    concurrently and fails the same way). Splitting the distinct into
+    ``a.doc % n_slices`` INSERTs runs one bounded pipeline per
+    statement; slices are disjoint in doc_a, so per-slice DISTINCT ==
+    global DISTINCT. The driver still receives the self-contained
+    SQL_DEDUP_NGRAM_T50 / _CAPPED strings (equivalence pinned in
+    tests/test_round12_fixes.py).
+    """
+    filters = (
+        "  AND b.sz >= 0.5 * a.sz - 1e-9\n"
+        "  AND a.sz >= 0.5 * b.sz - 1e-9\n"
+        "  AND 1 + LEAST(a.sz - a.rnk, b.sz - b.rnk)"
+        " >= CEIL((a.sz + b.sz) / 3.0 - 1e-9)"
+    )
+    stmts = [
+        """CREATE TEMP TABLE _ng_sh AS
+SELECT doc_id,
+       list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' '))
+           ELSE [] END) AS shingles
+FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)""",
+        """CREATE TEMP TABLE _ng_ann AS
+WITH flat AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM _ng_sh),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM flat GROUP BY 1)
+SELECT doc, shingle,
+       ROW_NUMBER() OVER (PARTITION BY doc ORDER BY d.df, shingle) AS rnk,
+       COUNT(*) OVER (PARTITION BY doc) AS sz
+FROM flat JOIN dfreq d USING (shingle)""",
+        """CREATE TEMP TABLE _ng_pref_t50 AS
+SELECT doc, shingle, rnk, sz FROM _ng_ann
+WHERE rnk <= sz - CEIL(0.5 * sz - 1e-9) + 1""",
+        # capped: _ng_ann.rnk IS the (df, shingle) rank the cap uses,
+        # so capped size = LEAST(sz, 40) and the capped prefix is a
+        # plain filter over the same annotation
+        """CREATE TEMP TABLE _ng_pref_cap AS
+SELECT doc, shingle, rnk, LEAST(sz, 40) AS sz FROM _ng_ann
+WHERE rnk <= 40
+  AND rnk <= LEAST(sz, 40) - CEIL(0.5 * LEAST(sz, 40) - 1e-9) + 1""",
+        """CREATE TEMP TABLE _ng_clist AS
+SELECT doc, list(shingle) AS s FROM _ng_ann WHERE rnk <= 40 GROUP BY doc""",
+        "DROP TABLE _ng_ann",
+        "CREATE TEMP TABLE _ng_cand_t50 (pk BIGINT)",
+        "CREATE TEMP TABLE _ng_cand_cap (pk BIGINT)",
+    ]
+    for tbl, pref in (("_ng_cand_t50", "_ng_pref_t50"),
+                      ("_ng_cand_cap", "_ng_pref_cap")):
+        for k in range(n_slices):
+            stmts.append(
+                f"""INSERT INTO {tbl}
+SELECT DISTINCT a.doc * 1000000000 + b.doc AS pk
+FROM {pref} a JOIN {pref} b USING (shingle)
+WHERE a.doc % {n_slices} = {k} AND a.doc < b.doc
+{filters}"""
+            )
+    return stmts
+
+
+SQL_DEDUP_NGRAM_T50_PRE = """
+WITH cpair AS (
+    SELECT pk // 1000000000 AS doc_a, pk % 1000000000 AS doc_b
+    FROM _ng_cand_t50
+),
+scored AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+           len(sa.shingles) AS sz_a, len(sb.shingles) AS sz_b
+    FROM cpair
+    JOIN _ng_sh sa ON sa.doc_id = doc_a
+    JOIN _ng_sh sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, inter, sz_a, sz_b,
+       ROUND(inter / (sz_a + sz_b - inter), 6) AS jaccard
+FROM scored
+WHERE inter / (sz_a + sz_b - inter) >= 0.5
+"""
+
+
+SQL_DEDUP_NGRAM_CAPPED_PRE = """
+WITH cpair AS (
+    SELECT pk // 1000000000 AS doc_a, pk % 1000000000 AS doc_b
+    FROM _ng_cand_cap
+),
+scored AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.s, sb.s)) AS inter,
+           len(sa.s) AS sz_a, len(sb.s) AS sz_b
+    FROM cpair
+    JOIN _ng_clist sa ON sa.doc = doc_a
+    JOIN _ng_clist sb ON sb.doc = doc_b
+)
+SELECT doc_a, doc_b, inter, sz_a, sz_b,
+       ROUND(inter / (sz_a + sz_b - inter), 6) AS jaccard
+FROM scored
+WHERE inter / (sz_a + sz_b - inter) >= 0.5
+"""
+
+
 ORACLE_PRECOMPUTE = {
     "_cc_fixpoint": {
         "sql": SQL_CC_FIXPOINT,
@@ -2170,6 +2290,13 @@ ORACLE_PRECOMPUTE = {
         "sql": SQL_EDITDIST_PIGEONHOLE,
         "keys": {
             "dedup_editdist": "SELECT doc_a, doc_b, dist FROM _edp_pairs",
+        },
+    },
+    "_ng_cand_t50": {
+        "stmts": _ngram_precompute_stmts(),
+        "keys": {
+            "dedup_ngram_prefix": SQL_DEDUP_NGRAM_T50_PRE,
+            "dedup_ngram_capped": SQL_DEDUP_NGRAM_CAPPED_PRE,
         },
     },
 }

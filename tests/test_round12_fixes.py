@@ -191,3 +191,36 @@ WHERE inter/(sa.sz+sb.sz-inter) >= 0.5
             f"UNION ALL (({pref}) EXCEPT ({naive})))"
         ).fetchone()[0]
         assert d == 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_ngram_precompute_stmts_match_driver_sql(sf_dir):
+    """The staged ORACLE_PRECOMPUTE build (sliced INSERTs — one
+    bounded DISTINCT pipeline per statement, because DuckDB's
+    out-of-core distinct materialized ~130 GB on the single-statement
+    form at ×100) must yield row-identical results to the
+    self-contained oracle strings the driver runs."""
+    from journal_batch_processer_spark.queries.llmops import (
+        SQL_DEDUP_NGRAM_CAPPED,
+        SQL_DEDUP_NGRAM_CAPPED_PRE,
+        SQL_DEDUP_NGRAM_T50,
+        SQL_DEDUP_NGRAM_T50_PRE,
+        _ngram_precompute_stmts,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for s in _ngram_precompute_stmts(n_slices=3):
+        con.execute(s)
+    for plain, staged in ((SQL_DEDUP_NGRAM_T50, SQL_DEDUP_NGRAM_T50_PRE),
+                          (SQL_DEDUP_NGRAM_CAPPED, SQL_DEDUP_NGRAM_CAPPED_PRE)):
+        n = con.sql(f"SELECT count(*) FROM ({staged})").fetchone()[0]
+        assert n > 0
+        d = con.sql(
+            f"SELECT count(*) FROM ((({plain}) EXCEPT ({staged})) "
+            f"UNION ALL (({staged}) EXCEPT ({plain})))"
+        ).fetchone()[0]
+        assert d == 0

@@ -350,7 +350,13 @@ def main() -> int:
             if name in info["keys"]:
                 if tbl not in pre_built:
                     t0 = time.perf_counter()
-                    con.execute(f"CREATE TEMP TABLE {tbl} AS {info['sql']}")
+                    # "stmts" form: an ordered statement list (builds
+                    # several temp tables / sliced INSERTs — each its
+                    # own bounded pipeline, see _ngram_precompute_stmts)
+                    for s in info.get("stmts") or (
+                        [f"CREATE TEMP TABLE {tbl} AS {info['sql']}"]
+                    ):
+                        con.execute(s)
                     print(f"      [{tbl} materialized in "
                           f"{time.perf_counter()-t0:.1f}s]")
                     pre_built.add(tbl)
