@@ -131,6 +131,11 @@ BENCH_QUERIES = [
     # regression (key dropped from the join, window legs widened)
     # shows here as a superlinear jump
     "dedup_editdist",
+    # r12 session 4: the per-bucket BLAS cosine verify replaced the
+    # vector-carrying bucket join (which moved ~100 GB of row payload
+    # at 100x and never finished); a regression back to a pairwise
+    # row path shows here as a superlinear jump
+    "dedup_embed_lsh",
 ]
 
 # extra reps are bought only while a rep saw steal OR the best is

@@ -419,23 +419,61 @@ def ngram_jaccard_pairs_prefix(
     alpha = F.ceil(
         F.lit(t / (1.0 + t)) * (F.col("sz_a") + F.col("sz_b")) - eps
     )
+    # Common-prefix COUNT lower bound (r12, lossless): sort the I
+    # common tokens of a true pair by the global rarity order; the
+    # i-th smallest has rank ≤ sz - (I - i) in each doc, so the first
+    # I - ceil(t·sz) + 1 of them sit inside that doc's prefix — with
+    # I ≥ alpha, at least alpha - max(ceil(t·sz_a), ceil(t·sz_b)) + 1
+    # common tokens lie in BOTH prefixes. Junk candidates share 1-3
+    # prefix tokens; at the ×100 corpus this filter cut the verify
+    # input 37× (73.6M → 1.97M on a 1/16 doc slice) — without it both
+    # engines verify 1.2e9 candidates. Epsilons only ever RELAX the
+    # bound (alpha's -eps shrinks it, the subtracted ceils' +eps grow
+    # them), so no true pair is lost. Aggregating costs the same
+    # exchange the old .distinct() paid.
+    #
+    # The POSITIONAL filter moves into the same group stage as
+    # min-rank aggregates: per-row it would delete deep-rank shared
+    # tokens from the COUNT and undercut the bound above (caught by
+    # test_prefix_filter_equals_plain_jaccard). Pair-wise the two
+    # forms are equivalent — the minimum-order shared token minimizes
+    # both ranks at once (rank orders restricted to shared tokens are
+    # both the global order), so SOME row passes iff the min-rank row
+    # does.
+    cnt_min = (
+        alpha
+        - F.greatest(
+            F.ceil(F.lit(t) * F.col("sz_a") + eps),
+            F.ceil(F.lit(t) * F.col("sz_b") + eps),
+        )
+        + 1
+    )
     cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         # length filter: |B| ≥ t·|A| and |A| ≥ t·|B|
         .filter(F.col("sz_b") >= F.lit(t) * F.col("sz_a") - eps)
         .filter(F.col("sz_a") >= F.lit(t) * F.col("sz_b") - eps)
-        # positional filter: tokens at/after (rnk_a, rnk_b) bound the
-        # achievable overlap; a true pair's FIRST common token always
-        # passes (all alpha common tokens sit at or after it).
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_pp"),
+            F.min("rnk_a").alias("mrnk_a"),
+            F.min("rnk_b").alias("mrnk_b"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
+        # positional filter (group form): tokens at/after the pair's
+        # min-rank shared token bound the achievable overlap; a true
+        # pair's FIRST common token always passes.
         .filter(
             1 + F.least(
-                F.col("sz_a") - F.col("rnk_a"), F.col("sz_b") - F.col("rnk_b")
+                F.col("sz_a") - F.col("mrnk_a"),
+                F.col("sz_b") - F.col("mrnk_b"),
             )
             >= alpha
         )
+        .filter(F.col("cnt_pp") >= cnt_min)
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
     # Verify on per-doc shingle arrays instead of re-joining the full

@@ -334,18 +334,29 @@ pref AS (
     WHERE rnk <= sz - CEIL(0.5 * sz - 1e-9) + 1
 ),
 cand AS (
-    -- DISTINCT over ONE packed BIGINT, not a 2-column tuple: the
-    -- ×100 corpus feeds 1.67e9 candidate rows into this distinct and
-    -- the tuple form's out-of-core partitioning exhausted 77 GB of
-    -- spill; the packed key (valid while doc_id < 1e9) halves the
-    -- materialized row. Unpacked right back in cpair.
-    SELECT DISTINCT a.doc * 1000000000 + b.doc AS pk
-    FROM pref a JOIN pref b USING (shingle)
-    WHERE a.doc < b.doc
-      AND b.sz >= 0.5 * a.sz - 1e-9
-      AND a.sz >= 0.5 * b.sz - 1e-9
-      AND 1 + LEAST(a.sz - a.rnk, b.sz - b.rnk)
-          >= CEIL((a.sz + b.sz) / 3.0 - 1e-9)
+    -- grouped over ONE packed BIGINT (valid while doc_id < 1e9), not
+    -- a 2-column tuple: the ×100 corpus feeds 1.67e9 candidate rows
+    -- here and the tuple form's out-of-core partitioning exhausted
+    -- 77 GB of spill. cnt carries the common-prefix COUNT bound and
+    -- the positional filter runs on the pair's MIN ranks (see
+    -- ngram_jaccard_pairs_prefix: a true pair shares at least
+    -- alpha - max(ceil(t·sz)) + 1 PREFIX tokens, and per-row
+    -- positional filtering would undercut that count — lossless,
+    -- cut the verify input 37× at the ×100 corpus).
+    SELECT pk FROM (
+        SELECT a.doc * 1000000000 + b.doc AS pk, COUNT(*) AS cnt,
+               MIN(a.rnk) AS mra, MIN(b.rnk) AS mrb,
+               any_value(a.sz) AS sza, any_value(b.sz) AS szb
+        FROM pref a JOIN pref b USING (shingle)
+        WHERE a.doc < b.doc
+          AND b.sz >= 0.5 * a.sz - 1e-9
+          AND a.sz >= 0.5 * b.sz - 1e-9
+        GROUP BY 1)
+    WHERE 1 + LEAST(sza - mra, szb - mrb)
+              >= CEIL((sza + szb) / 3.0 - 1e-9)
+      AND cnt >= CEIL((sza + szb) / 3.0 - 1e-9)
+               - GREATEST(CEIL(0.5 * sza + 1e-9), CEIL(0.5 * szb + 1e-9))
+               + 1
 ),
 cpair AS (
     SELECT pk // 1000000000 AS doc_a, pk % 1000000000 AS doc_b FROM cand
@@ -418,16 +429,25 @@ pref AS (
     WHERE c.rnk <= s.sz - CEIL(0.5 * s.sz - 1e-9) + 1
 ),
 cand AS (
-    -- packed-BIGINT distinct: see SQL_DEDUP_NGRAM_T50 (1.26e9
-    -- candidate rows at the ×100 corpus; tuple-distinct spill
-    -- exhausted the disk). Valid while doc_id < 1e9.
-    SELECT DISTINCT a.doc * 1000000000 + b.doc AS pk
-    FROM pref a JOIN pref b USING (shingle)
-    WHERE a.doc < b.doc
-      AND b.sz >= 0.5 * a.sz - 1e-9
-      AND a.sz >= 0.5 * b.sz - 1e-9
-      AND 1 + LEAST(a.sz - a.rnk, b.sz - b.rnk)
-          >= CEIL((a.sz + b.sz) / 3.0 - 1e-9)
+    -- packed-BIGINT group + common-prefix count bound + min-rank
+    -- positional filter: see SQL_DEDUP_NGRAM_T50 (1.26e9 candidate
+    -- rows at the ×100 corpus; tuple-distinct spill exhausted the
+    -- disk, and without the cnt bound both engines verify 1e9+
+    -- pairs). Valid while doc_id < 1e9.
+    SELECT pk FROM (
+        SELECT a.doc * 1000000000 + b.doc AS pk, COUNT(*) AS cnt,
+               MIN(a.rnk) AS mra, MIN(b.rnk) AS mrb,
+               any_value(a.sz) AS sza, any_value(b.sz) AS szb
+        FROM pref a JOIN pref b USING (shingle)
+        WHERE a.doc < b.doc
+          AND b.sz >= 0.5 * a.sz - 1e-9
+          AND a.sz >= 0.5 * b.sz - 1e-9
+        GROUP BY 1)
+    WHERE 1 + LEAST(sza - mra, szb - mrb)
+              >= CEIL((sza + szb) / 3.0 - 1e-9)
+      AND cnt >= CEIL((sza + szb) / 3.0 - 1e-9)
+               - GREATEST(CEIL(0.5 * sza + 1e-9), CEIL(0.5 * szb + 1e-9))
+               + 1
 ),
 cpair AS (
     SELECT pk // 1000000000 AS doc_a, pk % 1000000000 AS doc_b FROM cand
@@ -2190,9 +2210,7 @@ def _ngram_precompute_stmts(n_slices: int = 16) -> list[str]:
     """
     filters = (
         "  AND b.sz >= 0.5 * a.sz - 1e-9\n"
-        "  AND a.sz >= 0.5 * b.sz - 1e-9\n"
-        "  AND 1 + LEAST(a.sz - a.rnk, b.sz - b.rnk)"
-        " >= CEIL((a.sz + b.sz) / 3.0 - 1e-9)"
+        "  AND a.sz >= 0.5 * b.sz - 1e-9"
     )
     stmts = [
         """CREATE TEMP TABLE _ng_sh AS
@@ -2230,10 +2248,17 @@ SELECT doc, list(shingle) AS s FROM _ng_ann WHERE rnk <= 40 GROUP BY doc""",
         for k in range(n_slices):
             stmts.append(
                 f"""INSERT INTO {tbl}
-SELECT DISTINCT a.doc * 1000000000 + b.doc AS pk
-FROM {pref} a JOIN {pref} b USING (shingle)
-WHERE a.doc % {n_slices} = {k} AND a.doc < b.doc
-{filters}"""
+SELECT pk FROM (
+    SELECT a.doc * 1000000000 + b.doc AS pk, COUNT(*) AS cnt,
+           MIN(a.rnk) AS mra, MIN(b.rnk) AS mrb,
+           any_value(a.sz) AS sza, any_value(b.sz) AS szb
+    FROM {pref} a JOIN {pref} b USING (shingle)
+    WHERE a.doc % {n_slices} = {k} AND a.doc < b.doc
+{filters}
+    GROUP BY 1)
+WHERE 1 + LEAST(sza - mra, szb - mrb) >= CEIL((sza + szb) / 3.0 - 1e-9)
+  AND cnt >= CEIL((sza + szb) / 3.0 - 1e-9)
+           - GREATEST(CEIL(0.5 * sza + 1e-9), CEIL(0.5 * szb + 1e-9)) + 1"""
             )
     return stmts
 
