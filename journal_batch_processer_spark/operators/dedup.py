@@ -28,6 +28,12 @@ from ..cache import pin
 # 31-bit Mersenne prime keeps a*h+b < 2^47 — no ANSI long overflow
 _MERSENNE = (1 << 31) - 1
 
+# near_dup_pairs broadcasts its candidate-pair relation only below
+# this EXACT row count (2M pairs of two longs ≈ 64 MB hashed — far
+# under any executor budget); above it, shuffle_hash. See the gate
+# comment in near_dup_pairs.
+_CAND_BROADCAST_MAX = 2_000_000
+
 
 def portable_hash64(col: F.Column) -> F.Column:
     """Engine-portable 60-bit uniform hash: integer value of the first
@@ -565,6 +571,7 @@ def minhash_signatures(
     text_col: str,
     n_hashes: int = 32,
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, sig array) via group-min aggregation — min is
     order-insensitive, so the signature is just ``n_hashes`` MIN
@@ -573,8 +580,17 @@ def minhash_signatures(
 
     Seeded with the engine-portable md5 hash (one md5 per shingle row,
     then cheap affine permutations), so the whole signature is
-    reproducible in DuckDB and the LSH queries get full oracles."""
-    sh = shingle_table(df, id_col, text_col, n)
+    reproducible in DuckDB and the LSH queries get full oracles.
+
+    ``shingles``: optionally pass a pre-built (doc, shingle) table
+    (``shingle_table`` output, usually pinned) so callers that ALSO
+    need the raw shingles for an exact-verify leg pay the
+    posexplode+window+distinct scan once, not twice."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col, n)
+    )
     h = F.pmod(portable_hash64(F.col("shingle")), F.lit(_MERSENNE))
     aggs = []
     for j in range(n_hashes):
@@ -593,6 +609,7 @@ def minhash_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidates.
 
@@ -601,7 +618,9 @@ def minhash_candidates(
     never an all-pairs cross join.
     """
     # persist: the band table feeds BOTH sides of the self-join
-    banded = pin(banded_signatures(df, id_col, text_col, n_hashes, bands, n))
+    banded = pin(
+        banded_signatures(df, id_col, text_col, n_hashes, bands, n, shingles)
+    )
     left = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
     right = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
     return (
@@ -619,11 +638,12 @@ def banded_signatures(
     n_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, band, bucket) rows: the LSH band table both the self-join
     and the incremental (new-vs-corpus) dedup join consume."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, n)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, n, shingles)
     # band key = the band's signature values joined as a string —
     # engine-portable (vs F.hash) and still one narrow projection;
     # the slice lambda is interpreted but runs on one row per DOC,
@@ -764,36 +784,72 @@ def near_dup_pairs(
     exact all-pairs sweep wherever recall holds, at a fraction of the
     join cost.
     """
-    cand = minhash_candidates(df, id_col, text_col, n_hashes, bands, n)
-    # hashed join key: same rationale/caveat as ngram_jaccard_pairs
-    sh = pin(
-        shingle_table(df, id_col, text_col, n)
-        .select("doc", F.xxhash64("shingle").alias("shingle"))
+    # ONE pinned raw shingle table feeds both the minhash signatures
+    # (candidate leg) and the exact-Jaccard verify leg — the
+    # posexplode+window+distinct scan is the pipeline's most
+    # expensive stage and used to run twice (r13)
+    sh_raw = pin(shingle_table(df, id_col, text_col, n))
+    cand = pin(
+        minhash_candidates(
+            df, id_col, text_col, n_hashes, bands, n, shingles=sh_raw
+        )
     )
+    # hashed join key: same rationale/caveat as ngram_jaccard_pairs
+    sh = sh_raw.select("doc", F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    # shuffle_hash hints, NOT the optimizer's choice (r12, found by
-    # the 100× sweep): cand sits behind the minhash band self-join,
-    # and Catalyst's size estimate for it is derived from the
-    # pre-explode scan — at 100× it estimated the ~2e7-pair relation
-    # under the broadcast threshold and died building the broadcast
-    # table (notEnoughMemoryToBuildAndBroadcastTable). The hinted
-    # side is the per-partition build side; every shape here is the
-    # one that holds at web scale (nothing pair- or shingle-sized is
-    # ever a global table).
-    inter = (
-        cand.hint("shuffle_hash").join(a, "doc_a")
-        .join(b.hint("shuffle_hash"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # Join-strategy gate on the EXACT candidate count (r13, refining
+    # the r12 fix): cand sits behind the minhash band self-join, and
+    # Catalyst's STATIC size estimate for it derives from the
+    # pre-explode scan — at 100× it put the ~2e7-pair relation under
+    # the broadcast threshold and died building the broadcast table
+    # (notEnoughMemoryToBuildAndBroadcastTable). cand is pinned, so
+    # this scalar count() both materializes the cache and gives the
+    # true pair count, and the branch is chosen on real data, never
+    # an estimate.
+    n_cand = cand.count()
+    if n_cand <= _CAND_BROADCAST_MAX:
+        # small-cand path: broadcast-semi-filter BOTH shingle sides
+        # down to candidate docs before the (doc_b, shingle) join, so
+        # the verify leg never shuffles the full shingle table — the
+        # only shuffled relations are candidate-doc-sized (bounded by
+        # n_cand × doc size, and n_cand ≤ 2M here by the gate)
+        a_f = a.join(
+            F.broadcast(cand.select("doc_a").distinct()), "doc_a", "semi"
+        )
+        b_f = b.join(
+            F.broadcast(cand.select("doc_b").distinct()), "doc_b", "semi"
+        )
+        inter = (
+            F.broadcast(cand).join(a_f, "doc_a")
+            .join(b_f, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # web-scale path: shuffle_hash everywhere — nothing pair- or
+        # shingle-sized is ever a global table; the b-side hint also
+        # blocks any static broadcast of the pair×shingle-sized
+        # (cand ⋈ a) intermediate
+        inter = (
+            cand.hint("shuffle_hash").join(a, "doc_a")
+            .join(b.hint("shuffle_hash"), ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # the sizes joins carry NO hint (r13 refinement of the r12 fix):
+    # sizes is |docs|-bounded and sits behind a shuffle (groupBy), so
+    # AQE sizes it from ACTUAL runtime shuffle stats — the static
+    # misestimate that broadcast-OOMed the cand relation at 100×
+    # cannot recur here, and letting AQE broadcast a genuinely small
+    # sizes table saves two pair-sized shuffles of `inter`.
     return (
-        inter.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),

@@ -633,12 +633,22 @@ def bucket_cosine_pairs(
         _as_double(F.col(vec_col)).alias("v"),
     ).withColumn("bucket", hyperplane_sign_bits(F.col("v"), dim, n_planes))
     thr = float(threshold)
+    if thr <= 0.0:
+        raise ValueError(
+            "bucket_cosine_pairs requires threshold > 0 "
+            "(zero-norm vectors are excluded via a clamped 0.0 cosine)"
+        )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         mat = np.array(pdf["v"].tolist(), dtype=np.float64)
         nrm = np.linalg.norm(mat, axis=1)
+        # zero-norm vectors have no defined cosine: clamp to inf so
+        # their similarities are exactly 0.0 (dropped by any
+        # threshold > 0, matching the expression-join path's NULL
+        # drop) without div-by-zero warnings flooding executor logs
+        nrm[nrm == 0.0] = np.inf
         n = len(ids)
         outs = []
         for rlo in range(0, n, row_block):

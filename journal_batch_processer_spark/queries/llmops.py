@@ -2213,6 +2213,12 @@ def _ngram_precompute_stmts(n_slices: int = 16) -> list[str]:
         "  AND a.sz >= 0.5 * b.sz - 1e-9"
     )
     stmts = [
+        # packed pair key below is a.doc*1e9+b.doc — fail loudly if a
+        # future corpus ever violates 0 <= doc_id < 1e9 instead of
+        # silently corrupting every unpacked (doc_a, doc_b)
+        """SELECT CASE WHEN max(doc_id) >= 1000000000 OR min(doc_id) < 0
+       THEN error('doc_id outside [0, 1e9): pair packing unsafe')
+       ELSE 'ok' END FROM documents""",
         """CREATE TEMP TABLE _ng_sh AS
 SELECT doc_id,
        list_distinct(CASE WHEN len(t) >= 3

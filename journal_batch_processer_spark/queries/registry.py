@@ -63,71 +63,68 @@ def _build() -> dict[str, QuerySpec]:
 
     # Verification-priority order: the driver sweeps the registry
     # serially under a budget (~50 entries/round), so emit the
-    # least-trusted queries FIRST. Round 12 (VERDICT r11 item 5):
-    # freshness rotation — (a) the full 41-key r06 tier (now the
-    # oldest driver rows anywhere), then (b) 9 r07-tier keys chosen
-    # for code weight (dedup/join/pipeline/media hot paths) to fill
-    # the 50-key budget, so after the r12 sweep nothing older than
-    # r07 remains in the merged freshness map.
+    # least-trusted queries FIRST. Round 13 (VERDICT r12 item 5):
+    # freshness rotation — (a) the full 39-key r07 tier (now the
+    # oldest driver rows anywhere; includes dedup_near, whose verify
+    # plan changed this round), then (b) 11 r09-tier keys chosen for
+    # code weight (dedup/trainprep/table-format hot paths) to fill
+    # the 50-key budget, so after the r13 sweep nothing older than
+    # r09 remains in the merged freshness map.
     priority = [
-        # full r06 freshness tier (oldest driver rows)
-        "agg_cube",
-        "agg_grouping_sets",
-        "agg_rollup",
-        "agg_salted",
-        "code_lookup",
-        "code_validate",
-        "dedup_exact",
-        "dedup_exact_hash",
-        "dedup_semantic",
-        "dependent_columns",
-        "dim_join_broadcast",
-        "distinct_count",
-        "embed_kmeans",
-        "embed_quantize",
-        "enrich_fetch",
-        "ensure_columns",
-        "error_route",
-        "field_merge",
-        "fill_blank_default",
-        "flag_i_barcode",
-        "flag_missing_barcode",
-        "group_agg",
-        "join_anti",
-        "join_colocated",
-        "join_range",
-        "join_semi",
-        "month_normalize",
-        "natural_sort",
-        "notes_append",
-        "numeric_guard",
-        "overwrite_constant",
-        "project_columns",
-        "python_udtf",
-        "rest_fetch_source",
-        "rest_push_sink",
-        "row_count",
-        "sample_temperature",
-        "scalar_functions",
-        "strip_guard_quote",
-        "year_impute",
-        "year_impute_window",
-        # r07 overflow (heaviest code paths of that tier first)
-        "dedup_minhash",
-        "dedup_ngram",
-        "pipeline_chain",
-        "join_asof",
-        "sim_search_ivfpq",
-        "media_audio_decode",
-        "window_rank",
-        "xml_parse",
-        "csv_scan",
-        # further r07 overflow if the budget runs past 50
+        # full r07 freshness tier (oldest driver rows) — dedup_near
+        # first: its verify-leg join strategy changed in r13
         "dedup_near",
-        "join_asof_nearest",
-        "window_running",
         "agg_pivot",
-        # r07+ tiers follow in registry order after this list
+        "agg_salted_skewed",
+        "agg_unpivot",
+        "anonymize_l",
+        "approx_distinct",
+        "approx_quantile",
+        "avro_scan",
+        "avro_sink",
+        "csv_sink",
+        "dedup_containment",
+        "dedup_containment_prefix",
+        "dedup_incremental",
+        "dedup_ngram_capped",
+        "dedup_ngram_prefix",
+        "embed_gramian",
+        "embed_pca_power",
+        "graph_labelprop",
+        "join_asof_nearest",
+        "join_full",
+        "join_skew_hot",
+        "media_frames_decode",
+        "media_image_decode_png",
+        "media_video_decode",
+        "multimodal_manifest",
+        "pipeline_chain_strict",
+        "pipeline_update",
+        "push_partition",
+        "python_stream_sink",
+        "retention_cohorts",
+        "stream_tumble",
+        "text_bm25",
+        "window_lead_lag",
+        "window_ntile",
+        "window_range_frame",
+        "window_running",
+        "window_slide",
+        "window_tumble",
+        "xml_serialize",
+        # r09 overflow (heaviest code paths of that tier first)
+        "dedup_cluster",
+        "dedup_editdist",
+        "dedup_embed_lsh",
+        "trainprep_pipeline",
+        "split_leakage_safe",
+        "decontaminate",
+        "table_mor_read",
+        "quality_classifier",
+        "matview_incremental",
+        "graph_triangles",
+        "dedup_substring",
+        # r09+ tiers follow in registry order after this list
     ]
     ordered = {name: registry[name] for name in priority if name in registry}
     ordered.update({n: s for n, s in registry.items() if n not in ordered})

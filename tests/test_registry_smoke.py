@@ -166,12 +166,16 @@ def test_oracle_precompute_variants_match_selfcontained():
         ORACLE_PRECOMPUTE,
         SQL_DEDUP_CLUSTER,
         SQL_DEDUP_EDITDIST,
+        SQL_DEDUP_NGRAM_CAPPED,
+        SQL_DEDUP_NGRAM_T50,
         SQL_SPLIT_LEAKAGE_SAFE,
     )
 
     selfcontained = {
         "dedup_cluster": SQL_DEDUP_CLUSTER,
         "dedup_editdist": SQL_DEDUP_EDITDIST,
+        "dedup_ngram_prefix": SQL_DEDUP_NGRAM_T50,
+        "dedup_ngram_capped": SQL_DEDUP_NGRAM_CAPPED,
         "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,
     }
     con = duckdb.connect()
@@ -180,7 +184,12 @@ def test_oracle_precompute_variants_match_selfcontained():
         "read_parquet('/root/testdata/sf0.001/documents.parquet')"
     )
     for tbl, info in ORACLE_PRECOMPUTE.items():
-        con.execute(f"CREATE TEMP TABLE {tbl} AS {info['sql']}")
+        # execute exactly as tools/check_oracle.py:356 does — either
+        # the ordered "stmts" list or the single-"sql" form
+        for s in info.get("stmts") or [
+            f"CREATE TEMP TABLE {tbl} AS {info['sql']}"
+        ]:
+            con.execute(s)
         for key, variant_sql in info["keys"].items():
             a = sorted(con.sql(selfcontained[key]).fetchall())
             b = sorted(con.sql(variant_sql).fetchall())

@@ -127,9 +127,20 @@ def test_bucket_cosine_pairs_matches_expression_join(spark):
         .select("vec_a", "vec_b", "cosine")
         .collect()
     }
-    assert set(got) == set(want)
-    for k in want:
-        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # BLAS and left-to-right expression sums can land an ulp apart, so
+    # a pair whose exact cosine sits within an ulp of thr may be kept
+    # by one engine and dropped by the other (bucket_cosine_pairs'
+    # docstring warns callers to round before value-comparing).
+    # Membership must agree except for such threshold-boundary pairs.
+    eps = 1e-9
+    for k in set(got) ^ set(want):
+        c = got.get(k, want.get(k))
+        assert abs(c - thr) < eps, (
+            "non-boundary pair differs between BLAS and expression "
+            f"paths: {k} cosine={c}"
+        )
+    for k in set(got) & set(want):
+        assert abs(got[k] - want[k]) < eps, (k, got[k], want[k])
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
