@@ -2289,6 +2289,31 @@ WHERE inter / (sz_a + sz_b - inter) >= 0.5
 """
 
 
+# dedup_near's exact reference is the SAME j>=0.5 trigram-shingle
+# sweep as dedup_ngram_prefix (the LSH banding only prunes candidates;
+# verify recomputes exact Jaccard) — so its 100x-feasible oracle is a
+# projection of the T50 prefix pipeline. Equality to the naive
+# SQL_DEDUP_NEAR string is pinned in tests/test_registry_smoke.py.
+SQL_DEDUP_NEAR_PRE = """
+WITH cpair AS (
+    SELECT pk // 1000000000 AS doc_a, pk % 1000000000 AS doc_b
+    FROM _ng_cand_t50
+),
+scored AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+           len(sa.shingles) AS sz_a, len(sb.shingles) AS sz_b
+    FROM cpair
+    JOIN _ng_sh sa ON sa.doc_id = doc_a
+    JOIN _ng_sh sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / (sz_a + sz_b - inter), 6) AS jaccard
+FROM scored
+WHERE inter / (sz_a + sz_b - inter) >= 0.5
+"""
+
+
 SQL_DEDUP_NGRAM_CAPPED_PRE = """
 WITH cpair AS (
     SELECT pk // 1000000000 AS doc_a, pk % 1000000000 AS doc_b
@@ -2328,6 +2353,7 @@ ORACLE_PRECOMPUTE = {
         "keys": {
             "dedup_ngram_prefix": SQL_DEDUP_NGRAM_T50_PRE,
             "dedup_ngram_capped": SQL_DEDUP_NGRAM_CAPPED_PRE,
+            "dedup_near": SQL_DEDUP_NEAR_PRE,
         },
     },
 }

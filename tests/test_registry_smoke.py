@@ -166,6 +166,7 @@ def test_oracle_precompute_variants_match_selfcontained():
         ORACLE_PRECOMPUTE,
         SQL_DEDUP_CLUSTER,
         SQL_DEDUP_EDITDIST,
+        SQL_DEDUP_NEAR,
         SQL_DEDUP_NGRAM_CAPPED,
         SQL_DEDUP_NGRAM_T50,
         SQL_SPLIT_LEAKAGE_SAFE,
@@ -174,6 +175,7 @@ def test_oracle_precompute_variants_match_selfcontained():
     selfcontained = {
         "dedup_cluster": SQL_DEDUP_CLUSTER,
         "dedup_editdist": SQL_DEDUP_EDITDIST,
+        "dedup_near": SQL_DEDUP_NEAR,
         "dedup_ngram_prefix": SQL_DEDUP_NGRAM_T50,
         "dedup_ngram_capped": SQL_DEDUP_NGRAM_CAPPED,
         "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

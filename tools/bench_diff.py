@@ -47,6 +47,13 @@ def main() -> int:
     ap.add_argument("--latest", help="artifact to judge (default: newest)")
     ap.add_argument("--sf", type=float, default=0.1,
                     help="only compare runs at this scale factor")
+    ap.add_argument("--window", type=int, default=12,
+                    help="trailing-median window: only the newest N "
+                         "prior runs feed the median, so the tripwire "
+                         "re-centers itself after a host change (the "
+                         "box has rebooted between rounds twice; "
+                         "all-history medians compare against a dead "
+                         "host). 0 = unlimited (pre-r13 behavior)")
     args = ap.parse_args()
 
     runs = [(f, r) for f, r in load_runs(RUNS_DIR) if r.get("sf") == args.sf]
@@ -63,6 +70,8 @@ def main() -> int:
             return 0
         latest_name, latest = runs[-1]
         prior = runs[:-1]
+    if args.window > 0:
+        prior = prior[-args.window:]
 
     flagged = 0
     print(f"latest: {latest_name}  vs  {len(prior)} prior runs  "
