@@ -25,6 +25,16 @@ import time
 
 VERDICT_RE = re.compile(r"^(ok|FAIL|skip) +(\S+?):? (.*)$")
 
+# A FAIL whose note matches these is not an oracle verdict — the
+# child's SparkContext died (e.g. an executor heap OOM in local mode
+# kills the whole JVM) and every later key in that child would fail
+# the same way. Seen live in the r13 sweep: stream_session_native
+# OOMed and 20 subsequent keys recorded spurious
+# "An error occurred while calling oNNNN.parquet." rows.
+DEAD_SESSION_RE = re.compile(
+    r"An error occurred while calling o\d+\.|stopped SparkContext"
+)
+
 
 def load_rows(path: str) -> dict:
     if os.path.exists(path):
@@ -94,6 +104,31 @@ def main() -> int:
                         status, name, note = m.groups()
                         wall = time.monotonic() - key_start
                         key_start = time.monotonic()
+                        if (status == "FAIL"
+                                and DEAD_SESSION_RE.search(note)):
+                            # dead-session cascade: the verdict is
+                            # about the JVM, not the oracle. Record
+                            # only the first such key (as an error to
+                            # retry by hand), kill the child, and let
+                            # the respawn re-run everything after it
+                            # in a fresh JVM.
+                            print(f"[monitor] DEAD SESSION at {name} "
+                                  f"— killing child, respawning",
+                                  flush=True)
+                            logf.write(
+                                f"=== monitor: DEAD SESSION {name} ===\n")
+                            if name in pending and name not in done_in_run:
+                                rows[name] = [
+                                    "error",
+                                    "spark session died (see log); "
+                                    "needs a by-hand re-run",
+                                ]
+                                save_rows(args.rows_json, rows)
+                                done_in_run.append(name)
+                            proc.kill()
+                            proc.wait()
+                            killed = True
+                            break
                         if name in pending:
                             rows[name] = [
                                 "ok" if status == "ok" else
@@ -105,6 +140,10 @@ def main() -> int:
                             print(f"[monitor] {status:4s} {name} "
                                   f"({wall:.0f}s) — {note.strip()[:90]}",
                                   flush=True)
+                if killed:
+                    break
+            if killed:
+                break
             if proc.poll() is None and time.monotonic() - key_start > args.timeout:
                 in_flight = next(
                     (k for k in pending if k not in done_in_run), None)
@@ -143,4 +182,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
