@@ -11,6 +11,26 @@ crash never loses completed verdicts.
 
     python tools/sweep_monitor.py --keys keys.txt \
         --rows-json SWEEP_r12_rows.json --log /tmp/sweep.log
+
+For 100x-corpus sweeps, launch with the SWEEP_r12 heavy-tail config —
+the checker's local[8]/8-partition/8 GB defaults are sized for sf0.01
+and FAIL at 100x in ways that look like engine bugs but aren't:
+
+    SPARK_GRAFT_SF_DIR_T2=/tmp/jbp_sf100x \
+    SPARK_DRIVER_MEMORY=24g \
+    SPARK_GRAFT_CHECK_MASTER='local[22]' \
+    SPARK_GRAFT_CHECK_SHUFFLE=96 \
+    SPARK_GRAFT_STATE_STORE=rocksdb \
+    python tools/sweep_monitor.py --timeout 3600 ...
+
+Measured failure modes without these (r13, first two attempts):
+stream_session_native's 9.5M-row complete-mode drain OOMs an 8 GB
+driver — once as a hard executor OOM that killed the SparkContext
+(and cascaded 20 spurious FAILs, hence DEAD_SESSION_RE), once as a
+silent heap-full wedge where task threads died, the scheduler kept
+showing 4 active tasks, and AQE's withFinalPlanUpdate parked forever
+(caught only by the per-key timeout). And --timeout must cover the
+prefix-ngram keys' ~1770 s staged-oracle walls, not the default 900.
 """
 
 from __future__ import annotations
