@@ -21,6 +21,7 @@ and FAIL at 100x in ways that look like engine bugs but aren't:
     SPARK_GRAFT_CHECK_MASTER='local[22]' \
     SPARK_GRAFT_CHECK_SHUFFLE=96 \
     SPARK_GRAFT_STATE_STORE=rocksdb \
+    SPARK_GRAFT_STREAM_DRAIN_TIMEOUT=1800 \
     python tools/sweep_monitor.py --timeout 3600 ...
 
 Measured failure modes without these (r13, first two attempts):
@@ -31,6 +32,11 @@ silent heap-full wedge where task threads died, the scheduler kept
 showing 4 active tasks, and AQE's withFinalPlanUpdate parked forever
 (caught only by the per-key timeout). And --timeout must cover the
 prefix-ngram keys' ~1770 s staged-oracle walls, not the default 900.
+The drain-timeout override matters for every availableNow streaming
+key: stream_tumble's 10M-event drain FAILed loud at the 180 s default
+on the first r13 tail attempt (the bound is fail-loud by design —
+queries/streaming_q.py:82 — so an undersized bound reads as a FAIL
+row, not a hang).
 """
 
 from __future__ import annotations
