@@ -31,7 +31,11 @@ driver — once as a hard executor OOM that killed the SparkContext
 silent heap-full wedge where task threads died, the scheduler kept
 showing 4 active tasks, and AQE's withFinalPlanUpdate parked forever
 (caught only by the per-key timeout). And --timeout must cover the
-prefix-ngram keys' ~1770 s staged-oracle walls, not the default 900.
+prefix-ngram keys' ~1770 s staged-oracle walls, not the default 900
+— r13 measured the FIRST ngram key in a fresh child at >3600 s
+(staged build alone 2131 s on the post-reboot host, then the ~25 min
+Spark-side verify), so give the ngram/near trio --timeout 7200 or
+run them by hand without the monitor and merge the rows.
 The drain-timeout override matters for every availableNow streaming
 key: stream_tumble's 10M-event drain FAILed loud at the 180 s default
 on the first r13 tail attempt (the bound is fail-loud by design —
