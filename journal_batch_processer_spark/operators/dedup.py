@@ -828,29 +828,59 @@ def near_dup_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-    else:
-        # web-scale path: shuffle_hash everywhere — nothing pair- or
-        # shingle-sized is ever a global table; the b-side hint also
-        # blocks any static broadcast of the pair×shingle-sized
-        # (cand ⋈ a) intermediate
-        inter = (
-            cand.hint("shuffle_hash").join(a, "doc_a")
-            .join(b.hint("shuffle_hash"), ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
+        sa = sizes.select(
+            F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a")
         )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-    # the sizes joins carry NO hint (r13 refinement of the r12 fix):
-    # sizes is |docs|-bounded and sits behind a shuffle (groupBy), so
-    # AQE sizes it from ACTUAL runtime shuffle stats — the static
-    # misestimate that broadcast-OOMed the cand relation at 100×
-    # cannot recur here, and letting AQE broadcast a genuinely small
-    # sizes table saves two pair-sized shuffles of `inter`.
+        sb = sizes.select(
+            F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")
+        )
+        # the sizes joins carry NO hint (r13 refinement of the r12
+        # fix): sizes is |docs|-bounded and sits behind a shuffle
+        # (groupBy), so AQE sizes it from ACTUAL runtime shuffle
+        # stats — the static misestimate that broadcast-OOMed the
+        # cand relation at 100× cannot recur here, and letting AQE
+        # broadcast a genuinely small sizes table saves two
+        # pair-sized shuffles of `inter`.
+        scored = inter.join(sa, "doc_a").join(sb, "doc_b")
+    else:
+        # Web-scale path (r13, second revision): verify on per-doc
+        # shingle ARRAYS — the same pair-bounded shape the proven
+        # ngram_jaccard_pairs_prefix verify runs at 27M pairs at the
+        # ×100 corpus. The first revision's exploded
+        # (cand ⋈ a) ⋈ (doc_b, shingle) join moved a pair×shingle-
+        # sized intermediate (Σ_pairs |A| rows ≈ 5e9 at ×100) through
+        # TWO shuffles and filled the 100×-sweep host's disk
+        # (SWEEP_r13.md §3); the array join shuffles Σ_pairs(|A|+|B|)
+        # bytes once per side, needs no post-join aggregate, and the
+        # sizes come free as array lengths. Both shingle sides are
+        # semi-filtered to candidate docs first (no-op on a dense
+        # near-dup corpus, a large prune on a real one). shuffle_hash
+        # hints keep the big array relations streaming — the pair
+        # side builds the per-partition hash table, and nothing
+        # sorts Σ_pairs(|A|+|B|) bytes the way SMJ would.
+        cdocs_a = cand.select("doc_a").distinct()
+        cdocs_b = cand.select("doc_b").distinct()
+        arrs = sh.groupBy("doc").agg(F.collect_list("shingle").alias("arr"))
+        aa = arrs.join(
+            cdocs_a, arrs["doc"] == cdocs_a["doc_a"], "semi"
+        ).select(F.col("doc").alias("doc_a"), F.col("arr").alias("arr_a"))
+        ab = arrs.join(
+            cdocs_b, arrs["doc"] == cdocs_b["doc_b"], "semi"
+        ).select(F.col("doc").alias("doc_b"), F.col("arr").alias("arr_b"))
+        scored = (
+            cand.hint("shuffle_hash")
+            .join(aa, "doc_a")
+            .join(ab.hint("shuffle_hash"), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("arr_a", "arr_b")).alias("inter"),
+                F.size("arr_a").alias("sz_a"),
+                F.size("arr_b").alias("sz_b"),
+            )
+        )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        scored.withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
