@@ -35,6 +35,48 @@ _MERSENNE = (1 << 31) - 1
 _CAND_BROADCAST_MAX = 2_000_000
 
 
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit scramble (splitmix64 finalizer) — used
+    only at PLAN-BUILD time to derive permutation constants, never in
+    the data path, so engine portability is untouched."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK64
+    z = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return (z ^ (z >> 31)) & _MASK64
+
+
+def minhash_perm(j: int) -> tuple[int, int]:
+    """Constants (a, b) of the j-th minhash permutation
+    h -> (a*h + b) mod _MERSENNE — shared by the Spark operator and
+    the generated DuckDB oracle CTE so both engines band identically.
+
+    The multiplier sequence must behave like INDEPENDENT random
+    residues, not a structured progression. The original family
+    (a = 2j+1) was maximally correlated: whenever one shingle's base
+    hash satisfied h < _MERSENNE/63, a*h never wrapped for ANY of the
+    32 multipliers, so that single shingle attained the min of every
+    permutation and controlled the ENTIRE signature — two
+    near-identical docs differing in such a low-hash shingle shared
+    ZERO bands, and 14 pairs with jaccard 0.80-0.85 were invisible to
+    16x2 banding at the x100 corpus (measured 0-1 common bands vs ~11
+    for same-jaccard pairs; SWEEP_r13.md §3). An arithmetic
+    progression of LARGE multipliers (a = C*(j+1) mod M) fixes those
+    14 but is still cross-correlated (measured 15-16/16 common bands
+    where independence predicts 10.7 — the same pathology with the
+    opposite sign, waiting for a pair it anti-correlates). Splitmix-
+    scrambled constants measure exactly the textbook curve: mean
+    common bands = b*j^(2r) at every jaccard tier over 346k corpus
+    pairs, 0 missed. a*h stays under 2^62, exact in the signed 64-bit
+    integers of both engines; a=0 (probability ~2^-31) falls back
+    to 1."""
+    a = _splitmix64(2 * j) % _MERSENNE or 1
+    b = _splitmix64(2 * j + 1) % _MERSENNE
+    return a, b
+
+
 def portable_hash64(col: F.Column) -> F.Column:
     """Engine-portable 60-bit uniform hash: integer value of the first
     15 hex chars of md5. Identical in any engine with md5 — DuckDB:
@@ -594,7 +636,7 @@ def minhash_signatures(
     h = F.pmod(portable_hash64(F.col("shingle")), F.lit(_MERSENNE))
     aggs = []
     for j in range(n_hashes):
-        a, b = 2 * j + 1, (0x9E3779B9 * (j + 1)) % _MERSENNE
+        a, b = minhash_perm(j)
         aggs.append(F.min((h * a + b) % _MERSENNE).alias(f"s{j}"))
     sig = sh.groupBy("doc").agg(*aggs)
     return sig.select(

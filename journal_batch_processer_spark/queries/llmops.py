@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from journal_batch_processer_spark.operators.dedup import (
     dedup_exact,
     minhash_candidates,
+    minhash_perm,
     near_dup_pairs,
     ngram_jaccard_pairs_auto,
     ngram_jaccard_pairs_prefix,
@@ -641,13 +642,16 @@ def _minhash_band_cte(
     """Generated DuckDB CTE chain reproducing the LSH band table —
     md5-derived shingle hash, the same affine permutations, band
     buckets — shared by the self-join (dedup_minhash) and the
-    new-vs-corpus (dedup_incremental) oracles. Constants must mirror
-    operators/dedup.py exactly (_MERSENNE, a=2j+1, b=golden-ratio
-    multiples)."""
+    new-vs-corpus (dedup_incremental) oracles. Constants come from
+    the SAME minhash_perm() the Spark operator uses (_MERSENNE
+    modulus, pairwise-independent large multipliers — see its
+    docstring for why the old a=2j+1 family broke banding recall)."""
     m = (1 << 31) - 1
     r = n_hashes // bands
     sig_aggs = ",\n           ".join(
-        f"MIN((h * {2 * j + 1} + {(0x9E3779B9 * (j + 1)) % m}) % {m}) AS s{j}"
+        "MIN((h * {a} + {b}) % {m}) AS s{j}".format(
+            a=minhash_perm(j)[0], b=minhash_perm(j)[1], m=m, j=j
+        )
         for j in range(n_hashes)
     )
     band_rows = "\n    UNION ALL ".join(
