@@ -212,7 +212,14 @@ def _union_find_labels(edges: DataFrame) -> DataFrame:
         [StructField("n", t), StructField("component", t)]
     )
     rows = [(node, comp_min[find(node)]) for node in parent]
-    return edges.sparkSession.createDataFrame(rows, schema)
+    # Broadcast hint: this path only runs for edge sets at or below
+    # small_graph_edges (≤ ~200k label rows, a few MB), and the label
+    # table's provenance (Python createDataFrame → UnknownPartitioning,
+    # no stats) otherwise forces the caller's docs ⋈ labels join into a
+    # SortMergeJoin that shuffles BOTH sides — including the full corpus
+    # side (guide §3.1: hint when you know a side is small and the
+    # planner cannot). The distributed star path returns un-hinted.
+    return F.broadcast(edges.sparkSession.createDataFrame(rows, schema))
 
 
 def connected_components_star(
@@ -304,8 +311,20 @@ def triangle_counts(
     Shape: one degree aggregate, two broadcast-or-shuffle equi-joins
     (edges ⋈ degrees), one self-join on the wedge source, one closing
     equi-join, one final count — all key-partitioned, no driver state.
+
+    The edge list is eagerly localCheckpoint-ed first (the
+    cluster_assignments precedent): ``e0`` feeds the degree union
+    (twice) plus the oriented-edge join, so an expensive pair
+    GENERATOR upstream would otherwise be replicated three times in
+    the plan — at sf0.1 the un-truncated graph_triangles plan was 452
+    physical operators and re-ran the shingle-join generator per
+    branch (guide §3.3: materialize to truncate huge plans). Edges
+    are pair-bounded (the near-dup filter did the scale work), so the
+    checkpoint is small even when the corpus is not.
     """
-    e0 = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    e0 = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).localCheckpoint(
+        eager=True
+    )
     deg = (
         e0.select(F.col("x").alias("n"))
         .unionAll(e0.select(F.col("y").alias("n")))
