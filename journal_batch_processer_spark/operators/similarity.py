@@ -19,6 +19,8 @@ from __future__ import annotations
 import copy
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -581,7 +583,15 @@ def plane_sign(p: int, d: int) -> float:
 def hyperplane_sign_bits(vec: F.Column, dim: int, n_planes: int = 12) -> F.Column:
     """Deterministic random-hyperplane signature: the ±1 plane matrix
     folds to literals, the projection stays one codegen expression;
-    bucket id packs the sign bits."""
+    bucket id packs the sign bits.
+
+    REFERENCE path: with dim=64 the expression tree holds
+    ``n_planes × dim`` element_at terms, which falls out of whole-stage
+    codegen (method-size limits) and evaluates INTERPRETED — measured
+    3.3 s for 2,000 rows at sf0.1, the entire cost of dedup_embed_lsh.
+    Production callers use :func:`hyperplane_sign_bits_arrow`, which is
+    bit-identical (equality pinned in tests); this expression form is
+    kept as the executable spec the tests compare against."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = F.element_at(vec, 1) * F.lit(plane_sign(p, 0))
@@ -589,6 +599,44 @@ def hyperplane_sign_bits(vec: F.Column, dim: int, n_planes: int = 12) -> F.Colum
             proj = proj + F.element_at(vec, d + 1) * F.lit(plane_sign(p, d))
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def hyperplane_sign_bits_arrow(vec: F.Column, dim: int, n_planes: int = 12):
+    """Arrow fast path for :func:`hyperplane_sign_bits` — same packed
+    sign-bit bucket, computed in a vectorized pandas UDF (guide §4.2:
+    hand whole batches to NumPy instead of a giant interpreted JVM
+    expression).
+
+    Bit-exactness argument (the bucket is PART OF the output semantics
+    — same-bucket pairs — so this must match the expression path and
+    the generated DuckDB oracle to the last ulp): the expression
+    evaluates ``((v1*s1 + v2*s2) + v3*s3) + …`` strictly left to
+    right in IEEE double; the loop below performs the identical
+    sequence per plane (``proj = v[:,0]*s0`` then ``proj += v[:,d]*sd``
+    one dimension at a time — never ``np.dot``/``np.sum``, whose
+    pairwise/SIMD summation reorders the additions), and ±1.0
+    multiplication is exact, so every intermediate is the same double
+    in both engines. Equality over the full embeddings fixture is
+    pinned in tests/test_round13_fixes.py."""
+    signs = [
+        [plane_sign(p, d) for d in range(dim)] for p in range(n_planes)
+    ]
+
+    @F.pandas_udf("long")
+    def _bucket(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype="int64")
+        mat = np.array(col.tolist(), dtype=np.float64)
+        out = np.zeros(len(mat), dtype=np.int64)
+        for p in range(n_planes):
+            s = signs[p]
+            proj = mat[:, 0] * s[0]
+            for d in range(1, dim):
+                proj = proj + mat[:, d] * s[d]
+            out |= (proj > 0.0).astype(np.int64) << p
+        return pd.Series(out)
+
+    return _bucket(vec)
 
 
 def bucket_cosine_pairs(
@@ -631,7 +679,7 @@ def bucket_cosine_pairs(
     e = embs.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", hyperplane_sign_bits(F.col("v"), dim, n_planes))
+    ).withColumn("bucket", hyperplane_sign_bits_arrow(F.col("v"), dim, n_planes))
     thr = float(threshold)
     if thr <= 0.0:
         raise ValueError(
@@ -720,11 +768,15 @@ def lsh_bucket_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cvec")
     )
-    c = c.withColumn("bucket", hyperplane_sign_bits(F.col("cvec"), dim, n_planes))
+    c = c.withColumn(
+        "bucket", hyperplane_sign_bits_arrow(F.col("cvec"), dim, n_planes)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
     )
-    q = q.withColumn("bucket", hyperplane_sign_bits(F.col("qvec"), dim, n_planes))
+    q = q.withColumn(
+        "bucket", hyperplane_sign_bits_arrow(F.col("qvec"), dim, n_planes)
+    )
     if n_probe_bits:
         probes = F.array(
             F.col("bucket"),
