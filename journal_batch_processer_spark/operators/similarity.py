@@ -952,6 +952,74 @@ def _pq_dist_array(vec: str, book: list[list[float]], j: int, dsub: int):
     return F.expr(f"transform({cents}, c -> {body})")
 
 
+def unit_vec_arrow(vec: F.Column, dim: int):
+    """Arrow unit-normalization, bit-identical to the expression form
+    ``transform(v, x -> x / norm_expr(v))``: the squared-norm fold runs
+    left to right one dimension at a time (same IEEE sequence as
+    ``dot_expr``'s unrolled ``v1*v1 + v2*v2 + …``), np.sqrt and the
+    element-wise division are correctly-rounded single operations in
+    both engines. Replaces the interpreted per-element ``transform``
+    lambda on corpus-sized relations (guide §4.2); equality pinned in
+    tests/test_round13_fixes.py."""
+
+    @F.pandas_udf("array<double>")
+    def _unitv(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        mat = np.array(col.tolist(), dtype=np.float64)
+        acc = mat[:, 0] * mat[:, 0]
+        for d in range(1, dim):
+            acc = acc + mat[:, d] * mat[:, d]
+        cv = mat / np.sqrt(acc)[:, None]
+        return pd.Series(list(cv))
+
+    return _unitv(vec)
+
+
+def pq_codes_arrow(vec: F.Column, codebooks: list[list[list[float]]], dim: int):
+    """Arrow PQ encoder: unit-normalize then argmin sub-distance per
+    codebook, returning the m codes as one array<int> column.
+
+    Bit-identical to the expression encode in :func:`pq_topk` (which
+    is the executable spec the SQL oracle mirrors): the norm fold, the
+    per-centroid ``(x-c)*(x-c)`` accumulation (one dimension at a
+    time, left to right — never a BLAS/np.sum reduction, whose
+    pairwise summation reorders the adds), and first-minimum argmin
+    (np.argmin ties-to-first == array_position of array_min) all
+    perform the same IEEE operation sequence. The expression encode
+    measured 1.3 s for 2,000 rows at sf0.1 — `transform` lambdas run
+    interpreted — and this path is the §4.2 rewrite of it; equality is
+    pinned in tests/test_round13_fixes.py."""
+    m = len(codebooks)
+    dsub = dim // m
+    books = [[list(map(float, cent)) for cent in b] for b in codebooks]
+
+    @F.pandas_udf("array<int>")
+    def _codes(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        mat = np.array(col.tolist(), dtype=np.float64)
+        acc = mat[:, 0] * mat[:, 0]
+        for d in range(1, dim):
+            acc = acc + mat[:, d] * mat[:, d]
+        cv = mat / np.sqrt(acc)[:, None]
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            off = j * dsub
+            dcols = []
+            for cent in books[j]:
+                diff = cv[:, off] - cent[0]
+                dacc = diff * diff
+                for t in range(1, dsub):
+                    diff = cv[:, off + t] - cent[t]
+                    dacc = dacc + diff * diff
+                dcols.append(dacc)
+            out[:, j] = np.argmin(np.stack(dcols, axis=1), axis=1)
+        return pd.Series(list(out))
+
+    return _codes(vec)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -997,33 +1065,19 @@ def pq_topk(
         ).drop("__raw", "__nrm")
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), vec_c.alias("__raw"))
-    c = _unit(c, "cv")
-    # Two-stage encode: materialize each 16-centroid distance array as a
-    # named column FIRST, then take its argmin in a separate projection.
-    # Inlining the array into array_position(dists, array_min(dists))
-    # duplicates the whole unrolled expression twice per code column —
-    # at m=16 that single collapsed projection overflows janino's 64 KB
-    # method limit and the stage silently falls back to interpreted
-    # evaluation (~20x slower). CollapseProject keeps the split because
-    # each d_j alias is non-cheap and referenced twice.
+    # Corpus encode runs on the Arrow path (pq_codes_arrow): the
+    # expression encode — interpreted transform lambdas over the
+    # literal codebooks — measured 1.3 s for 2,000 rows at sf0.1.
+    # The query side below keeps the expression form (bounded |Q|
+    # rows); both produce bit-identical values, pinned in tests.
     c = c.select(
         "neighbor_id",
-        *[
-            _pq_dist_array("cv", book, j, dsub).alias(f"d_{j}")
-            for j, book in enumerate(codebooks)
-        ],
+        pq_codes_arrow(F.col("__raw"), codebooks, dim).alias("__codes"),
     )
     c = c.select(
         "neighbor_id",
         *[
-            (
-                F.array_position(
-                    F.col(f"d_{j}"), F.array_min(F.col(f"d_{j}"))
-                )
-                - 1
-            )
-            .cast("int")
-            .alias(f"code_{j}")
+            F.element_at(F.col("__codes"), j + 1).alias(f"code_{j}")
             for j in range(m)
         ],
     )
@@ -1057,11 +1111,11 @@ def pq_topk(
     short = ranked.filter(F.col("rank") <= refine).select(
         "query_id", "neighbor_id"
     )
-    cu = _unit(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), vec_c.alias("__raw")
-        ),
-        "cu",
+    # corpus-side normalize on the Arrow path (same bit-exact fold as
+    # _unit — see unit_vec_arrow); the 10-row query side keeps _unit
+    cu = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_vec_arrow(vec_c, dim).alias("cu"),
     )
     qu = _unit(
         queries.select(F.col(id_col).alias("query_id"), vec_c.alias("__raw")),

@@ -81,3 +81,72 @@ def test_hyperplane_sign_bits_arrow_matches_expression(spark):
     assert diff == 0
     n_buckets = e.select("b_arrow").distinct().count()
     assert n_buckets > 1  # vacuity guard: buckets actually spread
+
+
+def test_pq_codes_arrow_matches_expression(spark):
+    """Arrow PQ encode must be bit-identical to the expression encode
+    (the SQL oracle mirrors the expression form). Compared via two
+    separate plans — combining both paths in one projection makes the
+    optimizer grind on the giant collapsed expression tree."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.similarity import (
+        _as_double,
+        _pq_dist_array,
+        norm_expr,
+        pq_codes_arrow,
+        train_pq_codebooks,
+        unit_vec_arrow,
+    )
+
+    books = train_pq_codebooks(
+        "/root/testdata/sf0.001/embeddings.parquet", m=16, ksub=16
+    )
+    m, dim = 16, 64
+    dsub = dim // m
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    base = embs.select("vec_id", _as_double(F.col("embedding")).alias("__raw"))
+    e = base.withColumn("__nrm", norm_expr("__raw", dim)).withColumn(
+        "cv", F.transform(F.col("__raw"), lambda x: x / F.col("__nrm"))
+    )
+    e = e.select(
+        "vec_id",
+        "cv",
+        *[
+            _pq_dist_array("cv", book, j, dsub).alias(f"d_{j}")
+            for j, book in enumerate(books)
+        ],
+    )
+    e = e.select(
+        "vec_id",
+        "cv",
+        F.array(
+            *[
+                (
+                    F.array_position(
+                        F.col(f"d_{j}"), F.array_min(F.col(f"d_{j}"))
+                    )
+                    - 1
+                ).cast("int")
+                for j in range(m)
+            ]
+        ).alias("codes"),
+    )
+    expr_rows = {
+        r["vec_id"]: (r["codes"], tuple(r["cv"])) for r in e.collect()
+    }
+
+    a = base.select(
+        "vec_id",
+        pq_codes_arrow(F.col("__raw"), books, dim).alias("codes"),
+        unit_vec_arrow(F.col("__raw"), dim).alias("cu"),
+    )
+    arrow_rows = {
+        r["vec_id"]: (r["codes"], tuple(r["cu"])) for r in a.collect()
+    }
+    assert expr_rows.keys() == arrow_rows.keys() and len(expr_rows) > 0
+    for vid, (codes, cv) in expr_rows.items():
+        acodes, acu = arrow_rows[vid]
+        assert codes == acodes, f"codes diverge at vec {vid}"
+        assert cv == acu, f"unit vector diverges at vec {vid}"
