@@ -1111,28 +1111,45 @@ def winnow_fingerprints(
     hashing is a per-row expression, window minima one partitioned
     window pass, the recover join an equi-join on the unique key —
     nothing pairwise, nothing corpus-global. Output: (doc, pos, fp)
-    distinct selected fingerprints, 0-based gram positions."""
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    grams = df.select(
+    distinct selected fingerprints, 0-based gram positions.
+
+    r13: grams are built with the posexplode + window-lead shape (the
+    shingle_table precedent — the transform/slice array lambda runs
+    INTERPRETED, off whole-stage codegen) and ``g`` is pinned: it
+    feeds both the window-minima pass and the recover join, so
+    unpinned it executed the gram generation twice per call. The lead
+    window partitions by doc exactly like the minima window, so the
+    reshape adds no exchange."""
+    toks = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(
-            F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(1), n - (k - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-                ),
-            ).otherwise(F.array())
-        ).alias("idx", "gram"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
     )
-    g = grams.select(
-        "doc",
-        "idx",
-        portable_hash64(F.col("gram")).alias("fp"),
-    ).withColumn(
-        "key",
-        F.format_string("%015x%06d", F.col("fp"), F.lit(999999) - F.col("idx")),
+    w_tok = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w_tok) for i in range(1, k)]
+    grams = (
+        toks.select(
+            "doc",
+            # 0-based gram start position — the old posexplode over the
+            # gram ARRAY indexed 0-based, and pos/key/full-window logic
+            # all assume that
+            F.col("pos").alias("idx"),
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias(
+                "gram"
+            ),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+    g = pin(
+        grams.select(
+            "doc",
+            "idx",
+            portable_hash64(F.col("gram")).alias("fp"),
+        ).withColumn(
+            "key",
+            F.format_string(
+                "%015x%06d", F.col("fp"), F.lit(999999) - F.col("idx")
+            ),
+        )
     )
     win = Window.partitionBy("doc").orderBy("idx").rowsBetween(0, w - 1)
     cnt = Window.partitionBy("doc")

@@ -24,6 +24,7 @@ from journal_batch_processer_spark.operators.dedup import (
     ngram_jaccard_pairs_prefix,
     simhash_fingerprint,
 )
+from journal_batch_processer_spark.cache import pin
 from journal_batch_processer_spark.operators.multimodal import attach_binary
 from journal_batch_processer_spark.operators.similarity import (
     cosine_topk,
@@ -839,7 +840,10 @@ def q_text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    fp = winnow_fingerprints(docs, "doc_id", "text", k=4, w=5)
+    # pin: the fingerprint table feeds BOTH sides of the self-join —
+    # unpinned, the whole winnow pipeline (grams → window minima →
+    # recover join) executed twice (scoped release per cache.py)
+    fp = pin(winnow_fingerprints(docs, "doc_id", "text", k=4, w=5))
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(

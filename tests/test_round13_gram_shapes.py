@@ -1,0 +1,173 @@
+"""Equivalence pins for the r13 gram-generation reshapes.
+
+Two operators replaced interpreted array-lambda gram builders
+(`transform(sequence(...), i -> ...)` runs off whole-stage codegen)
+with the posexplode + window-lead shape:
+
+- ``winnow_fingerprints`` (text_winnowing / text_winnowing_pairs):
+  k-token grams via ``lead(tok, i)`` over the token stream;
+- ``langid_ngram`` (text_langid_ngram): character trigrams via
+  ``lead(c, i)`` over ``split(lower(text), '')``.
+
+These tests pin that the reshapes generate the *identical* gram
+relation (same multiset per doc, same positions) as the original
+expression forms, including unicode / short-string / repeated-gram
+edge cases the sf fixtures may not cover densely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.operators.dedup import (
+    portable_hash64,
+    tokens_col,
+    winnow_fingerprints,
+)
+
+EDGE_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog the quick brown fox"),
+    (2, "a b c"),  # shorter than k tokens -> no grams
+    (3, ""),  # empty
+    (4, "naïve café déjà-vu naïve café déjà-vu naïve café déjà-vu x y z"),
+    (5, "one two three four five six seven eight nine ten"),
+    (6, "dup dup dup dup dup dup dup dup dup dup"),  # all-equal grams
+    (7, "Ünïcødé 文字 テスト mixed script tokens repeated 文字 テスト mixed"),
+]
+
+
+def _edge_df(spark):
+    return spark.createDataFrame(EDGE_DOCS, "doc_id long, text string")
+
+
+def _winnow_reference(df, id_col, text_col, k, w):
+    """The pre-r13 expression-shape implementation, verbatim."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                ),
+            ).otherwise(F.array())
+        ).alias("idx", "gram"),
+    )
+    g = grams.select(
+        "doc",
+        "idx",
+        portable_hash64(F.col("gram")).alias("fp"),
+    ).withColumn(
+        "key",
+        F.format_string("%015x%06d", F.col("fp"), F.lit(999999) - F.col("idx")),
+    )
+    win = Window.partitionBy("doc").orderBy("idx").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy("doc")
+    wm = (
+        g.withColumn("wmin", F.min("key").over(win))
+        .withColumn("__n", F.count("*").over(cnt))
+        .filter(F.col("idx") <= F.col("__n") - w)
+        .select(F.col("doc").alias("wdoc"), "wmin")
+        .distinct()
+    )
+    return wm.join(
+        g,
+        (F.col("wdoc") == F.col("doc")) & (F.col("wmin") == F.col("key")),
+    ).select("doc", F.col("idx").alias("pos"), "fp")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_winnow_lead_shape_matches_expression_on_fixture(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    got = _rows(winnow_fingerprints(docs, "doc_id", "text", k=4, w=5))
+    want = _rows(_winnow_reference(docs, "doc_id", "text", k=4, w=5))
+    assert got == want and len(got) > 0
+
+
+def test_winnow_lead_shape_matches_expression_on_edge_docs(spark):
+    docs = _edge_df(spark)
+    got = _rows(winnow_fingerprints(docs, "doc_id", "text", k=4, w=5))
+    want = _rows(_winnow_reference(docs, "doc_id", "text", k=4, w=5))
+    assert got == want and len(got) > 0
+    # vacuity guards: the edge set exercises no-gram and all-equal docs
+    docs_with_fp = {r[0] for r in got}
+    assert 2 not in docs_with_fp and 3 not in docs_with_fp
+    assert 6 in docs_with_fp
+
+
+def _trigrams_expression(df, id_col, text_col):
+    """Pre-r13 interpreted-lambda trigram builder, verbatim."""
+    t = F.lower(F.col(text_col))
+    return df.filter(F.length(t) >= 3).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(lower({text_col})) - 2), "
+                f"i -> substring(lower({text_col}), i, 3))"
+            )
+        ).alias("g"),
+    )
+
+
+def _trigrams_lead(df, id_col, text_col):
+    """The r13 posexplode + lead-window shape (mirrors langid_ngram)."""
+    t = F.lower(F.col(text_col))
+    chars = df.filter(F.length(t) >= 3).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(t, "")).alias("pos", "c"),
+    )
+    w_ch = Window.partitionBy("doc").orderBy("pos")
+    c2 = F.lead("c", 1).over(w_ch)
+    c3 = F.lead("c", 2).over(w_ch)
+    return (
+        chars.select(
+            "doc",
+            F.when(c3.isNotNull(), F.concat("c", c2, c3)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+
+
+def _gram_multiset(df):
+    return sorted(
+        tuple(r) for r in df.groupBy("doc", "g").count().collect()
+    )
+
+
+def test_langid_trigram_lead_shape_matches_expression(spark):
+    docs = _edge_df(spark).union(
+        spark.createDataFrame(
+            [(8, "ab"), (9, "abc"), (10, "日本語のテキスト日本語")],
+            "doc_id long, text string",
+        )
+    )
+    got = _gram_multiset(_trigrams_lead(docs, "doc_id", "text"))
+    want = _gram_multiset(_trigrams_expression(docs, "doc_id", "text"))
+    assert got == want and len(got) > 0
+    # 3-char doc produces exactly one gram; 2-char doc none
+    by_doc = {}
+    for doc, _, n in got:
+        by_doc[doc] = by_doc.get(doc, 0) + n
+    assert by_doc.get(9) == 1 and 8 not in by_doc
+
+
+def test_langid_trigram_fixture_corpus(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    got = _gram_multiset(_trigrams_lead(docs, "doc_id", "text"))
+    want = _gram_multiset(_trigrams_expression(docs, "doc_id", "text"))
+    assert got == want and len(got) > 0
