@@ -745,6 +745,7 @@ def apply_index_changes(
     n_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    fresh_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Maintain an LSH band index INCREMENTALLY from a table change
     feed: ``changes_df`` carries ``_change`` ('insert'/'delete') and
@@ -760,7 +761,16 @@ def apply_index_changes(
     the corpus is never re-signatured.
 
     Invariant (pinned in tests): apply_index_changes(index(v_a),
-    changes(v_a→v_b)) == index(v_b) computed from scratch."""
+    changes(v_a→v_b)) == index(v_b) computed from scratch.
+
+    ``fresh_bands``: optionally pass the pre-built band table of the
+    final-insert winner rows so a caller that ALSO bands those rows
+    (probe_band_index over the same delta) signatures them once, not
+    twice. The caller guarantees equivalence — for a SINGLE-commit
+    feed the winners are exactly the feed's insert rows, so
+    ``banded_signatures(changes.filter(insert))`` qualifies; for a
+    multi-commit feed it does not (a doc inserted then deleted must
+    net out)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(
@@ -773,10 +783,13 @@ def apply_index_changes(
     )
     changed = last.select(F.col(id_col).alias("doc")).distinct()
     kept = index_df.join(F.broadcast(changed), "doc", "left_anti")
-    winners = last.filter(F.col("_change") == "insert").select(
-        id_col, text_col
-    )
-    fresh = banded_signatures(winners, id_col, text_col, n_hashes, bands, n)
+    if fresh_bands is not None:
+        fresh = fresh_bands.select("doc", "band", "bucket")
+    else:
+        winners = last.filter(F.col("_change") == "insert").select(
+            id_col, text_col
+        )
+        fresh = banded_signatures(winners, id_col, text_col, n_hashes, bands, n)
     return kept.unionByName(fresh)
 
 
@@ -788,14 +801,23 @@ def probe_band_index(
     n_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    delta_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup candidates for CHANGED documents against a maintained
     band index: band the delta, equi-join on (band, bucket) — linear
     in the delta size plus bucket collisions, the incremental sibling
     of minhash_candidates' self-join. The index side should already
     contain the delta's own rows (apply_index_changes first) so
-    changed-vs-changed pairs surface too; self-matches drop."""
-    delta_b = banded_signatures(delta_df, id_col, text_col, n_hashes, bands, n)
+    changed-vs-changed pairs surface too; self-matches drop.
+
+    ``delta_bands``: optionally pass ``banded_signatures(delta_df)``
+    pre-built (usually pinned) so a caller that already banded the
+    delta for index maintenance pays the signature scan once."""
+    delta_b = (
+        delta_bands
+        if delta_bands is not None
+        else banded_signatures(delta_df, id_col, text_col, n_hashes, bands, n)
+    )
     return (
         delta_b.selectExpr("doc AS probe_doc", "band", "bucket")
         .join(

@@ -2064,13 +2064,22 @@ def q_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_band_index,
     )
 
+    from journal_batch_processer_spark.cache import pin
+
     root = _materialize_docs_table(spark, sf_dir)
     t = SnapshotTable(root)
     idx0 = banded_signatures(t.read(spark, version=2), "doc_id", "text")
     ch = t.read_changes(spark, 2, 3)
-    idx = apply_index_changes(idx0, ch, "doc_id", "text")
     delta = ch.filter(F.col("_change") == "insert").select("doc_id", "text")
-    return probe_band_index(idx, delta, "doc_id", "text")
+    # band the delta ONCE (r13): the 2→3 feed is a single commit, so
+    # the final-insert winners ARE the insert rows — the same band
+    # table serves index maintenance (fresh side) and the probe,
+    # halving the cdc signature work (see apply_index_changes's
+    # fresh_bands contract; equivalence pinned in
+    # tests/test_round13_fixes2.py)
+    delta_b = pin(banded_signatures(delta, "doc_id", "text"))
+    idx = apply_index_changes(idx0, ch, "doc_id", "text", fresh_bands=delta_b)
+    return probe_band_index(idx, delta, "doc_id", "text", delta_bands=delta_b)
 
 
 def _dedup_index_oracle_sql() -> str:

@@ -1,0 +1,90 @@
+"""r13 optimization pins: shared delta band table in the incremental
+dedup-index path.
+
+q_dedup_index_incremental now bands the change-feed insert rows ONCE
+and feeds the same (pinned) band table to both index maintenance
+(``fresh_bands``) and the probe (``delta_bands``). Valid because the
+2→3 feed spans a single commit — the final-insert winners are exactly
+the insert rows. These tests pin that the shared-band shape stays
+row-identical to the default (band-twice) path, and that the
+single-commit equivalence it relies on holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from journal_batch_processer_spark.operators.dedup import (
+    apply_index_changes,
+    banded_signatures,
+    probe_band_index,
+)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _mk_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, _change string, _commit_version int"
+    )
+
+
+def test_shared_delta_bands_match_default_path(spark):
+    corpus = _mk_docs(
+        spark,
+        [(i, f"alpha beta gamma delta epsilon zeta token{i} eta theta") for i in range(40)],
+    )
+    # single-commit feed: one update (delete+insert) + two pure inserts
+    changes = _mk_changes(
+        spark,
+        [
+            (7, "alpha beta gamma delta epsilon zeta token7 eta theta", "delete", 3),
+            (7, "alpha beta gamma delta epsilon zeta token7 eta theta updated", "insert", 3),
+            (100, "alpha beta gamma delta epsilon zeta token1 eta theta", "insert", 3),
+            (101, "totally different words nothing shared here at all", "insert", 3),
+        ],
+    )
+    idx0 = banded_signatures(corpus, "doc_id", "text")
+    delta = changes.filter(F.col("_change") == "insert").select("doc_id", "text")
+
+    # default path: maintenance and probe each band independently
+    idx_a = apply_index_changes(idx0, changes, "doc_id", "text")
+    out_a = probe_band_index(idx_a, delta, "doc_id", "text")
+
+    # shared path: one band table for both
+    delta_b = banded_signatures(delta, "doc_id", "text")
+    idx_b = apply_index_changes(
+        idx0, changes, "doc_id", "text", fresh_bands=delta_b
+    )
+    out_b = probe_band_index(
+        idx_b, delta, "doc_id", "text", delta_bands=delta_b
+    )
+
+    rows_a = sorted(tuple(r) for r in out_a.collect())
+    rows_b = sorted(tuple(r) for r in out_b.collect())
+    assert rows_a == rows_b and len(rows_a) > 0
+    # the maintained indexes themselves must match row-for-row too
+    ia = sorted(tuple(r) for r in idx_a.collect())
+    ib = sorted(tuple(r) for r in idx_b.collect())
+    assert ia == ib
+
+
+def test_multi_commit_feed_still_uses_default_path_semantics(spark):
+    """fresh_bands is an opt-in for single-commit feeds only; the
+    DEFAULT path must keep netting out a doc inserted then deleted
+    across commits (the contract the shared shape must not erode)."""
+    corpus = _mk_docs(
+        spark, [(i, f"alpha beta gamma delta tok{i} epsilon zeta") for i in range(10)]
+    )
+    changes = _mk_changes(
+        spark,
+        [
+            (50, "alpha beta gamma delta tok1 epsilon zeta", "insert", 3),
+            (50, "alpha beta gamma delta tok1 epsilon zeta", "delete", 4),
+        ],
+    )
+    idx0 = banded_signatures(corpus, "doc_id", "text")
+    idx = apply_index_changes(idx0, changes, "doc_id", "text")
+    assert idx.filter(F.col("doc") == 50).count() == 0
