@@ -88,3 +88,88 @@ def test_multi_commit_feed_still_uses_default_path_semantics(spark):
     idx0 = banded_signatures(corpus, "doc_id", "text")
     idx = apply_index_changes(idx0, changes, "doc_id", "text")
     assert idx.filter(F.col("doc") == 50).count() == 0
+
+
+def test_kmi_assign_arrow_matches_expression(spark):
+    """The Arrow integer-kmeans assignment must be bit-identical to
+    the expression form (the SQL oracle mirrors the expression)."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.similarity import (
+        KMI_SCALE,
+        kmi_assign_arrow,
+        kmi_assign_expr,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+            f"* {KMI_SCALE} + 0.5D) AS BIGINT))"
+        ).alias("qv"),
+    )
+    # deterministic "awkward" centroids incl. duplicates (tie-break)
+    cents = [r["qv"] for r in q.orderBy("vec_id").limit(4).collect()]
+    cents = [list(c) for c in cents] + [list(cents[0])]  # dup forces tie
+    e = q.withColumns(
+        {
+            "b_expr": F.expr(kmi_assign_expr(cents)),
+            "b_arrow": kmi_assign_arrow(cents)(F.col("qv")),
+        }
+    )
+    diff = e.filter(
+        (F.col("b_expr.cluster") != F.col("b_arrow.cluster"))
+        | (F.col("b_expr.dist") != F.col("b_arrow.dist"))
+    ).count()
+    assert diff == 0
+    n = e.count()
+    assert n > 0
+    # tie-break vacuity guard: the duplicated centroid (cluster 4)
+    # must never win against its identical cluster 0
+    assert e.filter(F.col("b_arrow.cluster") == 4).count() == 0
+
+
+def test_kmi_round_partials_match_explode_sums(spark):
+    """The fused Arrow round pass (assign + partial sums) must equal
+    the expression-assign + posexplode + groupBy-sum shape exactly."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.similarity import (
+        KMI_SCALE,
+        kmi_assign_expr,
+        kmi_round_partials_arrow,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+            f"* {KMI_SCALE} + 0.5D) AS BIGINT))"
+        ).alias("qv"),
+    )
+    cents = [list(r["qv"]) for r in q.orderBy("vec_id").limit(3).collect()]
+
+    a = q.select("qv", F.expr(kmi_assign_expr(cents)).alias("__best")).select(
+        "qv", F.col("__best.cluster").alias("cluster")
+    )
+    want = {
+        (r["cluster"], r["d"]): (r["s"], r["n"])
+        for r in a.select("cluster", F.posexplode("qv").alias("d", "v"))
+        .groupBy("cluster", "d")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        (r["cluster"], r["d"]): (r["s"], r["n"])
+        for r in q.select("qv")
+        .mapInPandas(
+            kmi_round_partials_arrow(cents),
+            "cluster int, d int, s bigint, n bigint",
+        )
+        .groupBy("cluster", "d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
