@@ -996,28 +996,37 @@ def duplicated_substring_spans(
     merged islands are exactly the maximal duplicated regions, length
     >= k.
 
-    Scale shape: window emission is a per-row expression (~16 bytes of
-    md5 per token position — the reason for hashing instead of
-    shuffling the window text itself); the df>=2 filter is one
+    Scale shape: window emission is one doc-partitioned lead-window
+    pass (~16 bytes of md5 per token position — the reason for
+    hashing instead of shuffling the window text itself); the df>=2
+    filter is one
     partial-aggregated groupBy on the hash; span merge is a window
     function partitioned BY DOC. Nothing is pairwise and nothing
     collects: the suffix array's O(corpus) sequential scan becomes
     two shuffles. Output: (doc, span_start, span_len, n_dup_windows)
     per maximal span, 0-based token offsets.
     """
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    wins = df.select(
+    # r13: window hashes via the posexplode + lead-window shape (the
+    # shingle_table / winnow_fingerprints precedent — the
+    # transform/slice lambda ran INTERPRETED per token position), and
+    # the window table is pinned: it feeds BOTH the df>=2 aggregate
+    # and the recover join, so unpinned the emission ran twice.
+    tok_rows = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    w_tok = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w_tok) for i in range(1, k)
+    ]
+    wins = pin(
+        tok_rows.select(
+            "doc",
+            F.col("pos").alias("o"),
             F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(1), n - (k - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("o", "h"),
+                parts[-1].isNotNull(), F.md5(F.concat_ws(" ", *parts))
+            ).alias("h"),
+        ).filter(F.col("h").isNotNull())
     )
     dup_h = (
         wins.groupBy("h")

@@ -171,3 +171,72 @@ def test_langid_trigram_fixture_corpus(spark):
     got = _gram_multiset(_trigrams_lead(docs, "doc_id", "text"))
     want = _gram_multiset(_trigrams_expression(docs, "doc_id", "text"))
     assert got == want and len(got) > 0
+
+
+def _substring_spans_reference(df, id_col, text_col, k):
+    """Pre-r13 expression-shape duplicated_substring_spans, verbatim."""
+    from journal_batch_processer_spark.operators.dedup import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    wins = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("o", "h"),
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    dup = wins.join(dup_h, "h").select("doc", "o")
+    w = Window.partitionBy("doc").orderBy("o")
+    prev_end = F.max(F.col("o") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "brk", (F.col("o") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    )
+    isl = flagged.withColumn("island", F.sum("brk").over(w))
+    return (
+        isl.groupBy("doc", "island")
+        .agg(
+            F.min("o").alias("span_start"),
+            (F.max("o") + k - F.min("o")).alias("span_len"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "span_start",
+            "span_len",
+            "n_dup_windows",
+        )
+    )
+
+
+def test_substring_spans_lead_shape_matches_expression(spark):
+    from journal_batch_processer_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    got = _rows(duplicated_substring_spans(docs, "doc_id", "text", k=15))
+    want = _rows(_substring_spans_reference(docs, "doc_id", "text", k=15))
+    assert got == want and len(got) > 0
+
+    edge = _edge_df(spark)
+    got_e = _rows(duplicated_substring_spans(edge, "doc_id", "text", k=4))
+    want_e = _rows(_substring_spans_reference(edge, "doc_id", "text", k=4))
+    assert got_e == want_e
