@@ -158,23 +158,16 @@ def dsir_select(
     over all documents — the rank window runs on the k survivors.
     """
     b = 16**n_buckets_hex
-    t = F.split(F.col(text_col), " ")
-    n = F.size(t)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # r13: bigram emission via the lead-window shape (bigram_rows) —
+    # the transform-lambda array build ran interpreted, 9× slower
+    from journal_batch_processer_spark.operators.text_analysis import (
+        bigram_rows,
+    )
+
     feats = pin(
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.col(target_col).alias("tgt"),
-            F.explode(grams).alias("bg"),
-        ).select(
+        bigram_rows(df, id_col, text_col, extra_cols=(target_col,))
+        .withColumnRenamed(target_col, "tgt")
+        .select(
             "doc",
             "tgt",
             F.conv(F.substring(F.md5(F.col("bg")), 1, n_buckets_hex), 16, 10)

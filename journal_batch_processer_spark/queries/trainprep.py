@@ -222,23 +222,24 @@ FROM scored WHERE rnk <= 5
 def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram language-model counts (the n-gram LM / collocation
     table behind quality filters and decontamination): adjacent token
-    pairs via `zip_with` over two shifted `slice`s of the token array
-    — pure JVM expressions, one explode, one shuffle on the bigram.
+    pairs via the posexplode + lead-window shape (bigram_rows — stays
+    in whole-stage codegen), one shuffle on the bigram.
     The ≥3 count floor is the standard LM vocabulary cut and keeps the
     emitted table bounded at scale."""
-    docs = _docs(spark, sf_dir)
-    t = F.split(F.col("text"), " ")
-    bigrams = F.zip_with(
-        F.slice(t, 1, F.size(t) - 1),
-        F.slice(t, 2, F.size(t) - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    from journal_batch_processer_spark.operators.text_analysis import (
+        bigram_rows,
     )
+
+    docs = _docs(spark, sf_dir)
+    # r13: bigram emission via the lead-window shape (bigram_rows) —
+    # the zip_with/slice lambda build ran interpreted, 9× slower
     return (
-        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        bigram_rows(docs, "doc_id", "text")
+        .select("doc", F.col("bg").alias("bigram"))
         .groupBy("bigram")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("doc").alias("n_docs"),
         )
         .filter(F.col("n_total") >= 3)
     )

@@ -240,3 +240,66 @@ def test_substring_spans_lead_shape_matches_expression(spark):
     got_e = _rows(duplicated_substring_spans(edge, "doc_id", "text", k=4))
     want_e = _rows(_substring_spans_reference(edge, "doc_id", "text", k=4))
     assert got_e == want_e
+
+
+def test_bigram_rows_matches_expression(spark):
+    """bigram_rows (posexplode+lead) must emit the identical per-doc
+    bigram multiset as the old transform/zip_with array builds."""
+    from journal_batch_processer_spark.operators.text_analysis import (
+        bigram_rows,
+    )
+
+    # ids offset so edge and fixture docs never collide: every
+    # lead-window gram builder requires unique ids per row (see
+    # bigram_rows docstring)
+    docs = _edge_df(spark).selectExpr("doc_id + 1000000 AS doc_id", "text").union(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    want = sorted(
+        tuple(r)
+        for r in docs.select(
+            F.col("doc_id").alias("doc"), F.explode(grams).alias("bg")
+        )
+        .groupBy("doc", "bg")
+        .count()
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in bigram_rows(docs, "doc_id", "text")
+        .groupBy("doc", "bg")
+        .count()
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bigram_rows_extra_cols_passthrough(spark):
+    from journal_batch_processer_spark.operators.text_analysis import (
+        bigram_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", True), (2, "x y", False)],
+        "doc_id long, text string, flag boolean",
+    )
+    rows = sorted(
+        tuple(r)
+        for r in bigram_rows(
+            docs, "doc_id", "text", extra_cols=("flag",)
+        ).collect()
+    )
+    assert rows == [(1, True, "a b"), (1, True, "b c"), (2, False, "x y")]
