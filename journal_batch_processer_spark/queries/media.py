@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from journal_batch_processer_spark import fixture_cache as _fc
+from journal_batch_processer_spark.cache import pin
 
 _N_MEDIA = 64  # fixture: one image + one wav per doc_id < 64
 
@@ -950,7 +951,9 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance. 64 images → broadcast self-join here; the corpus-scale
     path is the Manku block probe (`dedup_simhash_pairs`) over this
     hash column."""
-    df = _dhash_words_df(spark, sf_dir)
+    # pin: the decoded hash table feeds BOTH sides of the self-join —
+    # unpinned, the whole binaryFile->decode->dhash chain ran twice
+    df = pin(_dhash_words_df(spark, sf_dir))
     a, b = df.alias("a"), df.alias("b")
     ham = (
         F.bit_count(F.col("a.w0").bitwiseXOR(F.col("b.w0")))
@@ -1110,7 +1113,8 @@ def q_media_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     waveforms differ by thousands. 64 files → broadcast self-join;
     the corpus-scale candidate path is banding on quantized energy
     prefixes (the minhash-band shape)."""
-    sig = _afp_df(spark, sf_dir)
+    # pin: decode chain feeds both join sides (see q_media_dhash_pairs)
+    sig = pin(_afp_df(spark, sf_dir))
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -1309,7 +1313,8 @@ def q_media_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrelated videos sit near 6 frames × ~32 random bits. Broadcast
     self-join at fixture scale; the corpus path is block probing per
     frame hash then aggregating matches per video pair."""
-    sig = _vfp_df(spark, sf_dir)
+    # pin: decode chain feeds both join sides (see q_media_dhash_pairs)
+    sig = pin(_vfp_df(spark, sf_dir))
     a, b = sig.alias("a"), sig.alias("b")
     ham = (
         F.bit_count(F.col("a.w0").bitwiseXOR(F.col("b.w0")))
