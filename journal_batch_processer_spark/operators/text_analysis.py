@@ -528,9 +528,84 @@ def langid_ngram(
     profile_rank|, an unprofiled one the max penalty ``top_n + 1`` —
     and the smallest total distance wins (ties to the alphabetically
     first language). All-integer and deterministic, so the whole
-    classifier carries a value oracle. Plan: trigram explode is a
-    per-row expression, doc ranking one window over (doc, count),
-    profiles a broadcast literal table, distance one aggregation."""
+    classifier carries a value oracle.
+
+    r13 shape: one ``mapInPandas`` pass over ``(id, lower(text))``.
+    The decision is strictly per-document and the profiles are a tiny
+    literal closure, so nothing about it needs a shuffle — the prior
+    plan exploded one row PER CODEPOINT through a lead window plus a
+    groupBy/rank/score pipeline (3 exchanges over ~300× the input
+    rows). Trigram slicing, counting, ranking, and the integer
+    distance argmin all happen batch-side in Python; every step is
+    exact integer / codepoint-order arithmetic, so results are
+    bit-identical to the expression spec (``langid_ngram_expr``, kept
+    below and pinned equal in tests/test_round13_gram_shapes.py):
+    Python str sort == Spark UTF8String binary sort (UTF-8 byte order
+    preserves codepoint order), ``t[i:i+3]`` == the split('')/lead
+    trigram, min-by-(dist, lang) == row_number over (dist, lang)."""
+    import pandas as pd
+
+    prof_rank = {
+        lang: {g: rp + 1 for rp, g in enumerate(grams)}
+        for lang, grams in profiles.items()
+    }
+    langs = sorted(profiles)
+    penalty = top_n + 1
+
+    def classify(batches):
+        for pdf in batches:
+            ids: list = []
+            preds: list[str] = []
+            dists: list[int] = []
+            for doc, t in zip(pdf["__id"], pdf["__t"]):
+                counts: dict[str, int] = {}
+                for i in range(len(t) - 2):
+                    g = t[i:i + 3]
+                    counts[g] = counts.get(g, 0) + 1
+                top = sorted(
+                    counts.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:top_n]
+                best_lang, best_dist = None, None
+                for lang in langs:
+                    pr = prof_rank[lang]
+                    d = 0
+                    for r, (g, _) in enumerate(top, 1):
+                        rp = pr.get(g)
+                        d += abs(r - rp) if rp is not None else penalty
+                    if best_dist is None or d < best_dist:
+                        best_lang, best_dist = lang, d
+                ids.append(doc)
+                preds.append(best_lang)
+                dists.append(best_dist)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "pred_lang": pd.Series(preds, dtype="object"),
+                    "dist": pd.Series(dists, dtype="int64"),
+                }
+            )
+
+    t = F.lower(F.col(text_col))
+    src = df.filter(F.length(t) >= 3).select(
+        F.col(id_col).alias("__id"), t.alias("__t")
+    )
+    return src.mapInPandas(
+        classify, "doc_id long, pred_lang string, dist long"
+    )
+
+
+def langid_ngram_expr(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: dict[str, list[str]],
+    top_n: int = 20,
+) -> DataFrame:
+    """Expression-form spec of :func:`langid_ngram` (the shape the
+    DuckDB oracle mirrors): trigram explode per row, doc ranking one
+    window over (doc, count), profiles a broadcast literal table,
+    distance one aggregation. Kept executable so equivalence with the
+    mapInPandas path stays pinned by test."""
     t = F.lower(F.col(text_col))
     # r13: character trigrams via posexplode + lead window (the
     # shingle_table shape) — the transform/substring lambda runs

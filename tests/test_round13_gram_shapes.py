@@ -303,3 +303,47 @@ def test_bigram_rows_extra_cols_passthrough(spark):
         ).collect()
     )
     assert rows == [(1, True, "a b"), (1, True, "b c"), (2, False, "x y")]
+
+
+def _langid_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_langid_mapinpandas_matches_expression_spec(spark):
+    """The r13 mapInPandas classifier is bit-identical to the
+    expression-form spec the DuckDB oracle mirrors — on the fixture
+    corpus (real profiles) and on edge docs (unicode, 3-char boundary,
+    tie-heavy repeated grams) with synthetic profiles."""
+    from journal_batch_processer_spark.operators.text_analysis import (
+        langid_ngram,
+        langid_ngram_expr,
+        train_langid_profiles,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    profiles = train_langid_profiles(path)
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    got = _langid_rows(langid_ngram(docs, "doc_id", "text", profiles))
+    want = _langid_rows(langid_ngram_expr(docs, "doc_id", "text", profiles))
+    assert got == want and len(got) > 0
+
+    edge = _edge_df(spark).union(
+        spark.createDataFrame(
+            [(8, "ab"), (9, "abc"), (10, "日本語のテキスト日本語"),
+             (11, "AAA BBB aaa bbb")],  # lower() + tie-break exercise
+            "doc_id long, text string",
+        )
+    )
+    # synthetic profiles: overlapping grams so ranks differ per lang,
+    # tie-equal distances so the alphabetical tie-break is exercised
+    prof = {
+        "aa": ["the", "he ", " qu", "abc", "日本語"[0:3]],
+        "bb": ["abc", "the", "aaa", " bb", "ïcø"],
+        "cc": ["zzz", "yyy", "xxx"],  # matches nothing -> all-penalty
+    }
+    got_e = _langid_rows(langid_ngram(edge, "doc_id", "text", prof))
+    want_e = _langid_rows(langid_ngram_expr(edge, "doc_id", "text", prof))
+    assert got_e == want_e and len(got_e) > 0
+    by_doc = dict((r[0], (r[1], r[2])) for r in got_e)
+    assert 8 not in by_doc and 3 not in by_doc  # <3 chars filtered
+    assert 9 in by_doc  # 3-char boundary doc classified
