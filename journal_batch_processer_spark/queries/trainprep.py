@@ -486,27 +486,49 @@ LPA_ITERS = 3
 LPA_BLOCK = 50
 
 
-def _lpa_edges(nodes: DataFrame, n: int) -> DataFrame:
-    """Deterministic BLOCKED link graph: each node links to three
-    targets inside its own ``LPA_BLOCK``-node block (a disjoint union
-    of small expanders), so label propagation has real communities to
-    find — one per block. The last partial block wraps within its own
-    size so no edge points past N-1. Integer arithmetic only."""
-    e = None
-    for a, c in ((3, 1), (7, 11), (1, 1)):
-        bs = F.least(
-            F.lit(LPA_BLOCK),
-            F.lit(n) - (F.col("node") - F.col("node") % LPA_BLOCK),
+def _blocked_links(
+    nodes: DataFrame,
+    n: int,
+    gens: tuple[tuple[int, int, int], ...],
+    symmetric: bool = False,
+) -> DataFrame:
+    """Directed edges of the deterministic blocked graph, emitted in
+    ONE pass over ``nodes`` via explode over a per-generator struct
+    array. r13 (§2.2/§2.4): the previous one-union-branch-per-
+    generator build multiplied the MAP side of the downstream
+    ``distinct`` by len(gens) (×2 after symmetrize) — 512 near-empty
+    tasks for the kcore graph at 32 shuffle partitions, pure
+    scheduling overhead. The exploded multiset is identical row for
+    row (self-loops dropped per generator, the ``lim`` gate applied
+    per generator), so ``distinct()`` yields the same edge set.
+    With ``symmetric=True`` the reversed direction is emitted in the
+    same pass (the callers' ``union(reversed)`` fold)."""
+    bs = F.least(
+        F.lit(LPA_BLOCK),
+        F.lit(n) - (F.col("node") - F.col("node") % LPA_BLOCK),
+    )
+    base = F.col("node") - F.col("node") % LPA_BLOCK
+    elems = []
+    for a, c, lim in gens:
+        dst = base + (F.col("node") * a + c) % bs
+        cond = (F.col("node") % LPA_BLOCK < lim) & (F.col("node") != dst)
+        elems.append(
+            F.when(
+                cond, F.struct(F.col("node").alias("src"), dst.alias("dst"))
+            )
         )
-        part = nodes.select(
-            F.col("node").alias("src"),
-            (
-                (F.col("node") - F.col("node") % LPA_BLOCK)
-                + (F.col("node") * a + c) % bs
-            ).alias("dst"),
-        )
-        e = part if e is None else e.unionAll(part)
-    return e.filter(F.col("src") != F.col("dst"))
+        if symmetric:
+            elems.append(
+                F.when(
+                    cond,
+                    F.struct(dst.alias("src"), F.col("node").alias("dst")),
+                )
+            )
+    return (
+        nodes.select(F.explode(F.array(*elems)).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("e.src", "e.dst")
+    )
 
 
 def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,14 +552,15 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     n = docs.count()  # scalar action: graph size, needed as a literal
     nodes = docs.select(F.col("doc_id").alias("node")).localCheckpoint()
-    directed = _lpa_edges(nodes, n)
-    # undirected neighborhood: symmetrize + dedup parallel edges
+    # Deterministic BLOCKED link graph: each node links to three
+    # targets inside its own LPA_BLOCK-node block (a disjoint union of
+    # small expanders, one community per block; the last partial block
+    # wraps within its own size so no edge points past N-1).
+    # Undirected neighborhood: symmetrize + dedup parallel edges —
+    # both directions emitted in one explode pass (see _blocked_links).
+    gens = tuple((a, c, LPA_BLOCK) for a, c in ((3, 1), (7, 11), (1, 1)))
     edges = (
-        directed.union(
-            directed.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
+        _blocked_links(nodes, n, gens, symmetric=True)
         .distinct()
         .localCheckpoint()
     )
@@ -721,25 +744,6 @@ KCORE_GENS = (
 )
 
 
-def _kcore_edges(nodes: DataFrame, n: int) -> DataFrame:
-    """Deterministic blocked core-periphery graph (see KCORE_GENS)."""
-    e = None
-    for a, c, lim in KCORE_GENS:
-        bs = F.least(
-            F.lit(LPA_BLOCK),
-            F.lit(n) - (F.col("node") - F.col("node") % LPA_BLOCK),
-        )
-        part = nodes.filter(F.col("node") % LPA_BLOCK < lim).select(
-            F.col("node").alias("src"),
-            (
-                (F.col("node") - F.col("node") % LPA_BLOCK)
-                + (F.col("node") * a + c) % bs
-            ).alias("dst"),
-        )
-        e = part if e is None else e.unionAll(part)
-    return e.filter(F.col("src") != F.col("dst"))
-
-
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed CORENESS via h-index iteration (Lü, Chen, Ren,
     Zhang, Zhang, Zhou, PNAS 2016: start every node at its degree;
@@ -765,13 +769,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     n = docs.count()  # scalar action: graph size, needed as a literal
     nodes = docs.select(F.col("doc_id").alias("node")).localCheckpoint()
-    directed = _kcore_edges(nodes, n)
+    # symmetrize + dedup parallel edges — both directions emitted in
+    # one explode pass over nodes (see _blocked_links)
     edges = (
-        directed.union(
-            directed.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
+        _blocked_links(nodes, n, KCORE_GENS, symmetric=True)
         .distinct()
         .localCheckpoint()
     )

@@ -173,3 +173,57 @@ def test_kmi_round_partials_match_explode_sums(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_blocked_links_matches_union_branch_build(spark):
+    """The r13 single-explode edge build emits the identical directed
+    edge multiset (and symmetric union) as the old one-union-branch-
+    per-generator shape, including the lim gate, self-loop drop, and
+    the partial last block — pinned on an n that is NOT a multiple of
+    LPA_BLOCK so the wrap-within-block-size arm is exercised."""
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.queries.trainprep import (
+        KCORE_GENS,
+        LPA_BLOCK,
+        _blocked_links,
+    )
+
+    n = 2 * LPA_BLOCK + 17  # partial last block
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+
+    def union_reference(gens, symmetric):
+        e = None
+        for a, c, lim in gens:
+            bs = F.least(
+                F.lit(LPA_BLOCK),
+                F.lit(n) - (F.col("node") - F.col("node") % LPA_BLOCK),
+            )
+            part = nodes.filter(F.col("node") % LPA_BLOCK < lim).select(
+                F.col("node").alias("src"),
+                (
+                    (F.col("node") - F.col("node") % LPA_BLOCK)
+                    + (F.col("node") * a + c) % bs
+                ).alias("dst"),
+            )
+            e = part if e is None else e.unionAll(part)
+        e = e.filter(F.col("src") != F.col("dst"))
+        if symmetric:
+            e = e.union(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        return e
+
+    lpa_gens = tuple((a, c, LPA_BLOCK) for a, c in ((3, 1), (7, 11), (1, 1)))
+    for gens in (lpa_gens, KCORE_GENS):
+        for symmetric in (False, True):
+            got = sorted(
+                tuple(r)
+                for r in _blocked_links(
+                    nodes, n, gens, symmetric=symmetric
+                ).collect()
+            )
+            want = sorted(
+                tuple(r) for r in union_reference(gens, symmetric).collect()
+            )
+            assert got == want and len(got) > 0
