@@ -222,6 +222,79 @@ def _union_find_labels(edges: DataFrame) -> DataFrame:
     return F.broadcast(edges.sparkSession.createDataFrame(rows, schema))
 
 
+# Node-count companion bound for the driver-side small-graph paths:
+# collecting the node list must stay a few MB even when the edge list
+# is sparse (isolated nodes appear in nodes, not edges).
+SMALL_GRAPH_NODES = 200_000
+
+
+def hindex_coreness_small(
+    edge_rows: list, node_ids: list, iters: int
+) -> dict:
+    """Driver-side fixed-round h-index coreness for SMALL graphs
+    (caller gates on counted nodes+edges — the `_union_find_labels`
+    precedent). Exactly the distributed loop's arithmetic: start every
+    node at its degree over the directed-symmetrized edge list, each
+    round replace the value with max(least(rank, neighbor_value)) over
+    neighbors sorted descending; nodes with no neighbors coalesce to
+    0. All integer, so bit-identical to the in-plan rounds (pinned by
+    tests/test_round13_fixes2.py)."""
+    adj: dict = {}
+    for a, b in edge_rows:
+        adj.setdefault(a, []).append(b)
+    c = {v: len(adj.get(v, ())) for v in node_ids}
+    for _ in range(iters):
+        nxt = {}
+        for v in node_ids:
+            nbrs = adj.get(v)
+            if not nbrs:
+                nxt[v] = 0
+                continue
+            h = 0
+            for r, x in enumerate(
+                sorted((c[u] for u in nbrs), reverse=True), 1
+            ):
+                m = r if r < x else x
+                if m > h:
+                    h = m
+            nxt[v] = h
+        c = nxt
+    return c
+
+
+def lpa_labels_small(edge_rows: list, node_ids: list, iters: int) -> dict:
+    """Driver-side fixed-round deterministic label propagation for
+    SMALL graphs: per round each node takes the most frequent label
+    among its neighbors, ties to the SMALLEST label (the
+    min(struct(-count, lbl)) rule of the distributed loop); isolated
+    nodes keep their label. Integer counts over integer labels —
+    bit-identical to the in-plan rounds (pinned by
+    tests/test_round13_fixes2.py)."""
+    adj: dict = {}
+    for a, b in edge_rows:
+        adj.setdefault(a, []).append(b)
+    lbl = {v: v for v in node_ids}
+    for _ in range(iters):
+        nxt = {}
+        for v in node_ids:
+            nbrs = adj.get(v)
+            if not nbrs:
+                nxt[v] = lbl[v]
+                continue
+            cnt: dict = {}
+            for u in nbrs:
+                lu = lbl[u]
+                cnt[lu] = cnt.get(lu, 0) + 1
+            best_l = None
+            best_c = 0
+            for lv, cc in cnt.items():
+                if cc > best_c or (cc == best_c and lv < best_l):
+                    best_l, best_c = lv, cc
+            nxt[v] = best_l
+        lbl = nxt
+    return lbl
+
+
 def connected_components_star(
     edges: DataFrame,
     max_iter: int = 50,

@@ -531,6 +531,32 @@ def _blocked_links(
     )
 
 
+def _blocked_links_small(
+    node_ids: list,
+    n: int,
+    gens: tuple[tuple[int, int, int], ...],
+    symmetric: bool = False,
+) -> set:
+    """Python replication of :func:`_blocked_links` + ``distinct`` for
+    the small-graph driver paths — identical integer arithmetic (same
+    block base / wrapped block size / lim gate / self-loop drop), so
+    the returned edge SET equals the distributed build row for row
+    (pinned by tests/test_round13_fixes2.py)."""
+    out: set = set()
+    for v in node_ids:
+        base = v - v % LPA_BLOCK
+        bs = min(LPA_BLOCK, n - base)
+        pos = v % LPA_BLOCK
+        for a, c, lim in gens:
+            if pos < lim:
+                dst = base + (v * a + c) % bs
+                if dst != v:
+                    out.add((v, dst))
+                    if symmetric:
+                        out.add((dst, v))
+    return out
+
+
 def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label propagation (community detection), 3 synchronous rounds
     over the deterministic blocked graph: label_{t+1}(v) = the most
@@ -551,7 +577,6 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the unrolled plan doesn't re-expand the scan every round."""
     docs = _docs(spark, sf_dir)
     n = docs.count()  # scalar action: graph size, needed as a literal
-    nodes = docs.select(F.col("doc_id").alias("node")).localCheckpoint()
     # Deterministic BLOCKED link graph: each node links to three
     # targets inside its own LPA_BLOCK-node block (a disjoint union of
     # small expanders, one community per block; the last partial block
@@ -559,6 +584,28 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Undirected neighborhood: symmetrize + dedup parallel edges —
     # both directions emitted in one explode pass (see _blocked_links).
     gens = tuple((a, c, LPA_BLOCK) for a, c in ((3, 1), (7, 11), (1, 1)))
+    # Adaptive small-graph path — same analytic-edge-bound gate as
+    # q_graph_kcore (see the comment there); the driver rounds are
+    # bit-identical integer vote counting.
+    from journal_batch_processer_spark.operators.graph import (
+        SMALL_GRAPH_EDGES,
+        SMALL_GRAPH_NODES,
+        lpa_labels_small,
+    )
+
+    if n <= SMALL_GRAPH_NODES and 2 * len(gens) * n <= SMALL_GRAPH_EDGES:
+        import pandas as pd
+
+        node_ids = [r[0] for r in docs.select("doc_id").collect()]
+        edge_rows = _blocked_links_small(node_ids, n, gens, symmetric=True)
+        lbl = lpa_labels_small(edge_rows, node_ids, LPA_ITERS)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"node_id": node_ids, "community": [lbl[v] for v in node_ids]}
+            ),
+            "node_id long, community long",
+        )
+    nodes = docs.select(F.col("doc_id").alias("node")).localCheckpoint()
     edges = (
         _blocked_links(nodes, n, gens, symmetric=True)
         .distinct()
@@ -766,8 +813,38 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     CORE-PERIPHERY blocks (KCORE_GENS): hub nodes near each block
     start, degree-1 and isolated nodes at the tail, so the fixture
     corenesses span 0..5 and the peel has real work per round."""
+    from journal_batch_processer_spark.operators.graph import (
+        SMALL_GRAPH_EDGES,
+        SMALL_GRAPH_NODES,
+        hindex_coreness_small,
+    )
+
     docs = _docs(spark, sf_dir)
     n = docs.count()  # scalar action: graph size, needed as a literal
+    # Adaptive small-graph path (the connected_components_star /
+    # _union_find_labels precedent, r13 §2.4): 6 unrolled rounds ×
+    # (join + window/agg + join) are ~18 tiny stages of pure scheduling
+    # latency when the whole graph is a few MB. The graph is synthetic
+    # — every node emits at most 2·|gens| edges — so n alone bounds the
+    # edge count ANALYTICALLY and the gate needs no distributed build
+    # at all: below it, collect the doc_ids (one column), generate the
+    # identical edge set in Python (_blocked_links_small) and run the
+    # integer H-operator rounds on the driver. Above the gate the
+    # distributed rounds run unchanged (the 100 TB path).
+    if n <= SMALL_GRAPH_NODES and 2 * len(KCORE_GENS) * n <= SMALL_GRAPH_EDGES:
+        import pandas as pd
+
+        node_ids = [r[0] for r in docs.select("doc_id").collect()]
+        edge_rows = _blocked_links_small(
+            node_ids, n, KCORE_GENS, symmetric=True
+        )
+        c = hindex_coreness_small(edge_rows, node_ids, KCORE_ITERS)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"node_id": node_ids, "coreness": [c[v] for v in node_ids]}
+            ),
+            "node_id long, coreness long",
+        )
     nodes = docs.select(F.col("doc_id").alias("node")).localCheckpoint()
     # symmetrize + dedup parallel edges — both directions emitted in
     # one explode pass over nodes (see _blocked_links)

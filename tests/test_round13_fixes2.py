@@ -227,3 +227,100 @@ def test_blocked_links_matches_union_branch_build(spark):
                 tuple(r) for r in union_reference(gens, symmetric).collect()
             )
             assert got == want and len(got) > 0
+
+
+def test_small_graph_driver_rounds_match_distributed(spark):
+    """The r13 small-graph driver paths for kcore / labelprop are
+    bit-identical to the distributed fixed-round loops, pinned on the
+    real blocked fixture graph (partial last block, isolated tail
+    nodes, duplicate neighbor values for the h-index tie order)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from journal_batch_processer_spark.operators.graph import (
+        hindex_coreness_small,
+        lpa_labels_small,
+    )
+    from journal_batch_processer_spark.queries.trainprep import (
+        KCORE_GENS,
+        KCORE_ITERS,
+        LPA_BLOCK,
+        LPA_ITERS,
+        _blocked_links,
+    )
+
+    n = 3 * LPA_BLOCK + 23  # partial last block
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+
+    def distributed_kcore(edges):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        cur = nodes.join(deg, nodes.node == deg.src, "left").select(
+            "node", F.coalesce("d", F.lit(0)).cast("long").alias("c")
+        )
+        w = Window.partitionBy("src").orderBy(F.col("nc").desc())
+        for _ in range(KCORE_ITERS):
+            nbr = edges.join(
+                cur.select(F.col("node").alias("dst"), F.col("c").alias("nc")),
+                "dst",
+            ).select("src", "nc")
+            h = (
+                nbr.withColumn("rn", F.row_number().over(w))
+                .groupBy("src")
+                .agg(F.max(F.least(F.col("rn"), F.col("nc"))).alias("h"))
+            )
+            cur = cur.join(h, cur.node == h.src, "left").select(
+                "node", F.coalesce("h", F.lit(0)).cast("long").alias("c")
+            )
+        return {r[0]: r[1] for r in cur.collect()}
+
+    def distributed_lpa(edges):
+        labels = nodes.select("node", F.col("node").alias("lbl"))
+        for _ in range(LPA_ITERS):
+            votes = (
+                edges.join(
+                    labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+                )
+                .groupBy("src", "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            best = (
+                votes.groupBy("src")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("c")).alias("nc"), "lbl")
+                    ).alias("b")
+                )
+                .select("src", F.col("b.lbl").alias("new_lbl"))
+            )
+            labels = labels.join(best, labels.node == best.src, "left").select(
+                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+        return {r[0]: r[1] for r in labels.collect()}
+
+    from journal_batch_processer_spark.queries.trainprep import (
+        _blocked_links_small,
+    )
+
+    node_ids = list(range(n))
+
+    k_edges = _blocked_links(nodes, n, KCORE_GENS, symmetric=True).distinct()
+    k_rows = [(r[0], r[1]) for r in k_edges.collect()]
+    # the Python edge generator equals the distributed build + distinct
+    assert _blocked_links_small(node_ids, n, KCORE_GENS, symmetric=True) == set(
+        k_rows
+    )
+    got_k = hindex_coreness_small(k_rows, node_ids, KCORE_ITERS)
+    want_k = distributed_kcore(k_edges)
+    assert got_k == want_k
+    assert len(set(want_k.values())) > 2  # coreness gradient is real
+
+    lpa_gens = tuple((a, c, LPA_BLOCK) for a, c in ((3, 1), (7, 11), (1, 1)))
+    l_edges = _blocked_links(nodes, n, lpa_gens, symmetric=True).distinct()
+    l_rows = [(r[0], r[1]) for r in l_edges.collect()]
+    assert _blocked_links_small(node_ids, n, lpa_gens, symmetric=True) == set(
+        l_rows
+    )
+    got_l = lpa_labels_small(l_rows, node_ids, LPA_ITERS)
+    want_l = distributed_lpa(l_edges)
+    assert got_l == want_l
+    assert len(set(want_l.values())) > 1
