@@ -122,26 +122,35 @@ def shingles_col(text: F.Column, n: int = 3) -> F.Column:
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct (doc, shingle) rows via posexplode + window lead.
-
-    Array lambdas (transform/slice) run INTERPRETED in Spark — this
-    posexplode + lead shape stays in whole-stage codegen and measured
-    ~35x faster at sf0.1. One shuffle (window by doc) + one distinct.
+    """Distinct (doc, shingle) rows with ZERO exchanges: nested
+    zip_with over n shifted slices of the token array builds the
+    shingle array in one linear co-walk, array_distinct dedups WITHIN
+    the doc (cross-doc duplicates cannot exist — the row is keyed by
+    doc), and a plain explode emits the rows. r13 (§2.4): the previous
+    posexplode + window-lead + distinct shape paid one shuffle for the
+    doc-partitioned window and a second for the distinct; for word
+    n-grams (~50 tokens/doc) the interpreted zip_with co-walk is far
+    cheaper than those two exchanges — 0.33 s vs 0.86 s at sf0.1, and
+    row-identical (pinned in tests/test_round13_gram_shapes.py). That
+    shape itself replaced the transform(sequence, i->concat_ws(slice))
+    per-index random-access build (~35x slower still). Character-gram
+    builders with hundreds of elements per doc keep posexplode+lead
+    (see winnow_fingerprints) — the crossover is elements-per-doc, and
+    word shingles sit far below it.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    return (
-        toks.select(
-            "doc",
-            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+    t = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc"), t.alias("t"), F.size(t).alias("m")
+    ).filter(F.col("m") >= n)
+    ln = F.col("m") - F.lit(n - 1)
+    g = F.slice(F.col("t"), 1, ln)
+    for i in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(F.col("t"), i + 1, ln),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         )
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
-    )
+    return base.select("doc", F.explode(F.array_distinct(g)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(

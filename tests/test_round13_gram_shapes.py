@@ -347,3 +347,49 @@ def test_langid_mapinpandas_matches_expression_spec(spark):
     by_doc = dict((r[0], (r[1], r[2])) for r in got_e)
     assert 8 not in by_doc and 3 not in by_doc  # <3 chars filtered
     assert 9 in by_doc  # 3-char boundary doc classified
+
+
+def _shingle_window_reference(df, id_col, text_col, n):
+    """The pre-r13 shingle_table shape (posexplode + window lead +
+    distinct), verbatim."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        toks.select(
+            "doc",
+            F.when(
+                parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+def test_shingle_table_zipwith_matches_window_shape(spark):
+    """The r13 zero-exchange shingle_table (zip_with over shifted
+    slices + array_distinct + explode) emits exactly the distinct
+    (doc, shingle) row set of the old window shape — pinned on the
+    edge docs (short/empty/all-equal/unicode) and a slice of the
+    fixture corpus, for n=2..4."""
+    from journal_batch_processer_spark.operators.dedup import shingle_table
+
+    corpus = _edge_df(spark).union(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .limit(80)
+        .select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    )
+    for n in (2, 3, 4):
+        got = sorted(map(tuple, shingle_table(corpus, "doc_id", "text", n).collect()))
+        want = sorted(
+            map(
+                tuple,
+                _shingle_window_reference(corpus, "doc_id", "text", n).collect(),
+            )
+        )
+        assert got == want
+        assert len(got) > 0
