@@ -122,26 +122,36 @@ def shingles_col(text: F.Column, n: int = 3) -> F.Column:
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct (doc, shingle) rows with ZERO exchanges: nested
-    zip_with over n shifted slices of the token array builds the
-    shingle array in one linear co-walk, array_distinct dedups WITHIN
-    the doc (cross-doc duplicates cannot exist — the row is keyed by
-    doc), and a plain explode emits the rows. r13 (§2.4): the previous
-    posexplode + window-lead + distinct shape paid one shuffle for the
-    doc-partitioned window and a second for the distinct; for word
-    n-grams (~50 tokens/doc) the interpreted zip_with co-walk is far
-    cheaper than those two exchanges — 0.33 s vs 0.86 s at sf0.1, and
-    row-identical (pinned in tests/test_round13_gram_shapes.py). That
-    shape itself replaced the transform(sequence, i->concat_ws(slice))
-    per-index random-access build (~35x slower still). Character-gram
-    builders with hundreds of elements per doc keep posexplode+lead
-    (see winnow_fingerprints) — the crossover is elements-per-doc, and
-    word shingles sit far below it.
+    """Distinct (doc, shingle) rows with ONE exchange: nested zip_with
+    over n shifted slices of the token array builds the shingle array
+    in one linear co-walk, array_distinct dedups WITHIN the doc
+    (cross-doc duplicates cannot exist — the row is keyed by doc), and
+    a plain explode emits the rows. r13 (§2.3/§2.4): the previous
+    posexplode + window-lead + distinct shape paid one shuffle of the
+    EXPLODED per-token rows for the doc window plus a second for the
+    distinct; here one repartition("doc") of the packed token arrays
+    (strictly fewer bytes) both spreads the interpreted co-walk across
+    the cluster and hash-partitions the output by doc, which the
+    per-doc size aggregate every consumer runs reuses without a new
+    exchange. A ZERO-exchange variant measured FASTER in isolation
+    (0.33 s vs 0.86 s builder-only at sf0.1) but SLOWER end-to-end in
+    every consumer (dedup_ngram 3.95 s vs 2.60 s): narrow over the
+    parquet scan, the pinned shingle cache inherits the scan's few
+    partitions and throttles the map side of all downstream exchanges
+    — measure the consumer, not the builder. Row-set equality vs the
+    window shape is pinned in tests/test_round13_gram_shapes.py.
+    Character-gram builders with hundreds of elements per doc keep
+    posexplode+lead (see winnow_fingerprints) — the crossover is
+    elements-per-doc, and word shingles sit far below it.
     """
     t = tokens_col(F.col(text_col))
-    base = df.select(
-        F.col(id_col).alias("doc"), t.alias("t"), F.size(t).alias("m")
-    ).filter(F.col("m") >= n)
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"), t.alias("t"), F.size(t).alias("m")
+        )
+        .filter(F.col("m") >= n)
+        .repartition("doc")
+    )
     ln = F.col("m") - F.lit(n - 1)
     g = F.slice(F.col("t"), 1, ln)
     for i in range(1, n):
