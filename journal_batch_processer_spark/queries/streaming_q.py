@@ -70,6 +70,57 @@ def _events_stream_dir(sf_dir: str) -> str:
     return _stream_dir(sf_dir, "events", "jbp_stream_events")
 
 
+# --- scale-adaptive stateful shuffle sizing (r14, guide §2.2) ---------------
+#
+# A NEW streaming query fixes its state-store partition count from
+# spark.sql.shuffle.partitions at first batch, and AQE cannot coalesce a
+# stateful streaming shuffle the way it does batch exchanges. The session
+# default (= core count) is a cluster-parallelism constant, not a data-derived
+# one: at sf0.1 the 100k-row micro-batch paid 32 state partitions of store
+# open/commit/iteration fixed cost per batch INCLUDING the no-data timer
+# batch. Interleaved measurement (tools/exp_stream_partitions.py, 3 rounds
+# per count, BASELINE.md protocol) at sf0.1:
+#
+#   stream_tumble  p=32/8/4/2/1  min wall 1.96/1.27/1.30/1.13/1.00 s
+#   stream_session p=32/16/8/4/1 min wall 5.28/3.66/4.08/5.45/12.58 s
+#
+# Two regimes, so two derivations — both from counted input bytes, never a
+# local[32] constant (the AQE-coalescing analog the engine already applies to
+# batch):
+#
+# - JVM stateful aggregates (tumble/slide/stats...): stage cost ∝ state-store
+#   fixed cost per partition; size partitions to the AQE advisory target
+#   (64 MB of input per partition, floor 1). At 100 TB this yields thousands
+#   of partitions — the same number a batch AQE coalesce would pick.
+# - applyInPandasWithState (session): the stage is Python-CPU-bound, the
+#   exact case session.py's 16 KB AQE floor documents — bytes-proportional
+#   coalescing must NOT collapse it below the cores that do the work. Floor
+#   each task at ~128 KB of input and cap at defaultParallelism: at sf0.1
+#   min(32, 2 MB/128 KB) = 16 (the measured optimum); at 100× the formula
+#   returns defaultParallelism (today's behavior); at 100 TB the byte term
+#   saturates the cap, i.e. every core busy.
+#
+# SPARK_GRAFT_STREAM_STATE_PARTS pins the count for sweeps/AB runs.
+_STATE_ADVISORY_BYTES = 64 * 1024 * 1024
+_PY_STATE_TASK_BYTES = 128 * 1024
+
+
+def _stateful_shuffle_partitions(
+    spark: SparkSession, src_path: str, python_stateful: bool
+) -> int:
+    override = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if override:
+        return int(override)
+    try:
+        size = os.path.getsize(src_path)
+    except OSError:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if python_stateful:
+        cores = spark.sparkContext.defaultParallelism
+        return max(1, min(cores, -(-size // _PY_STATE_TASK_BYTES)))
+    return max(1, -(-size // _STATE_ADVISORY_BYTES))
+
+
 def _await_drain(q, name: str, timeout: int | None = None) -> None:
     """Fail-LOUD drain wait (a partial sink/snapshot would be silently
     wrong) — the one copy of the protocol every streaming key uses.
@@ -89,17 +140,32 @@ def _await_drain(q, name: str, timeout: int | None = None) -> None:
         )
 
 
-def _drain_to_memory(spark, stream, name: str, output_mode: str):
+def _drain_to_memory(spark, stream, name: str, output_mode: str,
+                     state_parts: int | None = None):
     """Shared memory-sink drain: start, availableNow-drain via
-    _await_drain, return the sink table."""
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_drain(q, name)
+    _await_drain, return the sink table.
+
+    ``state_parts`` (from _stateful_shuffle_partitions) scopes a
+    shuffle-partition override to this query: set before start, restored
+    after the drain completes — the stream's cloned session captures the
+    value at start, and restoring only after _await_drain keeps the
+    batch-0 planning race closed."""
+    prev = None
+    if state_parts is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q, name)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -115,8 +181,17 @@ def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = "jbp_stream_tumble_mem"
-    stream = tumbling_counts(read_events_stream(spark, _events_stream_dir(sf_dir)))
-    return _drain_to_memory(spark, stream, name, "complete")
+    d = _events_stream_dir(sf_dir)
+    stream = tumbling_counts(read_events_stream(spark, d))
+    return _drain_to_memory(
+        spark,
+        stream,
+        name,
+        "complete",
+        state_parts=_stateful_shuffle_partitions(
+            spark, os.path.join(d, "events.parquet"), python_stateful=False
+        ),
+    )
 
 
 SQL_STREAM_TUMBLE = """
@@ -175,10 +250,17 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = "jbp_stream_session_mem"
-    stream = sessionize_stateful(
-        read_events_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = sessionize_stateful(read_events_stream(spark, d))
+    return _drain_to_memory(
+        spark,
+        stream,
+        name,
+        "append",
+        state_parts=_stateful_shuffle_partitions(
+            spark, os.path.join(d, "events.parquet"), python_stateful=True
+        ),
     )
-    return _drain_to_memory(spark, stream, name, "append")
 
 
 # Mirrors the operator's two emission rules. ts is truncated to whole

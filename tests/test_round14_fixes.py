@@ -1,0 +1,63 @@
+"""Round-14 optimization pins: scale-adaptive streaming state
+partitions (streaming_q._stateful_shuffle_partitions)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from journal_batch_processer_spark.session import get_spark
+
+    return get_spark("r14-tests", master="local[4]", shuffle_partitions=4)
+
+
+def test_stateful_partitions_formulas(spark, tmp_path):
+    from journal_batch_processer_spark.queries.streaming_q import (
+        _PY_STATE_TASK_BYTES,
+        _STATE_ADVISORY_BYTES,
+        _stateful_shuffle_partitions,
+    )
+
+    f = tmp_path / "x.parquet"
+    f.write_bytes(b"\0" * (2 * 1024 * 1024))  # 2 MB input
+    # JVM stateful agg: AQE-advisory sizing, floor 1
+    assert _stateful_shuffle_partitions(spark, str(f), False) == 1
+    # python-stateful: CPU-bound floor — bytes/128KB capped at cores
+    cores = spark.sparkContext.defaultParallelism
+    want = max(1, min(cores, -(-f.stat().st_size // _PY_STATE_TASK_BYTES)))
+    assert _stateful_shuffle_partitions(spark, str(f), True) == want
+    # large input: advisory sizing scales with bytes, cap holds for python
+    g = tmp_path / "big.parquet"
+    g.write_bytes(b"\0")
+    os.truncate(g, 5 * _STATE_ADVISORY_BYTES)
+    assert _stateful_shuffle_partitions(spark, str(g), False) == 5
+    assert _stateful_shuffle_partitions(spark, str(g), True) == cores
+
+
+def test_stateful_partitions_env_override(spark, tmp_path, monkeypatch):
+    from journal_batch_processer_spark.queries.streaming_q import (
+        _stateful_shuffle_partitions,
+    )
+
+    f = tmp_path / "x.parquet"
+    f.write_bytes(b"\0" * 1024)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTS", "7")
+    assert _stateful_shuffle_partitions(spark, str(f), False) == 7
+    assert _stateful_shuffle_partitions(spark, str(f), True) == 7
+
+
+def test_drain_restores_shuffle_partitions(spark, tmp_path):
+    """The scoped override must not leak into the session after the
+    drain (batch queries planned later would inherit it)."""
+    from journal_batch_processer_spark.queries.streaming_q import (
+        q_stream_tumble,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    n = q_stream_tumble(spark, "/root/testdata/sf0.001").count()
+    assert n > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
