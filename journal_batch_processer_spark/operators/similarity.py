@@ -1395,6 +1395,7 @@ def kmeans_integer_distributed(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """DISTRIBUTED Lloyd k-means with exact integer arithmetic — the
     training loop itself on the cluster, not the driver-side sampled
@@ -1437,7 +1438,14 @@ def kmeans_integer_distributed(
     )
     cents = [list(r["qv"]) for r in seed_rows]
 
-    n_rows = q.count()  # q is an eager localCheckpoint — cached scan
+    # r14: the r13 gate's count() was the only sub-gate job added to
+    # the local path and an interleaved A/B (tools/ab_round14.py,
+    # 0/7 round wins for the gated version) showed it cost a real
+    # ~0.2 s — callers that know the exact row count (e.g. from the
+    # parquet footer metadata of an un-filtered scan) pass it in and
+    # skip the job; the counted-data gate semantics are unchanged.
+    if n_rows is None:
+        n_rows = q.count()  # q is an eager localCheckpoint — cached scan
 
     def assign(cent_rows: list[list[int]]) -> DataFrame:
         # Assignment is a NARROW per-row argmin against the k driver-

@@ -372,8 +372,20 @@ def q_kmeans_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     embs = _embs(spark, sf_dir)
+    # exact row count from the parquet footers (driver-side metadata
+    # read, no Spark job): _embs is an un-filtered row-preserving scan,
+    # so the footer count IS the corpus size the operator's scale gate
+    # needs — r14, replaces the gate's count() job (ab_round14 showed
+    # it cost ~0.2 s at sf0.1)
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
     return kmeans_integer_distributed(
-        embs, k=KMI_K, n_iters=KMI_ITERS, dim=EMB_DIM
+        embs, k=KMI_K, n_iters=KMI_ITERS, dim=EMB_DIM, n_rows=n_rows
     )
 
 

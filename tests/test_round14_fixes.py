@@ -50,6 +50,29 @@ def test_stateful_partitions_env_override(spark, tmp_path, monkeypatch):
     assert _stateful_shuffle_partitions(spark, str(f), True) == 7
 
 
+def test_kmeans_n_rows_hint_matches_count_path(spark):
+    """The footer-count hint must be a pure shortcut: identical output
+    to the count()-gated path for the same input (both below and above
+    the hint value's effect on the gate is the same branch here)."""
+    from journal_batch_processer_spark.operators.similarity import (
+        kmeans_integer_distributed,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = embs.count()
+    base = sorted(
+        tuple(r)
+        for r in kmeans_integer_distributed(embs, k=4, n_iters=2).collect()
+    )
+    hinted = sorted(
+        tuple(r)
+        for r in kmeans_integer_distributed(
+            embs, k=4, n_iters=2, n_rows=n
+        ).collect()
+    )
+    assert hinted == base
+
+
 def test_drain_restores_shuffle_partitions(spark, tmp_path):
     """The scoped override must not leak into the session after the
     drain (batch queries planned later would inherit it)."""

@@ -60,7 +60,9 @@ def _kmeans_r12():
 
     from journal_batch_processer_spark.operators.similarity import KMI_SCALE
 
-    def kmeans_old(embs, k=8, n_iters=3, dim=64, id_col="vec_id", vec_col="embedding"):
+    def kmeans_old(embs, k=8, n_iters=3, dim=64, id_col="vec_id",
+                   vec_col="embedding", n_rows=None):
+        del n_rows  # r12 shape had no gate; accept and ignore the hint
         q = embs.select(
             F.col(id_col).alias("vec_id"),
             F.expr(
