@@ -790,23 +790,26 @@ def apply_index_changes(
     ``banded_signatures(changes.filter(insert))`` qualifies; for a
     multi-commit feed it does not (a doc inserted then deleted must
     net out)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_commit_version").desc(), F.col("_change").desc()
-    )
-    last = (
-        changes_df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    changed = last.select(F.col(id_col).alias("doc")).distinct()
+    # The CHANGED-doc set is the distinct id set of the raw feed — the
+    # last-change window cannot add or remove ids (row_number keeps at
+    # least one row per id), so computing it window-free prunes the
+    # feed scan to the id column and drops a per-id shuffle (§2.4;
+    # r14 — before, the window ran even when fresh_bands made its
+    # winners side unused).
+    changed = changes_df.select(F.col(id_col).alias("doc")).distinct()
     kept = index_df.join(F.broadcast(changed), "doc", "left_anti")
     if fresh_bands is not None:
         fresh = fresh_bands.select("doc", "band", "bucket")
     else:
-        winners = last.filter(F.col("_change") == "insert").select(
-            id_col, text_col
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_commit_version").desc(), F.col("_change").desc()
+        )
+        winners = (
+            changes_df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("_change") == "insert"))
+            .select(id_col, text_col)
         )
         fresh = banded_signatures(winners, id_col, text_col, n_hashes, bands, n)
     return kept.unionByName(fresh)

@@ -2069,6 +2069,13 @@ def q_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _materialize_docs_table(spark, sf_dir)
     t = SnapshotTable(root)
     idx0 = banded_signatures(t.read(spark, version=2), "doc_id", "text")
+    # r14: VERDICT r13 #5 suggested pinning the change feed so the cdc
+    # is scanned once; the interleaved A/B (plans/r14/ab_cdc_pin.txt)
+    # measured the pin's cache materialization SLOWER than the second
+    # scan it saves (med 2.54 vs 2.41 s) — because with the last-change
+    # window gone (apply_index_changes r14), the second cdc scan is
+    # id-only and column-pruned. Kept unpinned: scan 1 carries text for
+    # the delta banding, scan 2 reads just doc_id for the changed set.
     ch = t.read_changes(spark, 2, 3)
     delta = ch.filter(F.col("_change") == "insert").select("doc_id", "text")
     # band the delta ONCE (r13): the 2→3 feed is a single commit, so
