@@ -318,8 +318,10 @@ def connected_components_star(
     Reference capability: BatchUpdate.py has no graph op — this backs
     the dedup_cluster EXT query (pairs → transitive closure).
     """
+    from journal_batch_processer_spark.session import force_distributed
+
     edges = edges.localCheckpoint(eager=True)
-    if edges.count() <= small_graph_edges:
+    if edges.count() <= small_graph_edges and not force_distributed():
         return _union_find_labels(edges)
     star, _ = _star_rounds(edges, max_iter)
     # At fixpoint every edge points node → its component's minimum id,

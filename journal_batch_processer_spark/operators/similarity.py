@@ -1446,6 +1446,10 @@ def kmeans_integer_distributed(
     # skip the job; the counted-data gate semantics are unchanged.
     if n_rows is None:
         n_rows = q.count()  # q is an eager localCheckpoint — cached scan
+    from journal_batch_processer_spark.session import force_distributed
+
+    if force_distributed():  # tripwire: always take the scale branch
+        n_rows = KMI_EXPR_MAX_ROWS + 1
 
     def assign(cent_rows: list[list[int]]) -> DataFrame:
         # Assignment is a NARROW per-row argmin against the k driver-

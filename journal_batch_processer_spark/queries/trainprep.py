@@ -593,7 +593,13 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         lpa_labels_small,
     )
 
-    if n <= SMALL_GRAPH_NODES and 2 * len(gens) * n <= SMALL_GRAPH_EDGES:
+    from journal_batch_processer_spark.session import force_distributed
+
+    if (
+        n <= SMALL_GRAPH_NODES
+        and 2 * len(gens) * n <= SMALL_GRAPH_EDGES
+        and not force_distributed()
+    ):
         import pandas as pd
 
         node_ids = [r[0] for r in docs.select("doc_id").collect()]
@@ -831,7 +837,13 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical edge set in Python (_blocked_links_small) and run the
     # integer H-operator rounds on the driver. Above the gate the
     # distributed rounds run unchanged (the 100 TB path).
-    if n <= SMALL_GRAPH_NODES and 2 * len(KCORE_GENS) * n <= SMALL_GRAPH_EDGES:
+    from journal_batch_processer_spark.session import force_distributed
+
+    if (
+        n <= SMALL_GRAPH_NODES
+        and 2 * len(KCORE_GENS) * n <= SMALL_GRAPH_EDGES
+        and not force_distributed()
+    ):
         import pandas as pd
 
         node_ids = [r[0] for r in docs.select("doc_id").collect()]

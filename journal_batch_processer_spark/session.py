@@ -12,6 +12,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def force_distributed() -> bool:
+    """True when SPARK_GRAFT_FORCE_DISTRIBUTED=1: every adaptive
+    small-input driver gate (tiny-graph kcore/labelprop rounds, the
+    union-find closure, the kmeans expression path) takes its
+    DISTRIBUTED branch regardless of counted input size. The gated
+    keys' bench rows otherwise never exercise the distributed shapes
+    at test SFs (VERDICT r13 #2) — tools/distributed_tripwire.py uses
+    this to keep a timed tripwire on them. Semantics are unchanged:
+    both branches are bit-equal (pinned in tests)."""
+    return os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED", "") == "1"
+
+
 def get_spark(
     app_name: str = "journal-batch-processer-spark",
     master: str | None = None,

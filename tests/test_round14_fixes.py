@@ -50,6 +50,28 @@ def test_stateful_partitions_env_override(spark, tmp_path, monkeypatch):
     assert _stateful_shuffle_partitions(spark, str(f), True) == 7
 
 
+def test_force_distributed_env_flips_branch_same_rows(spark, monkeypatch):
+    """SPARK_GRAFT_FORCE_DISTRIBUTED=1 must route the gated keys through
+    the distributed branch (plan is no longer a driver-built local
+    table) with an identical row set."""
+    from journal_batch_processer_spark.queries.trainprep import (
+        q_graph_labelprop,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_DISTRIBUTED", raising=False)
+    gated = q_graph_labelprop(spark, sf)
+    assert "LocalTableScan" in gated._jdf.queryExecution().executedPlan().toString()
+    want = sorted(tuple(r) for r in gated.collect())
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    forced = q_graph_labelprop(spark, sf)
+    assert (
+        "LocalTableScan"
+        not in forced._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sorted(tuple(r) for r in forced.collect()) == want
+
+
 def test_kmeans_n_rows_hint_matches_count_path(spark):
     """The footer-count hint must be a pure shortcut: identical output
     to the count()-gated path for the same input (both below and above
