@@ -231,9 +231,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     steal_at_best: dict[str, float] = {}
     rep_counts: dict[str, int] = {}
+    # r14 (VERDICT r13 #6, additions-only): every rep's wall time goes
+    # into the artifact so cold (rep 1, pinned caches empty) vs warm
+    # reps are distinguishable for keys that pin relations — the
+    # min-over-reps headline estimator is UNCHANGED for cross-round
+    # comparability.
+    rep_times: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
         best, best_steal, n, reps = float("inf"), 0.0, 0, 0
+        walls: list[float] = []
         while reps < MAX_REPS:
             s0 = _proc_stat()
             t0 = time.perf_counter()
@@ -241,6 +248,7 @@ def main() -> None:
             wall = time.perf_counter() - t0
             frac = _interval_frac(s0, _proc_stat())
             reps += 1
+            walls.append(round(wall, 3))
             improving = wall < best * 0.85  # JIT/codegen still warming
             if wall < best:
                 best, best_steal = wall, frac
@@ -253,6 +261,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         steal_at_best[name] = best_steal
         rep_counts[name] = reps
+        rep_times[name] = walls
         # scoped caches (ADVICE r06): released per-QUERY, after the rep
         # loop — reps of one query share pinned relations exactly as
         # every prior round's estimator did (cross-round comparability),
@@ -280,6 +289,10 @@ def main() -> None:
         # (MAX_REPS cap); r01 baseline rows were min-of-2, so
         # cross-round ratios partly reflect the estimator change
         "reps": rep_counts,
+        # per-rep walls, rep 1 = cold (pinned caches start empty; they
+        # are released after the rep loop, so later reps of pinned keys
+        # run warm — VERDICT r13 #3/#6)
+        "rep_times": rep_times,
         "estimator": f"min over up to {MAX_REPS} reps "
         "(retry on steal>5% or >15% improvement); r01 baseline was min-of-2",
         "streams": streams.by_name,

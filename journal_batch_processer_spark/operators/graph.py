@@ -364,6 +364,52 @@ def cluster_assignments(
     )
 
 
+def triangle_counts_small(edge_rows: list) -> dict:
+    """Driver-side degree-oriented wedge counting for SMALL edge lists
+    — exactly the distributed plan's arithmetic (same packed
+    (deg·1e12 + id) orientation key, same strict dstk wedge order,
+    same closing-edge multiplicity semantics for parallel edges), so
+    the result is bit-identical to the in-plan joins (pinned in
+    tests/test_round14_fixes.py). Returns {node: n_triangles} for
+    nodes in at least one triangle."""
+    from collections import Counter, defaultdict
+
+    deg: dict = defaultdict(int)
+    for x, y in edge_rows:
+        deg[x] += 1
+        deg[y] += 1
+    key = {v: d * 1_000_000_000_000 + v for v, d in deg.items()}
+    out: dict = defaultdict(list)  # src -> [(dstk, dst)]
+    ocnt: Counter = Counter()  # oriented edge multiplicity
+    for x, y in edge_rows:
+        s, d = (x, y) if key[x] < key[y] else (y, x)
+        out[s].append((key[d], d))
+        ocnt[(s, d)] += 1
+    tri: dict = defaultdict(int)
+    for u, lst in out.items():
+        lst.sort()
+        for i in range(len(lst)):
+            ki, vi = lst[i]
+            for j in range(i + 1, len(lst)):
+                kj, vj = lst[j]
+                if ki == kj:  # parallel edge: strict dstk order excludes
+                    continue
+                c = ocnt.get((vi, vj), 0)
+                if c:
+                    tri[u] += c
+                    tri[vi] += c
+                    tri[vj] += c
+    return dict(tri)
+
+
+# Wedge-work bound for the driver-side triangle path: sum over sources
+# of C(out-degree, 2), computed from the COLLECTED edges before any
+# Python counting — a pure function of the data, never a core-count
+# constant. Above it the distributed joins run (the checkpointed edge
+# list is reused, only the collect was extra).
+TRIANGLE_DRIVER_MAX_WEDGES = 2_000_000
+
+
 def triangle_counts(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
 ) -> DataFrame:
@@ -400,6 +446,46 @@ def triangle_counts(
     e0 = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).localCheckpoint(
         eager=True
     )
+    # Adaptive small-graph path (r14 — the connected_components_star /
+    # kcore/labelprop precedent): pairs AFTER near-dup filtering are
+    # often tiny even on a huge corpus, and the distributed machinery
+    # (degree agg + 2 orientation joins + pin + wedge self-join +
+    # closing join) measured 1.6 s of pure per-stage fixed cost over a
+    # 256-edge fixture. At or below SMALL_GRAPH_EDGES (count is a
+    # cached scan over the eager checkpoint) collect the edges, bound
+    # the wedge work analytically from the collected degrees, and run
+    # the identical integer counting driver-side; above either bound —
+    # or under SPARK_GRAFT_FORCE_DISTRIBUTED=1 — the joins below run
+    # unchanged (the 100 TB path).
+    from journal_batch_processer_spark.session import force_distributed
+
+    if e0.count() <= SMALL_GRAPH_EDGES and not force_distributed():
+        edge_rows = [(r[0], r[1]) for r in e0.collect()]
+        from collections import Counter
+
+        odeg: Counter = Counter()
+        deg_c: Counter = Counter()
+        for x, y in edge_rows:
+            deg_c[x] += 1
+            deg_c[y] += 1
+        for x, y in edge_rows:
+            kx = deg_c[x] * 1_000_000_000_000 + x
+            ky = deg_c[y] * 1_000_000_000_000 + y
+            odeg[x if kx < ky else y] += 1
+        wedges = sum(d * (d - 1) // 2 for d in odeg.values())
+        if wedges <= TRIANGLE_DRIVER_MAX_WEDGES:
+            tri = triangle_counts_small(edge_rows)
+            t = pairs.schema[a].dataType
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("doc_id", t),
+                    StructField("n_triangles", LongType()),
+                ]
+            )
+            rows = sorted(tri.items())
+            return pairs.sparkSession.createDataFrame(rows, schema)
     deg = (
         e0.select(F.col("x").alias("n"))
         .unionAll(e0.select(F.col("y").alias("n")))

@@ -72,6 +72,30 @@ def test_force_distributed_env_flips_branch_same_rows(spark, monkeypatch):
     assert sorted(tuple(r) for r in forced.collect()) == want
 
 
+def test_triangle_driver_gate_matches_distributed(spark, monkeypatch):
+    """triangle_counts' driver-side small-graph path must be
+    bit-identical to the distributed joins — including parallel edges
+    (closing-edge multiplicity) and degree ties."""
+    from journal_batch_processer_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle
+        (3, 4), (4, 5), (3, 5),          # second triangle sharing node 3
+        (1, 2),                          # parallel edge inside a triangle
+        (5, 6), (6, 7),                  # path, no triangle
+        (8, 9),                          # isolated edge
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_DISTRIBUTED", raising=False)
+    gated = sorted(tuple(r) for r in triangle_counts(df).collect())
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    dist = sorted(tuple(r) for r in triangle_counts(df).collect())
+    assert gated == dist
+    assert gated  # triangles exist
+
+
 def test_kmeans_n_rows_hint_matches_count_path(spark):
     """The footer-count hint must be a pure shortcut: identical output
     to the count()-gated path for the same input (both below and above

@@ -27,7 +27,13 @@ from journal_batch_processer_spark.cache import release_all  # noqa: E402
 from journal_batch_processer_spark.queries import REGISTRY  # noqa: E402
 from journal_batch_processer_spark.session import get_spark  # noqa: E402
 
-KEYS = ["graph_kcore", "graph_labelprop", "dedup_cluster", "kmeans_distributed"]
+KEYS = [
+    "graph_kcore",
+    "graph_labelprop",
+    "dedup_cluster",
+    "kmeans_distributed",
+    "graph_triangles",
+]
 
 
 def main() -> None:
