@@ -59,6 +59,42 @@ from pyspark.sql import functions as F
 
 _STATS_TYPES = (int, float, str)
 
+# --- session-scoped relation memo (r14, guide §6) --------------------------
+#
+# Spark caches catalog-table file listings per session
+# (spark.sql.hive.filesourcePartitionFileCacheSize) precisely so repeated
+# scans of one table do not relist it, but ad-hoc path reads with an
+# explicit schema get no such cache: every `spark.read.schema(ddl)
+# .parquet(*paths)` pays ~60-100 ms of driver-side relation resolution.
+# A manifest-driven snapshot read issues one such call PER colset group
+# PER version — q_table_snapshot_read's six-version summary spent 1.16 s
+# of its 2.0 s building DataFrames before any job ran. This memo is the
+# FileStatusCache analog for manifest reads: METADATA ONLY (a lazy
+# DataFrame plan — no rows, no results; every action still scans the
+# parquet), keyed by application, schema, and the exact (path, mtime,
+# size) set so any rewritten file misses. In-process and bounded; dies
+# with the session.
+_REL_CACHE: dict = {}
+_REL_CACHE_MAX = 256
+
+
+def _path_relation(spark: SparkSession, ddl: str, paths: list) -> DataFrame:
+    try:
+        fkey = tuple(
+            (p, int(os.path.getmtime(p) * 1000), os.path.getsize(p))
+            for p in sorted(paths)
+        )
+    except OSError:  # racing writer/cleaner: resolve uncached
+        return spark.read.schema(ddl).parquet(*paths)
+    key = (spark.sparkContext.applicationId, ddl, fkey)
+    df = _REL_CACHE.get(key)
+    if df is None:
+        if len(_REL_CACHE) >= _REL_CACHE_MAX:
+            _REL_CACHE.clear()  # tiny plans; wholesale reset is fine
+        df = spark.read.schema(ddl).parquet(*paths)
+        _REL_CACHE[key] = df
+    return df
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first; rebase and retry."""
@@ -2112,7 +2148,7 @@ class SnapshotTable:
         parts = []
         for colset, paths in sorted(by_cols.items()):
             present = set(colset)
-            df = spark.read.schema(self._ddl(man, present)).parquet(*paths)
+            df = _path_relation(spark, self._ddl(man, present), paths)
             if with_pos:
                 # relativize by the LAST TWO segments (prefix/name):
                 # staged paths are always one level deep (data/ cdc/
@@ -2182,8 +2218,10 @@ class SnapshotTable:
             pos_refs.update(d["refs"])
         pos_keys = None
         if pos_dvs:
-            pos_keys = spark.read.schema("`_file` string, `_pos` bigint").parquet(
-                *[os.path.join(self.root, d["path"]) for d in pos_dvs]
+            pos_keys = _path_relation(
+                spark,
+                "`_file` string, `_pos` bigint",
+                [os.path.join(self.root, d["path"]) for d in pos_dvs],
             )
         groups: dict[tuple[tuple[int, ...], bool], list[dict]] = {}
         for f in files:
@@ -2204,8 +2242,10 @@ class SnapshotTable:
                 df = df.drop("_file", "_pos")
             for i in appl:
                 d = eq_dvs[i]
-                keys = spark.read.schema(self._ddl(man, {d["key"]})).parquet(
-                    os.path.join(self.root, d["path"])
+                keys = _path_relation(
+                    spark,
+                    self._ddl(man, {d["key"]}),
+                    [os.path.join(self.root, d["path"])],
                 )
                 df = df.join(F.broadcast(keys), d["key"], "left_anti")
             parts.append(df)
