@@ -120,7 +120,8 @@ def shingles_col(text: F.Column, n: int = 3) -> F.Column:
 
 
 def shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """Distinct (doc, shingle) rows with ONE exchange: nested zip_with
     over n shifted slices of the token array builds the shingle array
@@ -143,15 +144,20 @@ def shingle_table(
     Character-gram builders with hundreds of elements per doc keep
     posexplode+lead (see winnow_fingerprints) — the crossover is
     elements-per-doc, and word shingles sit far below it.
+
+    ``spread=False`` skips the repartition for consumers whose FIRST
+    downstream operation re-partitions by shingle anyway (the prefix-
+    filter generators: their df/rank window hashes on shingle, so the
+    doc partitioning is never reused and the exchange is pure cost —
+    ADVICE r13; A/B in plans/r14/ab_prefix_spread.txt). Doc-keyed
+    consumers keep the default.
     """
     t = tokens_col(F.col(text_col))
-    base = (
-        df.select(
-            F.col(id_col).alias("doc"), t.alias("t"), F.size(t).alias("m")
-        )
-        .filter(F.col("m") >= n)
-        .repartition("doc")
-    )
+    base = df.select(
+        F.col(id_col).alias("doc"), t.alias("t"), F.size(t).alias("m")
+    ).filter(F.col("m") >= n)
+    if spread:
+        base = base.repartition("doc")
     ln = F.col("m") - F.lit(n - 1)
     g = F.slice(F.col("t"), 1, ln)
     for i in range(1, n):
@@ -312,7 +318,7 @@ def ngram_containment_pairs_prefix(
     """
     eps = 1e-9
     t = float(threshold)
-    sh = shingle_table(df, id_col, text_col, n).select(
+    sh = shingle_table(df, id_col, text_col, n, spread=False).select(
         "doc", F.xxhash64("shingle").alias("shingle")
     )
     if max_shingle_df is not None:
@@ -435,7 +441,7 @@ def ngram_jaccard_pairs_prefix(
         # dropped before the persisted relation, so the candidate join
         # and verify arrays still move 8-byte longs
         sel.append(F.col("shingle").alias("shingle_str"))
-    sh = shingle_table(df, id_col, text_col, n).select(*sel)
+    sh = shingle_table(df, id_col, text_col, n, spread=False).select(*sel)
     if max_shingle_df is not None:
         # stop-shingle pre-filter with the SAME semantics as the naive
         # generator's cap (drop shingles in > N docs BEFORE sizes are
