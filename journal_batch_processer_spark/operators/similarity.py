@@ -1020,6 +1020,21 @@ def pq_codes_arrow(vec: F.Column, codebooks: list[list[list[float]]], dim: int):
     return _codes(vec)
 
 
+# Refine-leg crossover (pq_topk / ivfpq_topk): BELOW this corpus size
+# the full-corpus normalize runs as an independent plan branch that
+# overlaps the ADC leg and avoids putting a broadcast build of the
+# shortlist on the critical path — measured faster at sf0.1 (2k rows:
+# interleaved A/B quiet rounds 2.46/2.46/1.95 s vs 3.07/2.65/2.56 s,
+# plans/r14/ab_pq_refine.txt). ABOVE it, normalizing every corpus
+# vector through a Python node to re-rank a bounded shortlist is the
+# dominant cost (a full-corpus Arrow pass at 100 TB), so the shortlist
+# is broadcast into a point-lookup join over the RAW vectors and only
+# the survivors normalize. Both branches are bit-identical (per-row
+# normalize commutes with the id-equi join); SPARK_GRAFT_FORCE_
+# DISTRIBUTED exercises the scale branch at any size.
+PQ_FULL_NORM_MAX_ROWS = 100_000
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1029,6 +1044,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k: the corpus is ENCODED (m small int
     codes per vector — at scale these 8 bytes/vector are what's
@@ -1111,19 +1127,41 @@ def pq_topk(
     short = ranked.filter(F.col("rank") <= refine).select(
         "query_id", "neighbor_id"
     )
-    # corpus-side normalize on the Arrow path (same bit-exact fold as
-    # _unit — see unit_vec_arrow); the 10-row query side keeps _unit
-    cu = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        unit_vec_arrow(vec_c, dim).alias("cu"),
+    # r14: two refine-fetch shapes gated on counted corpus size (see
+    # PQ_FULL_NORM_MAX_ROWS). Small: normalize the corpus on the Arrow
+    # path as its own branch (overlaps the ADC leg) and join the
+    # shortlist to it. Large (the 100 TB shape): broadcast the bounded
+    # ≤ refine·|Q|-row shortlist into a point-lookup join over the RAW
+    # vectors, then normalize only the survivors — never a full-corpus
+    # Python pass. Per-row normalize commutes with the id-equi join,
+    # so both are bit-identical; the 10-row query side keeps _unit.
+    from journal_batch_processer_spark.session import force_distributed
+
+    cu_raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), vec_c.alias("__raw")
     )
+    small = (
+        n_rows is not None
+        and n_rows <= PQ_FULL_NORM_MAX_ROWS
+        and not force_distributed()
+    )
+    if small:
+        cu = cu_raw.select(
+            "neighbor_id", unit_vec_arrow(F.col("__raw"), dim).alias("cu")
+        )
+        fetched = short.join(cu, "neighbor_id")
+    else:
+        fetched = cu_raw.join(F.broadcast(short), "neighbor_id").select(
+            "query_id",
+            "neighbor_id",
+            unit_vec_arrow(F.col("__raw"), dim).alias("cu"),
+        )
     qu = _unit(
         queries.select(F.col(id_col).alias("query_id"), vec_c.alias("__raw")),
         "qu",
     )
     rescored = (
-        short.join(cu, "neighbor_id")
-        .join(F.broadcast(qu), "query_id")
+        fetched.join(F.broadcast(qu), "query_id")
         .withColumn("cosine", dot_expr("qu", "cu", dim))
     )
     w2 = Window.partitionBy("query_id").orderBy(
@@ -1147,6 +1185,7 @@ def ivfpq_topk(
     refine: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS production layout — coarse IVF cells prune the
     candidate set (a query touches ``n_probe`` cells, i.e. a partition-
@@ -1258,17 +1297,31 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
 
-    cu = _unit(
-        corpus.select(F.col(id_col).alias("neighbor_id"), vec_c.alias("__raw")),
-        "cu",
+    # r14: refine-fetch gate, same rationale and crossover as pq_topk
+    # (PQ_FULL_NORM_MAX_ROWS) — small corpora keep the overlappable
+    # full-normalize branch, large ones broadcast the bounded shortlist
+    # into a point-lookup join over the raw vectors and normalize only
+    # the survivors; per-row normalize commutes with the id-equi join.
+    from journal_batch_processer_spark.session import force_distributed
+
+    cu_raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), vec_c.alias("__raw")
     )
+    small = (
+        n_rows is not None
+        and n_rows <= PQ_FULL_NORM_MAX_ROWS
+        and not force_distributed()
+    )
+    if small:
+        fetched = short.join(_unit(cu_raw, "cu"), "neighbor_id")
+    else:
+        fetched = _unit(cu_raw.join(F.broadcast(short), "neighbor_id"), "cu")
     qu = _unit(
         queries.select(F.col(id_col).alias("query_id"), vec_c.alias("__raw")),
         "qu",
     )
     rescored = (
-        short.join(cu, "neighbor_id")
-        .join(F.broadcast(qu), "query_id")
+        fetched.join(F.broadcast(qu), "query_id")
         .withColumn("cosine", dot_expr("qu", "cu", dim))
     )
     w2 = Window.partitionBy("query_id").orderBy(

@@ -3652,12 +3652,18 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks,
     )
 
+    import pyarrow.parquet as _pq
+
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
-    books = train_pq_codebooks(
-        _os.path.join(sf_dir, "embeddings.parquet"), m=16, ksub=16
+    pq_path = _os.path.join(sf_dir, "embeddings.parquet")
+    books = train_pq_codebooks(pq_path, m=16, ksub=16)
+    # exact corpus size from the parquet footers (no job) gates the
+    # refine-fetch shape — see similarity.PQ_FULL_NORM_MAX_ROWS
+    return pq_topk(
+        embs, queries, books, dim=EMB_DIM, k=5, refine=50,
+        n_rows=_pq.ParquetFile(pq_path).metadata.num_rows,
     )
-    return pq_topk(embs, queries, books, dim=EMB_DIM, k=5, refine=50)
 
 
 def _pq_sql_parts(
@@ -3806,8 +3812,11 @@ def q_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_path = _os.path.join(sf_dir, "embeddings.parquet")
     cents = train_ivf_centroids(pq_path, n_centroids=16)
     books = train_pq_codebooks(pq_path, m=16, ksub=16)
+    import pyarrow.parquet as _pqt
+
     return ivfpq_topk(
-        embs, queries, cents, books, dim=EMB_DIM, k=5, n_probe=4, refine=50
+        embs, queries, cents, books, dim=EMB_DIM, k=5, n_probe=4, refine=50,
+        n_rows=_pqt.ParquetFile(pq_path).metadata.num_rows,
     ).select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),

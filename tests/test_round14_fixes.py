@@ -119,6 +119,37 @@ def test_kmeans_n_rows_hint_matches_count_path(spark):
     assert hinted == base
 
 
+def test_pq_refine_gate_branches_match(spark, monkeypatch):
+    """pq_topk's small (full-normalize) and large (shortlist-first)
+    refine branches must return identical rows."""
+    from journal_batch_processer_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    books = train_pq_codebooks(f"{sf}/embeddings.parquet", m=16, ksub=16)
+    from pyspark.sql import functions as F
+
+    q = embs.filter(F.col("vec_id") < 5)
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_DISTRIBUTED", raising=False)
+    small = sorted(
+        tuple(r)
+        for r in pq_topk(
+            embs, q, books, dim=64, k=5, refine=20, n_rows=embs.count()
+        ).collect()
+    )
+    large = sorted(
+        tuple(r)
+        for r in pq_topk(
+            embs, q, books, dim=64, k=5, refine=20, n_rows=10**9
+        ).collect()
+    )
+    assert small == large
+    assert small
+
+
 def test_drain_restores_shuffle_partitions(spark, tmp_path):
     """The scoped override must not leak into the session after the
     drain (batch queries planned later would inherit it)."""

@@ -33,6 +33,8 @@ KEYS = [
     "dedup_cluster",
     "kmeans_distributed",
     "graph_triangles",
+    "sim_search_pq",
+    "sim_search_ivfpq",
 ]
 
 
