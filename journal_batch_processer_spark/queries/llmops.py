@@ -117,6 +117,21 @@ def _docs(spark, sf_dir):
     return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _docs_unspread(spark, sf_dir):
+    """Documents scan WITHOUT the _spread round-robin: for consumers
+    whose first operation is shingle_table's hash-by-doc repartition,
+    the round-robin is a second back-to-back full-text exchange (plus
+    its sort-before-repartition) that the hash exchange makes redundant
+    — the Filter between them blocks CollapseRepartition, so Catalyst
+    cannot drop it. Interleaved A/B (plans/r14/ab_docs_spread.txt):
+    raw docs win 4-6/7 rounds on every doc-keyed shingle consumer
+    (dedup_ngram med 3.24 vs 3.95 s). At 100 TB _spread's low-split
+    gate never fires, so the two readers are identical there; keep
+    _docs for consumers whose first exchange is NOT doc-keyed (the
+    prefix generators, narrow regex stages)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 def _embs(spark, sf_dir):
     return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
@@ -156,7 +171,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard pairs with the stop-shingle cap (df ≤ 20): the
     skew guard that keeps the candidate join near-linear as the corpus
     grows (no-op at sf0.01 where max df is 7 — oracle-identical)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_unspread(spark, sf_dir)
     out = ngram_jaccard_pairs_auto(
         docs, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=20
     )
@@ -210,7 +225,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_containment_pairs,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_unspread(spark, sf_dir)
     out = ngram_containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=20
     )
@@ -475,7 +490,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutations make the whole signature→band→candidate pipeline
     reproducible in DuckDB (recall vs exact Jaccard additionally
     asserted in tests)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_unspread(spark, sf_dir)
     return minhash_candidates(docs, "doc_id", "text", n_hashes=32, bands=8)
 
 
@@ -489,7 +504,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_candidates_incremental,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_unspread(spark, sf_dir)
     new = docs.filter(F.col("doc_id") % 2 == 1)
     old = docs.filter(F.col("doc_id") % 2 == 0)
     return minhash_candidates_incremental(
@@ -543,7 +558,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping a corpus."""
     from journal_batch_processer_spark.operators.dedup import shingle_table
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_unspread(spark, sf_dir)
     sh = shingle_table(docs, "doc_id", "text", n=3)
     bench_sh = (
         sh.filter(F.col("doc") % 50 == 0).select("shingle").distinct()
@@ -601,7 +616,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates + exact verification at j≥0.5 — equals the exact
     all-pairs sweep on this corpus (16×2 banding: recall ≈0.99 at the
     threshold, ≈1.0 for the actual planted near-dups at j≥0.7)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_unspread(spark, sf_dir)
     out = near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1525,7 +1540,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prefix: 0.69s vs 2.1s in the same bench)."""
     from journal_batch_processer_spark.operators.graph import cluster_assignments
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_unspread(spark, sf_dir)
     pairs = ngram_jaccard_pairs_auto(
         docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=20
     )
@@ -2103,7 +2118,7 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_thresholds,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_unspread(spark, sf_dir)
     pairs = ngram_jaccard_pairs_auto(
         docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=20
     )
@@ -2496,7 +2511,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.graph.triangle_counts for the scale argument."""
     from journal_batch_processer_spark.operators.graph import triangle_counts
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_unspread(spark, sf_dir)
     pairs = ngram_jaccard_pairs_auto(
         docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=20
     )
